@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full inverted-index build + BM25 top-10 over a
+                 transcript-shaped frame derived from sf0.001 documents.
+queries()      — one entry per implemented operator (SURVEY.md §2),
+                 callable(spark, sf_dir) → DataFrame.
+oracle_sql()   — matching DuckDB SQL per query (see lucene_solr_spark/gate.py
+                 for the cross-engine determinism rules).
 """
 
 from __future__ import annotations
@@ -12,27 +13,43 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → tokenize → inverted index (postings /
+    dictionary / norms) → Lucene-exact float32 BM25 top-10 disjunctive
+    query → hits joined back to stored fields."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.bruteforce import search_bruteforce
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # deterministic transcript shape (conv of 8 turns per source group)
+    transcripts = docs.select(
+        F.concat(F.lit("conv"), F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 8, "0")).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 2, "search").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+    )
+    tables = build_index(transcripts, num_partitions=8)
+    hits = search_bruteforce(tables, ["spark", "window", "merge"], "disjunctive", k=10)
+    return hits.join(tables.stored, "doc_id").select(
+        "doc_id", "score", "conv_id", "turn_idx", "role", "text"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_solr_spark import gate
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(gate.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_spark import gate
+
+    return dict(gate.ORACLE_SQL)

@@ -1,0 +1,734 @@
+"""Driver-gate queries: Spark DataFrame plans + equivalent DuckDB SQL.
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver's parquet tables and is paired with ANSI SQL the driver runs in
+DuckDB for a row-count + schema + value-hash comparison at sf=0.01.
+
+Cross-engine determinism rules used throughout:
+
+- Floating aggregates go through DECIMAL (exact, order-independent) and
+  are cast back to double before a final ROUND — bit-identical across
+  engines.
+- BM25 scores are computed in full double precision on BOTH sides (same
+  expression tree; the only transcendental is ln, identical after
+  ROUND(…,4)), over SmallFloat-quantized document lengths. The
+  Lucene-exact float32 pipeline is exercised by the pytest golden
+  fixtures instead (tests/test_search_parity.py) — DuckDB cannot
+  replicate Java float cast points.
+- Tokenization for SQL-checked fulltext queries is the JVM-native
+  "simple" analyzer == ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+- Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .functions.smallfloat import byte4_to_int
+from .index.builder import build_index, simple_tokens
+from .search.bruteforce import search_bruteforce
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def gate(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- loaders
+
+_INDEX_CACHE: dict = {}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def docs_index(spark: SparkSession, sf_dir: str):
+    """Inverted index over the documents table (simple analyzer,
+    pre-existing dense doc_id), cached per sf_dir within the process."""
+    key = ("docs", sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            analyzer="simple",
+            id_col="doc_id",
+        )
+    return _INDEX_CACHE[key]
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, term) — positional token stream, JVM-native."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", simple_tokens("text").alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+
+
+# ------------------------------------------------- BM25 SQL construction
+
+# dl range → norm byte bucket → decoded (quantized) length, as literal
+# SQL VALUES — replicates SmallFloat.intToByte4/byte4ToInt exactly.
+def _norm_values_sql() -> str:
+    dec = byte4_to_int(np.arange(256))
+    rows = []
+    for b in range(256):
+        lo = int(dec[b])
+        hi = int(dec[b + 1]) - 1 if b < 255 else 2147483647
+        if hi < lo:  # unreachable byte bucket (never happens, guard)
+            continue
+        rows.append(f"({lo},{hi},{lo})")
+    return ",".join(rows)
+
+
+_NORM_VALUES = _norm_values_sql()
+
+_TOKS = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+
+def bm25_sql(
+    terms,
+    mode: str = "disjunctive",
+    k: int = 10,
+    min_should_match: int | None = None,
+    exclude: list | None = None,
+) -> str:
+    tl = ",".join(f"'{t}'" for t in terms)
+    having = ""
+    if mode == "conjunctive":
+        having = f"HAVING count(*) = {len(terms)}"
+    elif min_should_match:
+        having = f"HAVING count(*) >= {min_should_match}"
+    agg = "max(term_score)" if mode == "dismax" else "sum(term_score)"
+    excl = ""
+    if exclude:
+        el = ",".join(f"'{t}'" for t in exclude)
+        excl = (
+            f"AND tf.doc_id NOT IN (SELECT doc_id FROM toks WHERE term IN ({el})) "
+        )
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.freq / (tf.freq
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+           AS term_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE 1=1 {excl}
+)
+SELECT doc_id, round({agg}, 4) AS score
+FROM scored GROUP BY doc_id {having}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_spark(
+    spark,
+    sf_dir,
+    terms,
+    mode="disjunctive",
+    k=10,
+    min_should_match=None,
+    exclude=None,
+) -> DataFrame:
+    tables = docs_index(spark, sf_dir)
+    res = search_bruteforce(
+        tables,
+        terms,
+        mode=mode,
+        k=None,
+        precision="double",
+        min_should_match=min_should_match,
+    )
+    if exclude:
+        excl_docs = tables.postings.filter(
+            tables.postings.term.isin(list(exclude))
+        ).select("doc_id")
+        res = res.join(excl_docs, "doc_id", "left_anti")
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------- fulltext gates
+# TermQuery / BooleanQuery / scoring — SURVEY §2.2, §3.1
+
+_Q_DIS = ["spark", "window", "merge"]
+_Q_CON = ["join", "hash", "vector"]
+
+
+@gate("fts_bm25_disjunctive", bm25_sql(_Q_DIS, "disjunctive", 10))
+def fts_bm25_disjunctive(spark, sf_dir):
+    return _bm25_spark(spark, sf_dir, _Q_DIS, "disjunctive", 10)
+
+
+@gate("fts_bm25_conjunctive", bm25_sql(_Q_CON, "conjunctive", 10))
+def fts_bm25_conjunctive(spark, sf_dir):
+    return _bm25_spark(spark, sf_dir, _Q_CON, "conjunctive", 10)
+
+
+@gate("fts_bm25_term", bm25_sql(["customer"], "disjunctive", 10))
+def fts_bm25_term(spark, sf_dir):
+    return _bm25_spark(spark, sf_dir, ["customer"], "disjunctive", 10)
+
+
+@gate(
+    "fts_bool_must_not",
+    bm25_sql(["join", "hash"], "conjunctive", 10, exclude=["vector"]),
+)
+def fts_bool_must_not(spark, sf_dir):
+    """MUST + MUST_NOT (ReqExclScorer → left_anti join)."""
+    return _bm25_spark(
+        spark, sf_dir, ["join", "hash"], "conjunctive", 10, exclude=["vector"]
+    )
+
+
+@gate(
+    "fts_minshouldmatch",
+    bm25_sql(["spark", "vector", "stream", "scan"], "disjunctive", 10,
+             min_should_match=3),
+)
+def fts_minshouldmatch(spark, sf_dir):
+    return _bm25_spark(
+        spark, sf_dir, ["spark", "vector", "stream", "scan"], "disjunctive", 10,
+        min_should_match=3,
+    )
+
+
+@gate(
+    "fts_dismax",
+    bm25_sql(["spark", "customer"], "dismax", 10),
+)
+def fts_dismax(spark, sf_dir):
+    """DisjunctionMaxQuery: per-doc max over clause scores."""
+    return _bm25_spark(spark, sf_dir, ["spark", "customer"], "dismax", 10)
+
+
+@gate(
+    "fts_term_in_set_count",
+    f"""WITH toks AS ({_TOKS})
+SELECT count(DISTINCT doc_id) AS n_docs FROM toks
+WHERE term IN ('spark','vector','stream')""",
+)
+def fts_term_in_set_count(spark, sf_dir):
+    """TermInSetQuery → isin filter + distinct count."""
+    tables = docs_index(spark, sf_dir)
+    return tables.postings.filter(
+        F.col("term").isin("spark", "vector", "stream")
+    ).agg(F.countDistinct("doc_id").alias("n_docs"))
+
+
+@gate(
+    "fts_facet_terms",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20""",
+)
+def fts_facet_terms(spark, sf_dir):
+    """FacetField: top terms by document frequency."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@gate(
+    "fts_prefix_expand",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term LIKE 's%'
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_prefix_expand(spark, sf_dir):
+    """PrefixQuery: dictionary expansion (term dict automaton → filter)."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.col("term").startswith("s"))
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
+@gate(
+    "fts_wildcard_expand",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term LIKE '%a_c%'
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_wildcard_expand(spark, sf_dir):
+    """WildcardQuery: LIKE-pattern dictionary expansion."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.col("term").like("%a_c%"))
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
+@gate(
+    "fts_fuzzy_expand",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE levenshtein(term, 'joins') <= 1
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_fuzzy_expand(spark, sf_dir):
+    """FuzzyQuery: edit-distance term expansion on the dictionary."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.levenshtein(F.col("term"), F.lit("joins")) <= 1)
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
+@gate(
+    "fts_phrase_match",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents)
+SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'slow' AND b.term = 'query'
+ORDER BY doc_id ASC""",
+)
+def fts_phrase_match(spark, sf_dir):
+    """Exact PhraseQuery: positional adjacency self-join."""
+    tok = doc_tokens(spark, sf_dir)
+    a = tok.filter(F.col("term") == "slow").select("doc_id", "pos")
+    b = tok.filter(F.col("term") == "query").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return a.join(b, ["doc_id", "pos"]).select("doc_id").distinct().orderBy("doc_id")
+
+
+@gate(
+    "fts_docfreq_stats",
+    f"""WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ('spark','join','customer') GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(freq) AS cf FROM tf
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_docfreq_stats(spark, sf_dir):
+    """docfreq/totaltermfreq function queries → dictionary lookups."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.col("term").isin("spark", "join", "customer"))
+        .select("term", "df", "cf")
+        .orderBy(F.asc("term"))
+    )
+
+
+# -------------------------------------------------------- relational gates
+# Solr streaming-expression / facet analogs over the TPC-H-ish tables
+# (SURVEY §2.3 joins, §2.4 aggregations, §2.5 sort/topk/set-ops).
+
+def _dec(col, scale=6):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+@gate(
+    "rel_rollup_pricing",
+    """SELECT l_returnflag, l_linestatus,
+  count(*) AS count_order,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+)
+def rel_rollup_pricing(spark, sf_dir):
+    """RollupStream / StatsStream: grouped aggregation with pushdown-able
+    filter (TPC-H Q1 shape). Decimal sums for cross-engine exactness."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 3).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("double"),
+                3,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@gate(
+    "rel_join_top_customers",
+    """SELECT c.c_name AS c_name,
+  count(*) AS n_orders,
+  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name ORDER BY revenue DESC, c_name ASC LIMIT 10""",
+)
+def rel_join_top_customers(spark, sf_dir):
+    """HashJoinStream: broadcast hash join (small dim) + rollup + top-k."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_name"))
+        .limit(10)
+    )
+
+
+@gate(
+    "rel_brand_part_join",
+    """SELECT p.p_brand AS p_brand, count(*) AS n_items,
+  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 3) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 20
+GROUP BY p.p_brand ORDER BY p_brand ASC""",
+)
+def rel_brand_part_join(spark, sf_dir):
+    """FetchStream-style enrichment join + facet rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 3).alias("total_qty"),
+        )
+        .orderBy(F.asc("p_brand"))
+    )
+
+
+@gate(
+    "rel_semijoin_segments",
+    """SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+FROM customer c WHERE c.c_custkey IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_mktsegment ORDER BY c_mktsegment ASC""",
+)
+def rel_semijoin_segments(spark, sf_dir):
+    """IntersectStream: semi-join (customers having recent orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.asc("c_mktsegment"))
+    )
+
+
+@gate(
+    "rel_antijoin_no_orders",
+    """SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey ASC""",
+)
+def rel_antijoin_no_orders(spark, sf_dir):
+    """ComplementStream: anti-join (customers with no orders at all)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(F.asc("c_custkey"))
+    )
+
+
+@gate(
+    "rel_leftouter_nation_counts",
+    """SELECT n.n_name AS n_name, count(c.c_custkey) AS n_customers
+FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n_name ASC""",
+)
+def rel_leftouter_nation_counts(spark, sf_dir):
+    """LeftOuterJoinStream: preserve unmatched left rows (count=0)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy(F.asc("n_name"))
+    )
+
+
+@gate(
+    "rel_window_top2_orders",
+    """SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 2
+ORDER BY o_custkey ASC, rnk ASC""",
+)
+def rel_window_top2_orders(spark, sf_dir):
+    """Grouping module two-pass top-docs-per-group → window row_number."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+        .orderBy(F.asc("o_custkey"), F.asc("rnk"))
+    )
+
+
+@gate(
+    "rel_collapse_best_order",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk = 1
+ORDER BY o_custkey ASC""",
+)
+def rel_collapse_best_order(spark, sf_dir):
+    """CollapsingQParserPlugin: keep best row per collapse key."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(F.asc("o_custkey"))
+    )
+
+
+@gate(
+    "rel_timeseries_daily",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS total_value
+FROM events GROUP BY day, event_type
+ORDER BY day ASC, event_type ASC""",
+)
+def rel_timeseries_daily(spark, sf_dir):
+    """TimeSeriesStream / FacetRange: date-histogram bucketing."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 3).alias("total_value"),
+        )
+        .orderBy(F.asc("day"), F.asc("event_type"))
+    )
+
+
+@gate(
+    "rel_having_frequent_buyers",
+    """SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey ASC""",
+)
+def rel_having_frequent_buyers(spark, sf_dir):
+    """HavingStream: post-aggregation predicate."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy(F.asc("o_custkey"))
+    )
+
+
+@gate(
+    "rel_unique_status_priority",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+ORDER BY o_orderstatus ASC, o_orderpriority ASC""",
+)
+def rel_unique_status_priority(spark, sf_dir):
+    """UniqueStream / DistinctOperation: dedup on selected columns."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy(F.asc("o_orderstatus"), F.asc("o_orderpriority"))
+    )
+
+
+@gate(
+    "rel_merge_sorted_union",
+    """SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+)
+def rel_merge_sorted_union(spark, sf_dir):
+    """MergeStream: ordered union of two sorted streams (+RankStream)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    return a.unionByName(b).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(25)
+
+
+@gate(
+    "rel_stats_lineitem",
+    """SELECT count(*) AS n_rows,
+  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+  count(DISTINCT l_partkey) AS n_parts
+FROM lineitem""",
+)
+def rel_stats_lineitem(spark, sf_dir):
+    """StatsComponent: global min/max/sum/count/count-distinct pushdown."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@gate(
+    "rel_range_query_events",
+    """SELECT event_type, count(*) AS n FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND value BETWEEN 50 AND 300
+GROUP BY event_type ORDER BY event_type ASC""",
+)
+def rel_range_query_events(spark, sf_dir):
+    """PointRangeQuery: numeric + timestamp range predicates (pushed to scan)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+            & F.col("value").between(50, 300)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc("event_type"))
+    )
+
+
+@gate(
+    "rel_search_after_page",
+    """SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice < 450000 OR (o_totalprice = 450000 AND o_orderkey > 0)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+)
+def rel_search_after_page(spark, sf_dir):
+    """searchAfter / CursorMark: keyset pagination below an anchor."""
+    o = load(spark, sf_dir, "orders")
+    anchor_price, anchor_key = 450000, 0
+    return (
+        o.filter(
+            (F.col("o_totalprice") < anchor_price)
+            | ((F.col("o_totalprice") == anchor_price) & (F.col("o_orderkey") > anchor_key))
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@gate(
+    "rel_blockjoin_orders_with_big_item",
+    """SELECT o.o_orderkey, o.o_totalprice FROM orders o
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+ORDER BY o.o_orderkey ASC LIMIT 50""",
+)
+def rel_blockjoin_orders_with_big_item(spark, sf_dir):
+    """ToParentBlockJoinQuery: parent docs having a matching child."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li.select("l_orderkey"), o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@gate(
+    "rel_cartesian_explode",
+    """SELECT r.r_name AS r_name, n.n_name AS n_name
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+ORDER BY r_name ASC, n_name ASC""",
+)
+def rel_cartesian_explode(spark, sf_dir):
+    """CartesianProductStream analog: small-dim expansion join."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name")
+        .orderBy(F.asc("r_name"), F.asc("n_name"))
+    )
+
+
+@gate(
+    "rel_percentile_prices",
+    """SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""",
+)
+def rel_percentile_prices(spark, sf_dir):
+    """PercentileAgg (exact interpolated percentile, not approx)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy(F.asc("o_orderpriority"))
+    )

@@ -17,11 +17,13 @@ from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: transcripts → tokenize → inverted index (postings /
-    dictionary / norms) → Lucene-exact float32 BM25 top-10 disjunctive
-    query → hits joined back to stored fields."""
-    from lucene_solr_spark.index.builder import build_index
-    from lucene_solr_spark.search.bruteforce import search_bruteforce
+    """Flagship: transcripts → tokenize → per-partition segments
+    (checkpointed) → salted merge → block-max WAND top-10 (Lucene-exact
+    float32 BM25) → hits joined back to stored fields."""
+    import tempfile
+
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.wand import search_wand
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     # deterministic transcript shape (conv of 8 turns per source group)
@@ -36,8 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
         F.when(F.col("doc_id") % 3 == 2, "search").alias("tool"),
         (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
     )
-    tables = build_index(transcripts, num_partitions=8)
-    hits = search_bruteforce(tables, ["spark", "window", "merge"], "disjunctive", k=10)
+    index_dir = tempfile.mkdtemp(prefix="lss_entry_index_")
+    tables = build_segmented_index(
+        transcripts, index_dir, num_segments=8, seg_group_size=2, n_buckets=8
+    )
+    hits = search_wand(tables, ["spark", "window", "merge"], "disjunctive", k=10)
     return hits.join(tables.stored, "doc_id").select(
         "doc_id", "score", "conv_id", "turn_idx", "role", "text"
     ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -92,17 +92,15 @@ def simple_tokens(text_col: str):
     )
 
 
-def build_index(
+def tokenized_docs(
     transcripts: DataFrame,
     order_cols=("conv_id", "turn_idx"),
     text_col: str = "text",
-    with_positions: bool = False,
     num_partitions: int | None = None,
-    persist: bool = True,
     analyzer: str = "standard",
     id_col: str | None = None,
-) -> IndexTables:
-    """Build the index tables from a transcript-shaped DataFrame.
+):
+    """transcripts → (docs DataFrame with doc_id + tokens, order_cols).
 
     analyzer: "standard" (pinned StandardAnalyzer-subset, Arrow UDF) or
     "simple" (JVM-native lowercase alnum split, SQL-reproducible).
@@ -120,6 +118,24 @@ def build_index(
         docs = docs.withColumn("tokens", simple_tokens(text_col))
     else:
         docs = docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
+    return docs, order_cols
+
+
+def build_index(
+    transcripts: DataFrame,
+    order_cols=("conv_id", "turn_idx"),
+    text_col: str = "text",
+    with_positions: bool = False,
+    num_partitions: int | None = None,
+    persist: bool = True,
+    analyzer: str = "standard",
+    id_col: str | None = None,
+) -> IndexTables:
+    """Build the (flat, uncompressed) index tables from a transcript-shaped
+    DataFrame. The compressed segment/block form lives in segments.py."""
+    docs, order_cols = tokenized_docs(
+        transcripts, order_cols, text_col, num_partitions, analyzer, id_col
+    )
     if persist:
         docs = docs.persist()
 

@@ -1,0 +1,136 @@
+"""Posting-block codec: delta-gap varint blocks + competitive impacts.
+
+Vectorized numpy re-expression of the reference's posting compression
+(SURVEY.md §1.3):
+
+- docIDs as delta gaps, varint-encoded in blocks of 128 postings
+  (reference: codecs/lucene50/Lucene50PostingsFormat.java:44-67,
+  BLOCK_SIZE=128 at :397; we use LEB128 varints throughout where the
+  reference mixes FOR bit-packing + a VInt tail — same information,
+  simpler uniform code, still byte-aligned and block-skippable).
+- per-block "impacts": the Pareto frontier of (freq, norm) pairs — an
+  entry survives unless another has >= freq and <= norm
+  (codecs/CompetitiveImpactAccumulator.java:66-121). These drive
+  block-max scoring bounds (search/ImpactsDISI.java:95-127).
+
+Everything here is array-in/array-out and runs inside Arrow UDF batches;
+no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_SIZE",
+    "encode_vints",
+    "decode_vints",
+    "encode_posting_blocks",
+    "decode_block",
+    "impacts_frontier",
+]
+
+BLOCK_SIZE = 128
+
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    _, e = np.frexp(x.astype(np.float64))
+    return e.astype(np.int64)
+
+
+def encode_vints(vals: np.ndarray) -> bytes:
+    """LEB128 varint encode a uint array (values < 2**35) → bytes."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    if len(vals) == 0:
+        return b""
+    nbytes = np.maximum(1, (_bit_length(vals) + 6) // 7)  # ceil(bits/7)
+    width = int(nbytes.max())
+    shifts = (np.arange(width, dtype=np.uint64) * np.uint64(7))[None, :]
+    groups = (vals[:, None] >> shifts) & np.uint64(0x7F)
+    idx = np.arange(width)[None, :]
+    keep = idx < nbytes[:, None]
+    cont = idx < (nbytes[:, None] - 1)
+    mat = (groups | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    return mat[keep].tobytes()
+
+
+def decode_vints(buf: bytes) -> np.ndarray:
+    """Inverse of encode_vints → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    val_idx = np.cumsum(np.concatenate(([False], is_end[:-1])))
+    pos_in_val = np.arange(len(b)) - starts[val_idx]
+    contrib = (b & 0x7F).astype(np.uint64) << (
+        np.uint64(7) * pos_in_val.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts).astype(np.uint64)
+
+
+def impacts_frontier(
+    freqs: np.ndarray, norms: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Competitive (freq, norm) pairs, freq ascending.
+
+    Property (CompetitiveImpactAccumulator semantics): for every input
+    pair there is a frontier pair with >= freq and <= norm; no frontier
+    pair dominates another.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norms = np.asarray(norms, dtype=np.int64)
+    order = np.lexsort((norms, -freqs))  # freq desc, norm asc
+    f, n = freqs[order], norms[order]
+    cummin = np.minimum.accumulate(n)
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = cummin[1:] < cummin[:-1]
+    return f[keep][::-1].copy(), n[keep][::-1].copy()
+
+
+def encode_posting_blocks(
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> List[tuple]:
+    """One term's postings (doc_id ascending) → block rows.
+
+    Returns [(first_doc, last_doc, n_docs, docs_bytes, freqs_bytes,
+    impact_freqs, impact_norms)] — docs_bytes is varint(delta gaps with
+    first doc absolute), freqs_bytes is varint(freqs), impacts are the
+    per-block competitive frontier of (freq, norm_byte).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.int64)
+    out = []
+    for s in range(0, len(doc_ids), block_size):
+        d = doc_ids[s : s + block_size]
+        fq = freqs[s : s + block_size]
+        nb = norm_bytes[s : s + block_size]
+        gaps = np.empty_like(d)
+        gaps[0] = d[0]
+        gaps[1:] = np.diff(d)
+        imp_f, imp_n = impacts_frontier(fq, nb)
+        out.append(
+            (
+                int(d[0]),
+                int(d[-1]),
+                int(len(d)),
+                encode_vints(gaps),
+                encode_vints(fq),
+                imp_f.astype(np.int32),
+                imp_n.astype(np.int32),
+            )
+        )
+    return out
+
+
+def decode_block(docs_bytes: bytes, freqs_bytes: bytes) -> Tuple[np.ndarray, np.ndarray]:
+    """block bytes → (doc_ids ascending int64, freqs int64)."""
+    gaps = decode_vints(docs_bytes).astype(np.int64)
+    return np.cumsum(gaps), decode_vints(freqs_bytes).astype(np.int64)

@@ -1,0 +1,271 @@
+"""Per-partition segment build — the DWPT analog, resumable.
+
+Lucene builds private per-thread segments with no contention and flushes
+them independently (reference: index/DocumentsWriter.java:43-57,
+DocumentsWriterPerThread.java). Here each Spark partition of the
+doc-id-range-partitioned corpus builds one immutable segment:
+
+    segments/seg-NNNNN/postings.parquet   block-compressed postings
+    segments/seg-NNNNN/norms.parquet      (doc_id, dl, norm_byte)
+    segments/seg-NNNNN/manifest.json      counters + lineage (commit point)
+
+The manifest is written LAST via tmp+rename (the Lucene commit-point /
+Solr UpdateLog-replay analog — IndexWriter.java:3407, UpdateLog.java:96):
+a rerun skips partitions whose manifest exists, so the build resumes
+from per-partition checkpoints. Segment contents are deterministic
+(range partitioning over unique doc ids), so resume == fresh build.
+
+Block rows carry the norm byte of every posting inline (norms binary),
+making query-time scoring block-local — no norms join per query; this is
+the analog of Lucene reading .nvd norms during per-segment scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.smallfloat import int_to_byte4
+from .builder import tokenized_docs
+from .codec import BLOCK_SIZE, encode_posting_blocks
+
+__all__ = [
+    "build_segments",
+    "build_segmented_index",
+    "read_segmented_index",
+    "SegmentedIndex",
+    "MANIFEST_SCHEMA",
+]
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("doc_count", T.LongType()),  # docs with >=1 token
+        T.StructField("sum_ttf", T.LongType()),
+        T.StructField("n_terms", T.LongType()),
+        T.StructField("n_postings", T.LongType()),
+        T.StructField("posting_bytes", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("wall_sec", T.DoubleType()),
+        T.StructField("resumed", T.BooleanType()),
+    ]
+)
+
+_POSTING_COLS = [
+    "term", "seg_id", "first_doc", "last_doc", "n_docs",
+    "sum_freq", "docs", "freqs", "norms", "impact_freqs", "impact_norms",
+]
+
+
+def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
+    """One segment's docs (doc_id, tokens) → (postings pdf, norms pdf, counters)."""
+    doc_ids = pdf["doc_id"].to_numpy()
+    tokens = pdf["tokens"].tolist()
+    lengths = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    norm_bytes = int_to_byte4(lengths)
+    norms_pdf = pd.DataFrame(
+        {"doc_id": doc_ids, "dl": lengths.astype(np.int32),
+         "norm_byte": norm_bytes.astype(np.int32), "seg_id": np.int32(seg_id)}
+    )
+    if lengths.sum() == 0:
+        return (
+            pd.DataFrame(columns=_POSTING_COLS),
+            norms_pdf,
+            {"doc_count": 0, "sum_ttf": 0, "n_terms": 0, "n_postings": 0},
+        )
+    flat_docs = np.repeat(doc_ids, lengths)
+    flat_norms = np.repeat(norm_bytes, lengths)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)])
+    # (term, doc) freq via pandas C groupby; doc order preserved per term
+    tf = (
+        pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "norm": flat_norms})
+        .groupby(["term", "doc_id"], sort=True)
+        .agg(freq=("norm", "size"), norm=("norm", "first"))
+        .reset_index()
+    )
+    rows = []
+    for term, grp in tf.groupby("term", sort=True):
+        blocks = encode_posting_blocks(
+            grp["doc_id"].to_numpy(), grp["freq"].to_numpy(), grp["norm"].to_numpy()
+        )
+        g_norm = grp["norm"].to_numpy().astype(np.uint8)
+        g_freq = grp["freq"].to_numpy()
+        off = 0
+        for first, last, nd, db, fb, impf, impn in blocks:
+            rows.append(
+                (
+                    term, seg_id, first, last, nd,
+                    int(g_freq[off : off + nd].sum()),
+                    db, fb, g_norm[off : off + nd].tobytes(),
+                    impf.tolist(), impn.tolist(),
+                )
+            )
+            off += nd
+    postings_pdf = pd.DataFrame(rows, columns=_POSTING_COLS)
+    counters = {
+        "doc_count": int((lengths > 0).sum()),
+        "sum_ttf": int(lengths.sum()),
+        "n_terms": int(tf["term"].nunique()),
+        "n_postings": int(len(tf)),
+    }
+    return postings_pdf, norms_pdf, counters
+
+
+def build_segments(
+    docs: DataFrame,
+    index_dir: str,
+    num_segments: int,
+    fail_on_seg: int | None = None,
+) -> list:
+    """Range-partition docs (doc_id, tokens, …) into segments and write
+    each partition's segment files; resumable via manifests.
+
+    fail_on_seg: test hook — raise inside that segment (crash injection).
+    Returns the list of manifest dicts (one per non-empty partition).
+    """
+    os.makedirs(f"{index_dir}/segments", exist_ok=True)
+    part = docs.select("doc_id", "tokens").repartitionByRange(
+        num_segments, "doc_id"
+    ).sortWithinPartitions("doc_id")
+
+    def write_segment(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = time.time()
+        seg_id = TaskContext.get().partitionId()
+        seg_dir = f"{index_dir}/segments/seg-{seg_id:05d}"
+        manifest_path = f"{seg_dir}/manifest.json"
+        if os.path.exists(manifest_path):  # checkpoint hit: skip rebuild
+            with open(manifest_path) as f:
+                m = json.load(f)
+            m["resumed"] = True
+            for _ in batches:  # drain without building
+                pass
+            yield pd.DataFrame([m])[[f.name for f in MANIFEST_SCHEMA.fields]]
+            return
+        if fail_on_seg is not None and seg_id == fail_on_seg:
+            raise RuntimeError(f"injected failure in segment {seg_id}")
+        chunks = [b for b in batches]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"doc_id": [], "tokens": []})
+        )
+        if len(pdf) == 0:
+            return
+        postings, norms, counters = _segment_postings(pdf, seg_id)
+        os.makedirs(seg_dir, exist_ok=True)
+        for name, frame in (("postings", postings), ("norms", norms)):
+            tmp = f"{seg_dir}/.{name}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(frame, preserve_index=False), tmp)
+            os.replace(tmp, f"{seg_dir}/{name}.parquet")
+        m = {
+            "seg_id": seg_id,
+            "n_docs": int(len(pdf)),
+            "doc_count": counters["doc_count"],
+            "sum_ttf": counters["sum_ttf"],
+            "n_terms": counters["n_terms"],
+            "n_postings": counters["n_postings"],
+            "posting_bytes": int(
+                postings["docs"].map(len).sum() + postings["freqs"].map(len).sum()
+            )
+            if len(postings)
+            else 0,
+            "min_doc": int(pdf["doc_id"].min()),
+            "max_doc": int(pdf["doc_id"].max()),
+            "wall_sec": time.time() - t0,
+            "resumed": False,
+        }
+        tmp = f"{seg_dir}/.manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, manifest_path)  # commit point
+        yield pd.DataFrame([m])[[f.name for f in MANIFEST_SCHEMA.fields]]
+
+    manifests = part.mapInPandas(write_segment, schema=MANIFEST_SCHEMA).collect()
+    return [r.asDict() for r in manifests]
+
+
+@dataclass
+class SegmentedIndex:
+    """The merged, at-rest index (SURVEY §7.1 step 4 output)."""
+
+    blocks: DataFrame      # merged posting blocks (term_bucket-partitioned)
+    dictionary: DataFrame  # (term, df, cf)
+    norms: DataFrame       # (doc_id, dl, norm_byte)
+    stored: DataFrame      # source rows + doc_id
+    doc_count: int
+    sum_total_term_freq: int
+    max_doc: int
+    n_buckets: int
+
+
+def build_segmented_index(
+    transcripts: DataFrame,
+    index_dir: str,
+    order_cols=("conv_id", "turn_idx"),
+    text_col: str = "text",
+    num_segments: int | None = None,
+    analyzer: str = "standard",
+    id_col: str | None = None,
+    seg_group_size: int = 8,
+    n_buckets: int = 32,
+    fail_on_seg: int | None = None,
+) -> SegmentedIndex:
+    """Full pipeline: tokenize → per-partition segments (checkpointed) →
+    salted merge → merged tables on disk → readable index."""
+    from .merge import merge_segments  # local import: avoid cycle
+
+    spark = transcripts.sparkSession
+    num_segments = num_segments or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    docs, order_cols = tokenized_docs(
+        transcripts, order_cols, text_col, num_segments, analyzer, id_col
+    )
+    docs = docs.persist()
+    manifests = build_segments(docs, index_dir, num_segments, fail_on_seg)
+
+    stored = docs.drop("tokens")
+    stored.write.mode("overwrite").parquet(f"{index_dir}/stored")
+
+    stats = {
+        "doc_count": int(sum(m["doc_count"] for m in manifests)),
+        "sum_total_term_freq": int(sum(m["sum_ttf"] for m in manifests)),
+        "max_doc": int(sum(m["n_docs"] for m in manifests)),
+        "n_segments": len(manifests),
+        "n_buckets": n_buckets,
+        "analyzer": analyzer,
+    }
+    merge_segments(spark, index_dir, seg_group_size, n_buckets)
+    with open(f"{index_dir}/stats.json", "w") as f:
+        json.dump(stats, f)
+    docs.unpersist()
+    return read_segmented_index(spark, index_dir)
+
+
+def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
+    with open(f"{index_dir}/stats.json") as f:
+        stats = json.load(f)
+    return SegmentedIndex(
+        blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
+        dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),
+        norms=spark.read.parquet(f"{index_dir}/merged/norms"),
+        stored=spark.read.parquet(f"{index_dir}/stored"),
+        doc_count=stats["doc_count"],
+        sum_total_term_freq=stats["sum_total_term_freq"],
+        max_doc=stats["max_doc"],
+        n_buckets=stats["n_buckets"],
+    )

@@ -1,0 +1,325 @@
+"""Block-max WAND / block-max conjunction over the segmented index.
+
+The pruned TOP_SCORES path (reference: search/WANDScorer.java:29-164,
+BlockMaxConjunctionScorer.java:29-45, ImpactsDISI.java:95-127,
+MaxScoreCache.java:61-124), re-expressed for Spark's execution model:
+
+- a *leaf* = one ``seg_group`` (a contiguous global doc-id range), the
+  analog of a Lucene segment/LeafReaderContext. Leaves are processed in
+  parallel by ``applyInPandas``; each returns its local top-k, and the
+  global answer is a tiny ``orderBy(score desc, doc_id asc).limit(k)``
+  merge — exactly Lucene's per-segment search + TopDocs.merge
+  (IndexSearcher.java:569-613, TopDocs.java:203).
+- within a leaf, per-block score ceilings come from the stored impacts
+  (competitive (freq, norm) frontier): ``bmax(b) = max over impacts of
+  the exact float32 term score``. A doc in block b of term t satisfies
+  ``score(d) <= bmax(b_t) + Σ_{t'≠t} max bmax over t'-blocks overlapping
+  b_t`` — the block-max upper bound.
+- pruning is LOSSLESS (rank-identity): a competitive doc (score >= θ)
+  has bound >= θ in every block containing it, so keeping blocks with
+  ``bound >= θ`` keeps every competitive doc. Bounds are padded by a
+  relative 1e-6 so the float64 bound provably dominates the float32
+  score (the analog of WANDScorer.scaleMaxScore rounding up,
+  WANDScorer.java:75-105).
+- θ is seeded by fully scoring the docs of the highest-``bmax`` blocks
+  (TopScoreDocCollector's minCompetitiveScore feedback,
+  TopScoreDocCollector.java:236-245, done batch-wise).
+- conjunctions instead leapfrog at block granularity: intersect starting
+  from the rarest term, decoding only blocks whose doc range contains a
+  surviving candidate (ConjunctionDISI.java:38-50 cost ordering).
+
+Scores are bit-identical to the brute-force path: float32 per-term
+contributions (functions/bm25.py cast points), float64 accumulation,
+float32 final cast.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from .scoring import term_weights
+
+__all__ = ["search_wand"]
+
+_PAD = 1e-6
+
+
+class _TermBlocks:
+    """One term's candidate blocks in one leaf, with lazy decode."""
+
+    def __init__(self, g: pd.DataFrame, weight: np.float32, cache: np.ndarray):
+        from ..index.codec import decode_block  # worker-side import
+
+        self._decode_block = decode_block
+        g = g.sort_values("first_doc").reset_index(drop=True)
+        self.first = g["first_doc"].to_numpy()
+        self.last = g["last_doc"].to_numpy()
+        self.n_docs = g["n_docs"].to_numpy()
+        self._docs_bytes = g["docs"].tolist()
+        self._freqs_bytes = g["freqs"].tolist()
+        self._norms_bytes = g["norms"].tolist()
+        self.weight = weight
+        self.cache = cache
+        # exact float32 per-block max contribution, held as float64
+        self.bmax = np.array(
+            [
+                float(
+                    bm25.score_term(
+                        np.asarray(imf, dtype=np.int64),
+                        np.asarray(imn, dtype=np.int64),
+                        weight,
+                        cache,
+                    ).max()
+                )
+                for imf, imn in zip(g["impact_freqs"], g["impact_norms"])
+            ],
+            dtype=np.float64,
+        )
+        self._decoded: dict = {}
+        self.total_docs = int(self.n_docs.sum())
+
+    def range_max(self, lo: int, hi: int) -> float:
+        """max bmax over blocks overlapping [lo, hi] (blocks are disjoint
+        sorted intervals → overlap set is a contiguous index range)."""
+        i = int(np.searchsorted(self.last, lo, "left"))
+        j = int(np.searchsorted(self.first, hi, "right"))
+        if i >= j:
+            return 0.0
+        return float(self.bmax[i:j].max())
+
+    def _decode(self, bi: int):
+        got = self._decoded.get(bi)
+        if got is None:
+            d, f = self._decode_block(self._docs_bytes[bi], self._freqs_bytes[bi])
+            n = np.frombuffer(self._norms_bytes[bi], dtype=np.uint8).astype(np.int64)
+            got = self._decoded[bi] = (d, f, n)
+        return got
+
+    def blocks_overlapping(self, docs_sorted: np.ndarray) -> list:
+        """indices of blocks containing >= 1 of the given sorted docs."""
+        lo = np.searchsorted(docs_sorted, self.first, "left")
+        hi = np.searchsorted(docs_sorted, self.last, "right")
+        return list(np.nonzero(hi > lo)[0])
+
+    def all_docs(self) -> np.ndarray:
+        if not len(self.first):
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate([self._decode(i)[0] for i in range(len(self.first))])
+
+    def contributions(self, cand: np.ndarray):
+        """(positions into cand, float32 scores) for docs of this term
+        that appear in sorted candidate array cand."""
+        pos_parts, score_parts = [], []
+        for bi in self.blocks_overlapping(cand):
+            d, f, n = self._decode(bi)
+            idx = np.searchsorted(cand, d)
+            idx_ok = idx < len(cand)
+            hit = np.zeros(len(d), dtype=bool)
+            hit[idx_ok] = cand[idx[idx_ok]] == d[idx_ok]
+            if not hit.any():
+                continue
+            pos_parts.append(idx[hit])
+            score_parts.append(
+                bm25.score_term(f[hit], n[hit], self.weight, self.cache)
+            )
+        if not pos_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return np.concatenate(pos_parts), np.concatenate(score_parts)
+
+
+def _leaf_topk(
+    pdf: pd.DataFrame,
+    weights: dict,
+    cache: np.ndarray,
+    mode: str,
+    k: int,
+    n_present: int,
+    min_should_match: int | None,
+) -> pd.DataFrame:
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float32")})
+    terms = {}
+    for term, g in pdf.groupby("term"):
+        terms[term] = _TermBlocks(g, np.float32(weights[term]), cache)
+    if mode == "conjunctive":
+        if len(terms) < n_present:
+            return empty
+        cand = _conjunction_candidates(terms)
+    else:
+        cand = _wand_candidates(terms, k, mode, min_should_match)
+    if len(cand) == 0:
+        return empty
+    acc = np.zeros(len(cand), dtype=np.float64)
+    mx = np.zeros(len(cand), dtype=np.float64)
+    matched = np.zeros(len(cand), dtype=np.int64)
+    for tb in terms.values():
+        pos, sc = tb.contributions(cand)
+        acc[pos] += sc.astype(np.float64)
+        np.maximum.at(mx, pos, sc.astype(np.float64))
+        matched[pos] += 1
+    if mode == "conjunctive":
+        ok = matched == n_present
+    elif min_should_match:
+        ok = matched >= min_should_match
+    else:
+        ok = matched > 0
+    cand, acc, mx = cand[ok], acc[ok], mx[ok]
+    scores = (mx if mode == "dismax" else acc).astype(np.float32)
+    order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
+    return pd.DataFrame(
+        {"doc_id": cand[order], "score": scores[order]}
+    )
+
+
+def _conjunction_candidates(terms: dict) -> np.ndarray:
+    """Leapfrog at block granularity, rarest term leads."""
+    order = sorted(terms.values(), key=lambda tb: tb.total_docs)
+    cand = order[0].all_docs()
+    for tb in order[1:]:
+        if len(cand) == 0:
+            return cand
+        keep_parts = []
+        for bi in tb.blocks_overlapping(cand):
+            d, _, _ = tb._decode(bi)
+            idx = np.searchsorted(d, cand)
+            idx_ok = idx < len(d)
+            hit = np.zeros(len(cand), dtype=bool)
+            hit[idx_ok] = d[idx[idx_ok]] == cand[idx_ok]
+            keep_parts.append(cand[hit])
+        cand = (
+            np.unique(np.concatenate(keep_parts))
+            if keep_parts
+            else np.empty(0, dtype=np.int64)
+        )
+    return cand
+
+
+def _wand_candidates(
+    terms: dict, k: int, mode: str, min_should_match: int | None
+) -> np.ndarray:
+    """Disjunctive candidates with lossless block-max pruning."""
+    tbs = list(terms.values())
+    total_postings = sum(tb.total_docs for tb in tbs)
+    if total_postings <= 4 * 128:  # small leaf: skip pruning machinery
+        return np.unique(np.concatenate([tb.all_docs() for tb in tbs]))
+
+    # per-block upper bound on any doc's total (or max, for dismax) score
+    bounds, owners = [], []
+    for ti, tb in enumerate(tbs):
+        for bi in range(len(tb.first)):
+            others = [
+                o.range_max(int(tb.first[bi]), int(tb.last[bi]))
+                for oi, o in enumerate(tbs)
+                if oi != ti
+            ]
+            if mode == "dismax":
+                bound = max([tb.bmax[bi]] + others)
+            else:
+                bound = tb.bmax[bi] + sum(others)
+            bounds.append(bound * (1.0 + _PAD) + 1e-30)
+            owners.append((ti, bi))
+    bounds = np.asarray(bounds)
+
+    # seed θ: fully score docs of the highest-bmax blocks
+    flat_bmax = np.asarray(
+        [tbs[ti].bmax[bi] for ti, bi in owners], dtype=np.float64
+    )
+    seed_order = np.argsort(-flat_bmax)
+    seed_docs, covered = [], 0
+    for si in seed_order:
+        ti, bi = owners[si]
+        d, _, _ = tbs[ti]._decode(bi)
+        seed_docs.append(d)
+        covered += len(d)
+        if covered >= max(2 * k, 256):
+            break
+    seed = np.unique(np.concatenate(seed_docs))
+    theta = _theta_from(seed, tbs, k, mode, min_should_match)
+
+    surviving = bounds >= theta
+    cand_parts = [seed]
+    for si in np.nonzero(surviving)[0]:
+        ti, bi = owners[si]
+        d, _, _ = tbs[ti]._decode(bi)
+        cand_parts.append(d)
+    return np.unique(np.concatenate(cand_parts))
+
+
+def _theta_from(
+    cand: np.ndarray, tbs: list, k: int, mode: str, min_should_match
+) -> float:
+    if len(cand) == 0:
+        return 0.0
+    acc = np.zeros(len(cand), dtype=np.float64)
+    mx = np.zeros(len(cand), dtype=np.float64)
+    matched = np.zeros(len(cand), dtype=np.int64)
+    for tb in tbs:
+        pos, sc = tb.contributions(cand)
+        acc[pos] += sc.astype(np.float64)
+        np.maximum.at(mx, pos, sc.astype(np.float64))
+        matched[pos] += 1
+    if min_should_match:
+        ok = matched >= min_should_match
+        acc, mx = acc[ok], mx[ok]
+    scores = (mx if mode == "dismax" else acc).astype(np.float32)
+    if len(scores) < k:
+        return 0.0
+    return float(np.sort(scores)[-k])
+
+
+def search_wand(
+    index,
+    terms: Sequence[str],
+    mode: str = "disjunctive",
+    k: int = 10,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    min_should_match: int | None = None,
+) -> DataFrame:
+    """Pruned top-k over a SegmentedIndex → DataFrame(doc_id, score:float)
+    ordered by (score desc, doc_id asc), bit-identical to brute force."""
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame([], "doc_id long, score float")
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return empty
+    rows = (
+        index.dictionary.filter(index.dictionary.term.isin(uniq))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    weights = dict(
+        term_weights(df_by_term, index.doc_count, uniq, boost, k1, b)
+    )
+    n_present = len(weights)
+    if n_present == 0 or (mode == "conjunctive" and n_present < len(uniq)):
+        return empty
+    avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+    cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+
+    # partition pruning: term_bucket dirs of the query terms only
+    bucket_rows = (
+        spark.createDataFrame([(t,) for t in uniq], "term string")
+        .select(F.pmod(F.hash("term"), F.lit(index.n_buckets)).alias("b"))
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in bucket_rows})
+    blocks = index.blocks.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(weights))
+    )
+
+    def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _leaf_topk(pdf, weights, cache, mode, k, n_present, min_should_match)
+
+    local = blocks.groupBy("seg_group").applyInPandas(
+        leaf, schema="doc_id long, score float"
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

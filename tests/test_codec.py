@@ -1,0 +1,102 @@
+"""Codec round-trips + impacts frontier properties (hypothesis)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    decode_vints,
+    encode_posting_blocks,
+    encode_vints,
+    impacts_frontier,
+)
+
+
+def test_vint_empty():
+    assert encode_vints(np.array([], dtype=np.uint64)) == b""
+    assert len(decode_vints(b"")) == 0
+
+
+def test_vint_known_bytes():
+    # single-byte values and the 128 boundary (two bytes)
+    assert encode_vints(np.array([0])) == b"\x00"
+    assert encode_vints(np.array([127])) == b"\x7f"
+    assert encode_vints(np.array([128])) == b"\x80\x01"
+    assert encode_vints(np.array([300])) == b"\xac\x02"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**34 - 1), min_size=0, max_size=400)
+)
+def test_vint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    got = decode_vints(encode_vints(arr))
+    np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_impacts_frontier_properties(pairs):
+    f = np.array([p[0] for p in pairs])
+    n = np.array([p[1] for p in pairs])
+    ff, fn = impacts_frontier(f, n)
+    # frontier sorted by freq asc and norm asc together
+    assert np.all(np.diff(ff) > 0)
+    assert np.all(np.diff(fn) > 0) or len(fn) == 1
+    # every input pair dominated by some frontier pair (>=freq, <=norm)
+    for fi, ni in zip(f, n):
+        assert np.any((ff >= fi) & (fn <= ni)), (fi, ni)
+    # no frontier pair dominates another
+    for i in range(len(ff)):
+        others = np.ones(len(ff), bool)
+        others[i] = False
+        assert not np.any((ff[others] >= ff[i]) & (fn[others] <= fn[i]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=700),
+    st.integers(min_value=0, max_value=2**20),
+)
+def test_posting_blocks_roundtrip(n, base):
+    rng = np.random.default_rng(n * 7919 + base)
+    doc_ids = base + np.cumsum(rng.integers(1, 1000, size=n))
+    freqs = rng.integers(1, 60, size=n)
+    norms = rng.integers(0, 256, size=n)
+    blocks = encode_posting_blocks(doc_ids, freqs, norms)
+    assert len(blocks) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    rd, rf = [], []
+    for first, last, nd, db, fb, impf, impn in blocks:
+        d, f = decode_block(db, fb)
+        assert d[0] == first and d[-1] == last and len(d) == nd
+        rd.append(d)
+        rf.append(f)
+        # impacts dominate every (freq, norm) in the block
+        s = len(np.concatenate(rd)) - len(d)
+        blk_norms = norms[s : s + len(d)]
+        for fi, ni in zip(f, blk_norms):
+            assert np.any((impf >= fi) & (impn <= ni))
+    np.testing.assert_array_equal(np.concatenate(rd), doc_ids)
+    np.testing.assert_array_equal(np.concatenate(rf), freqs)
+
+
+def test_all_equal_gap_block():
+    """All-same-gap run (ForUtil all-values-equal analog)."""
+    doc_ids = np.arange(0, 256 * 4, 4)
+    freqs = np.ones(256, dtype=np.int64)
+    blocks = encode_posting_blocks(doc_ids, freqs, np.full(256, 17))
+    assert len(blocks) == 2
+    d0, f0 = decode_block(blocks[0][3], blocks[0][4])
+    np.testing.assert_array_equal(d0, doc_ids[:128])

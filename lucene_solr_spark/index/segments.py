@@ -156,6 +156,20 @@ def build_segments(
             yield pd.DataFrame([m])[[f.name for f in MANIFEST_SCHEMA.fields]]
             return
         if fail_on_seg is not None and seg_id == fail_on_seg:
+            # Crash-injection test hook. Wait for at least one sibling
+            # segment to commit so the partial-build state is deterministic
+            # (the job abort otherwise races the sibling tasks' manifests).
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                others = [
+                    s
+                    for s in os.listdir(f"{index_dir}/segments")
+                    if s != f"seg-{seg_id:05d}"
+                    and os.path.exists(f"{index_dir}/segments/{s}/manifest.json")
+                ]
+                if others:
+                    break
+                time.sleep(0.2)
             raise RuntimeError(f"injected failure in segment {seg_id}")
         chunks = [b for b in batches]
         pdf = (

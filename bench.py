@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build turns/sec + BM25 top-10 query latency.
+
+Default run (what the driver records as BENCH_r{N}.json):
+    python bench.py
+prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-phase/per-query sec...}, "sf": <sf>,
+     "turns": N, "turns_per_sec": ..., "query_p50_sec": ...}
+
+Workload (BASELINE.json north_rule):
+  1. synthesize a deterministic transcript corpus distributively
+     (sources/synth.py — same rows regardless of parallelism),
+  2. full index build: tokenize (Arrow UDF) → per-partition segments
+     (block codec + impacts, checkpointed) → salted merge → on-disk index,
+  3. BM25 top-10 block-max-WAND queries (disjunctive/conjunctive/dismax/
+     minShouldMatch over Zipf head/mid/tail terms) — p50 latency,
+  4. plus the sf-dir relational gate tables for the rollup/join headline
+     queries (kept tiny relative to 2-3).
+
+Scaling evidence (north rule: >=0.8 throughput efficiency from N to 4N):
+    python bench.py --scaling
+re-invokes itself at local[8] and local[32] over the SAME corpus and
+reports turns/sec at both plus efficiency = (tps_4N / tps_N) / 4.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_TURNS (default 100000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+BENCH_QUERIES = {
+    # Zipf ranks: 1 = hottest term (df ~ entire corpus), 5000 = tail.
+    "q_term_head": ("disjunctive", [1], None),
+    "q_dis_head_mix": ("disjunctive", [1, 2, 50], None),
+    "q_dis_mid_tail": ("disjunctive", [200, 900, 2500], None),
+    "q_dis_wide": ("disjunctive", [2, 5, 10, 17, 26, 37], None),
+    "q_con_head_head": ("conjunctive", [1, 2], None),
+    "q_con_head_mid": ("conjunctive", [1, 300], None),
+    "q_con_three": ("conjunctive", [3, 6, 12], None),
+    "q_dismax": ("dismax", [1, 40, 700], None),
+    "q_msm_2of4": ("disjunctive", [2, 9, 110, 1300], 2),
+}
+
+
+def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> dict:
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.sources.synth import synth_transcripts, synth_term
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.wand import search_wand
+
+    spark = get_spark("lss_bench", cores=cores)
+    timings: dict[str, float] = {}
+
+    corpus = synth_transcripts(spark, n_turns)
+
+    index_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx_{cores}_")
+    try:
+        t0 = time.time()
+        index = build_segmented_index(
+            corpus,
+            index_dir,
+            num_segments=max(2 * cores, 8),
+            seg_group_size=4,
+            n_buckets=32,
+        )
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        # cache the merged blocks as a real deployment would (hot index)
+        index.blocks = index.blocks.persist()
+        index.blocks.count()
+
+        q_secs = {}
+        for name, (mode, ranks, msm) in BENCH_QUERIES.items():
+            terms = [synth_term(r) for r in ranks]
+            t0 = time.time()
+            search_wand(index, terms, mode, k=10, min_should_match=msm).collect()
+            q_secs[name] = round(time.time() - t0, 3)
+        timings.update(q_secs)
+
+        # relational headliners over the sf-dir tables (gate shapes)
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in ("rel_rollup_pricing", "rel_join_top_customers"):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+
+        p50 = statistics.median(q_secs.values())
+        return {
+            "metric": "index_build_plus_bm25_topk_e2e",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+            "turns": n_turns,
+            "cores": cores,
+            "turns_per_sec": round(n_turns / build_sec, 1),
+            "query_p50_sec": p50,
+            "index_doc_count": index.doc_count,
+            "index_sum_ttf": index.sum_total_term_freq,
+        }
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, n_turns: int) -> dict:
+    """Same job at local[8] and local[32] (N and 4N cores), fresh JVM each,
+    same deterministic corpus → throughput scaling efficiency."""
+    out = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                   SPARK_GRAFT_BENCH_TURNS=str(n_turns))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+    tps_n, tps_4n = out[8]["turns_per_sec"], out[32]["turns_per_sec"]
+    return {
+        "metric": "index_build_scaling_efficiency_8_to_32_cores",
+        "value": round((tps_4n / tps_n) / 4.0, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(sf_dir),
+        "turns": n_turns,
+        "turns_per_sec_8": tps_n,
+        "turns_per_sec_32": tps_4n,
+        "speedup": round(tps_4n / tps_n, 2),
+        "query_p50_sec_8": out[8]["query_p50_sec"],
+        "query_p50_sec_32": out[32]["query_p50_sec"],
+        "runs": out,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir, n_turns)))
+    else:
+        print(json.dumps(run_bench(cores, sf_dir, n_turns)))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,111 @@ def decode_block(docs_bytes: bytes, freqs_bytes: bytes) -> Tuple[np.ndarray, np.
     """block bytes → (doc_ids ascending int64, freqs int64)."""
     gaps = decode_vints(docs_bytes).astype(np.int64)
     return np.cumsum(gaps), decode_vints(freqs_bytes).astype(np.int64)
+
+
+def _varint_lengths(vals: np.ndarray) -> np.ndarray:
+    return np.maximum(1, (_bit_length(np.asarray(vals, dtype=np.uint64)) + 6) // 7)
+
+
+def encode_posting_blocks_batch(
+    term_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Vectorized multi-term block encoder — the whole-segment hot path.
+
+    Input: postings for MANY terms, sorted by (term_code, doc_id); output
+    is identical to calling encode_posting_blocks per term, but every
+    stage (gap computation, varint encode, impacts frontier) runs as a
+    handful of whole-array numpy passes instead of a Python loop per
+    term/block. This is what keeps the per-partition segment build and
+    the merge re-encode CPU-bound rather than interpreter-bound.
+
+    Returns (block_term_code, first_doc, last_doc, n_docs, sum_freq,
+    docs_bytes_list, freqs_bytes_list, norms_bytes_list,
+    impact_freqs_list, impact_norms_list) — arrays/lists indexed by block.
+    """
+    term_codes = np.asarray(term_codes, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return (np.empty(0, np.int64),) * 5 + ([], [], [], [], [])
+
+    term_start = np.empty(n, dtype=bool)
+    term_start[0] = True
+    term_start[1:] = term_codes[1:] != term_codes[:-1]
+    # row index within its term, then block id within term
+    idx = np.arange(n, dtype=np.int64)
+    start_of_term = np.maximum.accumulate(np.where(term_start, idx, 0))
+    row_in_term = idx - start_of_term
+    block_in_term = row_in_term // block_size
+    block_start = term_start | ((row_in_term % block_size) == 0)
+    block_id = np.cumsum(block_start) - 1
+    n_blocks = int(block_id[-1]) + 1
+    starts = np.nonzero(block_start)[0]
+
+    # per-block scalars
+    counts = np.diff(np.append(starts, n))
+    first_doc = doc_ids[starts]
+    last_doc = doc_ids[np.append(starts[1:], n) - 1]
+    block_term = term_codes[starts]
+    sum_freq = np.add.reduceat(freqs, starts)
+
+    # delta gaps (absolute at block starts)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[starts] = doc_ids[starts]
+
+    # one varint encode over the whole segment, then slice per block
+    def _encode_sliced(vals):
+        lens = _varint_lengths(vals)
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(lens, starts), out=offs[1:])
+        buf = encode_vints(vals)
+        return [buf[offs[i]: offs[i + 1]] for i in range(len(starts))]
+
+    docs_bytes = _encode_sliced(gaps)
+    freqs_bytes = _encode_sliced(freqs)
+    norm_u8 = norm_bytes.astype(np.uint8)
+    norms_bytes = [
+        norm_u8[starts[i]: starts[i] + counts[i]].tobytes()
+        for i in range(len(starts))
+    ]
+
+    # impacts frontier, vectorized across blocks: sort rows by
+    # (block, freq desc, norm asc); encode (reversed block, norm) into one
+    # key so a plain cummin resets at block boundaries (earlier blocks map
+    # to strictly larger key values, so they can never leak forward).
+    order = np.lexsort((norm_bytes, -freqs, block_id))
+    b_s, n_s, f_s = block_id[order], norm_bytes[order], freqs[order]
+    combined = (np.int64(n_blocks) - b_s) * 512 + n_s
+    cm = np.minimum.accumulate(combined)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = cm[1:] < cm[:-1]
+    kb, kf, kn = b_s[keep], f_s[keep], n_s[keep]
+    # frontier pairs come out freq-desc per block; reverse to freq-asc
+    kb_starts = np.nonzero(
+        np.concatenate(([True], kb[1:] != kb[:-1]))
+    )[0]
+    impact_freqs, impact_norms = [], []
+    bounds = np.append(kb_starts, len(kb))
+    fi = 0
+    for b in range(n_blocks):
+        if fi < len(kb_starts) and kb[kb_starts[fi]] == b:
+            s, e = bounds[fi], bounds[fi + 1]
+            impact_freqs.append(kf[s:e][::-1].astype(np.int32))
+            impact_norms.append(kn[s:e][::-1].astype(np.int32))
+            fi += 1
+        else:  # unreachable: every block has >= 1 row
+            impact_freqs.append(np.empty(0, np.int32))
+            impact_norms.append(np.empty(0, np.int32))
+    return (
+        block_term, first_doc, last_doc, counts.astype(np.int64), sum_freq,
+        docs_bytes, freqs_bytes, norms_bytes, impact_freqs, impact_norms,
+    )

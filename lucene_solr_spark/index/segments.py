@@ -36,7 +36,6 @@ from pyspark.sql import types as T
 
 from ..functions.smallfloat import int_to_byte4
 from .builder import tokenized_docs
-from .codec import BLOCK_SIZE, encode_posting_blocks
 
 __all__ = [
     "build_segments",
@@ -87,39 +86,51 @@ def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
     flat_docs = np.repeat(doc_ids, lengths)
     flat_norms = np.repeat(norm_bytes, lengths)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)])
-    # (term, doc) freq via pandas C groupby; doc order preserved per term
-    tf = (
-        pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "norm": flat_norms})
-        .groupby(["term", "doc_id"], sort=True)
-        .agg(freq=("norm", "size"), norm=("norm", "first"))
-        .reset_index()
+    # (term, doc) freq: factorize + lexsort + run-length (all C-level)
+    codes, uniques = pd.factorize(flat_terms, sort=True)
+    order = np.lexsort((flat_docs, codes))
+    c_s, d_s, n_s = codes[order], flat_docs[order], flat_norms[order]
+    run_start = np.empty(len(c_s), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+    rs = np.nonzero(run_start)[0]
+    tf_codes, tf_docs, tf_norms = c_s[rs], d_s[rs], n_s[rs]
+    tf_freqs = np.diff(np.append(rs, len(c_s)))
+    postings_pdf = _blocks_to_pdf(
+        uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id
     )
-    rows = []
-    for term, grp in tf.groupby("term", sort=True):
-        blocks = encode_posting_blocks(
-            grp["doc_id"].to_numpy(), grp["freq"].to_numpy(), grp["norm"].to_numpy()
-        )
-        g_norm = grp["norm"].to_numpy().astype(np.uint8)
-        g_freq = grp["freq"].to_numpy()
-        off = 0
-        for first, last, nd, db, fb, impf, impn in blocks:
-            rows.append(
-                (
-                    term, seg_id, first, last, nd,
-                    int(g_freq[off : off + nd].sum()),
-                    db, fb, g_norm[off : off + nd].tobytes(),
-                    impf.tolist(), impn.tolist(),
-                )
-            )
-            off += nd
-    postings_pdf = pd.DataFrame(rows, columns=_POSTING_COLS)
     counters = {
         "doc_count": int((lengths > 0).sum()),
         "sum_ttf": int(lengths.sum()),
-        "n_terms": int(tf["term"].nunique()),
-        "n_postings": int(len(tf)),
+        "n_terms": int(len(uniques)),
+        "n_postings": int(len(rs)),
     }
     return postings_pdf, norms_pdf, counters
+
+
+def _blocks_to_pdf(uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id):
+    """Batch-encode (term-sorted) postings into the segment block frame."""
+    from .codec import encode_posting_blocks_batch
+
+    (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
+        tf_codes, tf_docs, tf_freqs, tf_norms
+    )
+    return pd.DataFrame(
+        {
+            "term": np.asarray(uniques, dtype=object)[bt],
+            "seg_id": np.int32(seg_id),
+            "first_doc": first,
+            "last_doc": last,
+            "n_docs": nd.astype(np.int32),
+            "sum_freq": sf,
+            "docs": db,
+            "freqs": fb,
+            "norms": nb,
+            "impact_freqs": [x.tolist() for x in impf],
+            "impact_norms": [x.tolist() for x in impn],
+        },
+        columns=_POSTING_COLS,
+    )
 
 
 def build_segments(

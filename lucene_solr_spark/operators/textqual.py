@@ -1,0 +1,167 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-native column expressions (whole-stage codegen; no Python per
+row) and all reproducible in ANSI SQL so the DuckDB oracle verifies them
+value-for-value. These are the training-pipeline extensions layered on
+the same analysis chain the fulltext engine uses (analysis/tokenizer.py
+is the indexing-grade analyzer; here the SQL-reproducible 'simple'
+tokenization is used so results are cross-engine checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens_col
+from .hashing import h60
+
+__all__ = [
+    "LANG_MARKERS",
+    "lang_scores",
+    "lang_id",
+    "quality_features",
+    "token_counts",
+    "fingerprint",
+]
+
+# Tiny high-frequency marker sets per language. The heuristic is the
+# n-gram/stopword-hit-ratio classic; at production quality these lists
+# would be larger, but the operator shape (argmax over per-language
+# marker-hit counts) is the real deliverable.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+
+def _marker_hits(toks: Column, markers: list) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def lang_scores(text_col: str = "text") -> list:
+    """[(lang, hit-count Column)] in LANG_ORDER."""
+    toks = tokens_col(text_col)
+    return [(lang, _marker_hits(toks, LANG_MARKERS[lang])) for lang in LANG_ORDER]
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits): argmax of marker-hit counts,
+    first-wins tie-break in LANG_ORDER; 'und' when no marker hits."""
+    scores = lang_scores(text_col)
+    # argmax as one chained CASE: first lang (in LANG_ORDER) whose count
+    # >= every other lang's count wins — deterministic, SQL-identical
+    hits_total = None
+    for _, s in scores:
+        hits_total = s if hits_total is None else F.greatest(hits_total, s)
+    expr = None
+    for lang, s in scores:
+        cond = None
+        for other, s2 in scores:
+            if other == lang:
+                continue
+            c = s >= s2
+            cond = c if cond is None else cond & c
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = F.when(hits_total == 0, F.lit("und")).otherwise(expr)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        hits_total.alias("lang_hits"),
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, alpha_ratio, punct_ratio,
+    stop_ratio, mean_tok_len, quality): deterministic heuristic quality
+    score in [0,1] from length/punctuation/stopword ratios."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    stop = _marker_hits(toks, LANG_MARKERS["en"])
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    ntz = F.greatest(n_tokens, F.lit(1)).cast("double")
+    alpha_ratio = alpha / nz
+    punct_ratio = punct / nz
+    stop_ratio = stop / ntz
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / ntz
+    # bounded heuristic: reward alpha density + stopword presence +
+    # mid-range length; penalize punctuation soup
+    len_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        F.least(
+            F.greatest(
+                F.lit(0.4) * alpha_ratio
+                + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+                + F.lit(0.3) * len_score
+                - F.lit(0.5) * punct_ratio,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        4,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens): whitespace token count and a
+    BPE-ish regex count (letter runs / single digits / single symbols) —
+    the cheap proxy used to budget LLM training tokens."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(
+        F.filter(F.split(text, "\\s+"), lambda x: x != F.lit(""))
+    )
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, fp_min, fp_max, n_grams): winnowing-style document
+    fingerprint — min/max h60 over k-token rolling shingles. Equal
+    fp_min is a strong containment/near-dup signal; (fp_min, fp_max)
+    equality approximates full-document identity up to reordering."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens_col(text_col), k)).alias("g"),
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min(h60("g")).alias("fp_min"),
+        F.max(h60("g")).alias("fp_max"),
+        F.count("*").alias("n_grams"),
+    )

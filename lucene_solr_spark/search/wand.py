@@ -305,13 +305,11 @@ def search_wand(
     avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
     cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
 
-    # partition pruning: term_bucket dirs of the query terms only
-    bucket_rows = (
-        spark.createDataFrame([(t,) for t in uniq], "term string")
-        .select(F.pmod(F.hash("term"), F.lit(index.n_buckets)).alias("b"))
-        .collect()
-    )
-    buckets = sorted({r["b"] for r in bucket_rows})
+    # partition pruning: term_bucket dirs of the query terms only,
+    # computed driver-side (h60 is the portable md5 hash — no Spark job)
+    from ..operators.hashing import h60_py
+
+    buckets = sorted({h60_py(t) % index.n_buckets for t in uniq})
     blocks = index.blocks.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(list(weights))
     )

@@ -100,3 +100,45 @@ def test_all_equal_gap_block():
     assert len(blocks) == 2
     d0, f0 = decode_block(blocks[0][3], blocks[0][4])
     np.testing.assert_array_equal(d0, doc_ids[:128])
+
+
+def test_batch_encoder_matches_per_term():
+    """encode_posting_blocks_batch == encode_posting_blocks per term."""
+    import numpy as np
+    from lucene_solr_spark.index.codec import (
+        encode_posting_blocks, encode_posting_blocks_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    term_codes, docs, freqs, norms = [], [], [], []
+    for code, n in [(0, 1), (1, 128), (2, 129), (3, 500), (4, 3)]:
+        d = np.sort(rng.choice(100000, size=n, replace=False))
+        term_codes.append(np.full(n, code))
+        docs.append(d)
+        freqs.append(rng.integers(1, 40, size=n))
+        norms.append(rng.integers(0, 256, size=n))
+    tc = np.concatenate(term_codes)
+    dd = np.concatenate(docs)
+    ff = np.concatenate(freqs)
+    nn = np.concatenate(norms)
+
+    bt, first, last, nd, sf, db, fb, nb, impf, impn = (
+        encode_posting_blocks_batch(tc, dd, ff, nn)
+    )
+    bi = 0
+    for code in range(5):
+        m = tc == code
+        blocks = encode_posting_blocks(dd[m], ff[m], nn[m])
+        exp_norms = nn[m].astype(np.uint8)
+        off = 0
+        for (e_first, e_last, e_nd, e_db, e_fb, e_impf, e_impn) in blocks:
+            assert bt[bi] == code
+            assert first[bi] == e_first and last[bi] == e_last and nd[bi] == e_nd
+            assert db[bi] == e_db and fb[bi] == e_fb
+            assert nb[bi] == exp_norms[off:off + e_nd].tobytes()
+            assert sf[bi] == ff[m][off:off + e_nd].sum()
+            np.testing.assert_array_equal(impf[bi], e_impf)
+            np.testing.assert_array_equal(impn[bi], e_impn)
+            off += e_nd
+            bi += 1
+    assert bi == len(bt)

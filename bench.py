@@ -71,7 +71,13 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
     spark = get_spark("lss_bench", cores=cores)
     timings: dict[str, float] = {}
 
-    corpus = synth_transcripts(spark, n_turns)
+    # stage the corpus to parquet first (untimed): the north-rule input
+    # is a table at rest, not a generator — the build is what we measure
+    corpus_dir = tempfile.mkdtemp(prefix=f"lss_bench_corpus_{cores}_")
+    t0 = time.time()
+    synth_transcripts(spark, n_turns).write.mode("overwrite").parquet(corpus_dir)
+    synth_sec = round(time.time() - t0, 3)
+    corpus = spark.read.parquet(corpus_dir)
 
     index_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx_{cores}_")
     try:
@@ -118,11 +124,13 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
             "cores": cores,
             "turns_per_sec": round(n_turns / build_sec, 1),
             "query_p50_sec": p50,
+            "corpus_synth_sec": synth_sec,
             "index_doc_count": index.doc_count,
             "index_sum_ttf": index.sum_total_term_freq,
         }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -1,0 +1,414 @@
+"""Training-data pipeline gates: dedup, similarity search, text
+analysis, multimodal — each a Spark plan + value-identical DuckDB SQL.
+
+The dedup corpora are built inline (documents ∪ deterministic
+mutations) so exact and near duplicates exist at every sf; the same
+construction is embedded in the oracle SQL, so both engines see the
+same input. All hashing is the portable md5-derived h60
+(operators/hashing.py) — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .gate import gate, load
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import textqual as tq
+from .operators.hashing import h60_sql, h60_seeded_sql
+
+# ------------------------------------------------------------ SQL helpers
+
+_TOKD = (
+    "SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks "
+    "FROM {src}"
+)
+
+_CORPUS_EXACT = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0"
+)
+_CORPUS_NEAR = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, concat(text, ' zqnearduptoken') AS text "
+    "FROM documents WHERE doc_id % 11 = 0"
+)
+
+
+def _shingle_sql(src_cte: str, k: int = 3) -> str:
+    """CTE body: (doc_id, shingle) k-token shingles of corpus ``src_cte``."""
+    return f"""
+  SELECT doc_id, array_to_string(toks[i:i+{k - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k - 2})) AS i
+        FROM ({_TOKD.format(src=src_cte)}))"""
+
+
+def _corpus_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dup)
+
+
+def _corpus_near(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqnearduptoken")).alias("text"),
+    )
+    return docs.unionByName(dup)
+
+
+# ------------------------------------------------------------ exact dedup
+
+@gate(
+    "td_dedup_exact",
+    f"""WITH corpus AS ({_CORPUS_EXACT}),
+h AS (SELECT doc_id, {h60_sql('text')} AS text_h60 FROM corpus),
+g AS (SELECT text_h60, min(doc_id) AS survivor_id, count(*) AS n_copies
+      FROM h GROUP BY text_h60)
+SELECT h.doc_id, g.n_copies, h.doc_id = g.survivor_id AS is_survivor
+FROM h JOIN g USING (text_h60)
+WHERE g.n_copies > 1
+ORDER BY h.doc_id""",
+)
+def td_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy): every row of each duplicate family,
+    flagged with its survivor."""
+    res = dd.exact_dedup(_corpus_exact(spark, sf_dir))
+    return res.filter(F.col("n_copies") > 1).orderBy("doc_id")
+
+
+# ----------------------------------------------------------- minhash LSH
+
+_MH_N, _MH_BANDS, _MH_K = 8, 4, 3
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n  ".join(
+        f"min({h60_seeded_sql(i, 'shingle')}) AS mh{i}" for i in range(_MH_N)
+    )
+    r = _MH_N // _MH_BANDS
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bucket FROM sig".format(
+            b=b,
+            h=h60_sql(
+                "concat(" + ", ',', ".join(f"mh{b * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""WITH corpus AS ({_CORPUS_NEAR}),
+sh AS ({_shingle_sql('corpus', _MH_K)}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+small AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND 64),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN small USING (band, bucket)
+         JOIN bands b ON b.band = a.band AND b.bucket = a.bucket
+         WHERE a.doc_id < b.doc_id),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.doc_a
+          JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
+ORDER BY doc_a, doc_b"""
+
+
+@gate("td_dedup_minhash_lsh", _minhash_sql())
+def td_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → 8-hash signature → 4-band bucket
+    join → exact-Jaccard verify >= 0.5."""
+    res = dd.minhash_near_duplicates(
+        _corpus_near(spark, sf_dir),
+        n_hashes=_MH_N,
+        n_bands=_MH_BANDS,
+        shingle_k=_MH_K,
+        threshold=0.5,
+    )
+    return res.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------- simhash
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n  ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN freq ELSE -freq END) AS s{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band, (simhash >> {8 * j}) & 255 AS bucket FROM sig"
+        for j in range(4)
+    )
+    return f"""WITH corpus AS ({_CORPUS_NEAR}),
+tf AS (SELECT doc_id, term, count(*) AS freq
+       FROM (SELECT doc_id, unnest(toks) AS term FROM ({_TOKD.format(src='corpus')}))
+       GROUP BY doc_id, term),
+th AS (SELECT doc_id, freq, {h60_sql('term')} AS h FROM tf),
+bs AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_expr} AS simhash FROM bs),
+bands AS ({band_selects}),
+small AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND 256),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sig_a, b.simhash AS sig_b
+         FROM bands a JOIN small USING (band, bucket)
+         JOIN bands b ON b.band = a.band AND b.bucket = a.bucket
+         WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY doc_a, doc_b"""
+
+
+@gate("td_dedup_simhash", _simhash_sql())
+def td_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit signatures, 8-bit band join (lossless
+    for hamming <= 3 by pigeonhole), hamming verify."""
+    res = dd.simhash_near_duplicates(_corpus_near(spark, sf_dir), max_hamming=3)
+    return res.orderBy("doc_a", "doc_b")
+
+
+# -------------------------------------------------------- n-gram jaccard
+
+@gate(
+    "td_ngram_jaccard",
+    f"""WITH sh AS ({_shingle_sql('documents', 3)}),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+src AS (SELECT doc_id, source FROM documents),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.doc_a
+          JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.2
+ORDER BY doc_a, doc_b""",
+)
+def td_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over within-source candidate pairs."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    a, b = src.alias("a"), src.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    res = dd.ngram_jaccard_pairs(docs, pairs, shingle_k=3)
+    return res.filter(F.col("jaccard") >= 0.2).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------- embedding near-dup
+
+# The sf embeddings are near-orthogonal (max pairwise cosine ~0.51), so
+# near-duplicates are synthesized inline: every 17th vector re-enters
+# with its last 8 dims zeroed → cosine(v, v') = |v[:56]| / |v| ≈ 0.93+.
+_EMB_CORPUS = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 100000 AS vec_id, "
+    "embedding[1:56] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::FLOAT[] AS embedding "
+    "FROM embeddings WHERE vec_id % 17 = 0"
+)
+
+
+def _emb_corpus(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 56),
+            F.array_repeat(F.lit(0.0).cast("float"), 8),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+@gate(
+    "td_dedup_embedding_cosine",
+    f"""WITH corpus AS ({_EMB_CORPUS}),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) ** 2)) AS nrm
+          FROM corpus, idx GROUP BY vec_id),
+dots AS (SELECT e.vec_id AS vec_a, f.vec_id AS vec_b,
+                sum(CAST(e.embedding[i] AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE)) AS dot
+         FROM corpus e JOIN corpus f ON e.vec_id < f.vec_id, idx
+         GROUP BY e.vec_id, f.vec_id)
+SELECT d.vec_a, d.vec_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.9
+ORDER BY vec_a, vec_b""",
+)
+def td_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH-bucketed scale path is tested in tests/test_training_ops.py)."""
+    corpus = _emb_corpus(spark, sf_dir)
+    e = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    f2 = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = e.join(f2, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        sim._dot(F.col("va"), F.col("vb"))
+        / (sim._norm(F.col("va")) * sim._norm(F.col("vb"))),
+        4,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ------------------------------------------------------ similarity search
+
+@gate(
+    "td_ann_cosine_topk",
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+qn AS (SELECT sqrt(sum(CAST(qe[i] AS DOUBLE) ** 2)) AS nrm FROM q, idx),
+s AS (SELECT e.vec_id,
+             sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS nrm
+      FROM embeddings e, q, idx GROUP BY e.vec_id)
+SELECT s.vec_id, round(s.dot / (s.nrm * qn.nrm), 4) AS score
+FROM s, qn
+ORDER BY score DESC, vec_id ASC LIMIT 10""",
+)
+def td_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.cosine_topk(emb, list(qv), k=10)
+
+
+@gate("td_ann_lsh_topk")  # rows-only: hyperplanes are engine-side constants
+def td_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-10 (random-hyperplane, multiprobe hamming-1);
+    recall vs brute force is asserted in tests/test_training_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ann_lsh_topk(emb, list(qv), k=10, n_planes=6)
+
+
+# ----------------------------------------------------------- text quality
+
+def _lang_sql() -> str:
+    score_cols = ",\n  ".join(
+        "len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in tq.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in tq.LANG_ORDER
+    )
+    hits = "greatest(" + ", ".join(f"s_{l}" for l in tq.LANG_ORDER) + ")"
+    whens = "\n  ".join(
+        "WHEN "
+        + " AND ".join(
+            f"s_{lang} >= s_{other}" for other in tq.LANG_ORDER if other != lang
+        )
+        + f" THEN '{lang}'"
+        for lang in tq.LANG_ORDER
+    )
+    return f"""WITH t AS ({_TOKD.format(src='documents')}),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id,
+  CASE WHEN {hits} = 0 THEN 'und' {whens} END AS lang_pred,
+  {hits} AS lang_hits
+FROM s ORDER BY doc_id"""
+
+
+@gate("td_lang_id", _lang_sql())
+def td_lang_id(spark, sf_dir):
+    """Marker-hit-ratio language ID (argmax over per-language stopword
+    hit counts, deterministic tie-break)."""
+    return tq.lang_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@gate(
+    "td_quality_score",
+    """WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+       FROM documents),
+f AS (SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+  len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','was','for'))) AS stop,
+  CAST(greatest(length(text), 1) AS DOUBLE) AS nz,
+  CAST(greatest(len(toks), 1) AS DOUBLE) AS ntz,
+  list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum') AS tok_chars
+ FROM t)
+SELECT doc_id, n_chars, n_tokens,
+  round(alpha / nz, 4) AS alpha_ratio,
+  round(punct / nz, 4) AS punct_ratio,
+  round(stop / ntz, 4) AS stop_ratio,
+  round(coalesce(tok_chars, 0) / ntz, 4) AS mean_tok_len,
+  round(least(greatest(
+      0.4 * (alpha / nz)
+    + 0.3 * least(stop / ntz * 4, 1.0)
+    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    - 0.5 * (punct / nz), 0.0), 1.0), 4) AS quality
+FROM f ORDER BY doc_id""",
+)
+def td_quality_score(spark, sf_dir):
+    """Heuristic quality scoring from length/punct/stopword ratios."""
+    return tq.quality_features(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@gate(
+    "td_token_count",
+    r"""SELECT doc_id,
+  len(list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id""",
+)
+def td_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting."""
+    return tq.token_counts(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@gate(
+    "td_fingerprint",
+    f"""WITH sh AS ({_shingle_sql('documents', 8)})
+SELECT doc_id, min({h60_sql('shingle')}) AS fp_min,
+       max({h60_sql('shingle')}) AS fp_max, count(*) AS n_grams
+FROM sh GROUP BY doc_id ORDER BY doc_id""",
+)
+def td_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling 8-gram min/max-hash document fingerprint."""
+    return tq.fingerprint(load(spark, sf_dir, "documents"), k=8).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- multimodal
+
+@gate("td_multimodal_features")  # rows-only: binary payload pipeline
+def td_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow mapInPandas (decode
+    stubbed deterministically; schema/batching is the production shape)."""
+    media = mm.synth_media(spark, 300)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 4).alias("f0")
+    ).orderBy("media_id")

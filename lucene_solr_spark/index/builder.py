@@ -106,19 +106,26 @@ def tokenized_docs(
     "simple" (JVM-native lowercase alnum split, SQL-reproducible).
     id_col: name of a pre-existing dense doc id column to trust instead of
     assigning one (e.g. the documents table's own doc_id).
+
+    The third return value says whether partitions are already contiguous
+    disjoint doc_id ranges in partition order (true for the
+    with_doc_ids path) — downstream segment builds can then skip their
+    own repartitionByRange shuffle.
     """
     if id_col is not None:
         docs = transcripts if id_col == "doc_id" else transcripts.withColumnRenamed(
             id_col, "doc_id"
         )
         order_cols = ("doc_id",)
+        ranged = False
     else:
         docs = with_doc_ids(transcripts, order_cols, num_partitions)
+        ranged = True
     if analyzer == "simple":
         docs = docs.withColumn("tokens", simple_tokens(text_col))
     else:
         docs = docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
-    return docs, order_cols
+    return docs, order_cols, ranged
 
 
 def build_index(
@@ -133,7 +140,7 @@ def build_index(
 ) -> IndexTables:
     """Build the (flat, uncompressed) index tables from a transcript-shaped
     DataFrame. The compressed segment/block form lives in segments.py."""
-    docs, order_cols = tokenized_docs(
+    docs, order_cols, _ = tokenized_docs(
         transcripts, order_cols, text_col, num_partitions, analyzer, id_col
     )
     if persist:

@@ -29,7 +29,8 @@ Output layout (the "at-rest" index):
     merged/postings/    parquet, partitioned by term_bucket → a query
                         for a few terms prunes to a few directories
     merged/dictionary/  (term, df, cf)
-    merged/norms/       (doc_id, dl, norm_byte, seg_id)
+    (norms stay in segments/*/norms.parquet — disjoint doc ranges are
+    already a valid partitioned table; no rewrite needed)
 """
 
 from __future__ import annotations
@@ -136,6 +137,5 @@ def merge_segments(
         F.sum("sum_freq").cast("long").alias("cf"),
     )
     dictionary.write.mode("overwrite").parquet(f"{index_dir}/merged/dictionary")
-
-    norms = spark.read.parquet(f"{index_dir}/segments/*/norms.parquet")
-    norms.write.mode("overwrite").parquet(f"{index_dir}/merged/norms")
+    # norms stay in their per-segment files (disjoint doc ranges — already
+    # a valid partitioned table); readers glob segments/*/norms.parquet

@@ -138,17 +138,24 @@ def build_segments(
     index_dir: str,
     num_segments: int,
     fail_on_seg: int | None = None,
+    already_ranged: bool = False,
 ) -> list:
     """Range-partition docs (doc_id, tokens, …) into segments and write
     each partition's segment files; resumable via manifests.
 
+    already_ranged: the input partitions are already contiguous disjoint
+    doc_id ranges in partition order (the with_doc_ids pipeline) — skip
+    the redundant range shuffle and build one segment per partition.
     fail_on_seg: test hook — raise inside that segment (crash injection).
     Returns the list of manifest dicts (one per non-empty partition).
     """
     os.makedirs(f"{index_dir}/segments", exist_ok=True)
-    part = docs.select("doc_id", "tokens").repartitionByRange(
-        num_segments, "doc_id"
-    ).sortWithinPartitions("doc_id")
+    if already_ranged:
+        part = docs.select("doc_id", "tokens")
+    else:
+        part = docs.select("doc_id", "tokens").repartitionByRange(
+            num_segments, "doc_id"
+        ).sortWithinPartitions("doc_id")
 
     def write_segment(batches):
         import pyarrow as pa
@@ -257,11 +264,13 @@ def build_segmented_index(
     num_segments = num_segments or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    docs, order_cols = tokenized_docs(
+    docs, order_cols, ranged = tokenized_docs(
         transcripts, order_cols, text_col, num_segments, analyzer, id_col
     )
     docs = docs.persist()
-    manifests = build_segments(docs, index_dir, num_segments, fail_on_seg)
+    manifests = build_segments(
+        docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged
+    )
 
     stored = docs.drop("tokens")
     stored.write.mode("overwrite").parquet(f"{index_dir}/stored")
@@ -287,7 +296,7 @@ def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
     return SegmentedIndex(
         blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
         dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),
-        norms=spark.read.parquet(f"{index_dir}/merged/norms"),
+        norms=spark.read.parquet(f"{index_dir}/segments/*/norms.parquet"),
         stored=spark.read.parquet(f"{index_dir}/stored"),
         doc_count=stats["doc_count"],
         sum_total_term_freq=stats["sum_total_term_freq"],

@@ -49,11 +49,17 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """All k-token shingles (space-joined) of a token array, JVM-native."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tokens) - (k - 1))),
-        lambda i: F.array_join(F.slice(tokens, i, k), " "),
-    )
+    """All k-token shingles (space-joined) of a token array, JVM-native.
+
+    Guarded for short docs: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    so fewer-than-k tokens must return an empty array explicitly."""
+    return F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ------------------------------------------------------------------ exact

@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: dedup, ANN, text analysis,
+multimodal plumbing.
+
+The SQL-verifiable paths are covered by the driver gate
+(lucene_solr_spark/gate_td.py); here we test the properties the gate
+cannot express: LSH recall vs brute force, banding losslessness,
+shingle edge cases, and the mapInPandas multimodal batch shapes.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators import dedup as dd
+from lucene_solr_spark.operators import multimodal as mm
+from lucene_solr_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "one two three"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dd.shingles(dd.tokens_col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[0] == []
+    assert got[1] == ["one two three"]
+    assert got[2] == []
+    assert got[3] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_properties(spark):
+    rows = [(i, f"text number {i % 5}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = dd.exact_dedup(df).toPandas()
+    assert len(res) == 20
+    assert res["is_survivor"].sum() == 5  # one survivor per distinct text
+    assert set(res[res["is_survivor"]]["doc_id"]) == {0, 1, 2, 3, 4}
+    assert (res["n_copies"] == 4).all()
+
+
+def test_minhash_finds_near_dups_not_unrelated(spark):
+    rng = np.random.default_rng(0)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 60))
+    near = base + " extraone extratwo"
+    other = " ".join(rng.choice(vocab, 60))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    res = dd.minhash_near_duplicates(df, threshold=0.5).toPandas()
+    assert (0, 1) in set(zip(res["doc_a"], res["doc_b"]))
+    assert all(
+        (a, b) == (0, 1) or j >= 0.5
+        for a, b, j in zip(res["doc_a"], res["doc_b"], res["jaccard"])
+    )
+
+
+def test_simhash_identical_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "totally different words here entirely")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = dd.simhash_near_duplicates(df, max_hamming=0).toPandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(0, 1)}
+
+
+def test_ann_lsh_finds_true_near_neighbors(spark, emb):
+    """Sign-LSH recall is only meaningful for genuinely-near vectors
+    (the sf embeddings are near-orthogonal: max pairwise cosine ~0.5, so
+    'top-10' of a random query is noise no LSH should be expected to
+    rank). Query vectors whose synthesized near-dup (cosine ~0.94)
+    exists in the corpus: ANN must retrieve the near-dup as its #1."""
+    corpus = _with_near_dups(emb).cache()
+    hits = 0
+    for qid in (0, 17, 34, 51, 68):
+        q = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        exact = sim.cosine_topk(
+            corpus.filter(F.col("vec_id") != qid), list(q), k=1
+        ).first()
+        assert exact["vec_id"] == qid + 100000  # brute force sanity
+        approx = [
+            r["vec_id"]
+            for r in sim.ann_lsh_topk(
+                corpus.filter(F.col("vec_id") != qid),
+                list(q), k=10, n_planes=6, multiprobe_hamming=2,
+            ).collect()
+        ]
+        if qid + 100000 in approx:
+            hits += 1
+    assert hits >= 4, hits  # deterministic planes (seed 42): stable result
+
+
+def _with_near_dups(emb):
+    """emb ∪ zero-padded copies (cosine ≈ 0.93+) — the gate construction."""
+    dup = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 56),
+            F.array_repeat(F.lit(0.0).cast("float"), 8),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(dup)
+
+
+def test_embedding_near_dup_lsh_agrees_with_bruteforce(spark, emb):
+    corpus = _with_near_dups(emb.filter(F.col("vec_id") < 200))
+    got = sim.embedding_near_dup_pairs(corpus, threshold=0.9, n_planes=4).toPandas()
+    # brute-force oracle in numpy
+    pdf = corpus.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(cos[i, j], 4) >= 0.9
+    }
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs <= exact  # no false positives (verification is exact)
+    assert len(exact) > 0  # the synthesized dups must be present
+    assert len(got_pairs) / len(exact) >= 0.5  # LSH recall
+
+
+def test_multimodal_feature_extraction(spark):
+    media = mm.synth_media(spark, 50)
+    feats = mm.extract_features(media).toPandas()
+    assert len(feats) == 50
+    assert set(feats["kind"]) == {"image", "audio", "video"}
+    assert (feats["n_bytes"] == 128).all()
+    f0 = np.stack(feats["features"].to_numpy())
+    assert f0.shape == (50, 16)
+    np.testing.assert_allclose(f0.sum(axis=1), 1.0, rtol=1e-9)
+    # deterministic: same media_id → same features on rerun
+    again = mm.extract_features(media).toPandas().sort_values("media_id")
+    np.testing.assert_array_equal(
+        np.stack(again["features"].to_numpy()),
+        np.stack(feats.sort_values("media_id")["features"].to_numpy()),
+    )
+
+
+def test_multimodal_frame_sample(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.frame_sample(media, every_ms=1000).toPandas()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    exp = sum(1 + (d - 1) // 1000 for d in vids["duration_ms"])
+    assert len(frames) == exp
+    assert (frames["frame_ms"] % 1000 == 0).all()
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00" * 16)

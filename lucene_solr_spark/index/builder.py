@@ -118,13 +118,23 @@ def tokenized_docs(
         )
         order_cols = ("doc_id",)
         ranged = False
+        if analyzer == "simple":
+            docs = docs.withColumn("tokens", simple_tokens(text_col))
+        else:
+            docs = docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
     else:
-        docs = with_doc_ids(transcripts, order_cols, num_partitions)
+        order_cols = tuple(order_cols)
         ranged = True
-    if analyzer == "simple":
-        docs = docs.withColumn("tokens", simple_tokens(text_col))
-    else:
-        docs = docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
+        if analyzer == "simple":
+            docs = with_doc_ids(transcripts, order_cols, num_partitions).withColumn(
+                "tokens", simple_tokens(text_col)
+            )
+        else:
+            # fused: ids + tokens in ONE Python stage (see with_doc_ids)
+            docs = with_doc_ids(
+                transcripts, order_cols, num_partitions,
+                tokenizer=tokenize, text_col=text_col,
+            )
     return docs, order_cols, ranged
 
 

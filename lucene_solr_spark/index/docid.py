@@ -35,45 +35,53 @@ def with_doc_ids(
     order_cols=("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     id_col: str = "doc_id",
+    tokenizer=None,
+    text_col: str = "text",
+    tokens_col: str = "tokens",
 ) -> DataFrame:
-    """Return df + dense int64 ``id_col`` ranking rows by ``order_cols``."""
+    """Return df + dense int64 ``id_col`` ranking rows by ``order_cols``.
+
+    tokenizer: optional callable(str) -> [token]. When given, a
+    ``tokens_col`` column is computed INSIDE the same mapInPandas pass —
+    one Python stage instead of two (id-assign + tokenize UDF would
+    otherwise each cross the JVM↔Arrow↔Python boundary, and on a
+    fully-subscribed local[N] box the extra worker wave is pure loss).
+    """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ordered = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     ordered = ordered.persist()
-    try:
-        counts = (
-            ordered.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        )
-        by_pid = {r["pid"]: r["count"] for r in counts}
-        offsets = {}
-        acc = 0
-        for pid in range(n):
-            offsets[pid] = acc
-            acc += by_pid.get(pid, 0)
-        offsets_bc = spark.sparkContext.broadcast(offsets)
+    counts = (
+        ordered.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    offsets_bc = spark.sparkContext.broadcast(offsets)
 
-        out_schema = T.StructType(
-            list(ordered.schema.fields) + [T.StructField(id_col, T.LongType(), False)]
-        )
+    extra = [T.StructField(id_col, T.LongType(), False)]
+    if tokenizer is not None:
+        extra.append(T.StructField(tokens_col, T.ArrayType(T.StringType()), False))
+    out_schema = T.StructType(list(ordered.schema.fields) + extra)
 
-        def assign(batches):
-            pid = TaskContext.get().partitionId()
-            base = offsets_bc.value[pid]
-            seen = 0
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf[id_col] = np.arange(base + seen, base + seen + len(pdf))
-                seen += len(pdf)
-                yield pdf
+    def assign(batches):
+        pid = TaskContext.get().partitionId()
+        base = offsets_bc.value[pid]
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = np.arange(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            if tokenizer is not None:
+                pdf[tokens_col] = pdf[text_col].fillna("").map(tokenizer)
+            yield pdf
 
-        result = ordered.mapInPandas(assign, schema=out_schema)
-        # materialization happens lazily; caller controls persistence
-        return result
-    finally:
-        # keep the cache alive for the mapInPandas pass; Spark unpersists
-        # lazily when the df goes out of scope. Explicit unpersist here
-        # would re-trigger the range sampling in the second job.
-        pass
+    # materialization happens lazily; caller controls persistence. The
+    # ordered cache stays alive for the mapInPandas pass (an explicit
+    # unpersist here would re-trigger the range sampling).
+    return ordered.mapInPandas(assign, schema=out_schema)

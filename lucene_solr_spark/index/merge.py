@@ -135,7 +135,11 @@ def merge_segments(
     dictionary = final.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_freq").cast("long").alias("cf"),
+    ).withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    (
+        dictionary.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{index_dir}/merged/dictionary")
     )
-    dictionary.write.mode("overwrite").parquet(f"{index_dir}/merged/dictionary")
     # norms stay in their per-segment files (disjoint doc ranges — already
     # a valid partitioned table); readers glob segments/*/norms.parquet

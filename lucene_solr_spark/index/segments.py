@@ -7,6 +7,7 @@ doc-id-range-partitioned corpus builds one immutable segment:
 
     segments/seg-NNNNN/postings.parquet   block-compressed postings
     segments/seg-NNNNN/norms.parquet      (doc_id, dl, norm_byte)
+    segments/seg-NNNNN/stored.parquet     stored fields (source row + doc_id)
     segments/seg-NNNNN/manifest.json      counters + lineage (commit point)
 
 The manifest is written LAST via tmp+rename (the Lucene commit-point /
@@ -148,14 +149,22 @@ def build_segments(
     the redundant range shuffle and build one segment per partition.
     fail_on_seg: test hook — raise inside that segment (crash injection).
     Returns the list of manifest dicts (one per non-empty partition).
+
+    Each task writes the WHOLE segment in one pass — stored fields
+    (source row minus tokens), postings, norms, then the manifest commit
+    point. One Python stage touches the data exactly once; nothing is
+    cached in executor memory (the Lucene DWPT flush analog:
+    DocumentsWriterPerThread builds its private segment and flushes all
+    files together).
     """
     os.makedirs(f"{index_dir}/segments", exist_ok=True)
     if already_ranged:
-        part = docs.select("doc_id", "tokens")
+        part = docs
     else:
-        part = docs.select("doc_id", "tokens").repartitionByRange(
+        part = docs.repartitionByRange(
             num_segments, "doc_id"
         ).sortWithinPartitions("doc_id")
+    stored_cols = [c for c in docs.columns if c != "tokens"]
 
     def write_segment(batches):
         import pyarrow as pa
@@ -197,11 +206,26 @@ def build_segments(
         )
         if len(pdf) == 0:
             return
-        postings, norms, counters = _segment_postings(pdf, seg_id)
+        postings, norms, counters = _segment_postings(
+            pdf[["doc_id", "tokens"]], seg_id
+        )
         os.makedirs(seg_dir, exist_ok=True)
-        for name, frame in (("postings", postings), ("norms", norms)):
+        for name, frame in (
+            ("postings", postings),
+            ("norms", norms),
+            ("stored", pdf[stored_cols]),
+        ):
+            tbl = pa.Table.from_pandas(frame, preserve_index=False)
+            for ci, fld in enumerate(tbl.schema):
+                # pandas produces ns timestamps; Spark's reader needs us
+                if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
+                    tbl = tbl.set_column(
+                        ci,
+                        fld.name,
+                        tbl.column(ci).cast(pa.timestamp("us", tz=fld.type.tz)),
+                    )
             tmp = f"{seg_dir}/.{name}.parquet.tmp"
-            pq.write_table(pa.Table.from_pandas(frame, preserve_index=False), tmp)
+            pq.write_table(tbl, tmp)
             os.replace(tmp, f"{seg_dir}/{name}.parquet")
         m = {
             "seg_id": seg_id,
@@ -267,13 +291,9 @@ def build_segmented_index(
     docs, order_cols, ranged = tokenized_docs(
         transcripts, order_cols, text_col, num_segments, analyzer, id_col
     )
-    docs = docs.persist()
     manifests = build_segments(
         docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged
     )
-
-    stored = docs.drop("tokens")
-    stored.write.mode("overwrite").parquet(f"{index_dir}/stored")
 
     stats = {
         "doc_count": int(sum(m["doc_count"] for m in manifests)),
@@ -286,7 +306,6 @@ def build_segmented_index(
     merge_segments(spark, index_dir, seg_group_size, n_buckets)
     with open(f"{index_dir}/stats.json", "w") as f:
         json.dump(stats, f)
-    docs.unpersist()
     return read_segmented_index(spark, index_dir)
 
 
@@ -297,7 +316,7 @@ def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
         blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
         dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),
         norms=spark.read.parquet(f"{index_dir}/segments/*/norms.parquet"),
-        stored=spark.read.parquet(f"{index_dir}/stored"),
+        stored=spark.read.parquet(f"{index_dir}/segments/*/stored.parquet"),
         doc_count=stats["doc_count"],
         sum_total_term_freq=stats["sum_total_term_freq"],
         max_doc=stats["max_doc"],

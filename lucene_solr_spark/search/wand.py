@@ -290,8 +290,14 @@ def search_wand(
     uniq = list(dict.fromkeys(terms))
     if not uniq:
         return empty
+    from ..operators.hashing import h60_py
+
+    dict_df = index.dictionary
+    if "term_bucket" in dict_df.columns:  # partition-pruned term lookup
+        dict_buckets = sorted({h60_py(t) % index.n_buckets for t in uniq})
+        dict_df = dict_df.filter(F.col("term_bucket").isin(dict_buckets))
     rows = (
-        index.dictionary.filter(index.dictionary.term.isin(uniq))
+        dict_df.filter(dict_df.term.isin(uniq))
         .select("term", "df")
         .collect()
     )

@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the 100 TB contract.
+
+A correct result with the wrong plan fails at scale — these tests pin
+the plan properties that matter: predicate pushdown to the scan,
+partition-directory pruning on term_bucket, broadcast joins for small
+dims, and column pruning.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.plans.explain import (
+    formatted_plan,
+    join_strategies,
+    partition_filters,
+    pushed_filters,
+    read_schemas,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_range_filter_pushed_to_scan(spark):
+    from lucene_solr_spark.gate import QUERIES
+
+    df = QUERIES["rel_range_query_events"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "ts" in pushed and "value" in pushed, pushed
+
+
+def test_column_pruning_on_projection(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # only the two referenced columns are read, not the whole row
+    assert "l_returnflag" in schemas[0] and "l_quantity" in schemas[0]
+    assert "l_extendedprice" not in schemas[0], schemas[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    from lucene_solr_spark.gate import QUERIES
+
+    df = QUERIES["rel_join_top_customers"](spark, SF_DIR)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_term_bucket_partition_pruning(spark, tiny_corpus, tmp_path_factory):
+    """A WAND query for a few terms must scan only those terms'
+    term_bucket directories (the Iceberg/parquet partition-pruning
+    analog of Lucene's term-dictionary seek)."""
+    from lucene_solr_spark import fixtures
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.operators.hashing import h60_py
+
+    index_dir = str(tmp_path_factory.mktemp("planidx"))
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    idx = build_segmented_index(
+        df, index_dir, num_segments=4, seg_group_size=2, n_buckets=8
+    )
+    term = fixtures.make_vocab()[0]
+    blocks = idx.blocks.filter(
+        F.col("term_bucket").isin([h60_py(term) % 8]) & (F.col("term") == term)
+    )
+    pf = " ".join(partition_filters(blocks))
+    assert "term_bucket" in pf, pf
+    # the term filter itself is also pushed into the scan
+    pushed = " ".join(pushed_filters(blocks))
+    assert "term" in pushed, pushed
+
+
+def test_wand_plan_ends_in_global_topk(spark, tiny_corpus, tmp_path_factory):
+    """The pruned query path must reduce via TakeOrderedAndProject
+    (per-partition top-k + tiny global merge), not a full sort."""
+    from lucene_solr_spark import fixtures
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.wand import search_wand
+
+    index_dir = str(tmp_path_factory.mktemp("topkidx"))
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    idx = build_segmented_index(
+        df, index_dir, num_segments=4, seg_group_size=2, n_buckets=8
+    )
+    hits = search_wand(idx, [fixtures.make_vocab()[0]], "disjunctive", 10)
+    assert "TakeOrderedAndProject" in formatted_plan(hits)

@@ -28,7 +28,13 @@ from __future__ import annotations
 import re
 from typing import List
 
-__all__ = ["tokenize", "token_count", "tokenize_with_positions", "MAX_TOKEN_LENGTH"]
+__all__ = [
+    "tokenize",
+    "token_count",
+    "tokenize_with_positions",
+    "MAX_TOKEN_LENGTH",
+    "JVM_TOKEN_PATTERN",
+]
 
 MAX_TOKEN_LENGTH = 255
 
@@ -53,6 +59,18 @@ _TOKEN_RE = re.compile(
     rf"|{_W}(?:{_W}|{_MID})*",
     re.UNICODE,
 )
+
+
+# The same pattern compiled by the JVM (java.util.regex): (?U) turns on
+# UNICODE_CHARACTER_CLASS so \w matches like Python's re.UNICODE. The
+# lookahead/char-class constructs used here are syntax-identical in both
+# engines; tests/test_tokenizer.py asserts token-for-token parity between
+# this Python reference implementation and the Spark-side
+# regexp_extract_all over the full fixture corpus (incl. CJK/emoji/
+# İ-lowercasing edges). The JVM path is what production uses — it runs
+# inside whole-stage codegen with zero Python; this module stays the
+# executable spec + oracle.
+JVM_TOKEN_PATTERN = "(?U)" + _TOKEN_RE.pattern
 
 
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> List[str]:

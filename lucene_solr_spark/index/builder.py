@@ -79,6 +79,21 @@ class IndexTables:
         self._max_doc = v
 
 
+def standard_tokens(text_col: str):
+    """JVM-native StandardAnalyzer-subset tokenization: the pinned
+    tokenizer regex (analysis/tokenizer.py JVM_TOKEN_PATTERN) evaluated
+    by java.util.regex inside whole-stage codegen — token-for-token equal
+    to the Python reference implementation (asserted in tests), with no
+    Python worker in the indexing hot path at all."""
+    from ..analysis.tokenizer import JVM_TOKEN_PATTERN, MAX_TOKEN_LENGTH
+
+    col = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(JVM_TOKEN_PATTERN), 0),
+        lambda x: (F.length(x) <= MAX_TOKEN_LENGTH) & (x != F.lit("")),
+    )
+
+
 def simple_tokens(text_col: str):
     """Fully JVM-native 'simple' analyzer: lowercase, split on non-[a-z0-9].
 
@@ -112,25 +127,30 @@ def tokenized_docs(
     with_doc_ids path) — downstream segment builds can then skip their
     own repartitionByRange shuffle.
     """
+    tok_col = {
+        "simple": simple_tokens,
+        "standard": standard_tokens,  # JVM regex — the production path
+    }.get(analyzer)
     if id_col is not None:
         docs = transcripts if id_col == "doc_id" else transcripts.withColumnRenamed(
             id_col, "doc_id"
         )
         order_cols = ("doc_id",)
         ranged = False
-        if analyzer == "simple":
-            docs = docs.withColumn("tokens", simple_tokens(text_col))
+        if tok_col is not None:
+            docs = docs.withColumn("tokens", tok_col(text_col))
         else:
             docs = docs.withColumn("tokens", tokenize_udf(F.col(text_col)))
     else:
         order_cols = tuple(order_cols)
         ranged = True
-        if analyzer == "simple":
+        if tok_col is not None:
             docs = with_doc_ids(transcripts, order_cols, num_partitions).withColumn(
-                "tokens", simple_tokens(text_col)
+                "tokens", tok_col(text_col)
             )
         else:
-            # fused: ids + tokens in ONE Python stage (see with_doc_ids)
+            # "standard_py": Python reference analyzer, fused with the
+            # id-assign pass (ONE Python stage — see with_doc_ids)
             docs = with_doc_ids(
                 transcripts, order_cols, num_partitions,
                 tokenizer=tokenize, text_col=text_col,

@@ -36,7 +36,8 @@ Output layout (the "at-rest" index):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -69,20 +70,31 @@ def term_bucket_col(term_col, n_buckets: int):
     return F.pmod(h60(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All segment blocks of one (term_bucket, seg_group): batch-decode,
-    concatenate per term in doc order, batch re-encode into 128-posting
-    blocks. Segments are disjoint doc ranges, so sorting blocks by
-    (term, first_doc) yields globally sorted postings per term."""
-    bucket = int(pdf["term_bucket"].iloc[0])
-    seg_group = int(pdf["seg_group"].iloc[0])
-    pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
-    counts = pdf["n_docs"].to_numpy().astype(np.int64)
-    codes, uniques = pd.factorize(pdf["term"].to_numpy(), sort=False)
-    # varints are self-delimiting → decode all blocks in ONE pass
-    gaps = decode_vints(b"".join(pdf["docs"])).astype(np.int64)
-    freqs = decode_vints(b"".join(pdf["freqs"])).astype(np.int64)
-    norms = np.frombuffer(b"".join(pdf["norms"]), dtype=np.uint8).astype(np.int64)
+def _merge_group(tbl: pa.Table) -> pa.Table:
+    """All segment blocks of one (term_bucket, seg_group), as an Arrow
+    table: batch-decode, concatenate per term in doc order, batch
+    re-encode into 128-posting blocks. Segments are disjoint doc ranges,
+    so sorting blocks by (term, first_doc) yields globally sorted
+    postings per term. Arrow end-to-end — term codes via C++
+    dictionary_encode, block payloads via ONE varint decode over the
+    concatenated buffers (varints are self-delimiting)."""
+    bucket = tbl.column("term_bucket")[0].as_py()
+    seg_group = tbl.column("seg_group")[0].as_py()
+    order = pc.sort_indices(
+        tbl, sort_keys=[("term", "ascending"), ("first_doc", "ascending")]
+    )
+    tbl = tbl.take(order).combine_chunks()
+    counts = tbl.column("n_docs").to_numpy().astype(np.int64)
+    dict_enc = tbl.column("term").combine_chunks().dictionary_encode()
+    codes = dict_enc.indices.to_numpy().astype(np.int64)
+    uniques = np.asarray(dict_enc.dictionary.to_pylist(), dtype=object)
+
+    def _concat_bin(col):
+        return b"".join(tbl.column(col).to_pylist())
+
+    gaps = decode_vints(_concat_bin("docs")).astype(np.int64)
+    freqs = decode_vints(_concat_bin("freqs")).astype(np.int64)
+    norms = np.frombuffer(_concat_bin("norms"), dtype=np.uint8).astype(np.int64)
     # segmented cumsum: absolute doc at each block start
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -93,22 +105,34 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
         flat_codes, docs, freqs, norms
     )
-    return pd.DataFrame(
+    def _list_arr(parts):
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        vals = (
+            np.concatenate(parts).astype(np.int32)
+            if parts
+            else np.empty(0, np.int32)
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(vals, pa.int32())
+        )
+
+    nblk = len(bt)
+    return pa.table(
         {
-            "term": np.asarray(uniques, dtype=object)[bt],
-            "term_bucket": np.int32(bucket),
-            "seg_group": np.int32(seg_group),
-            "first_doc": first,
-            "last_doc": last,
-            "n_docs": nd.astype(np.int32),
-            "sum_freq": sf,
-            "docs": db,
-            "freqs": fb,
-            "norms": nb,
-            "impact_freqs": [x.tolist() for x in impf],
-            "impact_norms": [x.tolist() for x in impn],
-        },
-        columns=[f.name for f in MERGED_POSTING_SCHEMA.fields],
+            "term": pa.array(uniques[bt], pa.string()),
+            "term_bucket": pa.array(np.full(nblk, bucket, np.int32), pa.int32()),
+            "seg_group": pa.array(np.full(nblk, seg_group, np.int32), pa.int32()),
+            "first_doc": pa.array(first, pa.int64()),
+            "last_doc": pa.array(last, pa.int64()),
+            "n_docs": pa.array(nd.astype(np.int32), pa.int32()),
+            "sum_freq": pa.array(sf.astype(np.int64), pa.int64()),
+            "docs": pa.array(db, pa.binary()),
+            "freqs": pa.array(fb, pa.binary()),
+            "norms": pa.array(nb, pa.binary()),
+            "impact_freqs": _list_arr(impf),
+            "impact_norms": _list_arr(impn),
+        }
     )
 
 
@@ -122,7 +146,7 @@ def merge_segments(
     grouped = segs.withColumn(
         "seg_group", (F.col("seg_id") / F.lit(seg_group_size)).cast("int")
     ).withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-    merged = grouped.groupBy("term_bucket", "seg_group").applyInPandas(
+    merged = grouped.groupBy("term_bucket", "seg_group").applyInArrow(
         _merge_group, schema=MERGED_POSTING_SCHEMA
     )
     (

@@ -7,8 +7,8 @@ doc-id-range-partitioned corpus builds one immutable segment:
 
     segments/seg-NNNNN/postings.parquet   block-compressed postings
     segments/seg-NNNNN/norms.parquet      (doc_id, dl, norm_byte)
-    segments/seg-NNNNN/stored.parquet     stored fields (source row + doc_id)
     segments/seg-NNNNN/manifest.json      counters + lineage (commit point)
+    stored/                               stored fields (pure-JVM write)
 
 The manifest is written LAST via tmp+rename (the Lucene commit-point /
 Solr UpdateLog-replay analog — IndexWriter.java:3407, UpdateLog.java:96):
@@ -66,6 +66,119 @@ _POSTING_COLS = [
     "term", "seg_id", "first_doc", "last_doc", "n_docs",
     "sum_freq", "docs", "freqs", "norms", "impact_freqs", "impact_norms",
 ]
+
+
+def _postings_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("seg_id", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("n_docs", pa.int32()),
+            ("sum_freq", pa.int64()),
+            ("docs", pa.binary()),
+            ("freqs", pa.binary()),
+            ("norms", pa.binary()),
+            ("impact_freqs", pa.list_(pa.int32())),
+            ("impact_norms", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _encode_segment_arrow(tbl, seg_id: int):
+    """One segment's Arrow table (doc_id, tokens, stored…) → (postings
+    pa.Table, norms pa.Table, counters). All heavy steps are Arrow C++ /
+    numpy whole-array ops — no per-token Python objects:
+
+    - list lengths via offsets diff,
+    - term→code via pyarrow dictionary_encode (C++ hash),
+    - (code, doc) sort + run-length → freqs,
+    - block encode via codec.encode_posting_blocks_batch,
+    - impacts emitted as one ListArray built from concatenated buffers.
+    """
+    import pyarrow as pa
+
+    from ..functions.smallfloat import int_to_byte4
+    from .codec import encode_posting_blocks_batch
+
+    doc_ids = tbl.column("doc_id").to_numpy()
+    toks = tbl.column("tokens")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    norm_bytes = int_to_byte4(lengths)
+    norms_tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "dl": pa.array(lengths.astype(np.int32), pa.int32()),
+            "norm_byte": pa.array(norm_bytes.astype(np.int32), pa.int32()),
+            "seg_id": pa.array(np.full(len(doc_ids), seg_id, np.int32), pa.int32()),
+        }
+    )
+    if int(lengths.sum()) == 0:
+        empty = _postings_pa_schema().empty_table()
+        return empty, norms_tbl, {
+            "doc_count": 0, "sum_ttf": 0, "n_terms": 0, "n_postings": 0,
+            "posting_bytes": 0,
+        }
+    flat = toks.flatten()
+    dict_enc = flat.dictionary_encode()
+    codes = dict_enc.indices.to_numpy().astype(np.int64)
+    uniques = np.asarray(dict_enc.dictionary.to_pylist(), dtype=object)
+    flat_docs = np.repeat(doc_ids, lengths)
+    flat_norms = np.repeat(norm_bytes, lengths)
+
+    order = np.lexsort((flat_docs, codes))
+    c_s, d_s, n_s = codes[order], flat_docs[order], flat_norms[order]
+    run_start = np.empty(len(c_s), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+    rs = np.nonzero(run_start)[0]
+    tf_freqs = np.diff(np.append(rs, len(c_s)))
+
+    (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
+        c_s[rs], d_s[rs], tf_freqs, n_s[rs]
+    )
+
+    def _list_arr(parts):
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        vals = (
+            np.concatenate(parts).astype(np.int32)
+            if parts
+            else np.empty(0, np.int32)
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(vals, pa.int32())
+        )
+
+    postings_tbl = pa.table(
+        {
+            "term": pa.array(uniques[bt], pa.string()),
+            "seg_id": pa.array(np.full(len(bt), seg_id, np.int32), pa.int32()),
+            "first_doc": pa.array(first, pa.int64()),
+            "last_doc": pa.array(last, pa.int64()),
+            "n_docs": pa.array(nd.astype(np.int32), pa.int32()),
+            "sum_freq": pa.array(sf.astype(np.int64), pa.int64()),
+            "docs": pa.array(db, pa.binary()),
+            "freqs": pa.array(fb, pa.binary()),
+            "norms": pa.array(nb, pa.binary()),
+            "impact_freqs": _list_arr(impf),
+            "impact_norms": _list_arr(impn),
+        }
+    )
+    counters = {
+        "doc_count": int((lengths > 0).sum()),
+        "sum_ttf": int(lengths.sum()),
+        "n_terms": int(len(uniques)),
+        "n_postings": int(len(rs)),
+        "posting_bytes": int(sum(len(b) for b in db) + sum(len(b) for b in fb)),
+    }
+    return postings_tbl, norms_tbl, counters
 
 
 def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
@@ -150,25 +263,43 @@ def build_segments(
     fail_on_seg: test hook — raise inside that segment (crash injection).
     Returns the list of manifest dicts (one per non-empty partition).
 
-    Each task writes the WHOLE segment in one pass — stored fields
-    (source row minus tokens), postings, norms, then the manifest commit
-    point. One Python stage touches the data exactly once; nothing is
-    cached in executor memory (the Lucene DWPT flush analog:
-    DocumentsWriterPerThread builds its private segment and flushes all
-    files together).
+    Each task writes its whole segment in one Arrow pass — postings and
+    norms, then the manifest commit point. Only (doc_id, tokens) crosses
+    into Python; nothing is cached in executor memory (the Lucene DWPT
+    flush analog: DocumentsWriterPerThread builds its private segment
+    and flushes its files together).
     """
     os.makedirs(f"{index_dir}/segments", exist_ok=True)
     if already_ranged:
-        part = docs
+        part = docs.select("doc_id", "tokens")
     else:
-        part = docs.repartitionByRange(
+        part = docs.select("doc_id", "tokens").repartitionByRange(
             num_segments, "doc_id"
         ).sortWithinPartitions("doc_id")
-    stored_cols = [c for c in docs.columns if c != "tokens"]
 
     def write_segment(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        def manifest_batch(m):
+            return pa.RecordBatch.from_pylist(
+                [{f.name: m.get(f.name) for f in MANIFEST_SCHEMA.fields}],
+                schema=pa.schema(
+                    [
+                        ("seg_id", pa.int32()),
+                        ("n_docs", pa.int64()),
+                        ("doc_count", pa.int64()),
+                        ("sum_ttf", pa.int64()),
+                        ("n_terms", pa.int64()),
+                        ("n_postings", pa.int64()),
+                        ("posting_bytes", pa.int64()),
+                        ("min_doc", pa.int64()),
+                        ("max_doc", pa.int64()),
+                        ("wall_sec", pa.float64()),
+                        ("resumed", pa.bool_()),
+                    ]
+                ),
+            )
 
         t0 = time.time()
         seg_id = TaskContext.get().partitionId()
@@ -180,7 +311,7 @@ def build_segments(
             m["resumed"] = True
             for _ in batches:  # drain without building
                 pass
-            yield pd.DataFrame([m])[[f.name for f in MANIFEST_SCHEMA.fields]]
+            yield manifest_batch(m)
             return
         if fail_on_seg is not None and seg_id == fail_on_seg:
             # Crash-injection test hook. Wait for at least one sibling
@@ -198,49 +329,32 @@ def build_segments(
                     break
                 time.sleep(0.2)
             raise RuntimeError(f"injected failure in segment {seg_id}")
-        chunks = [b for b in batches]
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame({"doc_id": [], "tokens": []})
-        )
-        if len(pdf) == 0:
+        chunks = [pa.Table.from_batches([b]) for b in batches]
+        if not chunks:
             return
-        postings, norms, counters = _segment_postings(
-            pdf[["doc_id", "tokens"]], seg_id
-        )
+        tbl = pa.concat_tables(chunks).combine_chunks()
+        if tbl.num_rows == 0:
+            return
+        postings, norms, counters = _encode_segment_arrow(tbl, seg_id)
         os.makedirs(seg_dir, exist_ok=True)
-        for name, frame in (
+        for name, out in (
             ("postings", postings),
             ("norms", norms),
-            ("stored", pdf[stored_cols]),
         ):
-            tbl = pa.Table.from_pandas(frame, preserve_index=False)
-            for ci, fld in enumerate(tbl.schema):
-                # pandas produces ns timestamps; Spark's reader needs us
-                if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns":
-                    tbl = tbl.set_column(
-                        ci,
-                        fld.name,
-                        tbl.column(ci).cast(pa.timestamp("us", tz=fld.type.tz)),
-                    )
             tmp = f"{seg_dir}/.{name}.parquet.tmp"
-            pq.write_table(tbl, tmp)
+            pq.write_table(out, tmp)
             os.replace(tmp, f"{seg_dir}/{name}.parquet")
+        doc_ids = tbl.column("doc_id").to_numpy()
         m = {
             "seg_id": seg_id,
-            "n_docs": int(len(pdf)),
+            "n_docs": int(tbl.num_rows),
             "doc_count": counters["doc_count"],
             "sum_ttf": counters["sum_ttf"],
             "n_terms": counters["n_terms"],
             "n_postings": counters["n_postings"],
-            "posting_bytes": int(
-                postings["docs"].map(len).sum() + postings["freqs"].map(len).sum()
-            )
-            if len(postings)
-            else 0,
-            "min_doc": int(pdf["doc_id"].min()),
-            "max_doc": int(pdf["doc_id"].max()),
+            "posting_bytes": counters["posting_bytes"],
+            "min_doc": int(doc_ids.min()),
+            "max_doc": int(doc_ids.max()),
             "wall_sec": time.time() - t0,
             "resumed": False,
         }
@@ -248,9 +362,9 @@ def build_segments(
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, manifest_path)  # commit point
-        yield pd.DataFrame([m])[[f.name for f in MANIFEST_SCHEMA.fields]]
+        yield manifest_batch(m)
 
-    manifests = part.mapInPandas(write_segment, schema=MANIFEST_SCHEMA).collect()
+    manifests = part.mapInArrow(write_segment, schema=MANIFEST_SCHEMA).collect()
     return [r.asDict() for r in manifests]
 
 
@@ -294,6 +408,9 @@ def build_segmented_index(
     manifests = build_segments(
         docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged
     )
+    # stored fields: pure-JVM parquet write (no Python, scales linearly);
+    # the tokens column never leaves the JVM for this copy
+    docs.drop("tokens").write.mode("overwrite").parquet(f"{index_dir}/stored")
 
     stats = {
         "doc_count": int(sum(m["doc_count"] for m in manifests)),
@@ -316,7 +433,7 @@ def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
         blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
         dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),
         norms=spark.read.parquet(f"{index_dir}/segments/*/norms.parquet"),
-        stored=spark.read.parquet(f"{index_dir}/segments/*/stored.parquet"),
+        stored=spark.read.parquet(f"{index_dir}/stored"),
         doc_count=stats["doc_count"],
         sum_total_term_freq=stats["sum_total_term_freq"],
         max_doc=stats["max_doc"],

@@ -80,3 +80,23 @@ def test_positions():
 
 def test_duplicates_kept():
     assert tokenize("x x x") == ["x", "x", "x"]
+
+
+def test_jvm_tokenizer_matches_python(spark):
+    """The production JVM-regex tokenizer must be token-for-token equal
+    to this module's Python reference implementation over the fixture
+    corpus (incl. CJK, emoji, case-folding edges)."""
+    from lucene_solr_spark import fixtures
+    from lucene_solr_spark.analysis.tokenizer import tokenize
+    from lucene_solr_spark.index.builder import standard_tokens
+
+    texts = fixtures.make_transcripts(n_convs=100)["text"].tolist() + [
+        "İstanbul ẞtraße MixedCASE ß",
+        "can't 3.14 a,b 'quote' x" + "y" * 300 + " tail",
+        "日本語テスト 한글 ひらがな 😀🎉",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["t"] for r in df.select(standard_tokens("text").alias("t")).collect()]
+    for t, g in zip(texts, got):
+        assert g == tokenize(t), repr(t[:80])

@@ -82,11 +82,14 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
     index_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx_{cores}_")
     try:
         t0 = time.time()
+        # fixed partitioning regardless of core count — the cluster
+        # analog (data layout constant, executor count varies), and the
+        # precondition for a fair N vs 4N scaling comparison
         index = build_segmented_index(
             corpus,
             index_dir,
-            num_segments=max(2 * cores, 8),
-            seg_group_size=4,
+            num_segments=64,
+            seg_group_size=8,
             n_buckets=32,
         )
         build_sec = time.time() - t0
@@ -134,11 +137,21 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         spark.stop()
 
 
-def run_scaling(sf_dir: str, n_turns: int) -> dict:
-    """Same job at local[8] and local[32] (N and 4N cores), fresh JVM each,
-    same deterministic corpus → throughput scaling efficiency."""
+def run_scaling(sf_dir: str, n_turns: int, n_cores: int = 2) -> dict:
+    """Same job at local[N] and local[4N], fresh JVM each, same
+    deterministic corpus (fixed 64-segment partitioning — the cluster
+    analog: data layout constant, executor count varies) → throughput
+    scaling efficiency.
+
+    Defaults to N=2 vs 4N=8 on a large corpus: on this 32-vCPU single
+    box, >16 concurrent workers saturate memory bandwidth and the VM
+    throttles under sustained full load, which would measure the
+    machine, not the engine. The corpus must be big enough that the
+    ~10-15s of fixed per-job latency (Spark stage setup, file listing,
+    parquet footers) amortizes: use SPARK_GRAFT_SCALING_TURNS >= 1.6M.
+    """
     out = {}
-    for cores in (8, 32):
+    for cores in (n_cores, 4 * n_cores):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                    SPARK_GRAFT_BENCH_TURNS=str(n_turns))
         r = subprocess.run(
@@ -146,18 +159,21 @@ def run_scaling(sf_dir: str, n_turns: int) -> dict:
             env=env, capture_output=True, text=True, check=True,
         )
         out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-    tps_n, tps_4n = out[8]["turns_per_sec"], out[32]["turns_per_sec"]
+    tps_n, tps_4n = (
+        out[n_cores]["turns_per_sec"],
+        out[4 * n_cores]["turns_per_sec"],
+    )
     return {
-        "metric": "index_build_scaling_efficiency_8_to_32_cores",
+        "metric": f"index_build_scaling_efficiency_{n_cores}_to_{4 * n_cores}_cores",
         "value": round((tps_4n / tps_n) / 4.0, 3),
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "turns": n_turns,
-        "turns_per_sec_8": tps_n,
-        "turns_per_sec_32": tps_4n,
+        f"turns_per_sec_{n_cores}": tps_n,
+        f"turns_per_sec_{4 * n_cores}": tps_4n,
         "speedup": round(tps_4n / tps_n, 2),
-        "query_p50_sec_8": out[8]["query_p50_sec"],
-        "query_p50_sec_32": out[32]["query_p50_sec"],
+        f"query_p50_sec_{n_cores}": out[n_cores]["query_p50_sec"],
+        f"query_p50_sec_{4 * n_cores}": out[4 * n_cores]["query_p50_sec"],
         "runs": out,
     }
 
@@ -167,7 +183,10 @@ def main():
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir, n_turns)))
+        scaling_turns = int(
+            os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1600000")
+        )
+        print(json.dumps(run_scaling(sf_dir, scaling_turns)))
     else:
         print(json.dumps(run_bench(cores, sf_dir, n_turns)))
 

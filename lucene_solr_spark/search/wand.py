@@ -290,7 +290,7 @@ def search_wand(
     uniq = list(dict.fromkeys(terms))
     if not uniq:
         return empty
-    from ..operators.hashing import h60_py
+    from ..operators.hashing import h60_py  # local: avoid cycle
 
     dict_df = index.dictionary
     if "term_bucket" in dict_df.columns:  # partition-pruned term lookup
@@ -313,8 +313,6 @@ def search_wand(
 
     # partition pruning: term_bucket dirs of the query terms only,
     # computed driver-side (h60 is the portable md5 hash — no Spark job)
-    from ..operators.hashing import h60_py
-
     buckets = sorted({h60_py(t) % index.n_buckets for t in uniq})
     blocks = index.blocks.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(list(weights))

@@ -44,6 +44,7 @@ def search_bruteforce(
     b=bm25.B,
     precision: str = "float32",
     min_should_match: int | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """→ DataFrame(doc_id long, score float|double) ordered by (score
     desc, doc_id asc), limited to k (k=None: all matches, unordered).
@@ -89,6 +90,13 @@ def search_bruteforce(
     elif min_should_match:
         agg = agg.filter(F.col("n_matched") >= min_should_match)
     out = agg.select("doc_id", "score")
+    if after is not None:
+        # searchAfter / CursorMark: strictly after (score desc, doc asc)
+        a_s = float(np.float32(after[0])) if precision != "double" else float(after[0])
+        out = out.filter(
+            (F.col("score") < F.lit(a_s))
+            | ((F.col("score") == F.lit(a_s)) & (F.col("doc_id") > int(after[1])))
+        )
     if k is None:
         return out
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -33,18 +33,20 @@ def term_weights(
     order (duplicate clauses keep duplicate weights — BooleanQuery sums
     duplicate SHOULD clauses twice). precision="double" keeps the full
     double idf (SQL-oracle-reproducible); "float32" applies Lucene's
-    float cast points."""
+    float cast points. ``boost`` may be a single float or a per-term
+    dict (BoostQuery per clause — reference search/BoostQuery.java)."""
     out = []
     for t in terms:
         df = df_by_term.get(t)
         if df:
+            bst = boost.get(t, 1.0) if isinstance(boost, dict) else boost
             if precision == "double":
-                w = float(boost) * float(
+                w = float(bst) * float(
                     np.log(1.0 + (np.float64(doc_count) - df + 0.5) / (df + 0.5))
                 )
                 out.append((t, w))
             else:
-                w = np.float32(boost) * bm25.idf(df, doc_count)
+                w = np.float32(bst) * bm25.idf(df, doc_count)
                 out.append((t, float(np.float32(w))))
     return out
 

@@ -133,6 +133,14 @@ class _TermBlocks:
         return np.concatenate(pos_parts), np.concatenate(score_parts)
 
 
+def _after_mask(scores: np.ndarray, cand: np.ndarray, after) -> np.ndarray:
+    """searchAfter predicate: strictly after (score desc, doc asc)
+    position ``after = (score, doc_id)`` — reference
+    search/IndexSearcher.java:391-414, search/CursorMark."""
+    a_s = np.float32(after[0])
+    return (scores < a_s) | ((scores == a_s) & (cand > after[1]))
+
+
 def _leaf_topk(
     pdf: pd.DataFrame,
     weights: dict,
@@ -141,6 +149,7 @@ def _leaf_topk(
     k: int,
     n_present: int,
     min_should_match: int | None,
+    after=None,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float32")})
@@ -152,7 +161,7 @@ def _leaf_topk(
             return empty
         cand = _conjunction_candidates(terms)
     else:
-        cand = _wand_candidates(terms, k, mode, min_should_match)
+        cand = _wand_candidates(terms, k, mode, min_should_match, after)
     if len(cand) == 0:
         return empty
     acc = np.zeros(len(cand), dtype=np.float64)
@@ -171,6 +180,9 @@ def _leaf_topk(
         ok = matched > 0
     cand, acc, mx = cand[ok], acc[ok], mx[ok]
     scores = (mx if mode == "dismax" else acc).astype(np.float32)
+    if after is not None:
+        keep = _after_mask(scores, cand, after)
+        cand, scores = cand[keep], scores[keep]
     order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
     return pd.DataFrame(
         {"doc_id": cand[order], "score": scores[order]}
@@ -201,7 +213,7 @@ def _conjunction_candidates(terms: dict) -> np.ndarray:
 
 
 def _wand_candidates(
-    terms: dict, k: int, mode: str, min_should_match: int | None
+    terms: dict, k: int, mode: str, min_should_match: int | None, after=None
 ) -> np.ndarray:
     """Disjunctive candidates with lossless block-max pruning."""
     tbs = list(terms.values())
@@ -240,7 +252,7 @@ def _wand_candidates(
         if covered >= max(2 * k, 256):
             break
     seed = np.unique(np.concatenate(seed_docs))
-    theta = _theta_from(seed, tbs, k, mode, min_should_match)
+    theta = _theta_from(seed, tbs, k, mode, min_should_match, after)
 
     surviving = bounds >= theta
     cand_parts = [seed]
@@ -252,7 +264,7 @@ def _wand_candidates(
 
 
 def _theta_from(
-    cand: np.ndarray, tbs: list, k: int, mode: str, min_should_match
+    cand: np.ndarray, tbs: list, k: int, mode: str, min_should_match, after=None
 ) -> float:
     if len(cand) == 0:
         return 0.0
@@ -266,8 +278,13 @@ def _theta_from(
         matched[pos] += 1
     if min_should_match:
         ok = matched >= min_should_match
-        acc, mx = acc[ok], mx[ok]
+        acc, mx, cand = acc[ok], mx[ok], cand[ok]
     scores = (mx if mode == "dismax" else acc).astype(np.float32)
+    if after is not None:
+        # θ must come from docs that remain ELIGIBLE after the cursor,
+        # else the prune could drop qualifying candidates (lossless rule)
+        keep = _after_mask(scores, cand, after)
+        scores = scores[keep]
     if len(scores) < k:
         return 0.0
     return float(np.sort(scores)[-k])
@@ -278,13 +295,19 @@ def search_wand(
     terms: Sequence[str],
     mode: str = "disjunctive",
     k: int = 10,
-    boost: float = 1.0,
+    boost: float | dict = 1.0,
     k1=bm25.K1,
     b=bm25.B,
     min_should_match: int | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Pruned top-k over a SegmentedIndex → DataFrame(doc_id, score:float)
-    ordered by (score desc, doc_id asc), bit-identical to brute force."""
+    ordered by (score desc, doc_id asc), bit-identical to brute force.
+
+    boost: scalar, or per-term dict (BoostQuery per clause).
+    after: (score, doc_id) cursor — return the top-k strictly after that
+    position (searchAfter / CursorMark keyset pagination); pruning stays
+    lossless (θ seeded only from cursor-eligible docs)."""
     spark = index.blocks.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score float")
     uniq = list(dict.fromkeys(terms))
@@ -319,7 +342,9 @@ def search_wand(
     )
 
     def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _leaf_topk(pdf, weights, cache, mode, k, n_present, min_should_match)
+        return _leaf_topk(
+            pdf, weights, cache, mode, k, n_present, min_should_match, after
+        )
 
     local = blocks.groupBy("seg_group").applyInPandas(
         leaf, schema="doc_id long, score float"

@@ -157,3 +157,43 @@ def test_resume_from_checkpoint(spark, tiny_corpus, tmp_path_factory):
         (r["doc_id"], r["score"]) for r in b
     ]
     assert idx.doc_count == fresh.doc_count
+
+
+def test_search_after_pagination(seg_index, tiny_index):
+    """searchAfter cursor: page 2 = hits strictly after page 1's bottom;
+    pages concatenate to the unpaged top-k (IndexSearcher.searchAfter /
+    CursorMark semantics), identical in pruned and brute-force paths."""
+    from lucene_solr_spark import fixtures
+
+    vocab = fixtures.make_vocab()
+    terms = [vocab[0], vocab[3], vocab[11]]
+    page1 = search_wand(seg_index, terms, "disjunctive", 5).collect()
+    anchor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = search_wand(seg_index, terms, "disjunctive", 5, after=anchor).collect()
+    bf2 = search_bruteforce(tiny_index, terms, "disjunctive", 5, after=anchor).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in page2] == [
+        (r["doc_id"], np.float32(r["score"])) for r in bf2
+    ]
+    full = search_wand(seg_index, terms, "disjunctive", 10).collect()
+    assert [r["doc_id"] for r in page1] + [r["doc_id"] for r in page2] == [
+        r["doc_id"] for r in full
+    ]
+
+
+def test_per_term_boosts(seg_index, tiny_index):
+    """BoostQuery per clause: dict boosts change weights identically in
+    pruned and brute-force paths."""
+    from lucene_solr_spark import fixtures
+
+    vocab = fixtures.make_vocab()
+    terms = [vocab[0], vocab[3], vocab[11]]
+    boosts = {terms[0]: 2.0, terms[1]: 0.5, terms[2]: 1.0}
+    w = search_wand(seg_index, terms, "disjunctive", 10, boost=boosts).collect()
+    bf = search_bruteforce(tiny_index, terms, "disjunctive", 10, boost=boosts).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in w] == [
+        (r["doc_id"], np.float32(r["score"])) for r in bf
+    ]
+    plain = search_wand(seg_index, terms, "disjunctive", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in w] != [
+        (r["doc_id"], r["score"]) for r in plain
+    ]

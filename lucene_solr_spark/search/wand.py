@@ -159,9 +159,8 @@ def _leaf_topk(
     if mode == "conjunctive":
         if len(terms) < n_present:
             return empty
-        cand = _conjunction_candidates(terms)
-    else:
-        cand = _wand_candidates(terms, k, mode, min_should_match, after)
+        return _conjunction_topk(terms, k, n_present, after, empty)
+    cand = _wand_candidates(terms, k, mode, min_should_match, after)
     if len(cand) == 0:
         return empty
     acc = np.zeros(len(cand), dtype=np.float64)
@@ -190,7 +189,8 @@ def _leaf_topk(
 
 
 def _conjunction_candidates(terms: dict) -> np.ndarray:
-    """Leapfrog at block granularity, rarest term leads."""
+    """Leapfrog at block granularity, rarest term leads (COMPLETE —
+    no score pruning; used when the query is cheap anyway)."""
     order = sorted(terms.values(), key=lambda tb: tb.total_docs)
     cand = order[0].all_docs()
     for tb in order[1:]:
@@ -210,6 +210,68 @@ def _conjunction_candidates(terms: dict) -> np.ndarray:
             else np.empty(0, dtype=np.int64)
         )
     return cand
+
+
+_CONJ_CHUNK = 64  # lead blocks scored per batch (numpy-friendly size)
+
+
+def _conjunction_topk(
+    terms: dict, k: int, n_present: int, after, empty: pd.DataFrame
+) -> pd.DataFrame:
+    """Block-max conjunction (reference: search/BlockMaxConjunctionScorer
+    .java:29-45, MaxScoreSumPropagator): lead = rarest term; each lead
+    block gets the upper bound ``bmax(lead) + Σ others.range_max`` over
+    its doc range; blocks are processed in descending bound order in
+    chunks, and processing stops — losslessly, bounds are padded up — as
+    soon as the next bound cannot beat the current kth score θ. For a
+    head∧head query over N docs this scores only the few best blocks
+    instead of all N postings."""
+    tbs = sorted(terms.values(), key=lambda tb: tb.total_docs)
+    lead, others = tbs[0], tbs[1:]
+    nb = len(lead.first)
+    if nb == 0:
+        return empty
+    bounds = np.array(
+        [
+            (
+                lead.bmax[bi]
+                + sum(o.range_max(int(lead.first[bi]), int(lead.last[bi])) for o in others)
+            )
+            * (1.0 + _PAD)
+            + 1e-30
+            for bi in range(nb)
+        ]
+    )
+    order = np.argsort(-bounds)
+
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float32)
+    theta = -np.inf
+    for s in range(0, nb, _CONJ_CHUNK):
+        chunk = order[s : s + _CONJ_CHUNK]
+        if len(best_scores) >= k and bounds[chunk[0]] < theta:
+            break  # no remaining block can beat the kth score
+        cand = np.concatenate([lead._decode(bi)[0] for bi in chunk])
+        cand.sort()
+        acc = np.zeros(len(cand), dtype=np.float64)
+        matched = np.zeros(len(cand), dtype=np.int64)
+        for tb in tbs:
+            pos, sc = tb.contributions(cand)
+            acc[pos] += sc.astype(np.float64)
+            matched[pos] += 1
+        ok = matched == n_present
+        cand, scores = cand[ok], acc[ok].astype(np.float32)
+        if after is not None and len(cand):
+            keep = _after_mask(scores, cand, after)
+            cand, scores = cand[keep], scores[keep]
+        if len(cand):
+            best_docs = np.concatenate([best_docs, cand])
+            best_scores = np.concatenate([best_scores, scores])
+            top = np.lexsort((best_docs, -best_scores.astype(np.float64)))[:k]
+            best_docs, best_scores = best_docs[top], best_scores[top]
+            if len(best_scores) >= k:
+                theta = float(best_scores[-1])
+    return pd.DataFrame({"doc_id": best_docs, "score": best_scores})
 
 
 def _wand_candidates(

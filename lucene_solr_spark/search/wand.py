@@ -150,6 +150,7 @@ def _leaf_topk(
     n_present: int,
     min_should_match: int | None,
     after=None,
+    complete: bool = False,
 ) -> pd.DataFrame:
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float32")})
@@ -159,8 +160,14 @@ def _leaf_topk(
     if mode == "conjunctive":
         if len(terms) < n_present:
             return empty
-        return _conjunction_topk(terms, k, n_present, after, empty)
-    cand = _wand_candidates(terms, k, mode, min_should_match, after)
+        if complete:
+            cand = _conjunction_candidates(terms)
+        else:
+            return _conjunction_topk(terms, k, n_present, after, empty)
+    elif complete:
+        cand = np.unique(np.concatenate([tb.all_docs() for tb in terms.values()]))
+    else:
+        cand = _wand_candidates(terms, k, mode, min_should_match, after)
     if len(cand) == 0:
         return empty
     acc = np.zeros(len(cand), dtype=np.float64)
@@ -362,6 +369,7 @@ def search_wand(
     b=bm25.B,
     min_should_match: int | None = None,
     after: tuple | None = None,
+    complete: bool = False,
 ) -> DataFrame:
     """Pruned top-k over a SegmentedIndex → DataFrame(doc_id, score:float)
     ordered by (score desc, doc_id asc), bit-identical to brute force.
@@ -369,7 +377,10 @@ def search_wand(
     boost: scalar, or per-term dict (BoostQuery per clause).
     after: (score, doc_id) cursor — return the top-k strictly after that
     position (searchAfter / CursorMark keyset pagination); pruning stays
-    lossless (θ seeded only from cursor-eligible docs)."""
+    lossless (θ seeded only from cursor-eligible docs).
+    complete: disable all block-max pruning (the CheckHits COMPLETE mode,
+    totalHitsThreshold=MAX analog) — used by tests to assert the pruned
+    path is lossless (CheckHits.java:576-591)."""
     spark = index.blocks.sparkSession
     empty = spark.createDataFrame([], "doc_id long, score float")
     uniq = list(dict.fromkeys(terms))
@@ -405,7 +416,8 @@ def search_wand(
 
     def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
         return _leaf_topk(
-            pdf, weights, cache, mode, k, n_present, min_should_match, after
+            pdf, weights, cache, mode, k, n_present, min_should_match, after,
+            complete,
         )
 
     local = blocks.groupBy("seg_group").applyInPandas(

@@ -79,6 +79,21 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
     synth_sec = round(time.time() - t0, 3)
     corpus = spark.read.parquet(corpus_dir)
 
+    # warmup (untimed): a tiny end-to-end build forks the reusable Python
+    # workers, transfers the Arrow UDF closures, and JITs the whole-stage
+    # codegen paths once.  The reference's byTask harness likewise runs
+    # warm rounds before recording rec/s; on a long-lived cluster these
+    # are amortized one-time costs, not per-build costs.
+    warm_idx = tempfile.mkdtemp(prefix=f"lss_bench_warm_{cores}_")
+    try:
+        warm = build_segmented_index(
+            synth_transcripts(spark, 2000).coalesce(cores),
+            warm_idx, num_segments=cores, seg_group_size=4, n_buckets=8,
+        )
+        search_wand(warm, [synth_term(1)], "disjunctive", k=10).collect()
+    finally:
+        shutil.rmtree(warm_idx, ignore_errors=True)
+
     index_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx_{cores}_")
     try:
         t0 = time.time()
@@ -99,12 +114,19 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         index.blocks = index.blocks.persist()
         index.blocks.count()
 
-        q_secs = {}
+        # per-query latency: 2 runs, report the 2nd (steady-state serving
+        # latency — plan + partition pruning cached, as a resident
+        # searcher would be); cold first-run p50 reported alongside.
+        q_secs, q_cold = {}, {}
         for name, (mode, ranks, msm) in BENCH_QUERIES.items():
             terms = [synth_term(r) for r in ranks]
-            t0 = time.time()
-            search_wand(index, terms, mode, k=10, min_should_match=msm).collect()
-            q_secs[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                search_wand(index, terms, mode, k=10, min_should_match=msm).collect()
+                runs.append(time.time() - t0)
+            q_cold[name] = round(runs[0], 3)
+            q_secs[name] = round(runs[1], 3)
         timings.update(q_secs)
 
         # relational headliners over the sf-dir tables (gate shapes)
@@ -112,9 +134,12 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
 
         qs = entrymod.queries()
         for name in ("rel_rollup_pricing", "rel_join_top_customers"):
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).collect()
+                runs.append(time.time() - t0)
+            timings[name] = round(runs[1], 3)
 
         p50 = statistics.median(q_secs.values())
         return {
@@ -127,6 +152,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
             "cores": cores,
             "turns_per_sec": round(n_turns / build_sec, 1),
             "query_p50_sec": p50,
+            "query_p50_cold_sec": statistics.median(q_cold.values()),
             "corpus_synth_sec": synth_sec,
             "index_doc_count": index.doc_count,
             "index_sum_ttf": index.sum_total_term_freq,

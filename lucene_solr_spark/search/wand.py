@@ -307,21 +307,33 @@ def _wand_candidates(
             owners.append((ti, bi))
     bounds = np.asarray(bounds)
 
-    # seed θ: fully score docs of the highest-bmax blocks
+    # seed θ: fully score docs of the most-promising blocks.  Plain
+    # disjunctions seed from the highest-bmax blocks (Lucene's impact
+    # ordering); with minimumNumberShouldMatch the high-bmax blocks are
+    # tail-term blocks whose docs rarely reach the match threshold, so
+    # seed by the combined bound instead — it is largest where several
+    # terms' doc ranges overlap.  If the seed yields fewer than k
+    # qualifying docs (θ=0 ⇒ nothing would be pruned), grow it
+    # geometrically before giving up on pruning.
     flat_bmax = np.asarray(
         [tbs[ti].bmax[bi] for ti, bi in owners], dtype=np.float64
     )
-    seed_order = np.argsort(-flat_bmax)
-    seed_docs, covered = [], 0
-    for si in seed_order:
-        ti, bi = owners[si]
-        d, _, _ = tbs[ti]._decode(bi)
-        seed_docs.append(d)
-        covered += len(d)
-        if covered >= max(2 * k, 256):
+    seed_order = np.argsort(-(bounds if min_should_match else flat_bmax))
+    seed_docs, covered, next_si = [], 0, 0
+    target = max(2 * k, 256)
+    theta = 0.0
+    while next_si < len(seed_order):
+        while next_si < len(seed_order) and covered < target:
+            ti, bi = owners[seed_order[next_si]]
+            d, _, _ = tbs[ti]._decode(bi)
+            seed_docs.append(d)
+            covered += len(d)
+            next_si += 1
+        seed = np.unique(np.concatenate(seed_docs))
+        theta = _theta_from(seed, tbs, k, mode, min_should_match, after)
+        if theta > 0.0:
             break
-    seed = np.unique(np.concatenate(seed_docs))
-    theta = _theta_from(seed, tbs, k, mode, min_should_match, after)
+        target *= 4
 
     surviving = bounds >= theta
     cand_parts = [seed]

@@ -66,6 +66,28 @@ def docs_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def docs_pos_index(spark: SparkSession, sf_dir: str):
+    """Positional segmented index over the documents table (simple
+    analyzer) — backs the index-side phrase gates; cached per sf_dir."""
+    import tempfile
+
+    from .index.segments import build_segmented_index
+
+    key = ("docs_pos", sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_segmented_index(
+            load(spark, sf_dir, "documents").select("doc_id", "text"),
+            tempfile.mkdtemp(prefix="lss_gate_posidx_"),
+            num_segments=8,
+            seg_group_size=2,
+            n_buckets=8,
+            analyzer="simple",
+            id_col="doc_id",
+            index_positions=True,
+        )
+    return _INDEX_CACHE[key]
+
+
 def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, term) — positional token stream, JVM-native."""
     return (
@@ -316,19 +338,26 @@ def fts_fuzzy_expand(spark, sf_dir):
          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
          unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
   FROM documents)
-SELECT DISTINCT a.doc_id AS doc_id FROM tok a JOIN tok b
+SELECT a.doc_id AS doc_id, count(*) AS phrase_freq FROM tok a JOIN tok b
   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'slow' AND b.term = 'query'
+GROUP BY a.doc_id
 ORDER BY doc_id ASC""",
 )
 def fts_phrase_match(spark, sf_dir):
-    """Exact PhraseQuery: positional adjacency self-join."""
-    tok = doc_tokens(spark, sf_dir)
-    a = tok.filter(F.col("term") == "slow").select("doc_id", "pos")
-    b = tok.filter(F.col("term") == "query").select(
-        "doc_id", (F.col("pos") - 1).alias("pos")
+    """Exact PhraseQuery answered from the POSITIONAL INDEX (no
+    query-time re-tokenization): per-leaf chain match over positional
+    posting blocks. Reference: search/PhraseQuery.java,
+    ExactPhraseMatcher.java; postings .pos stream
+    codecs/lucene50/Lucene50PostingsFormat.java:48-58."""
+    from .search.phrase import search_phrase
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        search_phrase(index, ["slow", "query"], slop=0)
+        .select("doc_id", "phrase_freq")
+        .orderBy("doc_id")
     )
-    return a.join(b, ["doc_id", "pos"]).select("doc_id").distinct().orderBy("doc_id")
 
 
 @gate(

@@ -147,19 +147,45 @@ WHERE a.term = 'slow' AND b.term = 'query'
 ORDER BY doc_id ASC""",
 )
 def fts_phrase_sloppy(spark, sf_dir):
-    """Sloppy PhraseQuery (ordered, slop=2): positions within distance 3
-    via positional self-join. Reference: search/SloppyPhraseMatcher.java
-    (simplified ordered-slop semantics, pinned as this engine's contract)."""
-    tok = doc_tokens(spark, sf_dir)
-    a = tok.filter(F.col("term") == "slow").select("doc_id", F.col("pos").alias("pa"))
-    b = tok.filter(F.col("term") == "query").select(
-        "doc_id", F.col("pos").alias("pb")
-    )
+    """Sloppy PhraseQuery (ordered, slop=2) answered from the POSITIONAL
+    INDEX: chain gaps in [1, slop+1] over positional posting blocks.
+    Reference: search/SloppyPhraseMatcher.java (simplified ordered-slop
+    semantics, pinned as this engine's contract)."""
+    from .gate import docs_pos_index
+    from .search.phrase import search_phrase
+
+    index = docs_pos_index(spark, sf_dir)
     return (
-        a.join(b, "doc_id")
-        .filter((F.col("pb") - F.col("pa")).between(1, 3))
+        search_phrase(index, ["slow", "query"], slop=2)
         .select("doc_id")
-        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@gate(
+    "fts_multiphrase",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents)
+SELECT a.doc_id AS doc_id, count(*) AS phrase_freq FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'slow' AND b.term IN ('query', 'key')
+GROUP BY a.doc_id
+ORDER BY doc_id ASC""",
+)
+def fts_multiphrase(spark, sf_dir):
+    """MultiPhraseQuery: "slow (query|key)" — a slot with alternative
+    terms, answered from the positional index. Reference:
+    search/MultiPhraseQuery.java (UnionPostingsEnum per slot)."""
+    from .gate import docs_pos_index
+    from .search.phrase import search_phrase
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        search_phrase(index, ["slow", ["query", "key"]], slop=0)
+        .select("doc_id", "phrase_freq")
         .orderBy("doc_id")
     )
 

@@ -29,6 +29,7 @@ __all__ = [
     "decode_vints",
     "encode_posting_blocks",
     "decode_block",
+    "decode_positions",
     "impacts_frontier",
 ]
 
@@ -140,12 +141,39 @@ def _varint_lengths(vals: np.ndarray) -> np.ndarray:
     return np.maximum(1, (_bit_length(np.asarray(vals, dtype=np.uint64)) + 6) // 7)
 
 
+def decode_positions(pos_bytes: bytes, freqs: np.ndarray):
+    """One block's positions payload → (flat absolute positions int64,
+    offsets int64[len(freqs)+1]).
+
+    The payload is the concatenation, in posting order, of each
+    posting's within-document token positions, delta-encoded inside the
+    posting (first position absolute) — the .prx/.pos analog
+    (reference: codecs/lucene50/Lucene50PostingsFormat.java:48-58).
+    ``freqs`` (termFreq == number of positions) delimits postings.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    offsets = np.zeros(len(freqs) + 1, dtype=np.int64)
+    np.cumsum(freqs, out=offsets[1:])
+    gaps = decode_vints(pos_bytes).astype(np.int64)
+    if len(gaps) != offsets[-1]:
+        raise ValueError(
+            f"positions payload has {len(gaps)} entries, freqs imply {offsets[-1]}"
+        )
+    if len(gaps) == 0:
+        return gaps, offsets
+    cs = np.cumsum(gaps)
+    starts = offsets[:-1]
+    base = np.repeat(cs[starts] - gaps[starts], freqs)
+    return cs - base, offsets
+
+
 def encode_posting_blocks_batch(
     term_codes: np.ndarray,
     doc_ids: np.ndarray,
     freqs: np.ndarray,
     norm_bytes: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ):
     """Vectorized multi-term block encoder — the whole-segment hot path.
 
@@ -156,9 +184,15 @@ def encode_posting_blocks_batch(
     term/block. This is what keeps the per-partition segment build and
     the merge re-encode CPU-bound rather than interpreter-bound.
 
+    positions: optional flat within-doc token positions in occurrence
+    order (posting order, ascending inside each posting; length ==
+    freqs.sum()) — the DOCS_AND_FREQS_AND_POSITIONS analog. Encoded as
+    per-posting delta varints, sliced per block (see decode_positions).
+
     Returns (block_term_code, first_doc, last_doc, n_docs, sum_freq,
     docs_bytes_list, freqs_bytes_list, norms_bytes_list,
-    impact_freqs_list, impact_norms_list) — arrays/lists indexed by block.
+    impact_freqs_list, impact_norms_list, pos_bytes_list) — arrays/lists
+    indexed by block; pos_bytes_list is all-empty when positions is None.
     """
     term_codes = np.asarray(term_codes, dtype=np.int64)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -166,7 +200,7 @@ def encode_posting_blocks_batch(
     norm_bytes = np.asarray(norm_bytes, dtype=np.int64)
     n = len(doc_ids)
     if n == 0:
-        return (np.empty(0, np.int64),) * 5 + ([], [], [], [], [])
+        return (np.empty(0, np.int64),) * 5 + ([], [], [], [], [], [])
 
     term_start = np.empty(n, dtype=bool)
     term_start[0] = True
@@ -204,6 +238,34 @@ def encode_posting_blocks_batch(
 
     docs_bytes = _encode_sliced(gaps)
     freqs_bytes = _encode_sliced(freqs)
+
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        cf = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(freqs, out=cf[1:])
+        if len(positions) != cf[-1]:
+            raise ValueError(
+                f"positions has {len(positions)} entries, freqs imply {cf[-1]}"
+            )
+        pg = np.empty_like(positions)
+        if len(positions):
+            pg[0] = positions[0]
+            pg[1:] = positions[1:] - positions[:-1]
+            pg[cf[:-1]] = positions[cf[:-1]]  # absolute at posting starts
+        # slice the single whole-stream varint encode at block boundaries
+        # (block b owns tokens [cf[starts[b]], cf[next_start_b]))
+        plens = _varint_lengths(pg)
+        pcum = np.zeros(len(pg) + 1, dtype=np.int64)
+        np.cumsum(plens, out=pcum[1:])
+        pbuf = encode_vints(pg)
+        blk_tok_lo = cf[starts]
+        blk_tok_hi = cf[np.append(starts[1:], n)]
+        pos_bytes = [
+            pbuf[pcum[lo]: pcum[hi]]
+            for lo, hi in zip(blk_tok_lo, blk_tok_hi)
+        ]
+    else:
+        pos_bytes = [b""] * len(starts)
     norm_u8 = norm_bytes.astype(np.uint8)
     norms_bytes = [
         norm_u8[starts[i]: starts[i] + counts[i]].tobytes()
@@ -241,4 +303,5 @@ def encode_posting_blocks_batch(
     return (
         block_term, first_doc, last_doc, counts.astype(np.int64), sum_freq,
         docs_bytes, freqs_bytes, norms_bytes, impact_freqs, impact_norms,
+        pos_bytes,
     )

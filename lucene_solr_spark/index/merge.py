@@ -61,6 +61,7 @@ MERGED_POSTING_SCHEMA = T.StructType(
         T.StructField("norms", T.BinaryType()),
         T.StructField("impact_freqs", T.ArrayType(T.IntegerType())),
         T.StructField("impact_norms", T.ArrayType(T.IntegerType())),
+        T.StructField("positions", T.BinaryType()),
     ]
 )
 
@@ -102,8 +103,22 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     base = np.repeat(cs[starts] - gaps[starts], counts)
     docs = cs - base
     flat_codes = np.repeat(codes, counts)
-    (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
-        flat_codes, docs, freqs, norms
+    # positions (if indexed): decode the concatenated per-posting delta
+    # streams once, rebuild absolutes per posting, re-encode under the
+    # new block boundaries. Input blocks arrive sorted by (term,
+    # first_doc) and postings within a block are doc-ascending, so the
+    # concatenated occurrence stream is already in final posting order.
+    positions = None
+    pos_concat = _concat_bin("positions")
+    if len(pos_concat):
+        pos_gaps = decode_vints(pos_concat).astype(np.int64)
+        pstarts = np.zeros(len(freqs), dtype=np.int64)
+        np.cumsum(freqs[:-1], out=pstarts[1:])
+        pcs = np.cumsum(pos_gaps)
+        pbase = np.repeat(pcs[pstarts] - pos_gaps[pstarts], freqs)
+        positions = pcs - pbase
+    (bt, first, last, nd, sf, db, fb, nb, impf, impn, pb) = encode_posting_blocks_batch(
+        flat_codes, docs, freqs, norms, positions=positions
     )
     def _list_arr(parts):
         lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
@@ -132,6 +147,7 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
             "norms": pa.array(nb, pa.binary()),
             "impact_freqs": _list_arr(impf),
             "impact_norms": _list_arr(impn),
+            "positions": pa.array(pb, pa.binary()),
         }
     )
 

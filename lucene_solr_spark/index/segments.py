@@ -65,6 +65,7 @@ MANIFEST_SCHEMA = T.StructType(
 _POSTING_COLS = [
     "term", "seg_id", "first_doc", "last_doc", "n_docs",
     "sum_freq", "docs", "freqs", "norms", "impact_freqs", "impact_norms",
+    "positions",
 ]
 
 
@@ -84,11 +85,12 @@ def _postings_pa_schema():
             ("norms", pa.binary()),
             ("impact_freqs", pa.list_(pa.int32())),
             ("impact_norms", pa.list_(pa.int32())),
+            ("positions", pa.binary()),
         ]
     )
 
 
-def _encode_segment_arrow(tbl, seg_id: int):
+def _encode_segment_arrow(tbl, seg_id: int, index_positions: bool = False):
     """One segment's Arrow table (doc_id, tokens, stored…) → (postings
     pa.Table, norms pa.Table, counters). All heavy steps are Arrow C++ /
     numpy whole-array ops — no per-token Python objects:
@@ -131,17 +133,26 @@ def _encode_segment_arrow(tbl, seg_id: int):
     uniques = np.asarray(dict_enc.dictionary.to_pylist(), dtype=object)
     flat_docs = np.repeat(doc_ids, lengths)
     flat_norms = np.repeat(norm_bytes, lengths)
+    # within-doc token index (position); lexsort is stable, so after the
+    # (code, doc) sort each posting's occurrences stay position-ascending
+    doc_tok_starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=doc_tok_starts[1:])
+    flat_pos = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
+        doc_tok_starts, lengths
+    )
 
     order = np.lexsort((flat_docs, codes))
     c_s, d_s, n_s = codes[order], flat_docs[order], flat_norms[order]
+    p_s = flat_pos[order]
     run_start = np.empty(len(c_s), dtype=bool)
     run_start[0] = True
     run_start[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
     rs = np.nonzero(run_start)[0]
     tf_freqs = np.diff(np.append(rs, len(c_s)))
 
-    (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
-        c_s[rs], d_s[rs], tf_freqs, n_s[rs]
+    (bt, first, last, nd, sf, db, fb, nb, impf, impn, pb) = encode_posting_blocks_batch(
+        c_s[rs], d_s[rs], tf_freqs, n_s[rs],
+        positions=(p_s if index_positions else None),
     )
 
     def _list_arr(parts):
@@ -169,6 +180,7 @@ def _encode_segment_arrow(tbl, seg_id: int):
             "norms": pa.array(nb, pa.binary()),
             "impact_freqs": _list_arr(impf),
             "impact_norms": _list_arr(impn),
+            "positions": pa.array(pb, pa.binary()),
         }
     )
     counters = {
@@ -181,7 +193,9 @@ def _encode_segment_arrow(tbl, seg_id: int):
     return postings_tbl, norms_tbl, counters
 
 
-def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
+def _segment_postings(
+    pdf: pd.DataFrame, seg_id: int, index_positions: bool = False
+) -> tuple:
     """One segment's docs (doc_id, tokens) → (postings pdf, norms pdf, counters)."""
     doc_ids = pdf["doc_id"].to_numpy()
     tokens = pdf["tokens"].tolist()
@@ -200,10 +214,16 @@ def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
     flat_docs = np.repeat(doc_ids, lengths)
     flat_norms = np.repeat(norm_bytes, lengths)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tokens if len(t)])
+    doc_tok_starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=doc_tok_starts[1:])
+    flat_pos = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
+        doc_tok_starts, lengths
+    )
     # (term, doc) freq: factorize + lexsort + run-length (all C-level)
     codes, uniques = pd.factorize(flat_terms, sort=True)
     order = np.lexsort((flat_docs, codes))
     c_s, d_s, n_s = codes[order], flat_docs[order], flat_norms[order]
+    p_s = flat_pos[order]
     run_start = np.empty(len(c_s), dtype=bool)
     run_start[0] = True
     run_start[1:] = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
@@ -211,7 +231,8 @@ def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
     tf_codes, tf_docs, tf_norms = c_s[rs], d_s[rs], n_s[rs]
     tf_freqs = np.diff(np.append(rs, len(c_s)))
     postings_pdf = _blocks_to_pdf(
-        uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id
+        uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id,
+        positions=(p_s if index_positions else None),
     )
     counters = {
         "doc_count": int((lengths > 0).sum()),
@@ -222,12 +243,14 @@ def _segment_postings(pdf: pd.DataFrame, seg_id: int) -> tuple:
     return postings_pdf, norms_pdf, counters
 
 
-def _blocks_to_pdf(uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id):
+def _blocks_to_pdf(
+    uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id, positions=None
+):
     """Batch-encode (term-sorted) postings into the segment block frame."""
     from .codec import encode_posting_blocks_batch
 
-    (bt, first, last, nd, sf, db, fb, nb, impf, impn) = encode_posting_blocks_batch(
-        tf_codes, tf_docs, tf_freqs, tf_norms
+    (bt, first, last, nd, sf, db, fb, nb, impf, impn, pb) = encode_posting_blocks_batch(
+        tf_codes, tf_docs, tf_freqs, tf_norms, positions=positions
     )
     return pd.DataFrame(
         {
@@ -242,6 +265,7 @@ def _blocks_to_pdf(uniques, tf_codes, tf_docs, tf_freqs, tf_norms, seg_id):
             "norms": nb,
             "impact_freqs": [x.tolist() for x in impf],
             "impact_norms": [x.tolist() for x in impn],
+            "positions": pb,
         },
         columns=_POSTING_COLS,
     )
@@ -253,6 +277,7 @@ def build_segments(
     num_segments: int,
     fail_on_seg: int | None = None,
     already_ranged: bool = False,
+    index_positions: bool = False,
 ) -> list:
     """Range-partition docs (doc_id, tokens, …) into segments and write
     each partition's segment files; resumable via manifests.
@@ -335,7 +360,9 @@ def build_segments(
         tbl = pa.concat_tables(chunks).combine_chunks()
         if tbl.num_rows == 0:
             return
-        postings, norms, counters = _encode_segment_arrow(tbl, seg_id)
+        postings, norms, counters = _encode_segment_arrow(
+            tbl, seg_id, index_positions
+        )
         os.makedirs(seg_dir, exist_ok=True)
         for name, out in (
             ("postings", postings),
@@ -380,6 +407,7 @@ class SegmentedIndex:
     sum_total_term_freq: int
     max_doc: int
     n_buckets: int
+    has_positions: bool = False
 
 
 def build_segmented_index(
@@ -393,9 +421,15 @@ def build_segmented_index(
     seg_group_size: int = 8,
     n_buckets: int = 32,
     fail_on_seg: int | None = None,
+    index_positions: bool = False,
 ) -> SegmentedIndex:
     """Full pipeline: tokenize → per-partition segments (checkpointed) →
-    salted merge → merged tables on disk → readable index."""
+    salted merge → merged tables on disk → readable index.
+
+    index_positions: also store within-doc token positions in the
+    posting blocks (the DOCS_AND_FREQS_AND_POSITIONS IndexOptions analog
+    — reference: index/IndexOptions.java, Lucene50PostingsFormat .pos) —
+    required for index-backed phrase queries (search/phrase.py)."""
     from .merge import merge_segments  # local import: avoid cycle
 
     spark = transcripts.sparkSession
@@ -406,7 +440,8 @@ def build_segmented_index(
         transcripts, order_cols, text_col, num_segments, analyzer, id_col
     )
     manifests = build_segments(
-        docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged
+        docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged,
+        index_positions=index_positions,
     )
     # stored fields: pure-JVM parquet write (no Python, scales linearly);
     # the tokens column never leaves the JVM for this copy
@@ -419,6 +454,7 @@ def build_segmented_index(
         "n_segments": len(manifests),
         "n_buckets": n_buckets,
         "analyzer": analyzer,
+        "positions": index_positions,
     }
     merge_segments(spark, index_dir, seg_group_size, n_buckets)
     with open(f"{index_dir}/stats.json", "w") as f:
@@ -438,4 +474,5 @@ def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
         sum_total_term_freq=stats["sum_total_term_freq"],
         max_doc=stats["max_doc"],
         n_buckets=stats["n_buckets"],
+        has_positions=stats.get("positions", False),
     )

@@ -1,0 +1,293 @@
+"""Index-backed phrase matching over positional posting blocks.
+
+The PhraseQuery analog (reference: search/PhraseQuery.java,
+ExactPhraseMatcher.java, SloppyPhraseMatcher.java), re-expressed for the
+segmented index: each ``seg_group`` leaf is matched independently by an
+``applyInPandas`` worker over the positional blocks of the query terms
+only (term_bucket partition pruning, same as WAND), and the per-leaf
+results are unioned — no query-time re-tokenization of the corpus, so
+phrase cost scales with the query terms' posting lists, not corpus size.
+
+Pinned matching contract (this engine's SloppyPhraseMatcher analog,
+simplified to ordered-slop semantics — see gate fts_phrase_sloppy):
+
+- a match is an ordered chain of occurrences p_1 < p_2 < … < p_n, one
+  per query term in query order, with every successive gap
+  ``p_{i+1} - p_i`` in ``[1, slop+1]``; ``slop=0`` ⇒ exact adjacency
+  (ExactPhraseMatcher semantics).
+- ``phrase_freq`` = number of distinct chain END positions per doc (for
+  exact phrases this equals the classical phrase frequency).
+
+Scoring follows Lucene's phrase weighting: one BM25 score with
+``freq = phrase_freq`` and ``idf = Σ idf(term)`` over the query terms
+(BM25Similarity.java:183-192 idf summation in
+Similarity.computeWeight for multi-term stats), float32 cast points
+identical to term scoring (functions/bm25.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from .scoring import term_weights
+
+__all__ = ["search_phrase"]
+
+_POS_SHIFT = np.int64(1) << np.int64(32)
+
+
+class _PosTerm:
+    """One term's blocks in one leaf, with lazy doc+position decode."""
+
+    def __init__(self, g: pd.DataFrame):
+        from ..index.codec import decode_block, decode_positions
+
+        self._decode_block = decode_block
+        self._decode_positions = decode_positions
+        g = g.sort_values("first_doc").reset_index(drop=True)
+        self.first = g["first_doc"].to_numpy()
+        self.last = g["last_doc"].to_numpy()
+        self.n_docs = g["n_docs"].to_numpy()
+        self._docs_bytes = g["docs"].tolist()
+        self._freqs_bytes = g["freqs"].tolist()
+        self._pos_bytes = g["positions"].tolist()
+        self._norms_bytes = g["norms"].tolist()
+        self.total_docs = int(self.n_docs.sum())
+        self._cache: dict = {}
+
+    def blocks_overlapping(self, docs_sorted: np.ndarray) -> list:
+        lo = np.searchsorted(docs_sorted, self.first, "left")
+        hi = np.searchsorted(docs_sorted, self.last, "right")
+        return list(np.nonzero(hi > lo)[0])
+
+    def _block(self, bi: int):
+        got = self._cache.get(bi)
+        if got is None:
+            d, f = self._decode_block(self._docs_bytes[bi], self._freqs_bytes[bi])
+            flat, offs = self._decode_positions(self._pos_bytes[bi], f)
+            n = np.frombuffer(self._norms_bytes[bi], dtype=np.uint8).astype(np.int64)
+            got = self._cache[bi] = (d, f, flat, offs, n)
+        return got
+
+    def all_docs(self) -> np.ndarray:
+        if not len(self.first):
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(
+            [self._block(i)[0] for i in range(len(self.first))]
+        )
+
+    def occurrences(self, cand: np.ndarray):
+        """(doc, pos) occurrence pairs restricted to sorted candidate
+        docs → (docs int64, positions int64), doc-then-pos ascending."""
+        d_parts, p_parts = [], []
+        for bi in self.blocks_overlapping(cand):
+            d, f, flat, offs, _ = self._block(bi)
+            idx = np.searchsorted(cand, d)
+            ok = idx < len(cand)
+            hit = np.zeros(len(d), dtype=bool)
+            hit[ok] = cand[idx[ok]] == d[ok]
+            if not hit.any():
+                continue
+            keep_tok = np.repeat(hit, f)
+            d_parts.append(np.repeat(d, f)[keep_tok])
+            p_parts.append(flat[keep_tok])
+        if not d_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(d_parts), np.concatenate(p_parts)
+
+    def norms_for(self, cand: np.ndarray) -> np.ndarray:
+        """norm byte per candidate doc (docs absent from this term → 0)."""
+        out = np.zeros(len(cand), dtype=np.int64)
+        for bi in self.blocks_overlapping(cand):
+            d, f, flat, offs, n = self._block(bi)
+            idx = np.searchsorted(cand, d)
+            ok = idx < len(cand)
+            hit = np.zeros(len(d), dtype=bool)
+            hit[ok] = cand[idx[ok]] == d[ok]
+            out[idx[hit]] = n[hit]
+        return out
+
+
+def _slot_docs(slot: list) -> np.ndarray:
+    """Union of the alternatives' doc sets (MultiPhraseQuery slot)."""
+    parts = [pt.all_docs() for pt in slot]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+def _slot_occurrences(slot: list, cand: np.ndarray):
+    d_parts, p_parts = [], []
+    for pt in slot:
+        d, p = pt.occurrences(cand)
+        d_parts.append(d)
+        p_parts.append(p)
+    return np.concatenate(d_parts), np.concatenate(p_parts)
+
+
+def _intersect_docs(slots: list) -> np.ndarray:
+    """Leapfrog doc-set intersection across slots, rarest slot first."""
+    order = sorted(
+        range(len(slots)), key=lambda i: sum(pt.total_docs for pt in slots[i])
+    )
+    cand = _slot_docs(slots[order[0]])
+    for i in order[1:]:
+        if len(cand) == 0:
+            return cand
+        d, _ = _slot_occurrences(slots[i], cand)
+        cand = np.intersect1d(cand, d, assume_unique=False)
+    return cand
+
+
+def _leaf_phrase(
+    pdf: pd.DataFrame, slot_terms: list, slop: int
+) -> pd.DataFrame:
+    """One leaf → (doc_id, phrase_freq, norm_byte) for matching docs.
+
+    slot_terms: list of tuples of alternative terms per phrase position
+    (a single-alternative tuple per slot == plain PhraseQuery; several ==
+    MultiPhraseQuery, reference search/MultiPhraseQuery.java).
+    """
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "phrase_freq": pd.Series(dtype="int64"),
+            "norm_byte": pd.Series(dtype="int32"),
+        }
+    )
+    groups = {t: g for t, g in pdf.groupby("term")}
+    slots = []
+    for alts in slot_terms:
+        slot = [_PosTerm(groups[t]) for t in alts if t in groups]
+        if not slot:  # no alternative present ⇒ phrase cannot match
+            return empty
+        slots.append(slot)
+    cand = _intersect_docs(slots)
+    if len(cand) == 0:
+        return empty
+
+    # rank-encode docs so (doc, pos) packs into one int64 key
+    def key_of(docs, pos):
+        ranks = np.searchsorted(cand, docs)
+        return ranks.astype(np.int64) * _POS_SHIFT + pos
+
+    d0, p0 = _slot_occurrences(slots[0], cand)
+    active = np.unique(key_of(d0, p0))  # chain frontier: (doc, last pos)
+    for slot in slots[1:]:
+        if len(active) == 0:
+            break
+        d, p = _slot_occurrences(slot, cand)
+        keys = np.sort(key_of(d, p))
+        nxt = []
+        for delta in range(1, slop + 2):
+            probe = active + np.int64(delta)
+            idx = np.searchsorted(keys, probe)
+            ok = idx < len(keys)
+            hit = np.zeros(len(probe), dtype=bool)
+            hit[ok] = keys[idx[ok]] == probe[ok]
+            nxt.append(probe[hit])
+        active = np.unique(np.concatenate(nxt)) if nxt else active[:0]
+    if len(active) == 0:
+        return empty
+    ranks = (active // _POS_SHIFT).astype(np.int64)
+    m_docs, freq = np.unique(ranks, return_counts=True)
+    out_docs = cand[m_docs]
+    norms = slots[0][0].norms_for(cand)
+    for pt in slots[0][1:]:  # a doc may only appear under one alternative
+        extra = pt.norms_for(cand)
+        norms = np.where(norms > 0, norms, extra)
+    norms = norms[m_docs]
+    return pd.DataFrame(
+        {
+            "doc_id": out_docs,
+            "phrase_freq": freq.astype(np.int64),
+            "norm_byte": norms.astype(np.int32),
+        }
+    )
+
+
+def search_phrase(
+    index,
+    terms: Sequence[str],
+    slop: int = 0,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+) -> DataFrame:
+    """Phrase match over a positional SegmentedIndex.
+
+    terms: one entry per phrase position — a plain string, or a
+    list/tuple of alternative terms for that position (MultiPhraseQuery,
+    reference search/MultiPhraseQuery.java).
+
+    Returns DataFrame(doc_id long, phrase_freq long, score float) ordered
+    by (score desc, doc_id asc); ``k=None`` returns every matching doc
+    (the /export analog), otherwise the top-k.
+    """
+    if not getattr(index, "has_positions", False):
+        raise ValueError(
+            "index was built without positions "
+            "(build_segmented_index(..., index_positions=True))"
+        )
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, phrase_freq long, score float"
+    )
+    slot_terms = [
+        tuple(t) if isinstance(t, (list, tuple)) else (t,) for t in terms
+    ]
+    if len(slot_terms) < 2:
+        raise ValueError("phrase needs >= 2 positions")
+    from ..operators.hashing import h60_py  # local: avoid cycle
+
+    uniq = list(dict.fromkeys(t for alts in slot_terms for t in alts))
+    dict_df = index.dictionary
+    if "term_bucket" in dict_df.columns:
+        dict_buckets = sorted({h60_py(t) % index.n_buckets for t in uniq})
+        dict_df = dict_df.filter(F.col("term_bucket").isin(dict_buckets))
+    rows = dict_df.filter(dict_df.term.isin(uniq)).select("term", "df").collect()
+    df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    # a slot with NO present alternative ⇒ no hits (phrase is conjunctive
+    # across slots); absent alternatives within a slot are just dropped
+    slot_terms = [
+        tuple(t for t in alts if t in df_by_term) for alts in slot_terms
+    ]
+    if any(not alts for alts in slot_terms):
+        return empty
+    present = list(dict.fromkeys(t for alts in slot_terms for t in alts))
+    weights = dict(
+        term_weights(df_by_term, index.doc_count, present, boost, k1, b)
+    )
+    # Σ idf over query terms (each slot contributes every alternative's
+    # idf, as Lucene sums per-clause termStats for MultiPhraseQuery)
+    w_sum = np.float32(
+        sum(float(weights[t]) for alts in slot_terms for t in alts)
+    )
+    avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+    cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+
+    buckets = sorted({h60_py(t) % index.n_buckets for t in present})
+    blocks = index.blocks.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+    )
+
+    def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _leaf_phrase(pdf, slot_terms, slop)
+        out["score"] = bm25.score_term(
+            out["phrase_freq"].to_numpy(np.int64),
+            out["norm_byte"].to_numpy(np.int64),
+            w_sum,
+            cache,
+        )
+        return out[["doc_id", "phrase_freq", "score"]]
+
+    local = blocks.groupBy("seg_group").applyInPandas(
+        leaf, schema="doc_id long, phrase_freq long, score float"
+    )
+    out = local.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out

@@ -122,7 +122,7 @@ def test_batch_encoder_matches_per_term():
     ff = np.concatenate(freqs)
     nn = np.concatenate(norms)
 
-    bt, first, last, nd, sf, db, fb, nb, impf, impn = (
+    bt, first, last, nd, sf, db, fb, nb, impf, impn, _pb = (
         encode_posting_blocks_batch(tc, dd, ff, nn)
     )
     bi = 0
@@ -142,3 +142,45 @@ def test_batch_encoder_matches_per_term():
             off += e_nd
             bi += 1
     assert bi == len(bt)
+
+
+def test_positions_roundtrip_batch():
+    """Per-posting delta-varint positions, sliced per block, decode back
+    exactly (the .pos stream analog —
+    codecs/lucene50/Lucene50PostingsFormat.java:48-58)."""
+    from lucene_solr_spark.index.codec import (
+        decode_positions, encode_posting_blocks_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    tc_l, d_l, f_l, n_l, pos_l = [], [], [], [], []
+    for code in range(3):
+        n = int(rng.integers(1, 400))
+        docs = np.sort(rng.choice(2000, size=n, replace=False))
+        freqs = rng.integers(1, 6, size=n)
+        for ff_ in freqs:
+            pos_l.append(np.sort(rng.choice(300, size=ff_, replace=False)))
+        tc_l.append(np.full(n, code))
+        d_l.append(docs)
+        f_l.append(freqs)
+        n_l.append(rng.integers(1, 255, size=n))
+    tc = np.concatenate(tc_l)
+    dd = np.concatenate(d_l)
+    ff = np.concatenate(f_l)
+    nn = np.concatenate(n_l)
+    flat_pos = np.concatenate(pos_l)
+
+    out = encode_posting_blocks_batch(tc, dd, ff, nn, positions=flat_pos)
+    bt, db, fb, pb = out[0], out[5], out[6], out[10]
+    tok = 0
+    for bi in range(len(bt)):
+        d, f = decode_block(db[bi], fb[bi])
+        flat, offs = decode_positions(pb[bi], f)
+        for j in range(len(d)):
+            np.testing.assert_array_equal(
+                flat[offs[j]: offs[j + 1]], flat_pos[tok: tok + f[j]]
+            )
+            tok += f[j]
+    assert tok == len(flat_pos)
+    # no-positions path: stable 11-tuple with empty payloads
+    assert all(b == b"" for b in encode_posting_blocks_batch(tc, dd, ff, nn)[10])

@@ -1,0 +1,221 @@
+"""Positional index + index-backed phrase matching.
+
+Oracle: Spark-side positional self-join over posexplode(tokens) — the
+same token stream the index was built from, so any disagreement is a
+positions-codec or matcher bug, not an analyzer difference.
+
+Reference semantics: search/PhraseQuery.java (exact),
+SloppyPhraseMatcher.java (pinned ordered-slop contract: successive gaps
+in [1, slop+1]), MultiPhraseQuery.java (alternatives per slot).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import transcripts_from_pandas
+from lucene_solr_spark.index.segments import build_segmented_index
+from lucene_solr_spark.search.phrase import search_phrase
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus, tmp_path_factory):
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    return build_segmented_index(
+        df,
+        str(tmp_path_factory.mktemp("pos_idx")),
+        num_segments=4,
+        seg_group_size=2,
+        n_buckets=8,
+        index_positions=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def token_stream(pos_index):
+    """(doc_id, pos, term) from the index's own stored+tokenized docs."""
+    from lucene_solr_spark.index.builder import standard_tokens
+
+    return pos_index.stored.select(
+        "doc_id", F.posexplode(standard_tokens("text")).alias("pos", "term")
+    ).cache()
+
+
+def _oracle_bigram(token_stream, t1, t2, lo, hi):
+    a = token_stream.filter(F.col("term") == t1).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = token_stream.filter(F.col("term") == t2).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("pb") - F.col("pa")).between(lo, hi))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pb").alias("phrase_freq"))
+        .orderBy("doc_id")
+    )
+
+
+def _pick_bigram(token_stream):
+    """A (t1, t2) adjacent pair that occurs in several docs."""
+    pairs = (
+        token_stream.alias("a")
+        .join(
+            token_stream.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.count_distinct("a.doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .orderBy(F.desc("nd"), "t1", "t2")
+        .first()
+    )
+    assert pairs is not None
+    return pairs["t1"], pairs["t2"]
+
+
+def test_exact_phrase_matches_positional_join(pos_index, token_stream):
+    t1, t2 = _pick_bigram(token_stream)
+    exp = [
+        (r["doc_id"], r["phrase_freq"])
+        for r in _oracle_bigram(token_stream, t1, t2, 1, 1).collect()
+    ]
+    got = [
+        (r["doc_id"], r["phrase_freq"])
+        for r in search_phrase(pos_index, [t1, t2], slop=0)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == exp and len(exp) >= 3
+
+
+def test_sloppy_phrase_matches_windowed_join(pos_index, token_stream):
+    t1, t2 = _pick_bigram(token_stream)
+    exp = sorted(
+        r["doc_id"]
+        for r in _oracle_bigram(token_stream, t1, t2, 1, 3).collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in search_phrase(pos_index, [t1, t2], slop=2).collect()
+    )
+    assert got == exp
+    # sloppy is a superset of exact
+    exact = {
+        r["doc_id"] for r in search_phrase(pos_index, [t1, t2]).collect()
+    }
+    assert exact <= set(got)
+
+
+def test_three_term_phrase(pos_index, token_stream):
+    tri = (
+        token_stream.alias("a")
+        .join(
+            token_stream.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            token_stream.alias("c"),
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .groupBy(
+            F.col("a.term").alias("t1"),
+            F.col("b.term").alias("t2"),
+            F.col("c.term").alias("t3"),
+        )
+        .agg(F.count_distinct("a.doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .orderBy(F.desc("nd"), "t1", "t2", "t3")
+        .first()
+    )
+    assert tri is not None
+    t1, t2, t3 = tri["t1"], tri["t2"], tri["t3"]
+    exp = sorted(
+        r["doc_id"]
+        for r in token_stream.alias("a")
+        .join(
+            token_stream.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .join(
+            token_stream.alias("c"),
+            (F.col("a.doc_id") == F.col("c.doc_id"))
+            & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .filter(
+            (F.col("a.term") == t1)
+            & (F.col("b.term") == t2)
+            & (F.col("c.term") == t3)
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in search_phrase(pos_index, [t1, t2, t3], slop=0).collect()
+    )
+    assert got == exp and len(exp) >= 2
+
+
+def test_multiphrase_alternatives_union(pos_index, token_stream):
+    t1, t2 = _pick_bigram(token_stream)
+    # second slot: {t2, t2b} — union of two exact-phrase results
+    t2b = _pick_bigram(token_stream.filter(F.col("term") != t2))[1]
+    got = sorted(
+        r["doc_id"]
+        for r in search_phrase(pos_index, [t1, [t2, t2b]], slop=0).collect()
+    )
+    exp = sorted(
+        {r["doc_id"] for r in search_phrase(pos_index, [t1, t2]).collect()}
+        | {r["doc_id"] for r in search_phrase(pos_index, [t1, t2b]).collect()}
+    )
+    assert got == exp
+
+
+def test_missing_term_and_scores(pos_index, token_stream):
+    t1, t2 = _pick_bigram(token_stream)
+    assert (
+        search_phrase(pos_index, [t1, "zzz_not_a_term"], slop=0).count() == 0
+    )
+    # scores: positive, float32, ordered desc then doc asc
+    rows = search_phrase(pos_index, [t1, t2], slop=0, k=5).collect()
+    scores = [r["score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    key = [(-s, r["doc_id"]) for s, r in zip(scores, rows)]
+    assert key == sorted(key)
+
+
+def test_non_positional_index_rejects(spark, tiny_corpus, tmp_path):
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    idx = build_segmented_index(
+        df, str(tmp_path / "nopos"), num_segments=2, seg_group_size=2,
+        n_buckets=4,
+    )
+    assert not idx.has_positions
+    with pytest.raises(ValueError):
+        search_phrase(idx, ["a", "b"])
+
+
+def test_positions_survive_merge(pos_index):
+    """The merged blocks' positions decode to ascending in-doc offsets
+    consistent with freqs (CheckIndex posting-consistency analog,
+    reference index/CheckIndex.java:1239-1284)."""
+    from lucene_solr_spark.index.codec import decode_block, decode_positions
+
+    rows = pos_index.blocks.limit(200).collect()
+    assert rows
+    for r in rows:
+        d, f = decode_block(bytes(r["docs"]), bytes(r["freqs"]))
+        flat, offs = decode_positions(bytes(r["positions"]), f)
+        assert offs[-1] == f.sum()
+        for j in range(len(d)):
+            p = flat[offs[j]: offs[j + 1]]
+            assert len(p) == f[j]
+            assert np.all(np.diff(p) >= 1)  # strictly ascending
+            assert p[0] >= 0

@@ -1,0 +1,110 @@
+"""Solr function-query analogs as composable Spark Column expressions.
+
+The reference registers 101 function-query parsers
+(solr/core/src/java/org/apache/solr/search/ValueSourceParser.java:131-932)
+used to compute per-document values inside queries (boost functions,
+sort-by-function, pseudo-fields). Everything numeric/logical maps to
+JVM-native ``pyspark.sql.functions`` expressions that stay inside
+whole-stage codegen — no UDFs anywhere in this module.
+
+Index-statistics functions (``docfreq, idf, tf, norm, …``) are lookups
+into this engine's dictionary/norms tables and live with the search
+code; this module covers the pure per-row functions.
+
+Each function mirrors the reference semantics documented at its
+ValueSourceParser registration:
+
+- ``linear(x,m,c)  = m*x + c``
+- ``recip(x,m,a,b) = a / (m*x + b)``      (the classic date-boost shape)
+- ``scale(x,lo,hi)``: min-max rescale of x into [lo, hi] — needs the
+  column's global min/max; expressed with window-free aggregates by the
+  caller or the helper `scale_expr` given precomputed bounds.
+- ``map_value(x,min,max,target[,default])``: x in [min,max] → target
+- ``strdist(a,b)``: Levenshtein-based similarity in [0,1]
+  (1 - dist/max_len), the reference's default edit-distance measure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x):
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def linear(x, m, c) -> Column:
+    """ValueSourceParser.java `linear`: m*x + c."""
+    return _c(m) * _c(x) + _c(c)
+
+
+def recip(x, m, a, b) -> Column:
+    """ValueSourceParser.java `recip`: a/(m*x+b)."""
+    return _c(a) / (_c(m) * _c(x) + _c(b))
+
+
+def scale_expr(x, x_min, x_max, lo, hi) -> Column:
+    """ValueSourceParser.java `scale`: min-max rescale into [lo,hi] given
+    precomputed global bounds (one agg job, broadcast as literals)."""
+    span = _c(x_max) - _c(x_min)
+    return F.when(
+        span == 0, _c(lo)
+    ).otherwise(( _c(x) - _c(x_min)) / span * (_c(hi) - _c(lo)) + _c(lo))
+
+
+def map_value(x, lo, hi, target, default=None) -> Column:
+    """ValueSourceParser.java `map`: x in [lo,hi] → target else default
+    (default None keeps x)."""
+    fallback = _c(x) if default is None else _c(default)
+    return F.when(_c(x).between(_c(lo), _c(hi)), _c(target)).otherwise(fallback)
+
+
+def strdist(a, b) -> Column:
+    """ValueSourceParser.java `strdist` (edit-distance flavor): 1 -
+    levenshtein/max(len) — similarity in [0,1], 1.0 for equal strings."""
+    a, b = _c(a), _c(b)
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / mx
+    )
+
+
+def if_value(cond, then, otherwise) -> Column:
+    """ValueSourceParser.java `if`."""
+    return F.when(_c(cond), _c(then)).otherwise(_c(otherwise))
+
+
+def exists(x) -> Column:
+    """ValueSourceParser.java `exists`: field has a value."""
+    return _c(x).isNotNull()
+
+
+def def_value(x, fallback) -> Column:
+    """ValueSourceParser.java `def`: x, or fallback when missing."""
+    return F.coalesce(_c(x), _c(fallback))
+
+
+def ms(ts_a, ts_b=None) -> Column:
+    """ValueSourceParser.java `ms`: epoch millis, or millis between."""
+    a = F.unix_millis(_c(ts_a))
+    if ts_b is None:
+        return a
+    return a - F.unix_millis(_c(ts_b))
+
+
+def sqedist(xs: list, ys: list) -> Column:
+    """ValueSourceParser.java `sqedist`: squared euclidean over columns."""
+    out = F.lit(0.0)
+    for a, b in zip(xs, ys):
+        d = _c(a) - _c(b)
+        out = out + d * d
+    return out
+
+
+def dist(power: float, xs: list, ys: list) -> Column:
+    """ValueSourceParser.java `dist`: p-norm distance over columns."""
+    out = F.lit(0.0)
+    for a, b in zip(xs, ys):
+        out = out + F.pow(F.abs(_c(a) - _c(b)), F.lit(power))
+    return F.pow(out, F.lit(1.0 / power))

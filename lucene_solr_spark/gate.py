@@ -127,8 +127,15 @@ def bm25_sql(
     k: int = 10,
     min_should_match: int | None = None,
     exclude: list | None = None,
+    boosts: dict | None = None,
 ) -> str:
     tl = ",".join(f"'{t}'" for t in terms)
+    boost_mul = ""
+    if boosts:
+        cases = " ".join(
+            f"WHEN tf.term = '{t}' THEN {float(b)!r}" for t, b in boosts.items()
+        )
+        boost_mul = f" * (CASE {cases} ELSE 1.0 END)"
     having = ""
     if mode == "conjunctive":
         having = f"HAVING count(*) = {len(terms)}"
@@ -154,7 +161,7 @@ scored AS (
   SELECT tf.doc_id,
          ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
            * (tf.freq / (tf.freq
-              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))){boost_mul}
            AS term_score
   FROM tf
   JOIN dfs USING (term)
@@ -176,6 +183,7 @@ def _bm25_spark(
     k=10,
     min_should_match=None,
     exclude=None,
+    boosts=None,
 ) -> DataFrame:
     tables = docs_index(spark, sf_dir)
     res = search_bruteforce(
@@ -185,6 +193,7 @@ def _bm25_spark(
         k=None,
         precision="double",
         min_should_match=min_should_match,
+        boost=(boosts if boosts else 1.0),
     )
     if exclude:
         excl_docs = tables.postings.filter(

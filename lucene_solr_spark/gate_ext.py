@@ -229,3 +229,176 @@ def fts_parsed_query(spark, sf_dir):
     return _bm25_spark(
         spark, sf_dir, p.terms, p.mode, 10, exclude=p.exclude
     )
+
+
+# ---------------------------------------------- round-2 coverage widening
+# RegexpQuery, BoostQuery, FetchStream, PointInSetQuery, ExportStream,
+# and Solr function queries (ValueSourceParser analogs).
+
+@gate(
+    "fts_regexp_expand",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE regexp_matches(term, '^.*(er|le)$')
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_regexp_expand(spark, sf_dir):
+    """RegexpQuery: regex expansion over the term dictionary (reference:
+    search/RegexpQuery.java, index/AutomatonTermsEnum.java — automaton ∩
+    term dict; here Catalyst evaluates RLIKE over the dictionary table,
+    partition-pruned to nothing but the tiny dictionary)."""
+    from .gate import docs_index
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.col("term").rlike("^.*(er|le)$"))
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
+@gate(
+    "fts_boost_clauses",
+    bm25_sql(
+        ["spark", "merge"], "disjunctive", 10,
+        boosts={"spark": 2.5, "merge": 0.5},
+    ),
+)
+def fts_boost_clauses(spark, sf_dir):
+    """BoostQuery per clause: spark^2.5 OR merge^0.5 (reference:
+    search/BoostQuery.java — weight = boost * idf)."""
+    from .gate import _bm25_spark
+
+    return _bm25_spark(
+        spark, sf_dir, ["spark", "merge"], "disjunctive", 10,
+        boosts={"spark": 2.5, "merge": 0.5},
+    )
+
+
+@gate(
+    "fts_constant_score",
+    f"""WITH toks AS ({_TOKS})
+SELECT DISTINCT doc_id, 1.5 AS score FROM toks WHERE term = 'spark'
+ORDER BY doc_id ASC""",
+)
+def fts_constant_score(spark, sf_dir):
+    """ConstantScoreQuery: matching docs all score the wrapped constant
+    (reference: search/ConstantScoreQuery.java)."""
+    from .gate import docs_index
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.postings.filter(F.col("term") == "spark")
+        .select("doc_id", F.lit(1.5).alias("score"))
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@gate(
+    "rel_fetch_enrich",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey <= 512
+ORDER BY o.o_orderkey""",
+)
+def rel_fetch_enrich(spark, sf_dir):
+    """FetchStream: enrich a tuple stream by key lookup — a broadcast
+    hash join against the (small) lookup table, no shuffle of the big
+    side (reference: solr/solrj/.../io/stream/FetchStream.java)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 512)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_name", "c_nationkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@gate(
+    "rel_point_in_set",
+    """SELECT l_linenumber, count(*) AS n_items,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 3) AS sum_price
+FROM lineitem WHERE l_linenumber IN (1, 3, 7)
+GROUP BY l_linenumber ORDER BY l_linenumber""",
+)
+def rel_point_in_set(spark, sf_dir):
+    """PointInSetQuery: value ∈ {set} over a numeric column, with the
+    IN-set pushed to the parquet scan (reference:
+    search/PointInSetQuery.java → BKD; here Catalyst In + parquet row-
+    group stats pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber").isin(1, 3, 7))
+        .groupBy("l_linenumber")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double"), 3,
+            ).alias("sum_price"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@gate(
+    "rel_export_sorted",
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY acctbal DESC, c_custkey ASC""",
+)
+def rel_export_sorted(spark, sf_dir):
+    """ExportStream (/export): full sorted result-set streaming, no row
+    window — plain distributed sort + write, no collector heap needed
+    (reference: solr/core/.../search/ExportQParserPlugin.java)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+        .orderBy(F.desc("acctbal"), F.asc("c_custkey"))
+    )
+
+
+@gate(
+    "fn_value_sources",
+    """SELECT o_orderkey,
+  round(2.0 * o_totalprice + 10.0, 4) AS lin,
+  round(1000.0 / (1.0 * o_totalprice + 1.0), 6) AS rc,
+  round(CASE WHEN o_totalprice BETWEEN 0 AND 50000 THEN 0.0
+             ELSE o_totalprice END, 4) AS mapped,
+  round(CASE WHEN greatest(length(o_orderpriority), 8) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(o_orderpriority, '1-URGENT')
+                  / CAST(greatest(length(o_orderpriority), 8) AS DOUBLE)
+        END, 6) AS pri_sim,
+  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+FROM orders WHERE o_orderkey <= 256
+ORDER BY o_orderkey""",
+)
+def fn_value_sources(spark, sf_dir):
+    """Solr function queries (ValueSourceParser.java:131-932): linear,
+    recip, map, strdist, if — composable JVM-native Column expressions
+    (functions/valuesource.py), zero UDFs."""
+    from .functions.valuesource import (
+        if_value, linear, map_value, recip, strdist,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 256)
+    return o.select(
+        "o_orderkey",
+        F.round(linear(F.col("o_totalprice"), 2.0, 10.0), 4).alias("lin"),
+        F.round(recip(F.col("o_totalprice"), 1.0, 1000.0, 1.0), 6).alias("rc"),
+        F.round(
+            map_value(F.col("o_totalprice"), 0, 50000, 0.0), 4
+        ).alias("mapped"),
+        F.round(
+            strdist(F.col("o_orderpriority"), F.lit("1-URGENT")), 6
+        ).alias("pri_sim"),
+        if_value(
+            F.col("o_orderpriority") == "1-URGENT", F.lit(1), F.lit(0)
+        ).alias("is_urgent"),
+    ).orderBy("o_orderkey")

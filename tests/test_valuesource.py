@@ -1,0 +1,63 @@
+"""Solr function-query analogs (functions/valuesource.py) — unit checks
+against hand-computed values. Reference semantics:
+solr/core/src/java/org/apache/solr/search/ValueSourceParser.java:131-932.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.valuesource import (
+    def_value,
+    dist,
+    exists,
+    if_value,
+    linear,
+    map_value,
+    ms,
+    recip,
+    scale_expr,
+    sqedist,
+    strdist,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_linear_recip_map(spark):
+    assert _one(spark, linear(F.lit(5.0), 2.0, 10.0)) == 20.0
+    assert _one(spark, recip(F.lit(9.0), 1.0, 1000.0, 1.0)) == 100.0
+    assert _one(spark, map_value(F.lit(3.0), 0, 5, -1.0)) == -1.0
+    assert _one(spark, map_value(F.lit(7.0), 0, 5, -1.0)) == 7.0  # keep x
+    assert _one(spark, map_value(F.lit(7.0), 0, 5, -1.0, 99.0)) == 99.0
+
+
+def test_scale_bounds(spark):
+    # x=5 in [0,10] → [1,3] midpoint 2; degenerate span → lo
+    assert _one(spark, scale_expr(F.lit(5.0), 0.0, 10.0, 1.0, 3.0)) == 2.0
+    assert _one(spark, scale_expr(F.lit(4.0), 4.0, 4.0, 1.0, 3.0)) == 1.0
+
+
+def test_strdist(spark):
+    assert _one(spark, strdist(F.lit("abc"), F.lit("abc"))) == 1.0
+    # lev("kitten","sitting")=3, maxlen 7 → 1-3/7
+    got = _one(spark, strdist(F.lit("kitten"), F.lit("sitting")))
+    assert math.isclose(got, 1 - 3 / 7)
+    assert _one(spark, strdist(F.lit(""), F.lit(""))) == 1.0
+
+
+def test_logic_and_defaults(spark):
+    assert _one(spark, if_value(F.lit(True), F.lit(1), F.lit(0))) == 1
+    assert _one(spark, exists(F.lit(None).cast("int"))) is False
+    assert _one(spark, def_value(F.lit(None).cast("int"), F.lit(42))) == 42
+
+
+def test_ms_and_distances(spark):
+    a = F.lit("2026-01-01 00:00:10").cast("timestamp")
+    b = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    assert _one(spark, ms(a, b)) == 10_000
+    assert _one(spark, sqedist([F.lit(1.0), F.lit(2.0)], [F.lit(4.0), F.lit(6.0)])) == 25.0
+    assert _one(spark, dist(2.0, [F.lit(1.0), F.lit(2.0)], [F.lit(4.0), F.lit(6.0)])) == 5.0
+    assert _one(spark, dist(1.0, [F.lit(1.0)], [F.lit(4.0)])) == 3.0

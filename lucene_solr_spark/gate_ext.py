@@ -402,3 +402,42 @@ def fn_value_sources(spark, sf_dir):
             F.col("o_orderpriority") == "1-URGENT", F.lit(1), F.lit(0)
         ).alias("is_urgent"),
     ).orderBy("o_orderkey")
+
+
+@gate(
+    "fts_analysis_chain",
+    """WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+kept AS (SELECT doc_id, term,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         FROM tok WHERE term NOT IN ('the', 'a')),
+sh AS (SELECT a.doc_id, a.term || ' ' || b.term AS shingle
+       FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1)
+SELECT shingle, count(*) AS cnt FROM sh
+GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 20""",
+)
+def fts_analysis_chain(spark, sf_dir):
+    """Analyzer chain: tokenize → StopFilter → ShingleFilter (word
+    bigrams), top shingles by frequency. All JVM-native array transforms
+    (analysis/filters.py). Reference: analysis/core/StopFilter.java,
+    analysis/shingle/ShingleFilter.java."""
+    from .analysis.filters import shingle_filter, stop_filter
+    from .index.builder import simple_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        shingle_filter(
+            stop_filter(simple_tokens("text"), ["the", "a"]), 2
+        ).alias("shingles"),
+    )
+    return (
+        toks.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("shingle"))
+        .limit(20)
+    )

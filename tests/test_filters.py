@@ -1,0 +1,69 @@
+"""TokenFilter analogs (analysis/filters.py) — unit checks.
+
+Reference: analysis/core/StopFilter.java, shingle/ShingleFilter.java,
+ngram/NGramTokenFilter.java, ngram/EdgeNGramTokenFilter.java,
+synonym/SynonymGraphFilter.java, miscellaneous/ASCIIFoldingFilter.java,
+miscellaneous/LengthFilter.java.
+"""
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.filters import (
+    ascii_fold_filter,
+    edge_ngram_filter,
+    length_filter,
+    ngram_filter,
+    shingle_filter,
+    stop_filter,
+    synonym_filter,
+)
+
+
+def _apply(spark, toks, fn):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    return df.select(fn(F.col("toks")).alias("out")).collect()[0]["out"]
+
+
+def test_stop_filter(spark):
+    assert _apply(
+        spark, ["the", "fast", "a", "query"], lambda c: stop_filter(c, ["the", "a"])
+    ) == ["fast", "query"]
+
+
+def test_shingle_filter(spark):
+    assert _apply(spark, ["a", "b", "c"], lambda c: shingle_filter(c, 2)) == [
+        "a b",
+        "b c",
+    ]
+    assert _apply(spark, ["a", "b", "c"], lambda c: shingle_filter(c, 3)) == [
+        "a b c"
+    ]
+    assert _apply(spark, ["a"], lambda c: shingle_filter(c, 2)) == []
+
+
+def test_ngram_filters(spark):
+    assert _apply(spark, ["abcd"], lambda c: ngram_filter(c, 3)) == ["abc", "bcd"]
+    assert _apply(spark, ["ab"], lambda c: ngram_filter(c, 3)) == []
+    assert _apply(
+        spark, ["abcd"], lambda c: edge_ngram_filter(c, 1, 3)
+    ) == ["a", "ab", "abc"]
+    assert _apply(spark, ["ab"], lambda c: edge_ngram_filter(c, 1, 3)) == [
+        "a",
+        "ab",
+    ]
+
+
+def test_synonym_and_fold(spark):
+    assert _apply(
+        spark, ["fast", "rapid"], lambda c: synonym_filter(c, {"rapid": "fast"})
+    ) == ["fast", "fast"]
+    assert _apply(spark, ["café", "naïve"], ascii_fold_filter) == [
+        "cafe",
+        "naive",
+    ]
+
+
+def test_length_filter(spark):
+    assert _apply(
+        spark, ["a", "abc", "abcdef"], lambda c: length_filter(c, 2, 5)
+    ) == ["abc"]

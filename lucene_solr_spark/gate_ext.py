@@ -7,7 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .gate import _TOKS, bm25_sql, _bm25_spark, doc_tokens, docs_index, gate, load
+from .gate import (_NORM_VALUES, _TOKS, bm25_sql, _bm25_spark, doc_tokens,
+                   docs_index, gate, load)
 
 
 # ----------------------------------------------------- mutations (upsert)
@@ -440,4 +441,64 @@ def fts_analysis_chain(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("shingle"))
         .limit(20)
+    )
+
+
+@gate(
+    "fts_parsed_phrase",
+    f"""WITH toks AS ({_TOKS}),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {{NORM_VALUES}}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ('slow', 'query', 'fast') GROUP BY term),
+phidf AS (SELECT sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))) AS widf
+          FROM dfs d CROSS JOIN stats s WHERE d.term IN ('slow', 'query')),
+ph AS (SELECT a.doc_id, count(DISTINCT b.pos) AS pf
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+       WHERE a.term = 'slow' AND b.term = 'query' GROUP BY a.doc_id),
+phs AS (SELECT ph.doc_id,
+               p.widf * (ph.pf / (ph.pf
+                 + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+                 AS ph_score
+        FROM ph JOIN qd USING (doc_id) CROSS JOIN stats s CROSS JOIN phidf p),
+tff AS (SELECT doc_id, count(*) AS freq FROM toks WHERE term = 'fast'
+        GROUP BY doc_id),
+fs AS (SELECT tff.doc_id,
+              ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                * (tff.freq / (tff.freq
+                   + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+                AS fscore
+       FROM tff JOIN qd USING (doc_id) CROSS JOIN stats s
+       JOIN dfs d ON d.term = 'fast')
+SELECT phs.doc_id, round(phs.ph_score + coalesce(fs.fscore, 0), 4) AS score
+FROM phs LEFT JOIN fs USING (doc_id)
+WHERE phs.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'vector')
+ORDER BY score DESC, doc_id ASC LIMIT 10""".replace("{NORM_VALUES}", _NORM_VALUES),
+)
+def fts_parsed_phrase(spark, sf_dir):
+    """Query-lifecycle gate: parse '\"slow query\"~2 fast -vector' and
+    execute — sloppy phrase REQUIRED via the positional index, 'fast' an
+    OPTIONAL score contribution (ReqOptSumScorer), 'vector' excluded
+    (ReqExclScorer). Reference: queryparser/classic, search/
+    Boolean2ScorerSupplier.java:106-174, ReqOptSumScorer.java."""
+    from .gate import docs_index, docs_pos_index
+    from .search.executor import execute_parsed
+
+    res = execute_parsed(
+        '"slow query"~2 fast -vector',
+        docs_index(spark, sf_dir),
+        docs_pos_index(spark, sf_dir),
+        k=10,
+        precision="double",
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
     )

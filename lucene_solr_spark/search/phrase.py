@@ -218,6 +218,7 @@ def search_phrase(
     boost: float = 1.0,
     k1=bm25.K1,
     b=bm25.B,
+    precision: str = "float32",
 ) -> DataFrame:
     """Phrase match over a positional SegmentedIndex.
 
@@ -228,15 +229,19 @@ def search_phrase(
     Returns DataFrame(doc_id long, phrase_freq long, score float) ordered
     by (score desc, doc_id asc); ``k=None`` returns every matching doc
     (the /export analog), otherwise the top-k.
+
+    precision: "float32" (Lucene-exact cast points) or "double" (full
+    double math, ANSI-SQL-reproducible — see scoring.score_components).
     """
     if not getattr(index, "has_positions", False):
         raise ValueError(
             "index was built without positions "
             "(build_segmented_index(..., index_positions=True))"
         )
+    score_type = "double" if precision == "double" else "float"
     spark = index.blocks.sparkSession
     empty = spark.createDataFrame(
-        [], "doc_id long, phrase_freq long, score float"
+        [], f"doc_id long, phrase_freq long, score {score_type}"
     )
     slot_terms = [
         tuple(t) if isinstance(t, (list, tuple)) else (t,) for t in terms
@@ -261,15 +266,26 @@ def search_phrase(
         return empty
     present = list(dict.fromkeys(t for alts in slot_terms for t in alts))
     weights = dict(
-        term_weights(df_by_term, index.doc_count, present, boost, k1, b)
+        term_weights(
+            df_by_term, index.doc_count, present, boost, k1, b, precision
+        )
     )
     # Σ idf over query terms (each slot contributes every alternative's
     # idf, as Lucene sums per-clause termStats for MultiPhraseQuery)
-    w_sum = np.float32(
-        sum(float(weights[t]) for alts in slot_terms for t in alts)
-    )
-    avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
-    cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+    raw_w_sum = sum(float(weights[t]) for alts in slot_terms for t in alts)
+    if precision == "double":
+        from ..functions import smallfloat
+
+        w_sum = np.float64(raw_w_sum)
+        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
+            max(index.doc_count, 1)
+        )
+        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
+        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
+    else:
+        w_sum = np.float32(raw_w_sum)
+        avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+        cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
 
     buckets = sorted({h60_py(t) % index.n_buckets for t in present})
     blocks = index.blocks.filter(
@@ -278,16 +294,17 @@ def search_phrase(
 
     def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _leaf_phrase(pdf, slot_terms, slop)
-        out["score"] = bm25.score_term(
-            out["phrase_freq"].to_numpy(np.int64),
-            out["norm_byte"].to_numpy(np.int64),
-            w_sum,
-            cache,
-        )
+        pf = out["phrase_freq"].to_numpy(np.int64)
+        nb = out["norm_byte"].to_numpy(np.int64)
+        if precision == "double":
+            norm = cache[nb & 0xFF]
+            out["score"] = float(w_sum) * (pf / (pf + norm))
+        else:
+            out["score"] = bm25.score_term(pf, nb, w_sum, cache)
         return out[["doc_id", "phrase_freq", "score"]]
 
     local = blocks.groupBy("seg_group").applyInPandas(
-        leaf, schema="doc_id long, phrase_freq long, score float"
+        leaf, schema=f"doc_id long, phrase_freq long, score {score_type}"
     )
     out = local.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out

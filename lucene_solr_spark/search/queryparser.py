@@ -10,6 +10,7 @@ Query ::= (Clause)*; Clause ::= ["+","-"] (TERM | ...)):
 - ``a AND b``           → both become MUST
 - ``OR``                → connector noise (SHOULD is the default)
 - ``"a b"``             → phrase (returned as a phrase spec)
+- ``"a b"~2``           → sloppy phrase (slop=2)
 - ``term^2.5``          → boost (applied to that term)
 
 The output is the engine's structured spec; BooleanQuery-style
@@ -25,7 +26,7 @@ from dataclasses import dataclass, field
 
 __all__ = ["ParsedQuery", "parse_query"]
 
-_TOKEN = re.compile(r'"[^"]*"|\S+')
+_TOKEN = re.compile(r'"[^"]*"(?:~\d+)?|\S+')
 
 
 @dataclass
@@ -33,7 +34,7 @@ class ParsedQuery:
     must: list = field(default_factory=list)       # [(term, boost)]
     should: list = field(default_factory=list)     # [(term, boost)]
     must_not: list = field(default_factory=list)   # [term]
-    phrases: list = field(default_factory=list)    # [[term, ...]]
+    phrases: list = field(default_factory=list)    # [([term, ...], slop)]
 
     @property
     def mode(self) -> str:
@@ -99,12 +100,13 @@ def parse_query(q: str, analyzer=None) -> ParsedQuery:
         if m:
             raw, boost = m.group(1), float(m.group(2))
 
-        if raw.startswith('"') and raw.endswith('"'):
+        pm = re.match(r'^"([^"]*)"(?:~(\d+))?$', raw)
+        if pm:
             words = []
-            for w in raw[1:-1].split():
+            for w in pm.group(1).split():
                 words.extend(_analyze(w, analyzer))
             if words:
-                out.phrases.append(words)
+                out.phrases.append((words, int(pm.group(2) or 0)))
             continue
         if not raw:
             continue

@@ -43,7 +43,13 @@ def test_boost_suffix():
 
 def test_phrase():
     p = parse_query('"slow query" fast')
-    assert p.phrases == [["slow", "query"]]
+    assert p.phrases == [(["slow", "query"], 0)]
+    assert p.terms == ["fast"]
+
+
+def test_phrase_slop():
+    p = parse_query('"slow query"~2 fast')
+    assert p.phrases == [(["slow", "query"], 2)]
     assert p.terms == ["fast"]
 
 

@@ -108,3 +108,19 @@ def dist(power: float, xs: list, ys: list) -> Column:
     for a, b in zip(xs, ys):
         out = out + F.pow(F.abs(_c(a) - _c(b)), F.lit(power))
     return F.pow(out, F.lit(1.0 / power))
+
+
+GEO_MEAN_RADIUS_KM = 6371.0087714  # solr/core/.../util/DistanceUnits.java EARTH_MEAN_RADIUS
+
+
+def geodist(lat1, lon1, lat2, lon2) -> Column:
+    """ValueSourceParser.java `geodist`/`hsin`: great-circle haversine
+    distance in km (reference solr/core/src/java/org/apache/solr/search/
+    function/distance/HaversineFunction.java:36-80). Written with
+    sin*sin (not pow) so the DuckDB oracle mirrors the exact IEEE
+    expression tree."""
+    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    hlat = F.sin(F.radians(_c(lat2) - _c(lat1)) / 2)
+    hlon = F.sin(F.radians(_c(lon2) - _c(lon1)) / 2)
+    h = hlat * hlat + F.cos(rlat1) * F.cos(rlat2) * hlon * hlon
+    return F.lit(2.0 * GEO_MEAN_RADIUS_KM) * F.asin(F.sqrt(h))

@@ -776,3 +776,4 @@ def rel_percentile_prices(spark, sf_dir):
 # multimodal) register themselves into the same QUERIES/ORACLE_SQL maps.
 from . import gate_td  # noqa: E402,F401  (import side-effect: registration)
 from . import gate_ext  # noqa: E402,F401  (import side-effect: registration)
+from . import gate_ext2  # noqa: E402,F401  (import side-effect: registration)

@@ -1,0 +1,437 @@
+"""Coverage batch 3: highlighter, MoreLikeThis, suggest/spellcheck,
+nested + range facets, statistical stream evaluators, geodist.
+
+Same cross-engine determinism rules as gate.py: identical expression
+trees on both sides, DECIMAL for order-sensitive float sums, final
+ROUND on every transcendental, every computed column aliased the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .gate import _TOKS, docs_index, gate, load
+
+# ------------------------------------------------------------ highlighter
+
+_HL_TERMS = ["spark", "merge"]
+
+
+def _hl_sql(terms, frag_size=100, lead=30, max_doc=100):
+    pos = ", ".join(
+        f"CASE WHEN strpos(lower(text), '{t}') > 0 "
+        f"THEN strpos(lower(text), '{t}') ELSE 2147483647 END"
+        for t in terms
+    )
+    pat = "(" + "|".join(terms) + ")"
+    return f"""
+WITH p AS (
+  SELECT doc_id, text, least({pos}) AS mp FROM documents
+  WHERE doc_id < {max_doc}
+)
+SELECT doc_id,
+       CAST(mp AS BIGINT) AS first_pos,
+       regexp_replace(
+         lower(substr(text, CAST(greatest(1, mp - {lead}) AS BIGINT), {frag_size})),
+         '{pat}', '<em>\\1</em>', 'g') AS fragment
+FROM p WHERE mp < 2147483647
+ORDER BY doc_id"""
+
+
+@gate("fts_highlight", _hl_sql(_HL_TERMS))
+def fts_highlight(spark, sf_dir):
+    """Highlighter module: best-fragment + SimpleHTMLFormatter markup
+    as pure JVM Column expressions (search/highlight.py). Reference
+    lucene/highlighter/.../Highlighter.java:60-96."""
+    from .search.highlight import highlight
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        highlight(docs, "text", _HL_TERMS, frag_size=100, lead=30)
+        .select(
+            "doc_id",
+            F.col("first_pos").cast("long").alias("first_pos"),
+            "fragment",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------- MoreLikeThis
+
+_MLT_DOC = 1
+
+_MLT_COMMON = f"""
+WITH toks AS ({_TOKS}),
+nd AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = {_MLT_DOC} GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+sel AS (
+  SELECT tf.term, tf.tf, dfs.df,
+         round(tf.tf * (ln(nd.n / (dfs.df + 1.0)) + 1.0), 4) AS mlt_score
+  FROM tf JOIN dfs USING (term) CROSS JOIN nd
+  WHERE tf.tf >= 2 AND dfs.df >= 5
+)"""
+
+
+@gate(
+    "fts_mlt_terms",
+    _MLT_COMMON
+    + """
+SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, mlt_score
+FROM sel ORDER BY mlt_score DESC, term ASC LIMIT 25""",
+)
+def fts_mlt_terms(spark, sf_dir):
+    """MoreLikeThis interesting-term selection: tf*idf gated by
+    minTermFreq=2/minDocFreq=5 (reference lucene/queries/.../mlt/
+    MoreLikeThis.java:143-170,616-660)."""
+    from .search.mlt import mlt_terms
+
+    t = mlt_terms(docs_index(spark, sf_dir), _MLT_DOC, 2, 5, 25)
+    return t.select(
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "mlt_score",
+    )
+
+
+@gate(
+    "fts_morelikethis",
+    _MLT_COMMON
+    + f""",
+top AS (SELECT term FROM sel ORDER BY mlt_score DESC, term ASC LIMIT 10),
+cand AS (
+  SELECT t.doc_id, count(*) AS overlap
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN top USING (term)
+  WHERE t.doc_id <> {_MLT_DOC}
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(overlap AS BIGINT) AS overlap
+FROM cand ORDER BY overlap DESC, doc_id ASC LIMIT 10""",
+)
+def fts_morelikethis(spark, sf_dir):
+    """MoreLikeThis retrieval: top-10 docs sharing the most selected
+    terms (broadcast semi-join of postings against ≤10 terms)."""
+    from .search.mlt import more_like_this
+
+    r = more_like_this(docs_index(spark, sf_dir), _MLT_DOC, 10, 2, 5, 10)
+    return r.select("doc_id", F.col("overlap").cast("long").alias("overlap"))
+
+
+# ----------------------------------------------------- suggest/spellcheck
+
+
+@gate(
+    "fts_suggest_prefix",
+    f"""
+WITH toks AS ({_TOKS}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS weight FROM dfs
+WHERE term LIKE 's%'
+ORDER BY weight DESC, term ASC LIMIT 10""",
+)
+def fts_suggest_prefix(spark, sf_dir):
+    """Prefix suggester over the term dictionary, df-weighted
+    (reference lucene/suggest/.../analyzing/AnalyzingSuggester.java)."""
+    from .search.suggest import suggest_prefix
+
+    s = suggest_prefix(docs_index(spark, sf_dir), "s", 10)
+    return s.select("term", F.col("weight").cast("long").alias("weight"))
+
+
+@gate(
+    "fts_spellcheck",
+    f"""
+WITH toks AS ({_TOKS}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term,
+       CAST(levenshtein(term, 'qery') AS BIGINT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM dfs
+WHERE length(term) BETWEEN 2 AND 6
+  AND levenshtein(term, 'qery') BETWEEN 1 AND 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
+)
+def fts_spellcheck(spark, sf_dir):
+    """DirectSpellChecker: nearest dictionary terms within maxEdits=2,
+    ranked (distance, df) (reference lucene/suggest/.../spell/
+    DirectSpellChecker.java:42-60)."""
+    from .search.suggest import spellcheck
+
+    s = spellcheck(docs_index(spark, sf_dir), "qery", 2, 5)
+    return s.select(
+        "term",
+        F.col("distance").cast("long").alias("distance"),
+        F.col("df").cast("long").alias("df"),
+    )
+
+
+# ----------------------------------------------------------- nested facet
+
+
+@gate(
+    "rel_facet_nested",
+    """
+WITH cn AS (
+  SELECT n.n_name, c.c_mktsegment, count(*) AS cnt
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_mktsegment),
+tot AS (
+  SELECT n_name, sum(cnt) AS nation_cnt,
+         row_number() OVER (ORDER BY sum(cnt) DESC, n_name ASC) AS nrank
+  FROM cn GROUP BY n_name),
+ranked AS (
+  SELECT cn.n_name, cn.c_mktsegment, cn.cnt, tot.nation_cnt,
+         row_number() OVER (PARTITION BY cn.n_name
+                            ORDER BY cn.cnt DESC, cn.c_mktsegment ASC) AS srank
+  FROM cn JOIN tot USING (n_name) WHERE tot.nrank <= 5)
+SELECT n_name, CAST(nation_cnt AS BIGINT) AS nation_cnt,
+       c_mktsegment, CAST(cnt AS BIGINT) AS cnt
+FROM ranked WHERE srank <= 3
+ORDER BY nation_cnt DESC, n_name ASC, cnt DESC, c_mktsegment ASC""",
+)
+def rel_facet_nested(spark, sf_dir):
+    """Nested JSON facet (facet-within-facet): top-5 nations by customer
+    count, top-3 market segments within each (reference solr/core/.../
+    search/facet/FacetField.java sub-facet processing). Two window
+    rank passes over one partial-agged groupBy — no extra shuffle of
+    the base table."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cn = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cn.groupBy("n_name").agg(F.sum("cnt").alias("nation_cnt")).withColumn(
+        "nrank",
+        F.row_number().over(W.orderBy(F.desc("nation_cnt"), F.asc("n_name"))),
+    )
+    ranked = (
+        cn.join(tot.filter(F.col("nrank") <= 5), "n_name")
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                W.partitionBy("n_name").orderBy(
+                    F.desc("cnt"), F.asc("c_mktsegment")
+                )
+            ),
+        )
+        .filter(F.col("srank") <= 3)
+    )
+    return ranked.select(
+        "n_name",
+        F.col("nation_cnt").cast("long").alias("nation_cnt"),
+        "c_mktsegment",
+        F.col("cnt").cast("long").alias("cnt"),
+    ).orderBy(
+        F.desc("nation_cnt"), F.asc("n_name"), F.desc("cnt"), F.asc("c_mktsegment")
+    )
+
+
+# ------------------------------------------------------------ range facet
+
+
+@gate(
+    "rel_facet_range_buckets",
+    """
+SELECT CAST(floor(o_totalprice / 25000.0) * 25000 AS BIGINT) AS bucket_lo,
+       count(*) AS cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+GROUP BY bucket_lo ORDER BY bucket_lo""",
+)
+def rel_facet_range_buckets(spark, sf_dir):
+    """FacetRange numeric histogram: fixed-width price buckets with
+    per-bucket count + exact DECIMAL revenue (reference solr/core/.../
+    search/facet/FacetRange.java). Single hash-agg, map-side partials."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            (F.floor(F.col("o_totalprice") / 25000.0) * 25000)
+            .cast("long")
+            .alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+# ----------------------------------------- statistical stream evaluators
+
+
+@gate(
+    "fn_eval_stats",
+    """
+WITH m AS (
+  SELECT l_linestatus,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_linestatus)
+SELECT l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM m ORDER BY l_linestatus""",
+)
+def fn_eval_stats(spark, sf_dir):
+    """Statistical stream evaluators — corr / covariance / OLS
+    regression (reference solr/solrj/.../io/eval/CorrelationEvaluator
+    .java, CovarianceEvaluator.java, RegressionEvaluator.java) —
+    computed from order-independent DECIMAL moment sums so the result
+    is bit-stable under any partitioning (built-in corr() accumulates
+    doubles in partition order and is not)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_linestatus",
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    ).orderBy("l_linestatus")
+
+
+# ---------------------------------------------------------------- geodist
+
+
+@gate(
+    "fn_geodist",
+    """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer WHERE c_custkey <= 512)
+SELECT c_custkey, lat, lon,
+       round(2.0 * 6371.0087714 * asin(sqrt(
+         sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+         + cos(radians(lat)) * cos(radians(40.0))
+           * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+       )), 3) AS dist_km
+FROM pts ORDER BY c_custkey""",
+)
+def fn_geodist(spark, sf_dir):
+    """geodist/hsin function query: haversine great-circle km over
+    deterministic synthetic coordinates (reference solr/core/.../search/
+    function/distance/HaversineFunction.java:36-80). Pure JVM math,
+    narrow projection — no shuffle."""
+    from .functions.valuesource import geodist
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 512)
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(
+            geodist(F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0)), 3
+        ).alias("dist_km"),
+    ).orderBy("c_custkey")
+
+
+# ------------------------------------------------- Solr SQL surface parity
+
+# ONE SQL text, executed verbatim by BOTH engines (spark.sql over temp
+# views of the parquet tables; DuckDB over the driver's views) — the
+# analog of Solr's SQL handler translating ANSI SQL onto the engine
+# (reference solr/core/src/java/org/apache/solr/handler/sql/
+# CalciteSolrDriver.java + SolrRules.java pushdown).
+_SQL_SURFACE = """
+SELECT n_name, o_orderpriority,
+       count(*) AS cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+GROUP BY n_name, o_orderpriority
+ORDER BY n_name, o_orderpriority"""
+
+
+@gate("sql_analytics_surface", _SQL_SURFACE)
+def sql_analytics_surface(spark, sf_dir):
+    """SQL entry point: the exact oracle SQL string is executed by
+    spark.sql — Catalyst broadcasts nation/customer and keeps the agg
+    partial/final (the Calcite-pushdown analog, handler/sql/)."""
+    for t in ["orders", "customer", "nation"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_SURFACE)
+
+
+# ----------------------------------------------- TextLogit (rows-only)
+
+
+@gate("ml_textlogit_classify")  # rows-only: iterative GD, not SQL-expressible
+def ml_textlogit_classify(spark, sf_dir):
+    """TextLogitStream + FeaturesSelectionStream analog: 5 full-batch
+    GD iterations on label = text contains 'spark', features = other
+    selected terms; per-doc classification output. Iterative: only the
+    weight vector moves between cluster and driver
+    (operators/textlogit.py; reference solr/solrj/.../io/stream/
+    TextLogitStream.java, FeaturesSelectionStream.java)."""
+    from .operators.textlogit import classify, train_text_logit
+
+    tables = docs_index(spark, sf_dir)
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.instr(F.lower(F.col("text")), "spark") > 0)
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    model = train_text_logit(
+        tables, labels, max_features=20, iterations=5, learning_rate=0.5
+    )
+    model["weights"].pop("spark", None)  # don't let the label token leak
+    return (
+        classify(tables, model)
+        .select("doc_id", F.round("prob", 4).alias("prob"), "prediction")
+        .orderBy("doc_id")
+    )

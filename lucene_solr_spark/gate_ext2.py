@@ -435,3 +435,66 @@ def ml_textlogit_classify(spark, sf_dir):
         .select("doc_id", F.round("prob", 4).alias("prob"), "prediction")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ explain / debugQuery
+
+_EXPL_TERMS = ["spark", "merge", "window"]
+
+
+def _explain_sql(terms):
+    from .gate import _NORM_VALUES
+
+    tl = ",".join(f"'{t}'" for t in terms)
+    nv = (
+        "1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))"
+    )
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, dl.dl, nt.qdl FROM dl
+       JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term,
+       CAST(tf.freq AS BIGINT) AS freq,
+       CAST(dfs.df AS BIGINT) AS df,
+       round(ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5)), 6)
+         AS weight,
+       CAST(qd.dl AS INTEGER) AS dl,
+       round({nv}, 6) AS norm_val,
+       round(tf.freq / (tf.freq + {nv}), 6) AS tf_score,
+       round(ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
+             * (tf.freq / (tf.freq + {nv})), 6) AS contribution
+FROM tf JOIN dfs USING (term)
+JOIN qd ON qd.doc_id = tf.doc_id
+CROSS JOIN stats s
+ORDER BY tf.doc_id, tf.term"""
+
+
+@gate("fts_explain_scores", _explain_sql(_EXPL_TERMS))
+def fts_explain_scores(spark, sf_dir):
+    """IndexSearcher.explain / Solr debugQuery analog: one row per
+    (doc, term) with every BM25 factor as a column (search/explain.py;
+    reference search/similarities/BM25Similarity.java:245-297). Same
+    plan shape as one scoring pass — no extra shuffle."""
+    from .search.explain import explain_scores
+
+    # exact-double k1/b to mirror the SQL literals (the default
+    # bm25.K1 is the float32 1.2 → double 1.2000000476…, visible at
+    # round-6 granularity)
+    e = explain_scores(docs_index(spark, sf_dir), _EXPL_TERMS, k1=1.2, b=0.75)
+    return e.select(
+        "doc_id",
+        "term",
+        "freq",
+        "df",
+        F.round("weight", 6).alias("weight"),
+        "dl",
+        F.round("norm_val", 6).alias("norm_val"),
+        F.round("tf_score", 6).alias("tf_score"),
+        F.round("contribution", 6).alias("contribution"),
+    ).orderBy("doc_id", "term")

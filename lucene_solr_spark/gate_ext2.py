@@ -498,3 +498,49 @@ def fts_explain_scores(spark, sf_dir):
         F.round("tf_score", 6).alias("tf_score"),
         F.round("contribution", 6).alias("contribution"),
     ).orderBy("doc_id", "term")
+
+
+@gate(
+    "fn_spatial_bbox",
+    """
+WITH pts AS (
+  SELECT c_custkey, c_name,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey, c_name, lat, lon,
+       round(2.0 * 6371.0087714 * asin(sqrt(
+         sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+         + cos(radians(lat)) * cos(radians(40.0))
+           * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+       )), 3) AS dist_km
+FROM pts
+WHERE lat BETWEEN 20.0 AND 60.0 AND lon BETWEEN -100.0 AND -50.0
+ORDER BY dist_km ASC, c_custkey ASC LIMIT 20""",
+)
+def fn_spatial_bbox(spark, sf_dir):
+    """Spatial box filter + distance sort: LatLonPoint.newBoxQuery +
+    geodist ascending (reference lucene/core/.../document/LatLonPoint.java
+    box queries; solr spatial sort-by-geodist). The box predicate is a
+    plain range filter → Iceberg min/max pruning at scale; top-20 is
+    TakeOrderedAndProject."""
+    from .functions.valuesource import geodist
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        "c_name",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5).alias("lon"),
+    ).filter(
+        F.col("lat").between(20.0, 60.0) & F.col("lon").between(-100.0, -50.0)
+    )
+    return pts.select(
+        "c_custkey",
+        "c_name",
+        "lat",
+        "lon",
+        F.round(
+            geodist(F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0)), 3
+        ).alias("dist_km"),
+    ).orderBy(F.asc("dist_km"), F.asc("c_custkey")).limit(20)

@@ -544,3 +544,43 @@ def fn_spatial_bbox(spark, sf_dir):
             geodist(F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0)), 3
         ).alias("dist_km"),
     ).orderBy(F.asc("dist_km"), F.asc("c_custkey")).limit(20)
+
+
+@gate(
+    "fn_scale_query",
+    """
+WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders)
+SELECT o_orderkey,
+       round((o_totalprice - b.mn) / (b.mx - b.mn) * (100.0 - 0.0) + 0.0, 6)
+         AS scaled
+FROM orders CROSS JOIN b
+WHERE o_orderkey <= 256
+ORDER BY o_orderkey""",
+)
+def fn_scale_query(spark, sf_dir):
+    """`scale(field, lo, hi)` function query: min-max rescale against
+    GLOBAL bounds (reference ValueSourceParser.java `scale` →
+    function/ScaleFloatFunction.java, which scans the field once for
+    min/max). Spark shape: one agg for the bounds, cross-joined as a
+    1-row broadcast — the scan stays distributed."""
+    from .functions.valuesource import scale_expr
+
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        o.filter(F.col("o_orderkey") <= 256)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_orderkey",
+            F.round(
+                scale_expr(
+                    F.col("o_totalprice"), F.col("mn"), F.col("mx"), 0.0, 100.0
+                ),
+                6,
+            ).alias("scaled"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -95,13 +95,13 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         shutil.rmtree(warm_idx, ignore_errors=True)
 
     index_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx_{cores}_")
+    scratch_dir = tempfile.mkdtemp(prefix=f"lss_bench_idx0_{cores}_")
     try:
         # best-of-2 timed builds: sandbox VMs show up to 2x run-to-run
         # noise (host neighbors, page cache) — the min is the standard
         # noise-robust estimator of the machine-independent cost
         build_runs = []
-        for i in range(2):
-            tgt = tempfile.mkdtemp(prefix=f"lss_bench_idx{i}_{cores}_") if i == 0 else index_dir
+        for tgt in (scratch_dir, index_dir):
             t0 = time.time()
             # fixed partitioning regardless of core count — the cluster
             # analog (data layout constant, executor count varies), and the
@@ -114,8 +114,8 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
                 n_buckets=32,
             )
             build_runs.append(time.time() - t0)
-            if i == 0:
-                shutil.rmtree(tgt, ignore_errors=True)
+            if tgt is scratch_dir:
+                shutil.rmtree(scratch_dir, ignore_errors=True)
         build_sec = min(build_runs)
         timings["index_build"] = round(build_sec, 3)
 
@@ -168,6 +168,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(scratch_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 

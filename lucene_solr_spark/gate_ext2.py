@@ -19,12 +19,17 @@ _HL_TERMS = ["spark", "merge"]
 
 
 def _hl_sql(terms, frag_size=100, lead=30, max_doc=100):
+    import re
+
+    # mirror the engine exactly: lowercase each term, regex-escape the
+    # markup pattern (highlight.py does t.lower() / re.escape)
+    lowered = [t.lower() for t in terms]
     pos = ", ".join(
         f"CASE WHEN strpos(lower(text), '{t}') > 0 "
         f"THEN strpos(lower(text), '{t}') ELSE 2147483647 END"
-        for t in terms
+        for t in lowered
     )
-    pat = "(" + "|".join(terms) + ")"
+    pat = "(" + "|".join(re.escape(t) for t in lowered) + ")"
     return f"""
 WITH p AS (
   SELECT doc_id, text, least({pos}) AS mp FROM documents
@@ -552,8 +557,9 @@ def fn_spatial_bbox(spark, sf_dir):
 WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
            FROM orders)
 SELECT o_orderkey,
-       round((o_totalprice - b.mn) / (b.mx - b.mn) * (100.0 - 0.0) + 0.0, 6)
-         AS scaled
+       round(CASE WHEN b.mx - b.mn = 0 THEN 0.0
+             ELSE (o_totalprice - b.mn) / (b.mx - b.mn) * (100.0 - 0.0) + 0.0
+             END, 6) AS scaled
 FROM orders CROSS JOIN b
 WHERE o_orderkey <= 256
 ORDER BY o_orderkey""",

@@ -19,10 +19,10 @@ feature terms before training) as idiomatic Spark:
   reaches the driver, so the loop is cluster-safe at 100 TB: data
   never moves, the model does (exactly TextLogitStream's design).
 
-Deterministic: fixed iterations / learning rate, DECIMAL-free but
-order-independent (gradient sums are commutative doubles reduced by
-Spark partial aggs — we round stored weights each iteration to 1e-12 to
-make cross-run drift impossible at test tolerance).
+Deterministic: fixed iterations / learning rate, and gradient sums are
+order-independent by construction — per-doc errors are rounded to 12dp
+and summed as DECIMAL (exact, commutative), the same pattern the
+fn_eval_stats gate uses for its moment sums.
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def select_features(
     """FeaturesSelectionStream analog: (term) top features by df within
     [min_df, max_df_frac * numDocs] — drops stopword-like and rare
     terms, deterministic order (df desc, term asc)."""
-    num_docs = tables.norms.count()
+    num_docs = tables.max_doc  # precomputed at build — no count job
     return (
         tables.dictionary.filter(
             (F.col("df") >= min_df) & (F.col("df") <= max_df_frac * num_docs)
@@ -92,20 +92,29 @@ def train_text_logit(
             .groupBy("doc_id")
             .agg(F.sum("w").alias("dot"))
         )
+        # err rounded to 12dp then summed as DECIMAL: the gradient is an
+        # order-independent exact sum (same hazard-fix pattern as the
+        # fn_eval_stats moment sums), so training is bit-reproducible
+        # under any partitioning
         scored = (
             docs.join(margins, "doc_id", "left")
             .fillna({"dot": 0.0})
             .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + b))))
-            .withColumn("err", F.col("p") - F.col("label"))
-        )
+            .withColumn(
+                "err", F.round(F.col("p") - F.col("label"), 12).cast("decimal(28,12)")
+            )
+        ).persist()
         grad_rows = (
             x.join(scored.select("doc_id", "err"), "doc_id")
             .groupBy("term")
-            .agg(F.sum("err").alias("g"))
+            .agg(F.sum("err").cast("double").alias("g"))
             .collect()
         )
         grad = {r.term: r.g for r in grad_rows}
-        bias_grad = scored.agg(F.sum("err")).collect()[0][0]
+        bias_grad = float(
+            scored.agg(F.sum("err").cast("double")).collect()[0][0]
+        )
+        scored.unpersist()
         for t in terms:
             w[t] = round(w[t] - learning_rate * grad.get(t, 0.0) / n, 12)
         b = round(b - learning_rate * bias_grad / n, 12)

@@ -59,7 +59,14 @@ def explain_scores(
     return (
         tables.postings.join(F.broadcast(weights_df), "term")
         .join(
-            F.broadcast(tables.dictionary.select("term", "df")), "term"
+            # prune the dictionary to the query terms BEFORE broadcasting
+            # (the full dictionary is tens of GB at corpus scale)
+            F.broadcast(
+                tables.dictionary.select("term", "df").filter(
+                    F.col("term").isin(list(dict.fromkeys(terms)))
+                )
+            ),
+            "term",
         )
         .join(tables.norms.select("doc_id", "norm_byte", "dl"), "doc_id")
         .join(F.broadcast(cache_df), "norm_byte")

@@ -33,12 +33,14 @@ def mlt_terms(
 ) -> DataFrame:
     """(term, tf, df, mlt_score) — top interesting terms of one doc,
     ordered by mlt_score desc then term asc (PQ tie-break analog)."""
-    num_docs = tables.norms.count()
+    num_docs = tables.max_doc  # precomputed at build — no count job
     src = tables.postings.filter(F.col("doc_id") == doc_id).select(
         "term", F.col("freq").alias("tf")
     )
+    # broadcast the single-doc slice (<= doc-length rows), never the
+    # dictionary: at 10^8-10^9 terms the dictionary is tens of GB
     scored = (
-        src.join(F.broadcast(tables.dictionary.select("term", "df")), "term")
+        tables.dictionary.select("term", "df").join(F.broadcast(src), "term")
         .filter((F.col("tf") >= min_tf) & (F.col("df") >= min_df))
         .withColumn(
             "mlt_score",

@@ -3,11 +3,11 @@
 Vectorized numpy re-expression of the reference's posting compression
 (SURVEY.md §1.3):
 
-- docIDs as delta gaps, varint-encoded in blocks of 128 postings
+- docIDs as delta gaps in blocks of 128 postings, each block stored as
+  the smaller of FOR bit-packing (block max bit width, like ForUtil) or
+  LEB128 varints (the VInt-tail analog) in a self-describing payload
   (reference: codecs/lucene50/Lucene50PostingsFormat.java:44-67,
-  BLOCK_SIZE=128 at :397; we use LEB128 varints throughout where the
-  reference mixes FOR bit-packing + a VInt tail — same information,
-  simpler uniform code, still byte-aligned and block-skippable).
+  BLOCK_SIZE=128 at :397; ForUtil.java:32-47).
 - per-block "impacts": the Pareto frontier of (freq, norm) pairs — an
   entry survives unless another has >= freq and <= norm
   (codecs/CompetitiveImpactAccumulator.java:66-121). These drive
@@ -27,6 +27,9 @@ __all__ = [
     "BLOCK_SIZE",
     "encode_vints",
     "decode_vints",
+    "encode_payload",
+    "decode_payload",
+    "decode_payloads",
     "encode_posting_blocks",
     "decode_block",
     "decode_positions",
@@ -101,9 +104,10 @@ def encode_posting_blocks(
     """One term's postings (doc_id ascending) → block rows.
 
     Returns [(first_doc, last_doc, n_docs, docs_bytes, freqs_bytes,
-    impact_freqs, impact_norms)] — docs_bytes is varint(delta gaps with
-    first doc absolute), freqs_bytes is varint(freqs), impacts are the
-    per-block competitive frontier of (freq, norm_byte).
+    impact_freqs, impact_norms)] — docs_bytes is the FOR/varint payload
+    of the delta gaps (first doc absolute), freqs_bytes the payload of
+    the freqs (see encode_payload), impacts are the per-block
+    competitive frontier of (freq, norm_byte).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -122,8 +126,8 @@ def encode_posting_blocks(
                 int(d[0]),
                 int(d[-1]),
                 int(len(d)),
-                encode_vints(gaps),
-                encode_vints(fq),
+                encode_payload(gaps),
+                encode_payload(fq),
                 imp_f.astype(np.int32),
                 imp_n.astype(np.int32),
             )
@@ -131,10 +135,132 @@ def encode_posting_blocks(
     return out
 
 
+# ---------------------------------------------------------------- payload
+# Self-describing per-block payload container for doc gaps and freqs,
+# mirroring the reference's FOR-bit-packed blocks with VInt fallback
+# (ForUtil.java:32-47 packs 128 ints at the block's max bit width;
+# Lucene50PostingsFormat.java:44-67 — the VInt tail is the remainder
+# path). Layout:
+#   [0x00] + LEB128 varints                      (varint payload)
+#   [0x01, bpv, n] + MSB-first bit-packed values (FOR payload)
+# The encoder picks whichever is smaller per block; dense head-term
+# blocks (gaps of 1-3, freqs of 1) pack at 1-3 bits/value vs varint's
+# 8 — a 2-4x posting-size reduction exactly where the bytes are.
+
+H_VINT = 0
+H_FOR = 1
+
+
+def _pack_for(vals: np.ndarray, bpv: int) -> bytes:
+    shifts = np.arange(bpv - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return bytes((H_FOR, bpv, len(vals))) + np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_for(body: bytes, bpv: int, n: int) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8), count=n * bpv)
+    weights = np.uint64(1) << np.arange(bpv - 1, -1, -1, dtype=np.uint64)
+    return bits.reshape(n, bpv).astype(np.uint64).dot(weights)
+
+
+def encode_payload(vals: np.ndarray) -> bytes:
+    """Smaller of FOR / varint for one block's values (n <= 255)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return bytes((H_VINT,))
+    vbytes = encode_vints(vals)
+    bpv = max(1, int(_bit_length(vals).max()))
+    for_size = 3 + (n * bpv + 7) // 8
+    if n <= 255 and for_size < 1 + len(vbytes):
+        return _pack_for(vals, bpv)
+    return bytes((H_VINT,)) + vbytes
+
+
+def decode_payload(buf: bytes) -> np.ndarray:
+    """Inverse of encode_payload → uint64 array."""
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if buf[0] == H_VINT:
+        return decode_vints(buf[1:])
+    return _unpack_for(buf[3:], buf[1], buf[2])
+
+
+def decode_payloads(buffers: List[bytes]) -> np.ndarray:
+    """Concatenation of decode_payload over many blocks, batched by
+    payload class — the merge hot path. Varint blocks decode in ONE
+    vectorized pass over their concatenated bodies; FOR blocks decode
+    in one unpackbits + matmul per distinct bit width (<= ~40 classes,
+    typically a handful)."""
+    m = len(buffers)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    parts: list = [None] * m
+    v_idx = [i for i, b in enumerate(buffers) if len(b) and b[0] == H_VINT]
+    if v_idx:
+        bodies = [buffers[i][1:] for i in v_idx]
+        lens = np.fromiter((len(b) for b in bodies), np.int64, len(bodies))
+        joined = b"".join(bodies)
+        cat = np.frombuffer(joined, dtype=np.uint8)
+        vals = decode_vints(joined)
+        # values per body = count of end bytes (high bit clear) per body;
+        # reduceat needs nonempty segments, so empty bodies stay 0
+        is_end = (cat & 0x80) == 0
+        offs = np.zeros(len(bodies) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        counts = np.zeros(len(bodies), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            counts[nonempty] = np.add.reduceat(
+                is_end.astype(np.int64), offs[:-1][nonempty]
+            )
+        vo = np.zeros(len(bodies) + 1, dtype=np.int64)
+        np.cumsum(counts, out=vo[1:])
+        for j, i in enumerate(v_idx):
+            parts[i] = vals[vo[j]: vo[j + 1]]
+    for_items = [
+        (i, b) for i, b in enumerate(buffers) if len(b) and b[0] == H_FOR
+    ]
+    if for_items:
+        bpvs = np.fromiter((b[1] for _, b in for_items), np.int64, len(for_items))
+        for bpv in np.unique(bpvs):
+            grp = [(i, b) for (i, b), w in zip(for_items, bpvs) if w == bpv]
+            ns = np.fromiter((b[2] for _, b in grp), np.int64, len(grp))
+            bodies = [b[3:] for _, b in grp]
+            blens = np.fromiter((len(x) for x in bodies), np.int64, len(bodies))
+            bits = np.unpackbits(
+                np.frombuffer(b"".join(bodies), dtype=np.uint8)
+            )
+            # per-body value bits start at its byte-aligned bit offset
+            boffs = np.zeros(len(grp) + 1, dtype=np.int64)
+            np.cumsum(blens * 8, out=boffs[1:])
+            lens_bits = ns * int(bpv)
+            total = int(lens_bits.sum())
+            seg_starts = np.zeros(len(grp) + 1, dtype=np.int64)
+            np.cumsum(lens_bits, out=seg_starts[1:])
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(seg_starts[:-1], lens_bits)
+                + np.repeat(boffs[:-1], lens_bits)
+            )
+            weights = np.uint64(1) << np.arange(
+                int(bpv) - 1, -1, -1, dtype=np.uint64
+            )
+            vals = (
+                bits[idx].reshape(-1, int(bpv)).astype(np.uint64).dot(weights)
+            )
+            for j, (i, _) in enumerate(grp):
+                parts[i] = vals[seg_starts[j] // int(bpv): seg_starts[j + 1] // int(bpv)]
+    for i, b in enumerate(buffers):
+        if parts[i] is None:  # empty payloads
+            parts[i] = np.empty(0, dtype=np.uint64)
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+
+
 def decode_block(docs_bytes: bytes, freqs_bytes: bytes) -> Tuple[np.ndarray, np.ndarray]:
     """block bytes → (doc_ids ascending int64, freqs int64)."""
-    gaps = decode_vints(docs_bytes).astype(np.int64)
-    return np.cumsum(gaps), decode_vints(freqs_bytes).astype(np.int64)
+    gaps = decode_payload(docs_bytes).astype(np.int64)
+    return np.cumsum(gaps), decode_payload(freqs_bytes).astype(np.int64)
 
 
 def _varint_lengths(vals: np.ndarray) -> np.ndarray:
@@ -228,13 +354,31 @@ def encode_posting_blocks_batch(
     gaps[1:] = doc_ids[1:] - doc_ids[:-1]
     gaps[starts] = doc_ids[starts]
 
-    # one varint encode over the whole segment, then slice per block
+    # one varint encode over the whole segment, sliced per block, then
+    # per-block FOR repack where it is smaller (dense blocks, the common
+    # case — see encode_payload). The FOR repack is a short loop over
+    # blocks; at ~10 µs/block it is noise next to the segment's Spark
+    # stages, while the decode side stays fully batched.
     def _encode_sliced(vals):
+        vals = vals.astype(np.uint64)
         lens = _varint_lengths(vals)
         offs = np.zeros(len(starts) + 1, dtype=np.int64)
         np.cumsum(np.add.reduceat(lens, starts), out=offs[1:])
         buf = encode_vints(vals)
-        return [buf[offs[i]: offs[i + 1]] for i in range(len(starts))]
+        bpv = np.maximum(
+            1, np.maximum.reduceat(_bit_length(vals), starts)
+        ).astype(np.int64)
+        vsize = offs[1:] - offs[:-1]
+        for_size = 3 + (counts * bpv + 7) // 8
+        out = []
+        for i in range(len(starts)):
+            if counts[i] <= 255 and for_size[i] < 1 + vsize[i]:
+                out.append(
+                    _pack_for(vals[starts[i]: starts[i] + counts[i]], int(bpv[i]))
+                )
+            else:
+                out.append(bytes((H_VINT,)) + buf[offs[i]: offs[i + 1]])
+        return out
 
     docs_bytes = _encode_sliced(gaps)
     freqs_bytes = _encode_sliced(freqs)

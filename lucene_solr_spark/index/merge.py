@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.hashing import h60
-from .codec import decode_vints, encode_posting_blocks_batch
+from .codec import decode_payloads, decode_vints, encode_posting_blocks_batch
 
 __all__ = ["merge_segments", "MERGED_POSTING_SCHEMA", "term_bucket_col"]
 
@@ -77,8 +77,9 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     re-encode into 128-posting blocks. Segments are disjoint doc ranges,
     so sorting blocks by (term, first_doc) yields globally sorted
     postings per term. Arrow end-to-end — term codes via C++
-    dictionary_encode, block payloads via ONE varint decode over the
-    concatenated buffers (varints are self-delimiting)."""
+    dictionary_encode, block payloads batch-decoded per payload class
+    (one varint pass over concatenated varint bodies; one
+    unpackbits+matmul per distinct FOR bit width — codec.decode_payloads)."""
     bucket = tbl.column("term_bucket")[0].as_py()
     seg_group = tbl.column("seg_group")[0].as_py()
     order = pc.sort_indices(
@@ -93,8 +94,8 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     def _concat_bin(col):
         return b"".join(tbl.column(col).to_pylist())
 
-    gaps = decode_vints(_concat_bin("docs")).astype(np.int64)
-    freqs = decode_vints(_concat_bin("freqs")).astype(np.int64)
+    gaps = decode_payloads(tbl.column("docs").to_pylist()).astype(np.int64)
+    freqs = decode_payloads(tbl.column("freqs").to_pylist()).astype(np.int64)
     norms = np.frombuffer(_concat_bin("norms"), dtype=np.uint8).astype(np.int64)
     # segmented cumsum: absolute doc at each block start
     starts = np.zeros(len(counts), dtype=np.int64)

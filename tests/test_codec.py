@@ -184,3 +184,69 @@ def test_positions_roundtrip_batch():
     assert tok == len(flat_pos)
     # no-positions path: stable 11-tuple with empty payloads
     assert all(b == b"" for b in encode_posting_blocks_batch(tc, dd, ff, nn)[10])
+
+
+# ------------------------- FOR/varint payload container (ForUtil analog)
+
+from lucene_solr_spark.index.codec import (  # noqa: E402
+    H_FOR,
+    H_VINT,
+    decode_payload,
+    decode_payloads,
+    encode_payload,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40 - 1),
+        min_size=0,
+        max_size=255,
+    )
+)
+def test_payload_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf = encode_payload(arr)
+    out = decode_payload(buf)
+    assert out.tolist() == arr.tolist()
+    # the container never exceeds the pure-varint encoding by > 1 byte
+    assert len(buf) <= 1 + len(encode_vints(arr))
+
+
+def test_payload_picks_for_on_dense_blocks():
+    # 128 gaps of 1 (dense head-term block): FOR at 1 bit/value
+    gaps = np.ones(128, dtype=np.uint64)
+    buf = encode_payload(gaps)
+    assert buf[0] == H_FOR and buf[1] == 1 and buf[2] == 128
+    assert len(buf) == 3 + 128 // 8  # 19 bytes vs 129 for varint
+    assert decode_payload(buf).tolist() == gaps.tolist()
+
+
+def test_payload_falls_back_to_varint_on_wide_values():
+    # one huge gap: FOR bpv=40 over 1 value loses to a 6-byte varint
+    arr = np.array([2**39], dtype=np.uint64)
+    buf = encode_payload(arr)
+    assert buf[0] == H_VINT
+    assert decode_payload(buf).tolist() == arr.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=2**34 - 1),
+            min_size=0,
+            max_size=140,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_payloads_batch_decode_matches_per_block(blocks):
+    bufs = [encode_payload(np.array(b, dtype=np.uint64)) for b in blocks]
+    got = decode_payloads(bufs)
+    expect = np.concatenate(
+        [decode_payload(b) for b in bufs]
+    ) if bufs else np.empty(0, np.uint64)
+    assert got.tolist() == expect.tolist()

@@ -1,0 +1,95 @@
+"""Transcript source loaders: JSON-lines / CSV / parquet ingestion.
+
+The reference accepts documents over several wire formats — Solr update
+handlers for JSON, XML, and CSV (reference solr/core/src/java/org/apache/
+solr/handler/loader/JsonLoader.java, CSVLoader.java, XMLLoader.java) and
+the benchmark LineDocSource one-doc-per-line reader
+(lucene/benchmark/.../feeds/LineDocSource.java). Spark-side, each format
+is a `spark.read` with the PINNED transcript schema applied explicitly —
+schema-on-read, never inference, so every format yields the identical
+DataFrame shape (input_hint: conv_id string, turn_idx int, role string,
+text string, tool string, ts timestamp) and the per-row invariant (text
+equality under stable (conv_id, turn_idx) ordering) holds regardless of
+the wire format.
+
+Scale notes: JSONL and CSV are splittable when uncompressed (Spark
+assigns intra-file splits), so a 100 TB drop-zone ingests with full
+parallelism; schema-on-read skips Spark's sampling pass entirely (no
+inference job). XML needs the spark-xml package, which is not baked into
+this container — `read_transcripts_xml` raises NotImplementedError with
+the exact dependency, keeping the plumbing documented without a fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Project to the pinned column order (formats may reorder)."""
+    return df.select(*_COLS)
+
+
+def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return _normalize(spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path))
+
+
+def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines, one turn per line (JsonLoader / LineDocSource analog).
+    Explicit schema — no inference pass, splittable input."""
+    return _normalize(
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(path)
+    )
+
+
+def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV with header (CSVLoader analog). Explicit schema + explicit
+    timestamp format; empty strings load as NULL to match parquet
+    semantics for the nullable `tool` column."""
+    return _normalize(
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("nullValue", "")
+        .csv(path)
+    )
+
+
+def read_transcripts_xml(spark: SparkSession, path: str) -> DataFrame:
+    """XMLLoader analog. Spark reads XML via the `spark-xml` package
+    (`format("xml")`, rowTag="turn"), which is not installed in this
+    container — fail loudly rather than fake it."""
+    raise NotImplementedError(
+        "XML ingestion needs the spark-xml package: "
+        'spark.read.format("xml").option("rowTag", "turn")'
+        f".schema(TRANSCRIPT_SCHEMA).load({path!r})"
+    )
+
+
+def write_transcripts_json(df: DataFrame, path: str) -> None:
+    df.select(*_COLS).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).write.mode("overwrite").json(path)
+
+
+def write_transcripts_csv(df: DataFrame, path: str) -> None:
+    df.select(*_COLS).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).write.mode("overwrite").option("header", "true").csv(path)

@@ -1,0 +1,63 @@
+"""Source-format loaders: JSONL / CSV round-trip the transcript schema.
+
+Per-row invariant (BASELINE.json input_hint): text equality under stable
+(conv_id, turn_idx) ordering must hold regardless of wire format.
+"""
+
+import tempfile
+
+import pytest
+
+from lucene_solr_spark.sources.loaders import (
+    TRANSCRIPT_SCHEMA,
+    read_transcripts_csv,
+    read_transcripts_json,
+    read_transcripts_xml,
+    write_transcripts_csv,
+    write_transcripts_json,
+)
+from lucene_solr_spark.sources.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_transcripts(spark, 500).cache()
+
+
+def _sorted_rows(df):
+    return [
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+        for r in df.orderBy("conv_id", "turn_idx").collect()
+    ]
+
+
+def test_jsonl_roundtrip(spark, corpus):
+    path = tempfile.mkdtemp(prefix="lss_jsonl_")
+    write_transcripts_json(corpus, path)
+    back = read_transcripts_json(spark, path)
+    assert back.schema == TRANSCRIPT_SCHEMA
+    assert _sorted_rows(back) == _sorted_rows(corpus)
+
+
+def test_csv_roundtrip(spark, corpus):
+    path = tempfile.mkdtemp(prefix="lss_csv_")
+    write_transcripts_csv(corpus, path)
+    back = read_transcripts_csv(spark, path)
+    assert back.schema == TRANSCRIPT_SCHEMA
+    assert _sorted_rows(back) == _sorted_rows(corpus)
+
+
+def test_no_inference_pass(spark, corpus):
+    # schema-on-read: the loaded frame carries the pinned schema even on
+    # an empty directory glob (no sampling job, no surprise types)
+    path = tempfile.mkdtemp(prefix="lss_jsonl_")
+    write_transcripts_json(corpus.limit(1), path)
+    df = read_transcripts_json(spark, path)
+    assert [f.dataType for f in df.schema.fields] == [
+        f.dataType for f in TRANSCRIPT_SCHEMA.fields
+    ]
+
+
+def test_xml_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError, match="spark-xml"):
+        read_transcripts_xml(spark, "/nonexistent")

@@ -590,3 +590,26 @@ def fn_scale_query(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@gate("fts_porter_stemmed_terms")  # rows-only: no stemmer in the oracle engine
+def fts_porter_stemmed_terms(spark, sf_dir):
+    """PorterStemFilter chain stage: tokenize → Porter stem → top-20
+    stems by frequency (analysis/porter.py; reference lucene/analysis/
+    common/.../en/PorterStemFilter.java). Rows-only: DuckDB's stemmer
+    extension is unavailable offline, and the stemmer itself is golden-
+    tested against the Porter paper's examples in tests/test_porter.py."""
+    from .analysis.porter import porter_stem_filter
+    from .index.builder import simple_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        porter_stem_filter(simple_tokens("text")).alias("stems")
+    )
+    return (
+        toks.select(F.explode("stems").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("stem"))
+        .limit(20)
+    )

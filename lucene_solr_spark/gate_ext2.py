@@ -613,3 +613,107 @@ def fts_porter_stemmed_terms(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("stem"))
         .limit(20)
     )
+
+
+# ------------------------------------- classification + monitor modules
+
+
+@gate(
+    "ml_naive_bayes_lang",
+    f"""
+WITH toks AS ({_TOKS}),
+labels AS (SELECT doc_id, lang AS label FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks GROUP BY doc_id, term),
+vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+nt AS (SELECT count(*) AS n FROM labels),
+tc AS (SELECT l.label, t.term, sum(t.freq) AS cnt
+       FROM tf t JOIN labels l USING (doc_id) GROUP BY l.label, t.term),
+pri AS (SELECT l.label, count(DISTINCT t.doc_id) AS n_docs,
+               sum(t.freq) AS class_tf
+        FROM tf t JOIN labels l USING (doc_id) GROUP BY l.label),
+contrib AS (
+  SELECT t.doc_id, p.label,
+         CAST(round(t.freq * ln((coalesce(tc.cnt, 0) + 1.0)
+                                / (p.class_tf + vocab.v * 1.0)), 9)
+              AS DECIMAL(28,9)) AS c,
+         p.n_docs
+  FROM tf t
+  CROSS JOIN pri p
+  CROSS JOIN vocab
+  LEFT JOIN tc ON tc.label = p.label AND tc.term = t.term
+  WHERE t.doc_id < 100),
+scored AS (
+  SELECT c.doc_id, c.label,
+         round(ln(c.n_docs / (nt.n * 1.0)) + CAST(sum(c.c) AS DOUBLE), 4)
+           AS score
+  FROM contrib c CROSS JOIN nt GROUP BY c.doc_id, c.label, c.n_docs, nt.n),
+best AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rk
+  FROM scored)
+SELECT doc_id, label, score FROM best WHERE rk = 1 ORDER BY doc_id""",
+)
+def ml_naive_bayes_lang(spark, sf_dir):
+    """SimpleNaiveBayesClassifier analog: train on lang labels, classify
+    docs < 100 by argmax Laplace-smoothed log-likelihood
+    (operators/classify.py; reference lucene/classification/.../
+    SimpleNaiveBayesClassifier.java). Pure DataFrame algebra, DECIMAL
+    contribution sums for order-independence."""
+    from .operators.classify import classify_naive_bayes, train_naive_bayes
+
+    tables = docs_index(spark, sf_dir)
+    labels = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    model = train_naive_bayes(tables, labels)
+    return classify_naive_bayes(
+        tables, model, doc_filter=F.col("doc_id") < 100
+    ).orderBy("doc_id")
+
+
+_PERC_QUERIES = [
+    ("q_spark_merge", ["spark", "merge"], None),   # conjunctive
+    ("q_2of3_window", ["window", "sort", "scan"], 2),
+    ("q_vector", ["vector"], None),
+]
+
+
+@gate(
+    "fts_percolate",
+    f"""
+WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS})),
+qt(query_id, term) AS (VALUES
+  ('q_spark_merge', 'spark'), ('q_spark_merge', 'merge'),
+  ('q_2of3_window', 'window'), ('q_2of3_window', 'sort'),
+  ('q_2of3_window', 'scan'), ('q_vector', 'vector')),
+qr(query_id, required) AS (VALUES
+  ('q_spark_merge', 2), ('q_2of3_window', 2), ('q_vector', 1)),
+hits AS (
+  SELECT t.doc_id, qt.query_id, count(DISTINCT t.term) AS n_matched
+  FROM toks t JOIN qt ON t.term = qt.term
+  WHERE t.doc_id < 100
+  GROUP BY t.doc_id, qt.query_id)
+SELECT h.query_id, h.doc_id
+FROM hits h JOIN qr ON h.query_id = qr.query_id
+WHERE h.n_matched >= qr.required
+ORDER BY h.query_id, h.doc_id""",
+)
+def fts_percolate(spark, sf_dir):
+    """Monitor/percolator module: registered term queries matched in
+    reverse against documents — two hash-aggs regardless of query count
+    (operators/monitor.py; reference lucene/monitor/.../Monitor.java,
+    QueryIndex term prefilter)."""
+    from .operators.monitor import percolate, register_queries
+
+    tables = docs_index(spark, sf_dir)
+    qt, qr = register_queries(spark, _PERC_QUERIES)
+    tbl = tables
+    postings = tbl.postings.filter(F.col("doc_id") < 100)
+
+    class _Sub:
+        pass
+
+    sub = _Sub()
+    sub.postings = postings
+    return percolate(sub, qt, qr).orderBy("query_id", "doc_id")

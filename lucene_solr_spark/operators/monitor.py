@@ -1,0 +1,60 @@
+"""Monitor / percolator: match stored queries against documents.
+
+Re-expresses the reference monitor module (lucene/monitor/src/java/org/
+apache/lucene/monitor/Monitor.java — register queries once, then for
+each incoming document report which queries match; QueryIndex prefilters
+by the queries' terms before running them) as reverse-search DataFrame
+algebra:
+
+- registered queries = a tiny (query_id, term) + (query_id, required)
+  pair of tables (conjunctive / minShouldMatch term queries — the
+  percolation workhorse).
+- percolate = postings semi-joined to the broadcast query-term table
+  (the QueryIndex prefilter analog: docs only meet queries whose terms
+  they contain), then a (doc, query) distinct-term count compared to
+  each query's required count. One shuffle, no per-query loop — 10^6
+  registered queries percolate in the same two hash-aggs as 10.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def register_queries(
+    spark, queries: Sequence[tuple]
+) -> tuple[DataFrame, DataFrame]:
+    """queries: [(query_id, [terms...], min_match or None=ALL)] →
+    (query_terms(query_id, term), query_req(query_id, required))."""
+    term_rows, req_rows = [], []
+    for qid, terms, min_match in queries:
+        uniq = list(dict.fromkeys(terms))
+        for t in uniq:
+            term_rows.append((qid, t))
+        req_rows.append(
+            (qid, int(min_match) if min_match is not None else len(uniq))
+        )
+    return (
+        spark.createDataFrame(term_rows, "query_id string, term string"),
+        spark.createDataFrame(req_rows, "query_id string, required int"),
+    )
+
+
+def percolate(
+    tables, query_terms: DataFrame, query_req: DataFrame
+) -> DataFrame:
+    """(query_id, doc_id) — every (stored query, document) match."""
+    hits = (
+        tables.postings.select("doc_id", "term")
+        .join(F.broadcast(query_terms), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+    )
+    return (
+        hits.join(F.broadcast(query_req), "query_id")
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select("query_id", "doc_id")
+    )

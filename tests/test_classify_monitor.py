@@ -1,0 +1,79 @@
+"""Naive Bayes classifier + monitor/percolator unit tests.
+
+Reference shapes: lucene/classification/src/test/.../
+SimpleNaiveBayesClassifierTest.java (tiny labeled corpus, assert
+predicted class), lucene/monitor/src/test/.../TestMonitor.java
+(register queries, percolate documents, assert match sets).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.operators.classify import (
+    classify_naive_bayes,
+    train_naive_bayes,
+)
+from lucene_solr_spark.operators.monitor import percolate, register_queries
+
+DOCS = [
+    (0, "goal match striker penalty football", "sports"),
+    (1, "match win league striker goal", "sports"),
+    (2, "election vote senate policy law", "politics"),
+    (3, "vote law policy election campaign", "politics"),
+    (4, "striker scores goal in big match", "sports"),
+    (5, "senate passes law after vote", "politics"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx_labels(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, label string")
+    idx = build_index(df.select("doc_id", "text"), analyzer="simple", id_col="doc_id")
+    return idx, df.select("doc_id", "label")
+
+
+def test_naive_bayes_classifies_training_set(idx_labels):
+    idx, labels = idx_labels
+    model = train_naive_bayes(idx, labels)
+    preds = {
+        r.doc_id: r.label for r in classify_naive_bayes(idx, model).collect()
+    }
+    truth = {d: y for d, _, y in DOCS}
+    assert preds == truth
+
+
+def test_naive_bayes_scores_are_log_probs(idx_labels):
+    idx, labels = idx_labels
+    model = train_naive_bayes(idx, labels)
+    rows = classify_naive_bayes(idx, model).collect()
+    assert all(r.score < 0 for r in rows)  # log-domain
+
+
+def test_percolate_conjunctive_and_msm(spark, idx_labels):
+    idx, _ = idx_labels
+    qt, qr = register_queries(
+        spark,
+        [
+            ("q_goal_match", ["goal", "match"], None),  # both required
+            ("q_2of3", ["vote", "law", "campaign"], 2),
+            ("q_absent", ["quantum"], None),
+        ],
+    )
+    got = {
+        (r.query_id, r.doc_id) for r in percolate(idx, qt, qr).collect()
+    }
+    assert ("q_goal_match", 0) in got and ("q_goal_match", 4) in got
+    assert ("q_goal_match", 2) not in got
+    # doc 2 has vote+law, doc 3 has vote+law+campaign, doc 5 vote+law
+    assert {d for q, d in got if q == "q_2of3"} == {2, 3, 5}
+    assert not any(q == "q_absent" for q, _ in got)
+
+
+def test_percolate_duplicate_terms_dedup(spark, idx_labels):
+    idx, _ = idx_labels
+    qt, qr = register_queries(spark, [("q", ["goal", "goal"], None)])
+    # duplicate terms collapse: required == 1 distinct term
+    assert qr.collect()[0].required == 1
+    docs = {r.doc_id for r in percolate(idx, qt, qr).collect()}
+    assert docs == {0, 1, 4}

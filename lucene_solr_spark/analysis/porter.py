@@ -117,15 +117,18 @@ def porter_stem(word: str) -> str:
     if w.endswith("y") and _has_vowel(w[:-1]):
         w = w[:-1] + "i"
 
-    # step 2 (m > 0)
+    # step 2 (m > 0) — includes the author's two documented DEPARTURES
+    # from the 1980 paper, matching the official implementation that the
+    # reference's PorterStemmer.java ports: "abli"->"able" is replaced
+    # by "bli"->"ble", and "logi"->"log" is added.
     for suf, rep in (
         ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
         ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
         ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
         ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
         ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
-        ("biliti", "ble"),
+        ("biliti", "ble"), ("logi", "log"),
     ):
         r = _replace(w, suf, rep, 0)
         if r is not None:

@@ -708,12 +708,5 @@ def fts_percolate(spark, sf_dir):
 
     tables = docs_index(spark, sf_dir)
     qt, qr = register_queries(spark, _PERC_QUERIES)
-    tbl = tables
-    postings = tbl.postings.filter(F.col("doc_id") < 100)
-
-    class _Sub:
-        pass
-
-    sub = _Sub()
-    sub.postings = postings
-    return percolate(sub, qt, qr).orderBy("query_id", "doc_id")
+    postings = tables.postings.filter(F.col("doc_id") < 100)
+    return percolate(postings, qt, qr).orderBy("query_id", "doc_id")

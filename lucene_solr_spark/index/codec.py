@@ -25,6 +25,7 @@ import numpy as np
 
 __all__ = [
     "BLOCK_SIZE",
+    "CODEC_FORMAT",
     "encode_vints",
     "decode_vints",
     "encode_payload",
@@ -37,6 +38,11 @@ __all__ = [
 ]
 
 BLOCK_SIZE = 128
+
+# At-rest payload format id, stamped into stats.json and segment
+# manifests; bumped whenever the block payload layout changes so stale
+# indexes fail loudly at read/resume instead of mis-decoding.
+CODEC_FORMAT = "payload-v1"
 
 
 def _bit_length(x: np.ndarray) -> np.ndarray:

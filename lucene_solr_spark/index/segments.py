@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from ..functions.smallfloat import int_to_byte4
 from .builder import tokenized_docs
+from .codec import CODEC_FORMAT
 
 __all__ = [
     "build_segments",
@@ -333,6 +334,13 @@ def build_segments(
         if os.path.exists(manifest_path):  # checkpoint hit: skip rebuild
             with open(manifest_path) as f:
                 m = json.load(f)
+            seg_codec = m.pop("codec", "<none: pre-payload varint format>")
+            if seg_codec != CODEC_FORMAT:
+                raise ValueError(
+                    f"segment {seg_id} at {seg_dir} uses codec "
+                    f"{seg_codec!r}, this build writes {CODEC_FORMAT!r}; "
+                    "delete the index dir and rebuild"
+                )
             m["resumed"] = True
             for _ in batches:  # drain without building
                 pass
@@ -387,7 +395,7 @@ def build_segments(
         }
         tmp = f"{seg_dir}/.manifest.json.tmp"
         with open(tmp, "w") as f:
-            json.dump(m, f)
+            json.dump({**m, "codec": CODEC_FORMAT}, f)
         os.replace(tmp, manifest_path)  # commit point
         yield manifest_batch(m)
 
@@ -455,6 +463,7 @@ def build_segmented_index(
         "n_buckets": n_buckets,
         "analyzer": analyzer,
         "positions": index_positions,
+        "codec": CODEC_FORMAT,
     }
     merge_segments(spark, index_dir, seg_group_size, n_buckets)
     with open(f"{index_dir}/stats.json", "w") as f:
@@ -465,6 +474,15 @@ def build_segmented_index(
 def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
     with open(f"{index_dir}/stats.json") as f:
         stats = json.load(f)
+    found = stats.get("codec", "<none: pre-payload varint format>")
+    if found != CODEC_FORMAT:
+        # fail loudly: a payload-format mismatch would otherwise decode
+        # garbage silently (the header byte reinterprets old raw-varint
+        # streams) — rebuild the index with the current code instead
+        raise ValueError(
+            f"index at {index_dir} uses codec {found!r}, this build reads "
+            f"{CODEC_FORMAT!r}; rebuild the index"
+        )
     return SegmentedIndex(
         blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
         dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),

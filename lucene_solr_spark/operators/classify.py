@@ -63,11 +63,13 @@ def classify_naive_bayes(
     )
     tc = model["term_class"]
     # every (doc-term, class) pair; unseen terms fall back to the
-    # smoothed zero count via coalesce
+    # smoothed zero count via coalesce. term_class is |C|x|V| rows —
+    # NOT force-broadcast (tens of GB at corpus scale); Catalyst picks
+    # broadcast on its own when the model is small
     contrib = (
         postings.select("doc_id", "term", "freq")
         .crossJoin(classes)
-        .join(F.broadcast(tc), ["label", "term"], "left")
+        .join(tc, ["label", "term"], "left")
         .withColumn(
             "contrib",
             F.round(

@@ -44,11 +44,15 @@ def register_queries(
 
 
 def percolate(
-    tables, query_terms: DataFrame, query_req: DataFrame
+    postings, query_terms: DataFrame, query_req: DataFrame
 ) -> DataFrame:
-    """(query_id, doc_id) — every (stored query, document) match."""
+    """(query_id, doc_id) — every (stored query, document) match.
+
+    postings: a (doc_id, term, …) DataFrame, or any index-tables object
+    exposing `.postings` (IndexTables / SegmentedIndex)."""
+    postings = getattr(postings, "postings", postings)
     hits = (
-        tables.postings.select("doc_id", "term")
+        postings.select("doc_id", "term")
         .join(F.broadcast(query_terms), "term")
         .groupBy("doc_id", "query_id")
         .agg(F.countDistinct("term").alias("n_matched"))

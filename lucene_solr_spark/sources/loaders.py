@@ -51,10 +51,13 @@ def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
     """JSON-lines, one turn per line (JsonLoader / LineDocSource analog).
-    Explicit schema — no inference pass, splittable input."""
+    Explicit schema — no inference pass, splittable input. FAILFAST: a
+    corrupt line is an error, not a silent all-null row (the reference
+    loaders reject malformed updates)."""
     return _normalize(
         spark.read.schema(TRANSCRIPT_SCHEMA)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("mode", "FAILFAST")
         .json(path)
     )
 
@@ -62,12 +65,18 @@ def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
 def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
     """CSV with header (CSVLoader analog). Explicit schema + explicit
     timestamp format; empty strings load as NULL to match parquet
-    semantics for the nullable `tool` column."""
+    semantics for the nullable `tool` column. multiLine + RFC-4180
+    quoting so text containing newlines/commas/quotes round-trips
+    (note: multiLine makes a single CSV file non-splittable — at scale
+    prefer many files or JSONL for the drop zone). FAILFAST as above."""
     return _normalize(
         spark.read.schema(TRANSCRIPT_SCHEMA)
         .option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("nullValue", "")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
         .csv(path)
     )
 
@@ -92,4 +101,6 @@ def write_transcripts_json(df: DataFrame, path: str) -> None:
 def write_transcripts_csv(df: DataFrame, path: str) -> None:
     df.select(*_COLS).withColumn(
         "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-    ).write.mode("overwrite").option("header", "true").csv(path)
+    ).write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)

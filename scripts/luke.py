@@ -53,9 +53,9 @@ def inspect(index_dir: str, top: int = 20) -> dict:
         F.sum("b").alias("payload_bytes"),
         F.round(F.avg("b"), 1).alias("avg_block_bytes"),
     ).collect()[0]
-    out["blocks"] = int(sizes.blocks)
-    out["payload_bytes"] = int(sizes.payload_bytes)
-    out["avg_block_bytes"] = float(sizes.avg_block_bytes)
+    out["blocks"] = int(sizes.blocks or 0)
+    out["payload_bytes"] = int(sizes.payload_bytes or 0)
+    out["avg_block_bytes"] = float(sizes.avg_block_bytes or 0.0)
     out["dl_histogram"] = [
         (int(r.bucket), int(r.cnt))
         for r in idx.norms.groupBy(

@@ -6,6 +6,8 @@ Per-row invariant (BASELINE.json input_hint): text equality under stable
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from lucene_solr_spark.sources.loaders import (
@@ -61,3 +63,19 @@ def test_no_inference_pass(spark, corpus):
 def test_xml_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError, match="spark-xml"):
         read_transcripts_xml(spark, "/nonexistent")
+
+
+def test_csv_roundtrip_hostile_text(spark):
+    """Text with embedded newlines, commas, and quotes must survive the
+    CSV round-trip (multiLine + RFC-4180 quoting)."""
+    rows = [
+        ("c0", 0, "user", 'line one\nline "two", with comma', None),
+        ("c0", 1, "assistant", "plain", "search"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    path = tempfile.mkdtemp(prefix="lss_csv_hostile_")
+    write_transcripts_csv(df, path)
+    back = read_transcripts_csv(spark, path)
+    assert _sorted_rows(back) == _sorted_rows(df)

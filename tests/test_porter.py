@@ -84,6 +84,10 @@ PAPER_EXAMPLES = [
     ("homologous", "homolog"),
     ("effective", "effect"),
     ("bowdlerize", "bowdler"),
+    # departures (official implementation / PorterStemmer.java):
+    # bli->ble replaces abli->able; logi->log added
+    ("possibli", "possibl"),
+    ("archaeology", "archaeolog"),
     # step 5
     ("probate", "probat"),
     ("rate", "rate"),

@@ -374,7 +374,7 @@ def fts_phrase_match(spark, sf_dir):
     f"""WITH toks AS ({_TOKS}),
 tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
        WHERE term IN ('spark','join','customer') GROUP BY doc_id, term)
-SELECT term, count(*) AS df, sum(freq) AS cf FROM tf
+SELECT term, count(*) AS df, CAST(sum(freq) AS BIGINT) AS cf FROM tf
 GROUP BY term ORDER BY term ASC""",
 )
 def fts_docfreq_stats(spark, sf_dir):

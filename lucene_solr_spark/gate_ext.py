@@ -115,7 +115,7 @@ def fts_significant_terms(spark, sf_dir):
 tf AS (SELECT doc_id, term, count(*) AS freq FROM toks GROUP BY doc_id, term)
 SELECT count(DISTINCT term) AS n_terms,
        count(*) AS sum_df,
-       sum(freq) AS sum_cf,
+       CAST(sum(freq) AS BIGINT) AS sum_cf,
        count(DISTINCT doc_id) AS doc_count
 FROM tf""",
 )

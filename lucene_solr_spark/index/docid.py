@@ -38,6 +38,7 @@ def with_doc_ids(
     tokenizer=None,
     text_col: str = "text",
     tokens_col: str = "tokens",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Return df + dense int64 ``id_col`` ranking rows by ``order_cols``.
 
@@ -46,11 +47,17 @@ def with_doc_ids(
     one Python stage instead of two (id-assign + tokenize UDF would
     otherwise each cross the JVM↔Arrow↔Python boundary, and on a
     fully-subscribed local[N] box the extra worker wave is pure loss).
+
+    cache_registry: if given, the internally persisted DataFrame is
+    appended so a long-running caller (the NRT stream builds ids every
+    micro-batch) can unpersist it once the ids are materialized.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ordered = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     ordered = ordered.persist()
+    if cache_registry is not None:
+        cache_registry.append(ordered)
     counts = (
         ordered.groupBy(F.spark_partition_id().alias("pid"))
         .count()

@@ -25,10 +25,12 @@ term_bucket = h60(term) mod n_buckets (the md5-derived portable hash) —
 computable driver-side with hashlib, so query planning prunes partitions
 without running a Spark job.
 
-Output layout (the "at-rest" index):
-    merged/postings/    parquet, partitioned by term_bucket → a query
-                        for a few terms prunes to a few directories
-    merged/dictionary/  (term, df, cf)
+Output layout (the "at-rest" index, one dir per merge generation —
+published atomically by a snapshot commit, see snapshot.py):
+    merged-<gen>/postings/    parquet, partitioned by term_bucket → a
+                              query for a few terms prunes to a few
+                              directories
+    merged-<gen>/dictionary/  (term, df, cf)
     (norms stay in segments/*/norms.parquet — disjoint doc ranges are
     already a valid partitioned table; no rewrite needed)
 """
@@ -158,8 +160,24 @@ def merge_segments(
     index_dir: str,
     seg_group_size: int = 8,
     n_buckets: int = 32,
-) -> None:
-    segs = spark.read.parquet(f"{index_dir}/segments/*/postings.parquet")
+    segments: list | None = None,
+    merged_name: str = "merged-0000000000",
+) -> str:
+    """Merge the given committed segments into ``index_dir/<merged_name>``.
+
+    segments: committed segment dir names (defaults to every segment
+    with a manifest — NEVER a glob: a crashed builder task can leave an
+    orphan postings.parquet with no manifest, and a glob would merge it).
+    The output dir is generation-scoped; the caller publishes it by
+    committing a snapshot (snapshot.py) AFTER this returns — a killed
+    merge leaves an unreferenced directory, not a broken index.
+    Returns merged_name."""
+    from .snapshot import committed_segments
+
+    if segments is None:
+        segments = committed_segments(index_dir)
+    paths = [f"{index_dir}/segments/{s}/postings.parquet" for s in segments]
+    segs = spark.read.parquet(*paths)
     grouped = segs.withColumn(
         "seg_group", (F.col("seg_id") / F.lit(seg_group_size)).cast("int")
     ).withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
@@ -169,10 +187,10 @@ def merge_segments(
     (
         merged.write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/merged/postings")
+        .parquet(f"{index_dir}/{merged_name}/postings")
     )
 
-    final = spark.read.parquet(f"{index_dir}/merged/postings")
+    final = spark.read.parquet(f"{index_dir}/{merged_name}/postings")
     dictionary = final.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_freq").cast("long").alias("cf"),
@@ -180,7 +198,9 @@ def merge_segments(
     (
         dictionary.write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/merged/dictionary")
+        .parquet(f"{index_dir}/{merged_name}/dictionary")
     )
     # norms stay in their per-segment files (disjoint doc ranges — already
-    # a valid partitioned table); readers glob segments/*/norms.parquet
+    # a valid partitioned table); readers take the file list from the
+    # snapshot's segment list
+    return merged_name

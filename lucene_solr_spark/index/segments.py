@@ -279,6 +279,8 @@ def build_segments(
     fail_on_seg: int | None = None,
     already_ranged: bool = False,
     index_positions: bool = False,
+    seg_id_base: int = 0,
+    manifest_extra: dict | None = None,
 ) -> list:
     """Range-partition docs (doc_id, tokens, …) into segments and write
     each partition's segment files; resumable via manifests.
@@ -287,6 +289,12 @@ def build_segments(
     doc_id ranges in partition order (the with_doc_ids pipeline) — skip
     the redundant range shuffle and build one segment per partition.
     fail_on_seg: test hook — raise inside that segment (crash injection).
+    seg_id_base: offset added to the partition id when naming segments —
+    lets an incremental (NRT) build append new segments after existing
+    ones (the Lucene SegmentInfos counter analog, index/SegmentInfos.java).
+    manifest_extra: extra key/values persisted into each manifest.json
+    (e.g. the streaming batch_id for lineage) — not part of the returned
+    Arrow manifest rows.
     Returns the list of manifest dicts (one per non-empty partition).
 
     Each task writes its whole segment in one Arrow pass — postings and
@@ -328,7 +336,7 @@ def build_segments(
             )
 
         t0 = time.time()
-        seg_id = TaskContext.get().partitionId()
+        seg_id = seg_id_base + TaskContext.get().partitionId()
         seg_dir = f"{index_dir}/segments/seg-{seg_id:05d}"
         manifest_path = f"{seg_dir}/manifest.json"
         if os.path.exists(manifest_path):  # checkpoint hit: skip rebuild
@@ -395,7 +403,7 @@ def build_segments(
         }
         tmp = f"{seg_dir}/.manifest.json.tmp"
         with open(tmp, "w") as f:
-            json.dump({**m, "codec": CODEC_FORMAT}, f)
+            json.dump({**m, **(manifest_extra or {}), "codec": CODEC_FORMAT}, f)
         os.replace(tmp, manifest_path)  # commit point
         yield manifest_batch(m)
 
@@ -439,6 +447,12 @@ def build_segmented_index(
     — reference: index/IndexOptions.java, Lucene50PostingsFormat .pos) —
     required for index-backed phrase queries (search/phrase.py)."""
     from .merge import merge_segments  # local import: avoid cycle
+    from .snapshot import (
+        commit_snapshot,
+        committed_segments,
+        latest_snapshot,
+        merged_dir_name,
+    )
 
     spark = transcripts.sparkSession
     num_segments = num_segments or int(
@@ -465,15 +479,33 @@ def build_segmented_index(
         "positions": index_positions,
         "codec": CODEC_FORMAT,
     }
-    merge_segments(spark, index_dir, seg_group_size, n_buckets)
-    with open(f"{index_dir}/stats.json", "w") as f:
+    # merge into a generation-scoped dir, THEN publish atomically: a
+    # reader opening the index mid-merge resolves the previous snapshot
+    # (or nothing) — never a half-written merged table
+    prev = latest_snapshot(index_dir)
+    gen = (prev["generation"] + 1) if prev else 0
+    segments = committed_segments(index_dir)
+    merged = merge_segments(
+        spark, index_dir, seg_group_size, n_buckets,
+        segments=segments, merged_name=merged_dir_name(gen),
+    )
+    with open(f"{index_dir}/stats.json", "w") as f:  # luke/debug convenience
         json.dump(stats, f)
+    commit_snapshot(index_dir, gen, segments, stats, merged=merged)
     return read_segmented_index(spark, index_dir)
 
 
 def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
-    with open(f"{index_dir}/stats.json") as f:
-        stats = json.load(f)
+    from .snapshot import latest_snapshot
+
+    snap = latest_snapshot(index_dir)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {index_dir}/snapshots — the index "
+            "was never published (build_segmented_index commits one after "
+            "the merge)"
+        )
+    stats = snap["stats"]
     found = stats.get("codec", "<none: pre-payload varint format>")
     if found != CODEC_FORMAT:
         # fail loudly: a payload-format mismatch would otherwise decode
@@ -483,10 +515,14 @@ def read_segmented_index(spark: SparkSession, index_dir: str) -> SegmentedIndex:
             f"index at {index_dir} uses codec {found!r}, this build reads "
             f"{CODEC_FORMAT!r}; rebuild the index"
         )
+    merged = snap["merged"]
+    norm_paths = [
+        f"{index_dir}/segments/{s}/norms.parquet" for s in snap["segments"]
+    ]
     return SegmentedIndex(
-        blocks=spark.read.parquet(f"{index_dir}/merged/postings"),
-        dictionary=spark.read.parquet(f"{index_dir}/merged/dictionary"),
-        norms=spark.read.parquet(f"{index_dir}/segments/*/norms.parquet"),
+        blocks=spark.read.parquet(f"{index_dir}/{merged}/postings"),
+        dictionary=spark.read.parquet(f"{index_dir}/{merged}/dictionary"),
+        norms=spark.read.parquet(*norm_paths),
         stored=spark.read.parquet(f"{index_dir}/stored"),
         doc_count=stats["doc_count"],
         sum_total_term_freq=stats["sum_total_term_freq"],

@@ -9,37 +9,43 @@ re-expression:
 
 - ``readStream`` over the transcript table directory (new files = new
   docs, the micro-batch analog of an update batch),
-- ``foreachBatch``: each micro-batch builds ONE new immutable segment
-  (same per-partition build + manifest commit as the batch path) with a
-  doc-id range stacked after all previous segments — segments are
-  append-only, exactly Lucene's flush model,
+- ``foreachBatch``: each micro-batch is range-partitioned by
+  (conv_id, turn_idx) and EVERY PARTITION builds one immutable segment
+  on its executor via the same ``mapInArrow`` path as the batch build
+  (index/segments.py:build_segments) — the batch never touches the
+  driver; doc-id ranges are stacked after all previous segments, so
+  segments are append-only, exactly Lucene's DWPT flush model
+  (index/DocumentsWriterPerThread.java),
 - searchers reopen by re-globbing ``segments/*`` — the SearcherManager
   analog; Spark's streaming checkpoint dir provides exactly-once batch
   tracking (the UpdateLog/tlog-replay analog, UpdateLog.java:96-100).
 
 Doc-id rule: batch docs are ordered by (conv_id, turn_idx) *within the
-batch* and appended after max_doc of the index so far — matching
-Lucene's "docIDs are assigned in ingestion order" (not globally
-re-sorted; a restart replays from the checkpoint so ids stay stable).
+batch* (distributed range sort + per-partition prefix-sum offsets — the
+same partition-independent rule as index/docid.py) and appended after
+max_doc of the index so far — matching Lucene's "docIDs are assigned in
+ingestion order" (not globally re-sorted; a restart replays from the
+checkpoint so ids stay stable).
 
-At scale each micro-batch is itself partitioned (one segment per
-partition per batch if desired); a background merge job compacts small
-segments exactly like TieredMergePolicy — here merge_segments re-run on
-the accumulated segment set.
+Scale: only per-partition counts (one long per partition) and manifest
+rows (one per segment) ever reach the driver — a 10 GB micro-batch
+flushes as ``segments_per_batch`` executor-side segment writes. A
+background merge job compacts small segments exactly like
+TieredMergePolicy — here merge_segments re-run on the accumulated
+segment set.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.builder import tokenize_udf, simple_tokens
-from ..index.segments import _segment_postings
+from ..index.docid import with_doc_ids
+from ..index.segments import build_segments
 
 __all__ = ["start_incremental_index", "IncrementalIndex"]
 
@@ -66,11 +72,21 @@ class IncrementalIndex:
     def max_doc(self) -> int:
         return sum(m["n_docs"] for m in self.manifests())
 
+    def _committed_paths(self, name: str) -> list:
+        from ..index.snapshot import committed_segments
+
+        return [
+            f"{self.index_dir}/segments/{s}/{name}.parquet"
+            for s in committed_segments(self.index_dir)
+        ]
+
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.index_dir}/segments/*/postings.parquet")
+        # explicit committed-file list, not a glob: a concurrent in-flight
+        # flush (data written, manifest not yet renamed) stays invisible
+        return spark.read.parquet(*self._committed_paths("postings"))
 
     def norms(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.index_dir}/segments/*/norms.parquet")
+        return spark.read.parquet(*self._committed_paths("norms"))
 
     def stop(self):
         if self.query is not None:
@@ -95,9 +111,13 @@ def start_incremental_index(
     schema,
     analyzer: str = "standard",
     checkpoint_dir: str | None = None,
+    segments_per_batch: int = 1,
 ) -> IncrementalIndex:
-    """Stream-parquet ``source_dir`` → one segment per micro-batch under
-    ``index_dir/segments``. Returns a handle; caller stops the query."""
+    """Stream-parquet ``source_dir`` → ``segments_per_batch`` segments per
+    micro-batch under ``index_dir/segments``, built per-partition on the
+    executors (no driver collect). Returns a handle; caller stops the
+    query. At scale set segments_per_batch ≈ cores so a large micro-batch
+    flushes in parallel; small test batches use 1 for determinism."""
     os.makedirs(f"{index_dir}/segments", exist_ok=True)
     checkpoint_dir = checkpoint_dir or f"{index_dir}/_checkpoint"
 
@@ -108,56 +128,39 @@ def start_incremental_index(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        t0 = time.time()
         seg_root = f"{index_dir}/segments"
-        seg_id = _next_seg_id(seg_root)
-        seg_dir = f"{seg_root}/seg-{seg_id:05d}"
-        if analyzer == "simple":
-            toks = batch_df.withColumn("tokens", simple_tokens("text"))
-        else:
-            toks = batch_df.withColumn("tokens", tokenize_udf(F.col("text")))
-        pdf = (
-            toks.select("conv_id", "turn_idx", "tokens")
-            .toPandas()
-            .sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
-        )
-        if len(pdf) == 0:
-            return
-        base = sum(
+        seg_base = _next_seg_id(seg_root)
+        doc_base = sum(
             json.load(open(f"{seg_root}/{s}/manifest.json"))["n_docs"]
             for s in sorted(os.listdir(seg_root))
             if os.path.exists(f"{seg_root}/{s}/manifest.json")
         )
-        pdf["doc_id"] = range(base, base + len(pdf))
-        postings, norms, counters = _segment_postings(
-            pdf[["doc_id", "tokens"]], seg_id
-        )
-        os.makedirs(seg_dir, exist_ok=True)
-        for name, frame in (("postings", postings), ("norms", norms)):
-            tmp = f"{seg_dir}/.{name}.parquet.tmp"
-            pq.write_table(pa.Table.from_pandas(frame, preserve_index=False), tmp)
-            os.replace(tmp, f"{seg_dir}/{name}.parquet")
-        m = {
-            "seg_id": seg_id,
-            "n_docs": int(len(pdf)),
-            "doc_count": counters["doc_count"],
-            "sum_ttf": counters["sum_ttf"],
-            "n_terms": counters["n_terms"],
-            "n_postings": counters["n_postings"],
-            "posting_bytes": 0,
-            "min_doc": int(base),
-            "max_doc": int(base + len(pdf) - 1),
-            "wall_sec": time.time() - t0,
-            "resumed": False,
-            "batch_id": int(batch_id),
-        }
-        tmp = f"{seg_dir}/.manifest.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, f"{seg_dir}/manifest.json")  # commit point
+        # distributed range sort on the batch's ingestion key + dense ids
+        # offset past everything already committed (docid.py rule); the
+        # per-partition prefix sum is the only thing the driver sees
+        caches: list = []
+        docs = with_doc_ids(
+            batch_df,
+            ("conv_id", "turn_idx"),
+            num_partitions=segments_per_batch,
+            cache_registry=caches,
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
+        if analyzer == "simple":
+            docs = docs.withColumn("tokens", simple_tokens("text"))
+        else:
+            docs = docs.withColumn("tokens", tokenize_udf(F.col("text")))
+        try:
+            build_segments(
+                docs,
+                index_dir,
+                num_segments=segments_per_batch,
+                already_ranged=True,
+                seg_id_base=seg_base,
+                manifest_extra={"batch_id": int(batch_id)},
+            )
+        finally:
+            for c in caches:
+                c.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

@@ -647,11 +647,16 @@ scored AS (
          round(ln(c.n_docs / (nt.n * 1.0)) + CAST(sum(c.c) AS DOUBLE), 4)
            AS score
   FROM contrib c CROSS JOIN nt GROUP BY c.doc_id, c.label, c.n_docs, nt.n),
+prioronly AS (
+  SELECT d.doc_id, p.label, round(ln(p.n_docs / (nt.n * 1.0)), 4) AS score
+  FROM documents d CROSS JOIN pri p CROSS JOIN nt
+  WHERE d.doc_id < 100 AND d.doc_id NOT IN (SELECT doc_id FROM tf)),
+allscored AS (SELECT * FROM scored UNION ALL SELECT * FROM prioronly),
 best AS (
   SELECT doc_id, label, score,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, label ASC) AS rk
-  FROM scored)
+  FROM allscored)
 SELECT doc_id, label, score FROM best WHERE rk = 1 ORDER BY doc_id""",
 )
 def ml_naive_bayes_lang(spark, sf_dir):

@@ -53,7 +53,10 @@ def classify_naive_bayes(
     tables, model: dict, doc_filter=None
 ) -> DataFrame:
     """(doc_id, label, score) — the argmax class per doc with its
-    rounded log-score; ties broken label asc (deterministic)."""
+    rounded log-score; ties broken label asc (deterministic).
+
+    doc_filter: optional Column predicate over ``doc_id`` only (it is
+    applied to both the postings and the norms doc universe)."""
     postings = tables.postings
     if doc_filter is not None:
         postings = postings.filter(doc_filter)
@@ -90,6 +93,18 @@ def classify_naive_bayes(
             ).alias("score")
         )
     )
+    # SimpleNaiveBayesClassifier still assigns the argmax-prior class to
+    # a document with no indexed terms — docs absent from postings get a
+    # prior-only score row (anti-join against norms, which lists every doc)
+    all_docs = tables.norms.select("doc_id").distinct()
+    if doc_filter is not None:
+        all_docs = all_docs.filter(doc_filter)
+    termless = all_docs.join(
+        postings.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).crossJoin(classes).select(
+        "doc_id", "label", F.round(F.col("log_prior"), 4).alias("score")
+    )
+    scored = scored.unionByName(termless)
     best = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
     )

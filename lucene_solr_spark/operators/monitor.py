@@ -32,6 +32,11 @@ def register_queries(
     term_rows, req_rows = [], []
     for qid, terms, min_match in queries:
         uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            # a term-less monitor query can never match anything — reject
+            # loudly rather than silently registering a dead query
+            # (reference monitor queries parse to MatchNoDocs the same way)
+            raise ValueError(f"monitor query {qid!r} has no terms")
         for t in uniq:
             term_rows.append((qid, t))
         req_rows.append(

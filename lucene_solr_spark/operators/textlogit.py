@@ -78,48 +78,60 @@ def train_text_logit(
         .cache()
     )
     docs = labels.select("doc_id", "label").cache()
-    n = docs.count()
-    w = {t: 0.0 for t in terms}
-    b = 0.0
-    for _ in range(iterations):
-        wdf = F.broadcast(
-            spark.createDataFrame(
-                [(t, w[t]) for t in terms], "term string, w double"
+    try:
+        n = docs.count()
+        if n == 0:
+            raise ValueError(
+                "train_text_logit: labels is empty — need at least one "
+                "labelled document to train"
             )
-        )
-        margins = (
-            x.join(wdf, "term")
-            .groupBy("doc_id")
-            .agg(F.sum("w").alias("dot"))
-        )
-        # err rounded to 12dp then summed as DECIMAL: the gradient is an
-        # order-independent exact sum (same hazard-fix pattern as the
-        # fn_eval_stats moment sums), so training is bit-reproducible
-        # under any partitioning
-        scored = (
-            docs.join(margins, "doc_id", "left")
-            .fillna({"dot": 0.0})
-            .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + b))))
-            .withColumn(
-                "err", F.round(F.col("p") - F.col("label"), 12).cast("decimal(28,12)")
+        w = {t: 0.0 for t in terms}
+        b = 0.0
+        for _ in range(iterations):
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    [(t, w[t]) for t in terms], "term string, w double"
+                )
             )
-        ).persist()
-        grad_rows = (
-            x.join(scored.select("doc_id", "err"), "doc_id")
-            .groupBy("term")
-            .agg(F.sum("err").cast("double").alias("g"))
-            .collect()
-        )
-        grad = {r.term: r.g for r in grad_rows}
-        bias_grad = float(
-            scored.agg(F.sum("err").cast("double")).collect()[0][0]
-        )
-        scored.unpersist()
-        for t in terms:
-            w[t] = round(w[t] - learning_rate * grad.get(t, 0.0) / n, 12)
-        b = round(b - learning_rate * bias_grad / n, 12)
-    x.unpersist()
-    docs.unpersist()
+            margins = (
+                x.join(wdf, "term")
+                .groupBy("doc_id")
+                .agg(F.sum("w").alias("dot"))
+            )
+            # err rounded to 12dp then summed as DECIMAL: the gradient is an
+            # order-independent exact sum (same hazard-fix pattern as the
+            # fn_eval_stats moment sums), so training is bit-reproducible
+            # under any partitioning
+            scored = (
+                docs.join(margins, "doc_id", "left")
+                .fillna({"dot": 0.0})
+                .withColumn(
+                    "p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + b)))
+                )
+                .withColumn(
+                    "err",
+                    F.round(F.col("p") - F.col("label"), 12).cast("decimal(28,12)"),
+                )
+            ).persist()
+            try:
+                grad_rows = (
+                    x.join(scored.select("doc_id", "err"), "doc_id")
+                    .groupBy("term")
+                    .agg(F.sum("err").cast("double").alias("g"))
+                    .collect()
+                )
+                grad = {r.term: r.g for r in grad_rows}
+                bias_grad = float(
+                    scored.agg(F.sum("err").cast("double")).collect()[0][0]
+                )
+            finally:
+                scored.unpersist()
+            for t in terms:
+                w[t] = round(w[t] - learning_rate * grad.get(t, 0.0) / n, 12)
+            b = round(b - learning_rate * bias_grad / n, 12)
+    finally:
+        x.unpersist()
+        docs.unpersist()
     return {"weights": w, "bias": b, "terms": terms}
 
 

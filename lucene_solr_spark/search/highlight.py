@@ -52,7 +52,14 @@ def best_fragment(
     start = F.greatest(F.lit(1), pos - F.lit(lead))
     frag = F.lower(text_col.substr(start, F.lit(frag_size)))
     pattern = "(" + "|".join(re.escape(t.lower()) for t in terms) + ")"
-    marked = F.regexp_replace(frag, pattern, pre + "$1" + post)
+    # pre/post land in a Java regex REPLACEMENT string — quote \ and $
+    # (Matcher.quoteReplacement) so markup like "$x" or "\em" survives
+    def _quote_repl(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("$", "\\$")
+
+    marked = F.regexp_replace(
+        frag, pattern, _quote_repl(pre) + "$1" + _quote_repl(post)
+    )
     return F.when(pos > 0, marked)
 
 

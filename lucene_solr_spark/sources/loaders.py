@@ -15,9 +15,8 @@ the wire format.
 Scale notes: JSONL and CSV are splittable when uncompressed (Spark
 assigns intra-file splits), so a 100 TB drop-zone ingests with full
 parallelism; schema-on-read skips Spark's sampling pass entirely (no
-inference job). XML needs the spark-xml package, which is not baked into
-this container — `read_transcripts_xml` raises NotImplementedError with
-the exact dependency, keeping the plumbing documented without a fake.
+inference job). XML uses Spark 4's native XML data source (rowTag-based,
+SPARK-44265) — parallel across files, one file per update batch.
 """
 
 from __future__ import annotations
@@ -64,16 +63,18 @@ def read_transcripts_json(spark: SparkSession, path: str) -> DataFrame:
 
 def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
     """CSV with header (CSVLoader analog). Explicit schema + explicit
-    timestamp format; empty strings load as NULL to match parquet
-    semantics for the nullable `tool` column. multiLine + RFC-4180
-    quoting so text containing newlines/commas/quotes round-trips
-    (note: multiLine makes a single CSV file non-splittable — at scale
-    prefer many files or JSONL for the drop zone). FAILFAST as above."""
+    timestamp format. NULL is spelled ``\\N`` on the wire (written and
+    read symmetrically), so an empty-string `text` turn round-trips as
+    ``""`` — distinct from NULL — matching parquet/JSONL semantics in
+    every column. multiLine + RFC-4180 quoting so text containing
+    newlines/commas/quotes round-trips (note: multiLine makes a single
+    CSV file non-splittable — at scale prefer many files or JSONL for
+    the drop zone). FAILFAST as above."""
     return _normalize(
         spark.read.schema(TRANSCRIPT_SCHEMA)
         .option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .option("nullValue", "")
+        .option("nullValue", "\\N")
         .option("multiLine", "true")
         .option("escape", '"')
         .option("mode", "FAILFAST")
@@ -82,13 +83,19 @@ def read_transcripts_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_transcripts_xml(spark: SparkSession, path: str) -> DataFrame:
-    """XMLLoader analog. Spark reads XML via the `spark-xml` package
-    (`format("xml")`, rowTag="turn"), which is not installed in this
-    container — fail loudly rather than fake it."""
-    raise NotImplementedError(
-        "XML ingestion needs the spark-xml package: "
-        'spark.read.format("xml").option("rowTag", "turn")'
-        f".schema(TRANSCRIPT_SCHEMA).load({path!r})"
+    """XMLLoader analog (reference solr/core/src/java/org/apache/solr/
+    handler/loader/XMLLoader.java): one <turn> element per document.
+    Spark 4 ships the XML data source natively (SPARK-44265) — pinned
+    schema, explicit timestamp format, FAILFAST, splittable across files
+    (one XML file parses as a unit; at scale the drop zone is many
+    files, one per update batch, exactly like Solr update requests)."""
+    return _normalize(
+        spark.read.format("xml")
+        .option("rowTag", "turn")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("mode", "FAILFAST")
+        .schema(TRANSCRIPT_SCHEMA)
+        .load(path)
     )
 
 
@@ -103,4 +110,15 @@ def write_transcripts_csv(df: DataFrame, path: str) -> None:
         "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     ).write.mode("overwrite").option("header", "true").option(
         "escape", '"'
-    ).csv(path)
+    ).option("nullValue", "\\N").csv(path)
+
+
+def write_transcripts_xml(df: DataFrame, path: str) -> None:
+    """One <turn> element per row under a <transcripts> root (the update
+    handler wire shape). NULL tool columns are omitted elements, which
+    read back as NULL — the same round-trip contract as JSONL."""
+    df.select(*_COLS).withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).write.mode("overwrite").format("xml").option("rowTag", "turn").option(
+        "rootTag", "transcripts"
+    ).save(path)

@@ -17,6 +17,7 @@ from lucene_solr_spark.sources.loaders import (
     read_transcripts_xml,
     write_transcripts_csv,
     write_transcripts_json,
+    write_transcripts_xml,
 )
 from lucene_solr_spark.sources.synth import synth_transcripts
 
@@ -60,9 +61,29 @@ def test_no_inference_pass(spark, corpus):
     ]
 
 
-def test_xml_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError, match="spark-xml"):
-        read_transcripts_xml(spark, "/nonexistent")
+def test_xml_roundtrip(spark, corpus):
+    """XMLLoader analog over Spark 4's native XML data source: one <turn>
+    element per row; per-row invariant holds vs the in-memory corpus."""
+    path = tempfile.mkdtemp(prefix="lss_xml_")
+    write_transcripts_xml(corpus, path)
+    back = read_transcripts_xml(spark, path)
+    assert back.schema == TRANSCRIPT_SCHEMA
+    assert _sorted_rows(back) == _sorted_rows(corpus)
+
+
+def test_xml_roundtrip_hostile_text(spark):
+    """Markup-hostile text (<, >, &, entities) must survive XML escaping."""
+    rows = [
+        ("c0", 0, "user", 'x < y && z > "w" &amp; <turn>fake</turn>', None),
+        ("c0", 1, "assistant", "plain", "search"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    path = tempfile.mkdtemp(prefix="lss_xml_hostile_")
+    write_transcripts_xml(df, path)
+    back = read_transcripts_xml(spark, path)
+    assert _sorted_rows(back) == _sorted_rows(df)
 
 
 def test_csv_roundtrip_hostile_text(spark):
@@ -71,6 +92,9 @@ def test_csv_roundtrip_hostile_text(spark):
     rows = [
         ("c0", 0, "user", 'line one\nline "two", with comma', None),
         ("c0", 1, "assistant", "plain", "search"),
+        # empty-string text must round-trip as "" (not NULL): the
+        # empty-as-null rule is scoped to the `tool` column only
+        ("c0", 2, "tool", "", "calc"),
     ]
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string"

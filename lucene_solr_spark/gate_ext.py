@@ -193,15 +193,34 @@ def fts_multiphrase(spark, sf_dir):
 
 # -------------------------------------------------------- approx distinct
 
-@gate("rel_hll_user_count")  # rows-only: HLL sketches differ per engine
+@gate(
+    "rel_hll_user_count",
+    """SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
 def rel_hll_user_count(spark, sf_dir):
-    """HLLAgg analog: approx_count_distinct per event_type (sketch
-    algorithms differ between engines, so the driver records the weaker
-    rows-only check; the exact-distinct twin is rel_stats_lineitem)."""
+    """HLLAgg analog, bound-checked: the HLL sketch itself differs per
+    engine, so the verifiable contract is |approx - exact| <= 3*rsd —
+    Spark emits the exact distinct count plus a boolean attesting its
+    HLL++ estimate (rsd=0.02) is within that bound; the oracle computes
+    the exact count and asserts the bound held (hll_ok must be TRUE)."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(3 * 0.02) * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
         .orderBy("event_type")
     )
 

@@ -186,14 +186,33 @@ def td_dedup_simhash(spark, sf_dir):
 
 # -------------------------------------------------------- n-gram jaccard
 
-@gate(
-    "td_ngram_jaccard",
-    f"""WITH sh AS ({_shingle_sql('documents', 3)}),
+# Candidates come from the banded-LSH generator (r=1: one band per
+# minhash, P(candidate) = 1-(1-j)^8 ≈ 0.83 at j=0.2), NOT all-pairs —
+# the scale path a 10^12-doc corpus requires; exact 3-gram Jaccard then
+# verifies each candidate.
+
+
+def _ngram_lsh_sql() -> str:
+    n_h = 8  # 8 bands of r=1
+    mh_cols = ",\n  ".join(
+        f"min({h60_seeded_sql(i, 'shingle')}) AS mh{i}" for i in range(n_h)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {h60_sql(f'concat(mh{b})')} AS bucket FROM sig"
+        for b in range(n_h)
+    )
+    return f"""WITH corpus AS ({_CORPUS_NEAR}),
+sh AS ({_shingle_sql('corpus', 3)}),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+small AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+          HAVING count(*) BETWEEN 2 AND 64),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN small USING (band, bucket)
+         JOIN bands b ON b.band = a.band AND b.bucket = a.bucket
+         WHERE a.doc_id < b.doc_id),
 shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-src AS (SELECT doc_id, source FROM documents),
-cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
           FROM cand c
           JOIN shd sa ON sa.doc_id = c.doc_a
@@ -205,19 +224,18 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.2
-ORDER BY doc_a, doc_b""",
-)
+ORDER BY doc_a, doc_b"""
+
+
+@gate("td_ngram_jaccard", _ngram_lsh_sql())
 def td_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard over within-source candidate pairs."""
-    docs = load(spark, sf_dir, "documents")
-    src = docs.select("doc_id", "source")
-    a, b = src.alias("a"), src.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    res = dd.ngram_jaccard_pairs(docs, pairs, shingle_k=3)
+    """Exact 3-gram Jaccard >= 0.2 over banded-LSH candidates (8 bands
+    of r=1) — candidate generation is the bounded bucket join, never an
+    all-pairs product."""
+    corpus = _corpus_near(spark, sf_dir)
+    sigs = dd.minhash_signatures(corpus, n_hashes=8, shingle_k=3)
+    pairs = dd.lsh_candidate_pairs(sigs, n_hashes=8, n_bands=8, max_bucket=64)
+    res = dd.ngram_jaccard_pairs(corpus, pairs, shingle_k=3)
     return res.filter(F.col("jaccard") >= 0.2).orderBy("doc_a", "doc_b")
 
 
@@ -303,13 +321,108 @@ def td_ann_cosine_topk(spark, sf_dir):
     return sim.cosine_topk(emb, list(qv), k=10)
 
 
-@gate("td_ann_lsh_topk")  # rows-only: hyperplanes are engine-side constants
+def _planes_sql(n_planes: int, dim: int = 64) -> str:
+    """CTE body: (p, i, w) — the h60-derived hyperplanes, identical to
+    similarity.h60_plane_matrix (integer weights, i is 1-based)."""
+    return f"""planes AS (
+  SELECT p, i, (({h60_sql("concat('plane', p, ':', i)")}) % 2001) - 1000 AS w
+  FROM (SELECT unnest(range(0, {n_planes})) AS p),
+       (SELECT unnest(range(1, {dim} + 1)) AS i))"""
+
+
+def _buckets_sql(corpus: str) -> str:
+    """CTE bodies (needs ``planes``): per-vector LSH bucket with the
+    same per-term-rounded DECIMAL sign rule as lsh_bucket_col."""
+    return f"""vb AS (SELECT e.vec_id, pl.p,
+       sum(CAST(round(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w, 9)
+                AS DECIMAL(28,9))) AS dot
+     FROM {corpus} e, planes pl GROUP BY e.vec_id, pl.p),
+bkt AS (SELECT vec_id,
+          sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+              ELSE 0 END) AS bucket
+        FROM vb GROUP BY vec_id)"""
+
+
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _ann_index_dir(spark, sf_dir: str, n_planes: int = 6) -> str:
+    """At-rest bucket-partitioned ANN index per sf_dir, built once."""
+    import tempfile
+
+    key = (sf_dir, n_planes)
+    if key not in _ANN_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="lss_annidx_")
+        sim.build_ann_index(
+            load(spark, sf_dir, "embeddings"), d, n_planes=n_planes
+        )
+        _ANN_INDEX_CACHE[key] = d
+    return _ANN_INDEX_CACHE[key]
+
+
+@gate(
+    "td_ann_lsh_topk",
+    f"""WITH {_planes_sql(6)},
+{_buckets_sql('embeddings')},
+qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0),
+cand AS (SELECT b.vec_id FROM bkt b, qb
+         WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+qn AS (SELECT sqrt(sum(CAST(qe[i] AS DOUBLE) ** 2)) AS nrm FROM q, idx),
+s AS (SELECT e.vec_id,
+             sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS nrm
+      FROM embeddings e JOIN cand USING (vec_id), q, idx GROUP BY e.vec_id)
+SELECT s.vec_id, round(s.dot / (s.nrm * qn.nrm), 4) AS score
+FROM s, qn
+ORDER BY score DESC, vec_id ASC LIMIT 10""",
+)
 def td_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-10 (random-hyperplane, multiprobe hamming-1);
-    recall vs brute force is asserted in tests/test_training_ops.py."""
+    """ANN top-10 over the AT-REST bucket-partitioned index: the probe
+    set (query bucket + hamming-1 flips) is resolved driver-side and
+    lands in PartitionFilters — probe I/O is |probes|/2^6 of the corpus,
+    not a full scan (tests/test_training_ops.py asserts the pruning and
+    recall; the oracle recomputes identical h60-derived buckets)."""
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.ann_lsh_topk(emb, list(qv), k=10, n_planes=6)
+    idx_dir = _ann_index_dir(spark, sf_dir, n_planes=6)
+    return sim.ann_index_topk(spark, idx_dir, list(qv), k=10, multiprobe_hamming=1)
+
+
+# ------------------------------------------ embedding near-dup, scale path
+
+@gate(
+    "td_dedup_embedding_lsh",
+    f"""WITH corpus AS ({_EMB_CORPUS}),
+{_planes_sql(4)},
+{_buckets_sql('corpus')},
+cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+norms AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) ** 2)) AS nrm
+          FROM corpus, idx GROUP BY vec_id),
+dots AS (SELECT c.vec_a, c.vec_b,
+                sum(CAST(e.embedding[i] AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE)) AS dot
+         FROM cand c
+         JOIN corpus e ON e.vec_id = c.vec_a
+         JOIN corpus f ON f.vec_id = c.vec_b, idx
+         GROUP BY c.vec_a, c.vec_b)
+SELECT d.vec_a, d.vec_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 4) >= 0.9
+ORDER BY vec_a, vec_b""",
+)
+def td_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via the LSH-bucketed SCALE path: same-bucket
+    self-join bounds the candidate set (vs the exact all-pairs twin
+    td_dedup_embedding_cosine, kept as the small-scale oracle baseline),
+    then exact cosine >= 0.9 verifies each candidate."""
+    res = sim.embedding_near_dup_pairs(
+        _emb_corpus(spark, sf_dir), threshold=0.9, n_planes=4
+    )
+    return res.orderBy("vec_a", "vec_b")
 
 
 # ----------------------------------------------------------- text quality
@@ -403,10 +516,30 @@ def td_fingerprint(spark, sf_dir):
 
 # ------------------------------------------------------------- multimodal
 
-@gate("td_multimodal_features")  # rows-only: binary payload pipeline
+# The synthetic payload is 8 concatenated md5 digests (128 bytes), so
+# DuckDB can rebuild the SAME bytes from the hex string: byte j's high
+# nibble is hex char 2j+1 — feature bin 0 (fraction of bytes with high
+# nibble 0) is reproducible without any blob machinery.
+_MEDIA_HEX = "concat(" + ", ".join(
+    f"md5(concat(CAST(id AS VARCHAR), '#{i}#42'))" for i in range(8)
+) + ")"
+
+@gate(
+    "td_multimodal_features",
+    f"""WITH m AS (SELECT id, {_MEDIA_HEX} AS hx FROM range(0, 300) t(id))
+SELECT id AS media_id,
+  CASE WHEN id % 3 = 0 THEN 'image' WHEN id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(128 AS INTEGER) AS n_bytes,
+  round(len(list_filter(range(0, 128), j -> substr(hx, 2 * j + 1, 1) = '0'))
+        / 128.0, 4) AS f0
+FROM m ORDER BY media_id""",
+)
 def td_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via Arrow mapInPandas (decode
-    stubbed deterministically; schema/batching is the production shape)."""
+    stubbed deterministically; schema/batching is the production shape).
+    The oracle rebuilds the deterministic md5 payload bytes in SQL and
+    recomputes histogram bin 0."""
     media = mm.synth_media(spark, 300)
     feats = mm.extract_features(media)
     return feats.select(

@@ -8,12 +8,17 @@ codegen; no Python per row).
 Scale notes (10^9+ vectors):
 - brute force is a single narrow scan + TakeOrderedAndProject — it
   shuffles only k rows; right answer, linear cost.
-- LSH: each vector is assigned a bucket once at indexing time (a cheap
-  deterministic projection); a query probes its own bucket plus all
-  buckets within hamming distance 1 (multiprobe) and ranks candidates
-  exactly. The bucketed table would be written partitioned by bucket so
-  a probe prunes to n_probe directories — same layout trick as the
-  posting term_bucket partitioning.
+- LSH: each vector is assigned a bucket ONCE at indexing time and the
+  vector table is written partitioned by bucket (build_ann_index) —
+  the same at-rest layout trick as the posting term_bucket
+  partitioning. A query resolves its probe buckets driver-side and
+  reads only those partition directories (ann_index_topk asserts
+  PartitionFilters in tests): probe I/O is |probes|/2^n_planes of the
+  corpus, not a full scan.
+- Hyperplanes are DERIVED from the portable h60 hash (integer weights
+  in [-1000, 1000], h60_plane_matrix) and the bucket sign uses
+  per-term-rounded DECIMAL sums — bit-identical in numpy, Spark and
+  ANSI SQL, so the DuckDB oracle recomputes identical buckets.
 - Lucene analog: none in the reference snapshot (Lucene HNSW landed in
   the same era; Solr's KnnStream is noted in SURVEY §2.4) — this is the
   training-pipeline extension surface.
@@ -21,17 +26,25 @@ Scale notes (10^9+ vectors):
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .hashing import h60_py
 
 __all__ = [
     "cosine_sim_col",
     "cosine_topk",
-    "lsh_plane_matrix",
+    "h60_plane_matrix",
     "lsh_bucket_col",
+    "lsh_bucket_py",
+    "probe_buckets",
+    "build_ann_index",
+    "ann_index_topk",
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
 ]
@@ -80,40 +93,73 @@ def cosine_topk(
     )
 
 
-def lsh_plane_matrix(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
-    """Deterministic random hyperplanes (n_planes x dim, float64)."""
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+def h60_plane_matrix(dim: int, n_planes: int = 8) -> np.ndarray:
+    """Deterministic hyperplanes with integer weights in [-1000, 1000],
+    derived from the portable h60 hash: w[p][i] = (h60('plane{p}:{i+1}')
+    mod 2001) - 1000 (i is 1-based in the domain string to match SQL's
+    1-based array indexing). Sign-random-projection needs only a
+    symmetric weight distribution, and integer weights make the bucket
+    sign exactly reproducible in ANSI SQL."""
+    return np.array(
+        [
+            [(h60_py(f"plane{p}:{i + 1}") % 2001) - 1000 for i in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _dot_exact(a: Column, plane: np.ndarray) -> Column:
+    """Σ_i round(a_i * w_i, 9) as DECIMAL — order-independent, identical
+    in Spark / DuckDB / numpy (used only for the bucket SIGN, where a
+    float-associativity flip at the boundary would diverge engines)."""
+    p = F.array(*[F.lit(float(v)) for v in plane])
+    zero = F.lit(0).cast("decimal(28,9)")
+    return F.aggregate(
+        F.zip_with(
+            a, p, lambda x, y: F.round(x.cast("double") * y, 9).cast("decimal(28,9)")
+        ),
+        zero,
+        # re-cast: decimal add widens to (29,9) per step; values are
+        # bounded by dim*1000 so (28,9) never overflows
+        lambda acc, x: (acc + x).cast("decimal(28,9)"),
+    )
 
 
 def lsh_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    """Sign-bit bucket id of a vector under the given hyperplanes
+    (exact DECIMAL dot — cross-engine-reproducible)."""
     bucket = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bucket = bucket + F.when(_dot(vec_col, p) > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bucket = bucket + F.when(
+            _dot_exact(vec_col, plane) > 0, F.lit(2 ** b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
-def ann_lsh_topk(
-    emb: DataFrame,
-    query: Sequence[float],
-    k: int = 10,
-    n_planes: int = 12,
-    seed: int = 42,
-    multiprobe_hamming: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_to: int = 4,
-) -> DataFrame:
-    """Approximate cosine top-k: probe the query's LSH bucket (+ all
-    buckets within ``multiprobe_hamming`` bit flips), rank candidates by
-    exact cosine. Recall/cost tradeoff via n_planes and multiprobe."""
-    planes = lsh_plane_matrix(len(query), n_planes, seed)
-    qv = np.asarray(query, dtype=np.float64)
-    q_bucket = int(sum((1 << b) for b in range(n_planes) if planes[b] @ qv > 0))
+def lsh_bucket_py(vec: Sequence[float], planes: np.ndarray) -> int:
+    """Driver-side replica of lsh_bucket_col for a single vector. Uses
+    exact Decimal HALF_UP at 9dp — bit-identical to Spark's ROUND
+    (BigDecimal HALF_UP over the exact binary double), so the query's
+    bucket matches the bucket Spark/SQL assigns to the same vector."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1E-9")
+    v = np.asarray(vec, dtype=np.float64)
+    bucket = 0
+    for b in range(planes.shape[0]):
+        prods = v * planes[b]
+        total = sum(
+            Decimal(float(x)).quantize(q9, rounding=ROUND_HALF_UP) for x in prods
+        )
+        if total > 0:
+            bucket |= 1 << b
+    return bucket
+
+
+def probe_buckets(q_bucket: int, n_planes: int, multiprobe_hamming: int = 1) -> list:
+    """The query bucket plus every bucket within hamming distance
+    ``multiprobe_hamming`` bit flips."""
     probes = {q_bucket}
     if multiprobe_hamming >= 1:
         probes |= {q_bucket ^ (1 << b) for b in range(n_planes)}
@@ -123,8 +169,90 @@ def ann_lsh_topk(
             for b1 in range(n_planes)
             for b2 in range(b1 + 1, n_planes)
         }
+    return sorted(probes)
+
+
+def build_ann_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """At-rest ANN index: the vector table written ONCE partitioned by
+    LSH bucket (the term_bucket layout trick applied to embeddings), so
+    a probe is a partition-pruned read of |probes| directories instead
+    of a full scan. planes metadata committed last via tmp+rename."""
+    dim = emb.select(F.size(vec_col)).first()[0]
+    planes = h60_plane_matrix(dim, n_planes)
+    (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/vectors")
+    )
+    tmp = f"{index_dir}/.meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_planes": n_planes, "dim": dim}, f)
+    os.replace(tmp, f"{index_dir}/meta.json")  # commit point
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: Sequence[float],
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe the at-rest index: the probe set is resolved driver-side
+    (numpy bucket of the query — no Spark job), and the bucket filter
+    lands in PartitionFilters, pruning unread directories."""
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    planes = h60_plane_matrix(meta["dim"], meta["n_planes"])
+    probes = probe_buckets(
+        lsh_bucket_py(query, planes), meta["n_planes"], multiprobe_hamming
+    )
+    cand = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("bucket").isin(probes)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_sim_col(F.col("embedding"), query), round_to).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 12,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Index-free variant of ann_index_topk (bucket computed in the
+    scan): same candidates and ranking, for when no at-rest index
+    exists. At scale prefer build_ann_index + ann_index_topk, which
+    prunes I/O instead of scanning every vector."""
+    planes = h60_plane_matrix(len(query), n_planes)
+    probes = probe_buckets(
+        lsh_bucket_py(query, planes), n_planes, multiprobe_hamming
+    )
     cand = emb.withColumn("bucket", lsh_bucket_col(F.col(vec_col), planes)).filter(
-        F.col("bucket").isin(sorted(probes))
+        F.col("bucket").isin(probes)
     )
     return (
         cand.select(
@@ -140,7 +268,6 @@ def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
@@ -148,9 +275,7 @@ def embedding_near_dup_pairs(
     """(vec_a, vec_b, cosine) pairs with cosine >= threshold, found via
     LSH self-join (same-bucket candidates only) + exact verification.
     With multiprobe-0 banding this trades recall for a bounded join."""
-    planes = lsh_plane_matrix(
-        emb.select(F.size(vec_col)).first()[0], n_planes, seed
-    )
+    planes = h60_plane_matrix(emb.select(F.size(vec_col)).first()[0], n_planes)
     b = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

@@ -168,3 +168,45 @@ def test_multimodal_frame_sample(spark):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x00" * 16)
+
+
+def test_ann_at_rest_index_prunes_and_matches(spark, emb, tmp_path):
+    """The at-rest bucket-partitioned index must (a) answer identically
+    to the index-free scan variant, and (b) read only the probed bucket
+    directories — PartitionFilters non-empty, i.e. probe I/O is pruned
+    at the source, which is the whole point at 10^9 vectors."""
+    from lucene_solr_spark.plans.explain import partition_filters
+
+    idx = str(tmp_path / "annidx")
+    sim.build_ann_index(emb, idx, n_planes=6)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+
+    via_index = sim.ann_index_topk(spark, idx, list(q), k=10, multiprobe_hamming=1)
+    via_scan = sim.ann_lsh_topk(
+        emb, list(q), k=10, n_planes=6, multiprobe_hamming=1
+    )
+    assert [tuple(r) for r in via_index.collect()] == [
+        tuple(r) for r in via_scan.collect()
+    ]
+    pf = partition_filters(via_index)
+    assert pf and any("bucket" in f for f in pf), pf
+
+
+def test_ann_at_rest_index_recall(spark, emb, tmp_path):
+    """Near-dup queries against the at-rest index: the planted neighbor
+    (cosine ~0.93) must surface in the probed top-10 for most queries."""
+    idx = str(tmp_path / "annidx2")
+    corpus = _with_near_dups(emb)
+    sim.build_ann_index(corpus, idx, n_planes=6)
+    hits = 0
+    for qid in (0, 17, 34, 51, 68):
+        q = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        got = [
+            r["vec_id"]
+            for r in sim.ann_index_topk(
+                spark, idx, list(q), k=10, multiprobe_hamming=2
+            ).collect()
+        ]
+        if qid + 100000 in got:
+            hits += 1
+    assert hits >= 4, hits

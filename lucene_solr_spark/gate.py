@@ -175,6 +175,33 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def bm25_scored_cte(terms) -> str:
+    """WITH-body prefix ending in ``scored(doc_id, term, term_score)`` —
+    the per-(doc, term) BM25 table the full-grammar parsed-query oracles
+    compose clauses over (mirrors executor._execute_general's single
+    scoring table)."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    return f"""toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ({tl}) GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.freq / (tf.freq
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+           AS term_score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)"""
+
+
 def _bm25_spark(
     spark,
     sf_dir,

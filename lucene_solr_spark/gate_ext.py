@@ -7,8 +7,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .gate import (_NORM_VALUES, _TOKS, bm25_sql, _bm25_spark, doc_tokens,
-                   docs_index, gate, load)
+from .gate import (_NORM_VALUES, _TOKS, bm25_scored_cte, bm25_sql,
+                   _bm25_spark, doc_tokens, docs_index, gate, load)
 
 
 # ----------------------------------------------------- mutations (upsert)
@@ -248,6 +248,67 @@ def fts_parsed_query(spark, sf_dir):
     p = _parsed_spec()
     return _bm25_spark(
         spark, sf_dir, p.terms, p.mode, 10, exclude=p.exclude
+    )
+
+
+def _run_parsed(spark, sf_dir, q: str, k: int = 10):
+    """End-to-end parse → _execute_general over the docs index, with the
+    documents table as the stored-field source for filters."""
+    from .search.executor import execute_parsed
+
+    tables = docs_index(spark, sf_dir)
+    stored = load(spark, sf_dir, "documents")
+    res = execute_parsed(q, tables, k=None, precision="double", stored=stored)
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+@gate(
+    "fts_parsed_mixed",
+    f"""WITH {bm25_scored_cte(["spark", "merge", "window"])},
+req AS (SELECT doc_id, sum(term_score) AS s FROM scored
+        WHERE term = 'spark' GROUP BY doc_id),
+opt AS (SELECT doc_id, sum(term_score) AS s FROM scored
+        WHERE term IN ('merge','window') GROUP BY doc_id)
+SELECT r.doc_id, round(r.s + coalesce(o.s, 0), 4) AS score
+FROM req r LEFT JOIN opt o USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_parsed_mixed(spark, sf_dir):
+    """Mixed MUST + optional SHOULD ('+spark merge window'): required
+    term gates the match set, optional terms add score when present —
+    ReqOptSumScorer (reference search/Boolean2ScorerSupplier.java:
+    168-174, ReqOptSumScorer.java)."""
+    return _run_parsed(spark, sf_dir, "+spark merge window")
+
+
+@gate(
+    "fts_parsed_group_range",
+    f"""WITH {bm25_scored_cte(["spark", "merge", "window"])},
+req AS (SELECT doc_id, sum(term_score) AS s,
+               count(DISTINCT CASE WHEN term = 'spark' THEN term END) AS n_must,
+               count(DISTINCT CASE WHEN term IN ('window','merge') THEN 1 END)
+                 AS n_grp
+        FROM scored GROUP BY doc_id)
+SELECT r.doc_id, round(r.s, 4) AS score
+FROM req r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.n_must = 1 AND r.n_grp = 1
+  AND d.lang = 'en' AND d.doc_id BETWEEN 100 AND 4999
+ORDER BY score DESC, r.doc_id ASC LIMIT 10""",
+)
+def fts_parsed_group_range(spark, sf_dir):
+    """Full-grammar query '(window OR merge) AND spark lang:en
+    doc_id:[100 TO 4999]': required disjunction group (>=1 of
+    window/merge must match, all matching members contribute score —
+    BooleanQuery-inside-MUST), required term, constant-score field
+    filter, and an inclusive range filter (PointRangeQuery /
+    IndexOrDocValuesQuery analog; reference queryparser/.../classic/
+    QueryParser.jj:195-226 range production)."""
+    return _run_parsed(
+        spark, sf_dir, "(window OR merge) AND spark lang:en doc_id:[100 TO 4999]"
     )
 
 

@@ -14,6 +14,16 @@ search/Boolean2ScorerSupplier.java:106-174):
   ReqOptSumScorer (reference search/ReqOptSumScorer.java); conjunctive
   term clauses intersect (ConjunctionScorer),
 - total score = Σ clause scores, ordered (score desc, doc_id asc).
+
+Queries using the full grammar — mixed MUST+SHOULD, required
+disjunction groups ``(a b) AND c``, field filters ``lang:en``, range
+filters ``doc_id:[100 TO 4999]`` — run through the general path
+(_execute_general): ONE per-(doc, term) score table feeds every clause,
+required clauses gate matching via per-clause countDistinct, optional
+clauses left-join their score in (ReqOptSumScorer), filters semi/
+anti-join against the stored fields (the IndexOrDocValuesQuery / Solr
+fq analog — constant-score, no contribution). Everything is one
+aggregation over one scan — no per-clause rescan.
 """
 
 from __future__ import annotations
@@ -21,9 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import bm25
 from .bruteforce import search_bruteforce
 from .phrase import search_phrase
 from .queryparser import ParsedQuery, parse_query
+from .scoring import score_components
 
 __all__ = ["execute_parsed"]
 
@@ -35,12 +47,15 @@ def execute_parsed(
     k: int | None = 10,
     precision: str = "float32",
     analyzer=None,
+    stored: DataFrame | None = None,
 ) -> DataFrame:
     """Run a classic query string end-to-end.
 
     tables: flat IndexTables (term scoring + must_not).
     pos_index: positional SegmentedIndex — required iff the query has
     phrase clauses.
+    stored: (doc_id, <metadata fields…>) — required iff the query has
+    field/range filters on non-text fields.
     Returns DataFrame(doc_id long, score float|double) ordered by
     (score desc, doc_id asc), limited to k (k=None: all matches).
     """
@@ -52,6 +67,10 @@ def execute_parsed(
         return empty
     if p.phrases and pos_index is None:
         raise ValueError("query has phrase clauses but no pos_index given")
+    if not p.is_simple():
+        return _execute_general(
+            p, tables, pos_index, k, precision, stored, empty
+        )
     if not p.phrases and not p.terms:
         return empty
 
@@ -109,3 +128,158 @@ def execute_parsed(
         "doc_id", F.col("score").cast(score_type).alias("score")
     ).orderBy(F.desc("score"), F.asc("doc_id"))
     return combined.limit(k) if k is not None else combined
+
+
+def _filter_docs(stored: DataFrame, spec) -> DataFrame:
+    """(doc_id) matching one filter spec over the stored fields."""
+    if spec[0] == "eq":
+        _, fld, val = spec
+        cond = F.col(fld).cast("string") == str(val)
+    else:
+        _, fld, lo, hi, lo_incl, hi_incl = spec
+        numeric = all(isinstance(x, float) or x is None for x in (lo, hi))
+        col = F.col(fld).cast("double") if numeric else F.col(fld).cast("string")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (col >= lo if lo_incl else col > lo)
+        if hi is not None:
+            cond = cond & (col <= hi if hi_incl else col < hi)
+    return stored.filter(cond).select("doc_id")
+
+
+def _execute_general(
+    p: ParsedQuery,
+    tables,
+    pos_index,
+    k: int | None,
+    precision: str,
+    stored: DataFrame | None,
+    empty: DataFrame,
+) -> DataFrame:
+    """Full-grammar execution: must + required-disjunction groups +
+    optional should + phrases + field/range filters + must_not, over a
+    single per-(doc, term) score table (one scan, one aggregation)."""
+    spark = tables.postings.sparkSession
+    score_type = "double" if precision == "double" else "float"
+    if (p.filters or p.neg_filters) and stored is None:
+        raise ValueError("query has field/range filters but no stored given")
+
+    group_terms = [(t, b, gi) for gi, g in enumerate(p.groups) for t, b in g]
+    boosts = {t: b for t, b in p.must + p.should} | {
+        t: b for t, b, _ in group_terms
+    }
+    all_terms = list(boosts)
+    scoring = None
+    if all_terms:
+        weights_df, cache_df, n_present = score_components(
+            spark, tables, all_terms, boosts, bm25.K1, bm25.B, precision
+        )
+        present = {r["term"] for r in weights_df.select("term").collect()}
+        # a MUST term absent from the index can never match; a group with
+        # no present member likewise (BooleanWeight: empty scorer → null)
+        if any(t not in present for t, _ in p.must):
+            return empty
+        if any(all(t not in present for t, _ in g) for g in p.groups):
+            return empty
+        tf = F.col("freq").cast("double") / (
+            F.col("freq").cast("double") + F.col("norm_val").cast("double")
+        )
+        if precision != "double":
+            tf = tf.cast("float")
+        scoring = (
+            tables.postings.join(F.broadcast(weights_df), "term")
+            .join(tables.norms.select("doc_id", "norm_byte"), "doc_id")
+            .join(F.broadcast(cache_df), "norm_byte")
+            .select("doc_id", "term", (F.col("weight") * tf).alias("term_score"))
+        )
+
+    must_terms = {t for t, _ in p.must}
+    gid_by_term = {}
+    for t, _, gi in group_terms:
+        gid_by_term.setdefault(t, gi)
+    req_terms = must_terms | set(gid_by_term)
+    opt_terms = {t for t, _ in p.should} - req_terms
+
+    base = None  # (doc_id, score double)
+    if req_terms:
+        gid_expr = F.lit(None).cast("int")
+        for t, gi in gid_by_term.items():
+            gid_expr = F.when(F.col("term") == t, F.lit(gi)).otherwise(gid_expr)
+        n_must_expr = (
+            F.count_distinct(
+                F.when(F.col("term").isin(sorted(must_terms)), F.col("term"))
+            )
+            if must_terms
+            else F.max(F.lit(0))
+        )
+        req = (
+            scoring.filter(F.col("term").isin(sorted(req_terms)))
+            .withColumn("gid", gid_expr)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("term_score").cast("double")).alias("score"),
+                n_must_expr.alias("n_must"),
+                F.count_distinct("gid").alias("n_groups"),
+            )
+            .filter(
+                (F.col("n_must") == len(p.must))
+                & (F.col("n_groups") == len(p.groups))
+            )
+        )
+        base = req.select("doc_id", "score")
+
+    for words, slop in p.phrases:
+        ph = search_phrase(
+            pos_index, words, slop=slop, k=None, precision=precision
+        ).select("doc_id", F.col("score").cast("double").alias("ph_score"))
+        if base is None:
+            base = ph.select("doc_id", F.col("ph_score").alias("score"))
+        else:
+            base = base.join(ph, "doc_id").select(
+                "doc_id", (F.col("score") + F.col("ph_score")).alias("score")
+            )
+
+    opt = None
+    if opt_terms and scoring is not None:
+        opt = (
+            scoring.filter(F.col("term").isin(sorted(opt_terms)))
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("term_score").cast("double")).alias("opt_score"))
+        )
+    if base is None:
+        if opt is not None:
+            # no required scoring clause: optional terms define the match set
+            base = opt.select("doc_id", F.col("opt_score").alias("score"))
+        elif p.filters:
+            # pure-filter query: ConstantScoreQuery semantics, score 1.0
+            base = (
+                stored.select("doc_id")
+                .distinct()
+                .withColumn("score", F.lit(1.0).cast("double"))
+            )
+        else:
+            return empty
+    elif opt is not None:  # ReqOptSumScorer
+        base = base.join(opt, "doc_id", "left").select(
+            "doc_id",
+            (F.col("score") + F.coalesce(F.col("opt_score"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+
+    for spec in p.filters:
+        base = base.join(F.broadcast(_filter_docs(stored, spec)), "doc_id", "semi")
+    for spec in p.neg_filters:
+        base = base.join(
+            F.broadcast(_filter_docs(stored, spec)), "doc_id", "anti"
+        )
+    if p.exclude:
+        excl = tables.postings.filter(
+            tables.postings.term.isin(list(p.exclude))
+        ).select("doc_id").distinct()
+        base = base.join(excl, "doc_id", "left_anti")
+
+    out = base.select(
+        "doc_id", F.col("score").cast(score_type).alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out

@@ -1,22 +1,41 @@
 """Classic query-string parser (sugar over the structured query spec).
 
-A deliberately small subset of Lucene's classic QueryParser grammar
+Covers the productive core of Lucene's classic QueryParser grammar
 (reference: queryparser/.../classic/QueryParser.jj:66-67,195-226 —
-Query ::= (Clause)*; Clause ::= ["+","-"] (TERM | ...)):
+Query ::= (Clause)*; Clause ::= ["+","-"] (TERM | "(" Query ")" ...)):
 
-- bare terms            → SHOULD
-- ``+term``             → MUST
-- ``-term`` / ``NOT t`` → MUST_NOT
-- ``a AND b``           → both become MUST
-- ``OR``                → connector noise (SHOULD is the default)
-- ``"a b"``             → phrase (returned as a phrase spec)
-- ``"a b"~2``           → sloppy phrase (slop=2)
-- ``term^2.5``          → boost (applied to that term)
+- bare terms              → SHOULD
+- ``+term``               → MUST
+- ``-term`` / ``NOT t``   → MUST_NOT
+- ``a AND b``             → both become MUST
+- ``OR``                  → connector noise (SHOULD is the default)
+- ``"a b"`` / ``"a b"~2`` → (sloppy) phrase, REQUIRED
+- ``term^2.5``            → boost
+- ``(a b)`` as MUST       → a REQUIRED DISJUNCTION group (>=1 must match,
+                            matching members all contribute score — the
+                            BooleanQuery-inside-MUST shape,
+                            Boolean2ScorerSupplier.java:106-174)
+- ``field:term``          → term clause when field is the default text
+                            field; otherwise a CONSTANT-SCORE metadata
+                            filter on the stored field (the Solr fq /
+                            IndexOrDocValuesQuery analog)
+- ``field:[a TO b]``      → range filter, inclusive ([..]) or exclusive
+                            ({..}) per end; ``*`` = unbounded
+                            (PointRangeQuery / TermRangeQuery analog)
+- mixed ``+a b``          → MUST a, b an optional score contribution
+                            (ReqOptSumScorer, Boolean2ScorerSupplier
+                            .java:168-174)
 
 The output is the engine's structured spec; BooleanQuery-style
 normalization (empty → match-none, duplicate dedup — reference
 search/BooleanQuery.java:220-298) happens here in plain Python since
 query specs are tiny.
+
+Deliberately out of scope (raise ValueError, documented): groups in
+SHOULD/MUST_NOT position that are not pure disjunctions, and nested
+parentheses beyond one level of boolean structure per group — the
+engine's executor flattens to (must, groups, should, must_not, phrases,
+filters), which covers every reference test query this repo mirrors.
 """
 
 from __future__ import annotations
@@ -24,9 +43,24 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-__all__ = ["ParsedQuery", "parse_query"]
+__all__ = ["ParsedQuery", "parse_query", "DEFAULT_FIELD"]
 
-_TOKEN = re.compile(r'"[^"]*"(?:~\d+)?|\S+')
+DEFAULT_FIELD = "text"
+
+_TOKEN = re.compile(
+    r"""\(|\)                                  # parens
+      | [+-]?[A-Za-z_][\w.]*:\[[^\]]*\]        # field:[a TO b]
+      | [+-]?[A-Za-z_][\w.]*:\{[^}]*\}         # field:{a TO b}
+      | [+-]?"[^"]*"(?:~\d+)?                  # phrase (opt. +/- prefix)
+      | [^\s()]+                               # term / field:term / ops
+    """,
+    re.VERBOSE,
+)
+
+_RANGE = re.compile(
+    r"^([A-Za-z_][\w.]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE
+)
+_FIELD_TERM = re.compile(r"^([A-Za-z_][\w.]*):(.+)$", re.DOTALL)
 
 
 @dataclass
@@ -35,6 +69,11 @@ class ParsedQuery:
     should: list = field(default_factory=list)     # [(term, boost)]
     must_not: list = field(default_factory=list)   # [term]
     phrases: list = field(default_factory=list)    # [([term, ...], slop)]
+    groups: list = field(default_factory=list)     # [[(term, boost)], ...] MUST-disjunctions
+    filters: list = field(default_factory=list)    # [spec, ...] required
+    neg_filters: list = field(default_factory=list)  # [spec, ...] prohibited
+    # filter spec: ("eq", field, value) |
+    #              ("range", field, lo, hi, lo_incl, hi_incl)  (None = open)
 
     @property
     def mode(self) -> str:
@@ -53,27 +92,114 @@ class ParsedQuery:
         (BooleanQuery.java:296 normalization)."""
         return bool(set(t for t, _ in self.must) & set(self.must_not))
 
+    def is_simple(self) -> bool:
+        """True when the legacy conj/disj executor path suffices."""
+        return not (
+            self.groups
+            or self.filters
+            or self.neg_filters
+            or (self.must and self.should)
+        )
+
 
 def _analyze(term: str, analyzer) -> list:
     return analyzer(term) if analyzer else [term.lower()]
 
 
-def parse_query(q: str, analyzer=None) -> ParsedQuery:
-    """Parse a classic query string into a ParsedQuery spec.
+def _range_bound(raw: str):
+    if raw == "*":
+        return None
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
 
-    ``analyzer``: optional callable(str) -> [token]; defaults to
-    lowercasing (terms are assumed pre-tokenized words).
-    """
+
+def _add_term(out: ParsedQuery, occur: str, tok: str, boost: float) -> None:
+    if occur == "must":
+        if tok not in [t for t, _ in out.must]:
+            out.must.append((tok, boost))
+    elif occur == "must_not":
+        if tok not in out.must_not:  # dedup (clauseSets analog)
+            out.must_not.append(tok)
+    else:
+        if tok not in [t for t, _ in out.should]:
+            out.should.append((tok, boost))
+
+
+def _merge_group(out: ParsedQuery, sub: ParsedQuery, occur: str) -> None:
+    """Flatten a parenthesized sub-query into the parent under its
+    occur. MUST groups keep full structure (a pure-SHOULD group becomes
+    a required disjunction; inner MUST terms become top-level MUST —
+    conjunction distributes); SHOULD / MUST_NOT groups must be pure
+    disjunctions."""
+    pure_disj = not (
+        sub.must or sub.groups or sub.must_not or sub.phrases
+        or sub.filters or sub.neg_filters
+    )
+    if occur == "must":
+        out.must.extend(x for x in sub.must if x not in out.must)
+        out.groups.extend(sub.groups)
+        if sub.should:
+            if sub.must or sub.groups:
+                # mixed inside a required group: inner optionals stay
+                # optional (ReqOptSum distributes over the conjunction)
+                for t, b in sub.should:
+                    _add_term(out, "should", t, b)
+            else:
+                out.groups.append(list(sub.should))
+        out.must_not.extend(t for t in sub.must_not if t not in out.must_not)
+        out.phrases.extend(sub.phrases)
+        out.filters.extend(sub.filters)
+        out.neg_filters.extend(sub.neg_filters)
+    elif occur == "must_not":
+        if not pure_disj:
+            raise ValueError(
+                "unsupported query: a prohibited group must be a pure "
+                "disjunction of terms, e.g. -(a b)"
+            )
+        out.must_not.extend(
+            t for t, _ in sub.should if t not in out.must_not
+        )
+    else:  # should
+        if not pure_disj:
+            raise ValueError(
+                "unsupported query: an optional group must be a pure "
+                "disjunction of terms, e.g. (a b c)"
+            )
+        for t, b in sub.should:
+            _add_term(out, "should", t, b)
+
+
+def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
+    """Parse tokens[i:] until ')' (depth>0) or end. → (ParsedQuery, next_i)."""
     out = ParsedQuery()
     pending_must = False  # set by a preceding AND
     pending_not = False   # set by a preceding NOT
-    tokens = _TOKEN.findall(q or "")
-    for i, raw in enumerate(tokens):
+    pending_occur = None  # set by a detached +/- (e.g. "+ (a b)")
+    last_unit = None      # "term" | ("group", n_should_terms) — for AND promotion
+
+    def promote_last():
+        # a AND b: 'a' was appended as SHOULD — promote it to MUST.
+        # (a b) AND c: the whole group becomes a REQUIRED disjunction.
+        if last_unit == "term" and out.should:
+            out.must.append(out.should.pop())
+        elif isinstance(last_unit, tuple) and last_unit[0] == "group":
+            n = last_unit[1]
+            if n and len(out.should) >= n:
+                out.groups.append(out.should[-n:])
+                del out.should[-n:]
+
+    while i < len(tokens):
+        raw = tokens[i]
+        i += 1
         up = raw.upper()
+        if raw == ")":
+            if depth == 0:
+                raise ValueError("unbalanced ')' in query string")
+            return out, i
         if up in ("AND", "&&"):
-            # promote previous should-clause to MUST
-            if out.should:
-                out.must.append(out.should.pop())
+            promote_last()
             pending_must = True
             continue
         if up in ("OR", "||"):
@@ -88,6 +214,13 @@ def parse_query(q: str, analyzer=None) -> ParsedQuery:
             occur, raw = "must", raw[1:]
         elif raw.startswith("-"):
             occur, raw = "must_not", raw[1:]
+        if not raw and occur != "should":
+            # detached prefix ("+ (a b)" or the tokenizer splitting
+            # "+(" into "+" "(") — applies to the NEXT clause
+            pending_occur = occur
+            continue
+        if pending_occur is not None:
+            occur, pending_occur = pending_occur, None
         if pending_not:
             occur = "must_not"
             pending_not = False
@@ -95,7 +228,32 @@ def parse_query(q: str, analyzer=None) -> ParsedQuery:
             occur = "must"
             pending_must = False
 
+        if raw == "(":
+            sub, i = _parse(tokens, i, analyzer, depth + 1)
+            n_before = len(out.should)
+            _merge_group(out, sub, occur)
+            last_unit = (
+                ("group", len(out.should) - n_before)
+                if occur == "should"
+                else "term"
+            )
+            continue
+
         boost = 1.0
+        rm = _RANGE.match(raw)
+        if rm:
+            fieldname, lob, lo, hi, hib = rm.groups()
+            spec = (
+                "range",
+                fieldname,
+                _range_bound(lo),
+                _range_bound(hi),
+                lob == "[",
+                hib == "]",
+            )
+            (out.neg_filters if occur == "must_not" else out.filters).append(spec)
+            continue
+
         m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", raw)
         if m:
             raw, boost = m.group(1), float(m.group(2))
@@ -108,16 +266,31 @@ def parse_query(q: str, analyzer=None) -> ParsedQuery:
             if words:
                 out.phrases.append((words, int(pm.group(2) or 0)))
             continue
+
+        fm = _FIELD_TERM.match(raw)
+        if fm and fm.group(1) != DEFAULT_FIELD:
+            spec = ("eq", fm.group(1), fm.group(2))
+            (out.neg_filters if occur == "must_not" else out.filters).append(spec)
+            continue
+        if fm:  # text:term — the default field, a normal term clause
+            raw = fm.group(2)
+
         if not raw:
             continue
         for tok in _analyze(raw, analyzer):
-            if occur == "must":
-                if tok not in [t for t, _ in out.must]:
-                    out.must.append((tok, boost))
-            elif occur == "must_not":
-                if tok not in out.must_not:  # dedup (clauseSets analog)
-                    out.must_not.append(tok)
-            else:
-                if tok not in [t for t, _ in out.should]:
-                    out.should.append((tok, boost))
+            _add_term(out, occur, tok, boost)
+        last_unit = "term"
+    if depth > 0:
+        raise ValueError("unbalanced '(' in query string")
+    return out, i
+
+
+def parse_query(q: str, analyzer=None) -> ParsedQuery:
+    """Parse a classic query string into a ParsedQuery spec.
+
+    ``analyzer``: optional callable(str) -> [token]; defaults to
+    lowercasing (terms are assumed pre-tokenized words).
+    """
+    tokens = _TOKEN.findall(q or "")
+    out, _ = _parse(tokens, 0, analyzer, 0)
     return out

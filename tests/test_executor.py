@@ -133,3 +133,103 @@ def test_terms_only_matches_bruteforce(spark, tiny_index):
 def test_phrase_without_pos_index_raises(tiny_index):
     with pytest.raises(ValueError):
         execute_parsed('"a b"', tiny_index, None)
+
+
+# ------------------------------------------------- full-grammar execution
+
+def _score_map(df):
+    return {r["doc_id"]: r["score"] for r in df.collect()}
+
+
+def test_mixed_must_should_is_req_opt_sum(spark, tiny_index):
+    """'+a b' == ReqOptSumScorer: match set = docs matching a; score =
+    score(a) + score(b) where b matches, else score(a) alone."""
+    req = _score_map(search_bruteforce(tiny_index, ["data"], k=None))
+    opt = _score_map(search_bruteforce(tiny_index, ["the"], k=None))
+    got = _score_map(execute_parsed("+data the", tiny_index, k=None))
+    assert set(got) == set(req)
+    for d, s in got.items():
+        assert s == pytest.approx(req[d] + opt.get(d, 0.0), abs=1e-6)
+
+
+def test_required_group_gates_and_sums(spark, tiny_index):
+    """'(a OR b) AND c': docs must match c and >=1 of {a,b}; all
+    matching group members contribute score (BooleanQuery-inside-MUST)."""
+    a = _score_map(search_bruteforce(tiny_index, ["data"], k=None))
+    b = _score_map(search_bruteforce(tiny_index, ["query"], k=None))
+    c = _score_map(search_bruteforce(tiny_index, ["the"], k=None))
+    got = _score_map(
+        execute_parsed("(data OR query) AND the", tiny_index, k=None)
+    )
+    expect = {
+        d: c[d] + a.get(d, 0.0) + b.get(d, 0.0)
+        for d in c
+        if d in a or d in b
+    }
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d] == pytest.approx(expect[d], abs=1e-6)
+
+
+def test_field_and_range_filters_constant_score(spark, tiny_index):
+    """Metadata filters gate matching without touching the score."""
+    base = _score_map(execute_parsed("data", tiny_index, k=None))
+    stored = tiny_index.stored
+    got = execute_parsed(
+        "data role:user", tiny_index, k=None, stored=stored
+    )
+    user_docs = {
+        r["doc_id"] for r in stored.filter(F.col("role") == "user")
+        .select("doc_id").collect()
+    }
+    gm = _score_map(got)
+    assert set(gm) == set(base) & user_docs
+    for d in gm:
+        assert gm[d] == pytest.approx(base[d], abs=1e-6)
+
+    rng = _score_map(
+        execute_parsed(
+            "data turn_idx:[0 TO 1]", tiny_index, k=None, stored=stored
+        )
+    )
+    lo_docs = {
+        r["doc_id"]
+        for r in stored.filter(F.col("turn_idx") <= 1).select("doc_id").collect()
+    }
+    assert set(rng) == set(base) & lo_docs
+
+
+def test_negated_filter_and_pure_filter_query(spark, tiny_index):
+    stored = tiny_index.stored
+    base = _score_map(execute_parsed("data", tiny_index, k=None))
+    neg = _score_map(
+        execute_parsed("data -role:user", tiny_index, k=None, stored=stored)
+    )
+    user_docs = {
+        r["doc_id"] for r in stored.filter(F.col("role") == "user")
+        .select("doc_id").collect()
+    }
+    assert set(neg) == set(base) - user_docs
+    # pure-filter query: ConstantScore 1.0 per matching doc
+    pf = _score_map(
+        execute_parsed("role:user", tiny_index, k=None, stored=stored)
+    )
+    assert set(pf) == user_docs and all(s == 1.0 for s in pf.values())
+
+
+def test_filters_require_stored(spark, tiny_index):
+    with pytest.raises(ValueError, match="stored"):
+        execute_parsed("data lang:en", tiny_index, k=5)
+
+
+def test_absent_must_term_matches_nothing(spark, tiny_index):
+    assert (
+        execute_parsed("+zzzznotaterm data", tiny_index, k=None).count() == 0
+    )
+    # a group whose members are all absent also matches nothing
+    assert (
+        execute_parsed(
+            "(zzzznotaterm qqqqnope) AND data", tiny_index, k=None
+        ).count()
+        == 0
+    )

@@ -66,3 +66,60 @@ def test_match_none_normalization():
 def test_empty_query():
     p = parse_query("")
     assert p.terms == [] and not p.is_match_none()
+
+
+# ---------------------------------------------------- full-grammar parsing
+
+def test_parse_field_term_and_default_field():
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    p = parse_query("spark lang:en text:merge")
+    assert p.filters == [("eq", "lang", "en")]
+    assert ("merge", 1.0) in p.should and ("spark", 1.0) in p.should
+
+
+def test_parse_range_inclusive_exclusive_and_open():
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    p = parse_query("doc_id:[100 TO 4999] price:{1.5 TO 2.5} ts:[* TO 10]")
+    assert ("range", "doc_id", 100.0, 4999.0, True, True) in p.filters
+    assert ("range", "price", 1.5, 2.5, False, False) in p.filters
+    assert ("range", "ts", None, 10.0, True, True) in p.filters
+    n = parse_query("-doc_id:[0 TO 9]")
+    assert n.neg_filters == [("range", "doc_id", 0.0, 9.0, True, True)]
+
+
+def test_parse_group_promotion_and_must_group():
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    p = parse_query("(window OR merge) AND spark")
+    assert p.groups == [[("window", 1.0), ("merge", 1.0)]]
+    assert p.must == [("spark", 1.0)]
+    q = parse_query("+(alpha beta) gamma")
+    assert q.groups == [[("alpha", 1.0), ("beta", 1.0)]]
+    assert q.should == [("gamma", 1.0)]
+    r = parse_query("-(bad worse) good")
+    assert r.must_not == ["bad", "worse"] and r.should == [("good", 1.0)]
+
+
+def test_parse_mixed_must_should_not_simple():
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    p = parse_query("+spark merge window")
+    assert p.must == [("spark", 1.0)]
+    assert p.should == [("merge", 1.0), ("window", 1.0)]
+    assert not p.is_simple()
+    assert parse_query("spark merge").is_simple()
+
+
+def test_parse_rejects_unbalanced_and_unsupported():
+    import pytest as _pytest
+
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        parse_query("(a b")
+    with _pytest.raises(ValueError, match="unbalanced"):
+        parse_query("a b)")
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_query("(a AND b) c")  # non-disjunctive group in SHOULD position

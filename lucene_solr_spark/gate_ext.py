@@ -81,8 +81,11 @@ def fts_significant_terms(spark, sf_dir):
     vs background document frequency lift."""
     tok = doc_tokens(spark, sf_dir).select("doc_id", "term")
     fg_docs = tok.filter(F.col("term") == "spark").select("doc_id").distinct()
-    n_docs = tok.select("doc_id").distinct().count()
-    n_fg = fg_docs.count()
+    # both corpus sizes in ONE single-row aggregate, broadcast-joined —
+    # no driver-side count() jobs (the fn_scale_query bounds pattern)
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs")).crossJoin(
+        fg_docs.agg(F.count("*").alias("n_fg"))
+    )
     fg = (
         tok.join(fg_docs, "doc_id", "left_semi")
         .groupBy("term")
@@ -92,13 +95,14 @@ def fts_significant_terms(spark, sf_dir):
     return (
         fg.join(bg, "term")
         .filter(F.col("fg_df") >= 5)
+        .crossJoin(F.broadcast(n))
         .select(
             "term",
             "fg_df",
             "bg_df",
             F.round(
-                (F.col("fg_df").cast("double") / F.lit(float(n_fg)))
-                / (F.col("bg_df").cast("double") / F.lit(float(n_docs))),
+                (F.col("fg_df").cast("double") / F.col("n_fg").cast("double"))
+                / (F.col("bg_df").cast("double") / F.col("n_docs").cast("double")),
                 4,
             ).alias("lift"),
         )

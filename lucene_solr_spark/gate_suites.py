@@ -1,0 +1,443 @@
+"""Curated driver registry: exactly 50 gates, every SURVEY §2 family.
+
+The driver verifies the FIRST 50 registered queries only, so the final
+QUERIES/ORACLE_SQL registry is curated to exactly 50 entries. Operators
+that share a family are composed into ONE "suite" gate whose output is
+a tagged union (kind, k1, k2, v1, v2, v3) — or a doc-keyed join for
+per-document metric families — of the member parts, on BOTH engines.
+One driver hash row therefore evidences every member operator, and the
+local checker (scripts/check_gate.py) sees the identical 50-gate set
+the driver sees: no gate exists outside the verified window.
+
+Normalization rules (cross-engine exact):
+- key columns  → VARCHAR (BIGINT/bool casts print identically in
+  Spark and DuckDB); missing key slots are ''.
+- value columns → DOUBLE (members already ROUND their floats; counts
+  are exact in double far below 2^53); missing slots are 0.0.
+Each member part remains individually runnable via gate.PARTS /
+gate.PARTS_SQL (tests and scripts use them directly).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .gate import ORACLE_SQL, PARTS, PARTS_SQL, QUERIES, load
+
+# ------------------------------------------------------- suite machinery
+
+
+def _norm_df(df, kind, keys, vals):
+    cols = [F.lit(kind).alias("kind")]
+    for i in range(2):
+        c = F.col(keys[i]).cast("string") if i < len(keys) else F.lit("")
+        cols.append(c.alias(f"k{i + 1}"))
+    for i in range(3):
+        c = F.col(vals[i]).cast("double") if i < len(vals) else F.lit(0.0)
+        cols.append(c.alias(f"v{i + 1}"))
+    return df.select(*cols)
+
+
+def _norm_sql(sql, kind, keys, vals):
+    ks = [
+        (f"CAST({keys[i]} AS VARCHAR) AS k{i + 1}" if i < len(keys)
+         else f"'' AS k{i + 1}")
+        for i in range(2)
+    ]
+    vs = [
+        (f"CAST({vals[i]} AS DOUBLE) AS v{i + 1}" if i < len(vals)
+         else f"CAST(0.0 AS DOUBLE) AS v{i + 1}")
+        for i in range(3)
+    ]
+    return (
+        f"SELECT '{kind}' AS kind, " + ", ".join(ks + vs) + f" FROM ({sql})"
+    )
+
+
+def _suite(suite_name: str, members) -> None:
+    """Register a tagged-union suite over ``members``:
+    [(kind, part_name, keys, vals), ...]."""
+
+    def fn(spark, sf_dir, _members=tuple(members)):
+        out = None
+        for kind, part, keys, vals in _members:
+            d = _norm_df(PARTS[part](spark, sf_dir), kind, keys, vals)
+            out = d if out is None else out.unionByName(d)
+        return out.orderBy("kind", "k1", "k2", "v1", "v2", "v3")
+
+    fn.__name__ = suite_name
+    fn.__doc__ = "Suite of: " + ", ".join(m[1] for m in members)
+    sql = "\nUNION ALL\n".join(
+        _norm_sql(PARTS_SQL[part], kind, keys, vals)
+        for kind, part, keys, vals in members
+    )
+    QUERIES[suite_name] = fn
+    ORACLE_SQL[suite_name] = (
+        f"SELECT * FROM (\n{sql}\n) ORDER BY kind, k1, k2, v1, v2, v3"
+    )
+
+
+def _join_suite(suite_name: str, part_names, key: str) -> None:
+    """Register a key-joined suite (per-``key`` metric families whose
+    member columns are disjoint): inner-join all members on ``key``."""
+
+    def fn(spark, sf_dir, _parts=tuple(part_names)):
+        out = None
+        for p in _parts:
+            d = PARTS[p](spark, sf_dir)
+            out = d if out is None else out.join(d, key)
+        return out.orderBy(key)
+
+    fn.__name__ = suite_name
+    fn.__doc__ = "Join-suite of: " + ", ".join(part_names)
+    subqs = [f"({PARTS_SQL[p]}) q{i}" for i, p in enumerate(part_names)]
+    sql = f"SELECT * FROM {subqs[0]}"
+    for sq in subqs[1:]:
+        sql += f" JOIN {sq} USING ({key})"
+    QUERIES[suite_name] = fn
+    ORACLE_SQL[suite_name] = sql + f" ORDER BY {key}"
+
+
+def _passthrough(*names) -> None:
+    for name in names:
+        QUERIES[name] = PARTS[name]
+        if name in PARTS_SQL:
+            ORACLE_SQL[name] = PARTS_SQL[name]
+
+
+# -------------------------------------------- source-loader gates (§2.1)
+# Wire-format ingestion parity: the update-handler loaders (JSON/CSV/XML
+# — reference solr/core/.../handler/loader/{JsonLoader,CSVLoader,
+# XMLLoader}.java) must all yield the identical pinned-schema DataFrame.
+# The oracle recomputes the transcript derivation straight from the
+# documents table, so a hash match proves write→read round-trip identity
+# per row (the north rule's per-turn text-equality invariant).
+
+_N_LOADER_DOCS = 300
+
+_TRANSCRIPT_SQL = f"""
+SELECT concat('conv', lpad(CAST(CAST(floor(doc_id / 8) AS BIGINT) AS VARCHAR), 8, '0')) AS conv_id,
+       CAST(doc_id % 8 AS INTEGER) AS turn_idx,
+       CASE WHEN doc_id % 3 = 0 THEN 'user'
+            WHEN doc_id % 3 = 1 THEN 'assistant' ELSE 'tool' END AS role,
+       text,
+       CASE WHEN doc_id % 3 = 2 THEN 'search' ELSE '' END AS tool_s,
+       strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM documents WHERE doc_id < {_N_LOADER_DOCS}"""
+
+
+def _transcript_frame(spark, sf_dir):
+    """The deterministic transcript derivation of the documents table
+    (same shape as __spark_entry__.entry's flagship input)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _N_LOADER_DOCS
+    )
+    return docs.select(
+        F.concat(
+            F.lit("conv"),
+            F.lpad((F.col("doc_id") / 8).cast("long").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % 8).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, "user")
+        .when(F.col("doc_id") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 2, "search").alias("tool"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+    )
+
+
+def _loader_output(df):
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+def src_xml_roundtrip(spark, sf_dir):
+    """XMLLoader analog end-to-end: derive transcripts → write Spark 4
+    native XML (rowTag=turn) → read back with the pinned schema → the
+    oracle recomputes the derivation directly, so a match proves the
+    XML wire round-trip is the identity (reference solr/core/.../
+    handler/loader/XMLLoader.java)."""
+    from .sources.loaders import read_transcripts_xml, write_transcripts_xml
+
+    tr = _transcript_frame(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lss_gate_xml_")
+    write_transcripts_xml(tr, d)
+    return _loader_output(read_transcripts_xml(spark, d))
+
+
+def src_formats_parity(spark, sf_dir):
+    """CSV + JSONL loader parity (CSVLoader/JsonLoader analogs): write
+    both formats, read both back, inner-join per (conv_id, turn_idx)
+    and emit the CSV row plus a per-row equality attestation against
+    the JSONL row — the cross-format per-row invariant. The oracle
+    recomputes the derivation and asserts TRUE."""
+    from .sources.loaders import (
+        read_transcripts_csv,
+        read_transcripts_json,
+        write_transcripts_csv,
+        write_transcripts_json,
+    )
+
+    tr = _transcript_frame(spark, sf_dir)
+    dc = tempfile.mkdtemp(prefix="lss_gate_csv_")
+    dj = tempfile.mkdtemp(prefix="lss_gate_jsonl_")
+    write_transcripts_csv(tr, dc)
+    write_transcripts_json(tr, dj)
+    c = read_transcripts_csv(spark, dc)
+    j = read_transcripts_json(spark, dj).select(
+        "conv_id",
+        "turn_idx",
+        F.col("role").alias("j_role"),
+        F.col("text").alias("j_text"),
+        F.col("tool").alias("j_tool"),
+        F.col("ts").alias("j_ts"),
+    )
+    both = c.join(j, ["conv_id", "turn_idx"])
+    agree = (
+        (F.col("role") == F.col("j_role"))
+        & (F.col("text") == F.col("j_text"))
+        & (F.col("tool").eqNullSafe(F.col("j_tool")))
+        & (F.col("ts") == F.col("j_ts"))
+    )
+    return both.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        agree.alias("formats_agree"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+_XML_SQL = f"""WITH tr AS ({_TRANSCRIPT_SQL})
+SELECT conv_id, turn_idx, role, text, tool_s, ts_s FROM tr
+ORDER BY conv_id, turn_idx"""
+
+_PARITY_SQL = f"""WITH tr AS ({_TRANSCRIPT_SQL})
+SELECT conv_id, turn_idx, role, text, tool_s, ts_s, TRUE AS formats_agree
+FROM tr ORDER BY conv_id, turn_idx"""
+
+
+# --------------------------------------------------- the curated 50 gates
+# Registration order == the driver's verified window (all 50 fit).
+
+# 1-3: headline BM25 scoring paths
+_passthrough("fts_bm25_disjunctive", "fts_bm25_conjunctive", "fts_bm25_term")
+
+# 4: BooleanQuery modes — ReqExclScorer, minimumShouldMatch, DisMax
+_suite("fts_bool_modes", [
+    ("must_not", "fts_bool_must_not", ("doc_id",), ("score",)),
+    ("min_should", "fts_minshouldmatch", ("doc_id",), ("score",)),
+    ("dismax", "fts_dismax", ("doc_id",), ("score",)),
+])
+
+# 5: TermInSetQuery/TotalHitCount + FacetField term stats
+_suite("fts_term_stats", [
+    ("in_set_count", "fts_term_in_set_count", (), ("n_docs",)),
+    ("facet_terms", "fts_facet_terms", ("term",), ("df",)),
+])
+
+# 6: multi-term expansion — Prefix/Wildcard/Fuzzy/Regexp
+_suite("fts_expand_multi", [
+    ("prefix", "fts_prefix_expand", ("term",), ("df",)),
+    ("wildcard", "fts_wildcard_expand", ("term",), ("df",)),
+    ("fuzzy", "fts_fuzzy_expand", ("term",), ("df",)),
+    ("regexp", "fts_regexp_expand", ("term",), ("df",)),
+])
+
+# 7: positional phrase family — exact / sloppy / multi-term slot
+_suite("fts_phrase_family", [
+    ("exact", "fts_phrase_match", ("doc_id",), ("phrase_freq",)),
+    ("sloppy", "fts_phrase_sloppy", ("doc_id",), ()),
+    ("multi", "fts_multiphrase", ("doc_id",), ("phrase_freq",)),
+])
+
+# 8-10: index statistics + significant terms
+_passthrough(
+    "fts_docfreq_stats", "fts_index_invariants", "fts_significant_terms"
+)
+
+# 11: classic QueryParser grammar end-to-end (4 constructs)
+_suite("fts_parsed_suite", [
+    ("and_not", "fts_parsed_query", ("doc_id",), ("score",)),
+    ("mixed_req_opt", "fts_parsed_mixed", ("doc_id",), ("score",)),
+    ("group_range", "fts_parsed_group_range", ("doc_id",), ("score",)),
+    ("phrase_opt", "fts_parsed_phrase", ("doc_id",), ("score",)),
+])
+
+# 12: score shaping — BoostQuery + ConstantScoreQuery
+_suite("fts_score_shaping", [
+    ("boost", "fts_boost_clauses", ("doc_id",), ("score",)),
+    ("constant", "fts_constant_score", ("doc_id",), ("score",)),
+])
+
+# 13-14: analysis chains
+_passthrough("fts_analysis_chain", "fts_porter_stemmed_terms")
+
+# 15: highlighter
+_passthrough("fts_highlight")
+
+# 16: MoreLikeThis — term selection + retrieval
+_suite("fts_mlt", [
+    ("terms", "fts_mlt_terms", ("term",), ("tf", "df", "mlt_score")),
+    ("retrieve", "fts_morelikethis", ("doc_id",), ("overlap",)),
+])
+
+# 17: suggest + spellcheck
+_suite("fts_suggest_spell", [
+    ("suggest", "fts_suggest_prefix", ("term",), ("weight",)),
+    ("spellcheck", "fts_spellcheck", ("term",), ("distance", "df")),
+])
+
+# 18-19: percolator + explain
+_passthrough("fts_percolate", "fts_explain_scores")
+
+# 20: mutations
+_passthrough("mut_upsert_delete")
+
+# 21-22: source loaders (§2.1 wire formats)
+QUERIES["src_xml_roundtrip"] = src_xml_roundtrip
+ORACLE_SQL["src_xml_roundtrip"] = _XML_SQL
+QUERIES["src_formats_parity"] = src_formats_parity
+ORACLE_SQL["src_formats_parity"] = _PARITY_SQL
+
+# 23-27: relational core
+_passthrough(
+    "rel_rollup_pricing", "rel_join_top_customers", "rel_brand_part_join",
+    "rel_leftouter_nation_counts", "rel_having_frequent_buyers",
+)
+
+# 28: semi + anti joins
+_suite("rel_semi_anti", [
+    ("semi", "rel_semijoin_segments", ("c_mktsegment",), ("n_customers",)),
+    ("anti", "rel_antijoin_no_orders", ("c_custkey", "c_name"), ()),
+])
+
+# 29: top-docs-per-group — grouping module + collapse
+_suite("rel_topk_groups", [
+    ("top2", "rel_window_top2_orders",
+     ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
+    ("collapse", "rel_collapse_best_order",
+     ("o_custkey", "o_orderkey"), ("o_totalprice",)),
+])
+
+# 30: FacetRange + TimeSeriesStream histograms
+_suite("rel_facet_time", [
+    ("timeseries", "rel_timeseries_daily",
+     ("day", "event_type"), ("n_events", "total_value")),
+    ("range_buckets", "rel_facet_range_buckets",
+     ("bucket_lo",), ("cnt", "revenue")),
+])
+
+# 31: UniqueStream + MergeStream
+_suite("rel_stream_setops", [
+    ("unique", "rel_unique_status_priority",
+     ("o_orderstatus", "o_orderpriority"), ()),
+    ("merge_sorted", "rel_merge_sorted_union",
+     ("o_orderkey",), ("o_totalprice",)),
+])
+
+# 32: StatsComponent
+_passthrough("rel_stats_lineitem")
+
+# 33: PointRangeQuery + PointInSetQuery
+_suite("rel_point_filters", [
+    ("range", "rel_range_query_events", ("event_type",), ("n",)),
+    ("in_set", "rel_point_in_set",
+     ("l_linenumber",), ("n_items", "sum_price")),
+])
+
+# 34: searchAfter paging + ExportStream full sort
+_suite("rel_paging_export", [
+    ("search_after", "rel_search_after_page",
+     ("o_orderkey",), ("o_totalprice",)),
+    ("export", "rel_export_sorted", ("c_custkey", "c_name"), ("acctbal",)),
+])
+
+# 35: block join + cartesian product
+_suite("rel_join_specials", [
+    ("block_join", "rel_blockjoin_orders_with_big_item",
+     ("o_orderkey",), ("o_totalprice",)),
+    ("cartesian", "rel_cartesian_explode", ("r_name", "n_name"), ()),
+])
+
+# 36: percentile + HLL approx aggregates
+_suite("rel_agg_approx", [
+    ("percentile", "rel_percentile_prices",
+     ("o_orderpriority",), ("p50", "p90")),
+    ("hll", "rel_hll_user_count",
+     ("event_type", "hll_ok"), ("exact_users",)),
+])
+
+# 37-38: FetchStream + nested facet
+_passthrough("rel_fetch_enrich", "rel_facet_nested")
+
+# 39: function queries — linear/recip/map/strdist/if + scale (joined)
+_join_suite(
+    "fn_value_scale", ["fn_value_sources", "fn_scale_query"], "o_orderkey"
+)
+
+# 40: statistical stream evaluators
+_passthrough("fn_eval_stats")
+
+# 41: geodist + spatial bbox
+_suite("fn_geo", [
+    ("geodist", "fn_geodist", ("c_custkey",), ("lat", "lon", "dist_km")),
+    ("bbox", "fn_spatial_bbox",
+     ("c_custkey", "c_name"), ("lat", "lon", "dist_km")),
+])
+
+# 42: Solr SQL surface
+_passthrough("sql_analytics_surface")
+
+# 43-44: classification modules
+_passthrough("ml_naive_bayes_lang", "ml_textlogit_classify")
+
+# 45: exact dedup
+_passthrough("td_dedup_exact")
+
+# 46: near-dup text family — MinHash-LSH / SimHash / n-gram Jaccard
+_suite("td_dedup_near", [
+    ("minhash_lsh", "td_dedup_minhash_lsh", ("doc_a", "doc_b"), ("jaccard",)),
+    ("simhash", "td_dedup_simhash", ("doc_a", "doc_b"), ("hamming",)),
+    ("ngram_jaccard", "td_ngram_jaccard", ("doc_a", "doc_b"), ("jaccard",)),
+])
+
+# 47: embedding near-dup — exact all-pairs oracle + LSH scale path
+_suite("td_dedup_embedding", [
+    ("exact", "td_dedup_embedding_cosine", ("vec_a", "vec_b"), ("cosine",)),
+    ("lsh", "td_dedup_embedding_lsh", ("vec_a", "vec_b"), ("cosine",)),
+])
+
+# 48: ANN top-k — brute-force + at-rest LSH bucket index
+_suite("td_ann", [
+    ("brute", "td_ann_cosine_topk", ("vec_id",), ("score",)),
+    ("lsh_index", "td_ann_lsh_topk", ("vec_id",), ("score",)),
+])
+
+# 49: per-document text metrics — lang ID / quality / tokens / fingerprint
+_join_suite(
+    "td_text_metrics",
+    ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint"],
+    "doc_id",
+)
+
+# 50: multimodal feature extraction
+_passthrough("td_multimodal_features")
+
+assert len(QUERIES) == 50, f"curated registry must be 50, got {len(QUERIES)}"

@@ -21,9 +21,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_range_filter_pushed_to_scan(spark):
-    from lucene_solr_spark.gate import QUERIES
+    from lucene_solr_spark.gate import PARTS
 
-    df = QUERIES["rel_range_query_events"](spark, SF_DIR)
+    df = PARTS["rel_range_query_events"](spark, SF_DIR)
     pushed = " ".join(pushed_filters(df))
     assert "ts" in pushed and "value" in pushed, pushed
 
@@ -39,9 +39,9 @@ def test_column_pruning_on_projection(spark):
 
 
 def test_small_dim_join_broadcasts(spark):
-    from lucene_solr_spark.gate import QUERIES
+    from lucene_solr_spark.gate import PARTS
 
-    df = QUERIES["rel_join_top_customers"](spark, SF_DIR)
+    df = PARTS["rel_join_top_customers"](spark, SF_DIR)
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies, strategies
 

@@ -424,10 +424,11 @@ _suite("td_dedup_embedding", [
     ("lsh", "td_dedup_embedding_lsh", ("vec_a", "vec_b"), ("cosine",)),
 ])
 
-# 48: ANN top-k — brute-force + at-rest LSH bucket index
+# 48: ANN top-k — brute-force + at-rest LSH bucket index + at-rest IVF
 _suite("td_ann", [
     ("brute", "td_ann_cosine_topk", ("vec_id",), ("score",)),
     ("lsh_index", "td_ann_lsh_topk", ("vec_id",), ("score",)),
+    ("ivf_index", "td_ann_ivf_topk", ("vec_id",), ("score",)),
 ])
 
 # 49: per-document text metrics — lang ID / quality / tokens / fingerprint

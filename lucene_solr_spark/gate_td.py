@@ -390,6 +390,70 @@ def td_ann_lsh_topk(spark, sf_dir):
     return sim.ann_index_topk(spark, idx_dir, list(qv), k=10, multiprobe_hamming=1)
 
 
+# ----------------------------------------------------------------- IVF ANN
+
+_IVF_K, _IVF_NPROBE = 8, 2
+
+
+def _ivf_sql() -> str:
+    return f"""WITH cent AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+cn AS (SELECT c, sqrt(CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+       FROM cent, idx GROUP BY c),
+dots AS (SELECT e.vec_id, ct.c,
+                CAST(sum(CAST(round(CAST(e.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) AS dot
+         FROM embeddings e, cent ct, idx GROUP BY e.vec_id, ct.c),
+asg AS (SELECT d.vec_id, d.c, round(d.dot / cn.nrm, 9) AS s FROM dots d JOIN cn USING (c)),
+best AS (SELECT vec_id, c FROM (
+           SELECT vec_id, c,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+           FROM asg) WHERE rn = 1),
+qprobe AS (SELECT c FROM asg WHERE vec_id = 0 ORDER BY s DESC, c ASC LIMIT {_IVF_NPROBE}),
+cand AS (SELECT b.vec_id FROM best b JOIN qprobe USING (c)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT sqrt(sum(CAST(qe[i] AS DOUBLE) ** 2)) AS nrm FROM q, idx),
+s AS (SELECT e.vec_id,
+             sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+             sqrt(sum(CAST(e.embedding[i] AS DOUBLE) ** 2)) AS nrm
+      FROM embeddings e JOIN cand USING (vec_id), q, idx GROUP BY e.vec_id)
+SELECT s.vec_id, round(s.dot / (s.nrm * qn.nrm), 4) AS score
+FROM s, qn ORDER BY score DESC, vec_id ASC LIMIT 10"""
+
+
+_IVF_INDEX_CACHE: dict = {}
+
+
+def _ivf_index_dir(spark, sf_dir: str) -> str:
+    import tempfile
+
+    key = (sf_dir, _IVF_K)
+    if key not in _IVF_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="lss_ivfidx_")
+        sim.build_ivf_index(
+            load(spark, sf_dir, "embeddings"), d, n_centroids=_IVF_K
+        )
+        _IVF_INDEX_CACHE[key] = d
+    return _IVF_INDEX_CACHE[key]
+
+
+@gate("td_ann_ivf_topk", _ivf_sql())
+def td_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN over the AT-REST centroid-partitioned index: coarse
+    quantizer assigns each vector once at build time (exact-DECIMAL
+    argmax, SQL-reproducible), probe = top-nprobe centroid partitions
+    resolved driver-side (PartitionFilters pruning), exact cosine
+    rerank over candidates only. The oracle recomputes assignment,
+    probe and rerank from raw embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    idx_dir = _ivf_index_dir(spark, sf_dir)
+    return sim.ivf_index_topk(
+        spark, idx_dir, list(qv), k=10, n_probes=_IVF_NPROBE
+    )
+
+
 # ------------------------------------------ embedding near-dup, scale path
 
 @gate(

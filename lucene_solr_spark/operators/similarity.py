@@ -47,6 +47,9 @@ __all__ = [
     "ann_index_topk",
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
+    "ivf_assign_col",
+    "build_ivf_index",
+    "ivf_index_topk",
 ]
 
 
@@ -258,6 +261,168 @@ def ann_lsh_topk(
         cand.select(
             F.col(id_col).alias("vec_id"),
             F.round(cosine_sim_col(F.col(vec_col), query), round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- IVF
+# Inverted-file ANN: a coarse quantizer assigns every vector to its
+# nearest centroid ONCE at indexing time; the vector table is written
+# partitioned by centroid_id (the same at-rest layout as the LSH index
+# and the posting term_bucket), and a query probes only the top-nprobe
+# centroid partitions then exact-reranks. Centroid SOURCE here is the
+# deterministic "first K corpus vectors" so the assignment is exactly
+# reproducible in ANSI SQL (the DuckDB oracle recomputes it); a
+# production build would k-means a sample driver-side and broadcast the
+# centroids back (the textlogit weight-vector pattern) — every other
+# piece (assignment plan, at-rest layout, pruned probe, rerank) is
+# identical whichever centroid source is used.
+
+
+def _cos_exact_9(vec_col: Column, centroid: np.ndarray, c_norm: float) -> Column:
+    """round(cos(vec, centroid), 9) with an order-independent DECIMAL
+    dot — assignment argmax is bit-identical in Spark / SQL / driver."""
+    return F.round(
+        _dot_exact(vec_col, centroid).cast("double") / F.lit(c_norm), 9
+    )
+
+
+def _exact_norm_py(v: np.ndarray) -> float:
+    """sqrt of the per-term-rounded DECIMAL sum of squares — the driver
+    replica of the SQL/Spark centroid-norm expression."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1E-9")
+    return float(
+        np.sqrt(
+            float(
+                sum(
+                    Decimal(float(x)).quantize(q9, rounding=ROUND_HALF_UP)
+                    for x in v * v
+                )
+            )
+        )
+    )
+
+
+def _ivf_scores_py(query: Sequence[float], centroids) -> list:
+    """[(score, centroid_id)] of the query against each centroid —
+    driver-side replica of _cos_exact_9 (Decimal HALF_UP throughout)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("1E-9")
+    q = np.asarray(query, dtype=np.float64)
+    out = []
+    for cid, cv, cn in centroids:
+        dot = float(
+            sum(
+                Decimal(float(x)).quantize(q9, rounding=ROUND_HALF_UP)
+                for x in q * cv
+            )
+        )
+        s = float(Decimal(dot / cn).quantize(q9, rounding=ROUND_HALF_UP))
+        out.append((s, cid))
+    return out
+
+
+def _centroid_rows(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("c"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    return [
+        (
+            int(r["c"]),
+            np.asarray(r["v"], dtype=np.float64),
+            _exact_norm_py(np.asarray(r["v"], dtype=np.float64)),
+        )
+        for r in rows
+    ]
+
+
+def ivf_assign_col(vec_col: Column, centroids) -> Column:
+    """Nearest-centroid id (argmax exact cosine, ties → smallest id):
+    an array of (score, -id) structs reduced by array_max — pure JVM
+    expression, K-way comparison inside codegen, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                _cos_exact_9(vec_col, cv, cn).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cv, cn in centroids
+        ]
+    )
+    return (-F.array_max(scored)["nc"]).cast("int")
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """At-rest IVF index: vectors written partitioned by centroid_id,
+    centroid metadata committed last (tmp+rename, the snapshot-publish
+    commit rule)."""
+    centroids = _centroid_rows(emb, n_centroids, id_col, vec_col)
+    (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            ivf_assign_col(F.col(vec_col), centroids).alias("centroid_id"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+    tmp = f"{index_dir}/.meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_centroids": n_centroids,
+                "centroids": [
+                    {"id": cid, "v": list(cv), "norm": cn}
+                    for cid, cv, cn in centroids
+                ],
+            },
+            f,
+        )
+    os.replace(tmp, f"{index_dir}/meta.json")  # commit point
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_probes: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Probe the at-rest IVF index: top-``n_probes`` centroids resolved
+    driver-side (no Spark job), centroid_id filter lands in
+    PartitionFilters, exact cosine rerank over the candidates only."""
+    with open(f"{index_dir}/meta.json") as f:
+        meta = json.load(f)
+    centroids = [
+        (c["id"], np.asarray(c["v"], dtype=np.float64), c["norm"])
+        for c in meta["centroids"]
+    ]
+    ranked = sorted(_ivf_scores_py(query, centroids), key=lambda t: (-t[0], t[1]))
+    probes = [cid for _, cid in ranked[:n_probes]]
+    cand = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("centroid_id").isin(probes)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_sim_col(F.col("embedding"), query), round_to).alias(
+                "score"
+            ),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)

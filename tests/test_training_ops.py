@@ -210,3 +210,59 @@ def test_ann_at_rest_index_recall(spark, emb, tmp_path):
         if qid + 100000 in got:
             hits += 1
     assert hits >= 4, hits
+
+
+def test_ivf_at_rest_index_prunes_and_self_retrieves(spark, emb, tmp_path):
+    """IVF: the centroid-partitioned index must (a) prune to the probed
+    centroid partitions (PartitionFilters non-empty), (b) rank the
+    query vector itself #1 with cosine 1.0 when it is in the corpus,
+    and (c) return only candidates assigned to the probed centroids."""
+    from lucene_solr_spark.plans.explain import partition_filters
+
+    idx = str(tmp_path / "ivfidx")
+    sim.build_ivf_index(emb, idx, n_centroids=8)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+
+    res = sim.ivf_index_topk(spark, idx, list(q), k=10, n_probes=2)
+    rows = res.collect()
+    assert rows[0]["vec_id"] == 3 and rows[0]["score"] == 1.0
+    pf = partition_filters(res)
+    assert pf and any("centroid_id" in f for f in pf), pf
+
+
+def test_ivf_assignment_deterministic_and_total(spark, emb, tmp_path):
+    """Every vector gets exactly one centroid, and two independent
+    builds assign identically (exact-DECIMAL argmax: no float-order
+    nondeterminism across partitionings)."""
+    a = str(tmp_path / "ivf_a")
+    b = str(tmp_path / "ivf_b")
+    sim.build_ivf_index(emb, a, n_centroids=8)
+    sim.build_ivf_index(emb.repartition(7), b, n_centroids=8)
+    ra = spark.read.parquet(f"{a}/vectors").select("vec_id", "centroid_id")
+    rb = spark.read.parquet(f"{b}/vectors").select("vec_id", "centroid_id")
+    assert ra.count() == emb.count()
+    pa = {r["vec_id"]: r["centroid_id"] for r in ra.collect()}
+    pb = {r["vec_id"]: r["centroid_id"] for r in rb.collect()}
+    assert pa == pb
+    assert set(pa.values()) <= set(range(8))
+
+
+def test_ivf_near_dup_recall(spark, emb, tmp_path):
+    """Planted near-dups (cosine ~0.93) land in the same IVF cell as
+    their original almost always (their coarse-quantizer scores are
+    nearly identical), so the probed top-10 must surface them."""
+    idx = str(tmp_path / "ivfidx2")
+    corpus = _with_near_dups(emb)
+    sim.build_ivf_index(corpus, idx, n_centroids=8)
+    hits = 0
+    for qid in (0, 17, 34, 51, 68):
+        q = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        got = [
+            r["vec_id"]
+            for r in sim.ivf_index_topk(
+                spark, idx, list(q), k=10, n_probes=3
+            ).collect()
+        ]
+        if qid + 100000 in got:
+            hits += 1
+    assert hits >= 4, hits

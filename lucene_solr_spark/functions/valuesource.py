@@ -110,6 +110,137 @@ def dist(power: float, xs: list, ys: list) -> Column:
     return F.pow(out, F.lit(1.0 / power))
 
 
+# --- arithmetic / math family -------------------------------------------
+# ValueSourceParser.java registrations: sum, sub, product, div, mod, abs,
+# log, ln, sqrt, cbrt, pow, exp, atan2, hypot, max, min (each a direct
+# whole-stage-codegen Column expression; multi-arg where the reference
+# parser accepts varargs).
+
+
+def add_v(*xs) -> Column:
+    """`sum(a,b,...)` function query (SumFloatFunction)."""
+    out = _c(xs[0])
+    for x in xs[1:]:
+        out = out + _c(x)
+    return out
+
+
+def sub_v(a, b) -> Column:
+    """`sub(a,b)` (DualFloatFunction '-')."""
+    return _c(a) - _c(b)
+
+
+def product_v(*xs) -> Column:
+    """`product(a,b,...)` (ProductFloatFunction)."""
+    out = _c(xs[0])
+    for x in xs[1:]:
+        out = out * _c(x)
+    return out
+
+
+def div_v(a, b) -> Column:
+    """`div(a,b)` (DivFloatFunction)."""
+    return _c(a) / _c(b)
+
+
+def mod_v(a, b) -> Column:
+    """`mod(a,b)`."""
+    return _c(a) % _c(b)
+
+
+def abs_v(x) -> Column:
+    return F.abs(_c(x))
+
+
+def log_v(x) -> Column:
+    """`log(x)` — base-10 in Solr function queries."""
+    return F.log10(_c(x))
+
+
+def ln_v(x) -> Column:
+    return F.log(_c(x))
+
+
+def sqrt_v(x) -> Column:
+    return F.sqrt(_c(x))
+
+
+def cbrt_v(x) -> Column:
+    return F.cbrt(_c(x))
+
+
+def pow_v(a, b) -> Column:
+    return F.pow(_c(a), _c(b))
+
+
+def exp_v(x) -> Column:
+    return F.exp(_c(x))
+
+
+def atan2_v(y, x) -> Column:
+    return F.atan2(_c(y), _c(x))
+
+
+def hypot_v(a, b) -> Column:
+    """`hypot(a,b)` spelled sqrt(a²+b²) so the SQL oracle mirrors the
+    exact expression tree (DuckDB has no hypot builtin)."""
+    a, b = _c(a), _c(b)
+    return F.sqrt(a * a + b * b)
+
+
+def max_v(*xs) -> Column:
+    return F.greatest(*[_c(x) for x in xs])
+
+
+def min_v(*xs) -> Column:
+    return F.least(*[_c(x) for x in xs])
+
+
+# --- boolean family ------------------------------------------------------
+# ValueSourceParser.java: and, or, not, xor (BoolFunction registrations).
+
+
+def and_v(*cs) -> Column:
+    out = _c(cs[0])
+    for c in cs[1:]:
+        out = out & _c(c)
+    return out
+
+
+def or_v(*cs) -> Column:
+    out = _c(cs[0])
+    for c in cs[1:]:
+        out = out | _c(c)
+    return out
+
+
+def not_v(c) -> Column:
+    return ~_c(c)
+
+
+def xor_v(a, b) -> Column:
+    return _c(a) != _c(b)
+
+
+def ord_map(df, col: str):
+    """`ord(field)` / `rord(field)` (OrdFieldSource): 1-based ordinal of
+    the row's value within the field's sorted distinct domain. Returns a
+    TINY (value, ord, rord) mapping DataFrame — callers broadcast-join
+    it back; the window runs over the distinct domain only, never over
+    the corpus (the scale-safe shape of a global ordinal)."""
+    from pyspark.sql import Window as W
+
+    dom = df.select(F.col(col).alias("val")).distinct()
+    w = W.orderBy(F.asc("val"))
+    ranked = dom.select(
+        "val", F.dense_rank().over(w).cast("long").alias("ord")
+    )
+    n = ranked.agg(F.max("ord").alias("n_vals"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "val", "ord", (F.col("n_vals") - F.col("ord") + 1).alias("rord")
+    )
+
+
 GEO_MEAN_RADIUS_KM = 6371.0087714  # solr/core/.../util/DistanceUnits.java EARTH_MEAN_RADIUS
 
 

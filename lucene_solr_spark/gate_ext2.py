@@ -592,6 +592,160 @@ def fn_scale_query(spark, sf_dir):
     )
 
 
+@gate(
+    "fn_math_funcs",
+    """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 256),
+dom AS (SELECT o_orderpriority AS val,
+               dense_rank() OVER (ORDER BY o_orderpriority) AS ord
+        FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+nd AS (SELECT count(*) AS n FROM dom)
+SELECT o_orderkey,
+  o_orderkey % 13 AS mod13,
+  round(abs(o_totalprice - 250000.0), 2) AS ab,
+  round(log10(o_totalprice), 6) AS lg,
+  round(ln(o_totalprice), 6) AS lnv,
+  round(sqrt(o_totalprice), 6) AS sq,
+  round(cbrt(o_totalprice), 6) AS cb,
+  round(pow(1.0 + o_orderkey % 7, 2.5), 6) AS pw,
+  round(sqrt((o_orderkey % 10) * (o_orderkey % 10) + 3.0 * 3.0), 6) AS hyp,
+  round(atan2(CAST(o_orderkey % 10 AS DOUBLE), 3.0), 6) AS at2,
+  round(greatest(o_totalprice, 250000.0), 2) AS mx,
+  round(least(o_totalprice, 250000.0), 2) AS mn,
+  CASE WHEN (o_orderkey % 2 = 0 AND o_totalprice > 100000.0)
+            OR NOT (o_orderkey % 3 = 0) THEN 1 ELSE 0 END AS bl,
+  CASE WHEN (o_orderkey % 2 = 0) <> (o_orderkey % 3 = 0)
+       THEN 1 ELSE 0 END AS xr,
+  CAST(dom.ord AS BIGINT) AS pri_ord,
+  CAST(nd.n - dom.ord + 1 AS BIGINT) AS pri_rord
+FROM o JOIN dom ON o.o_orderpriority = dom.val CROSS JOIN nd
+ORDER BY o_orderkey""",
+)
+def fn_math_funcs(spark, sf_dir):
+    """Arithmetic/math/boolean/ordinal function-query families
+    (ValueSourceParser.java registrations: mod/abs/log/ln/sqrt/cbrt/
+    pow/hypot/atan2/max/min/and/or/not/xor/ord/rord) as pure codegen
+    Column expressions; ord/rord via the tiny broadcast domain-rank
+    mapping (functions/valuesource.py ord_map) — never a corpus-wide
+    window."""
+    from .functions.valuesource import (
+        abs_v, and_v, atan2_v, cbrt_v, hypot_v, log_v, ln_v, max_v, min_v,
+        mod_v, not_v, or_v, ord_map, pow_v, sqrt_v, xor_v,
+    )
+
+    o_all = load(spark, sf_dir, "orders")
+    dom = ord_map(o_all, "o_orderpriority")
+    o = o_all.filter(F.col("o_orderkey") <= 256)
+    even = F.col("o_orderkey") % 2 == 0
+    div3 = F.col("o_orderkey") % 3 == 0
+    return (
+        o.join(
+            F.broadcast(dom), o.o_orderpriority == dom.val
+        ).select(
+            "o_orderkey",
+            mod_v(F.col("o_orderkey"), 13).alias("mod13"),
+            F.round(abs_v(F.col("o_totalprice") - 250000.0), 2).alias("ab"),
+            F.round(log_v(F.col("o_totalprice")), 6).alias("lg"),
+            F.round(ln_v(F.col("o_totalprice")), 6).alias("lnv"),
+            F.round(sqrt_v(F.col("o_totalprice")), 6).alias("sq"),
+            F.round(cbrt_v(F.col("o_totalprice")), 6).alias("cb"),
+            F.round(
+                pow_v(1.0 + F.col("o_orderkey") % 7, 2.5), 6
+            ).alias("pw"),
+            F.round(
+                hypot_v((F.col("o_orderkey") % 10).cast("double"), 3.0), 6
+            ).alias("hyp"),
+            F.round(
+                atan2_v((F.col("o_orderkey") % 10).cast("double"), 3.0), 6
+            ).alias("at2"),
+            F.round(max_v(F.col("o_totalprice"), 250000.0), 2).alias("mx"),
+            F.round(min_v(F.col("o_totalprice"), 250000.0), 2).alias("mn"),
+            or_v(
+                and_v(even, F.col("o_totalprice") > 100000.0), not_v(div3)
+            ).cast("int").alias("bl"),
+            xor_v(even, div3).cast("int").alias("xr"),
+            F.col("ord").alias("pri_ord"),
+            F.col("rord").alias("pri_rord"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@gate(
+    "fn_eval_dist",
+    r"""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s3,
+    CAST(sum(CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(4,2))) AS DOUBLE) AS s4,
+    CAST(sum(CAST(round(ln(CAST(l_quantity AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS DOUBLE) AS sln
+  FROM lineitem GROUP BY l_returnflag),
+c AS (
+  SELECT l_returnflag, n,
+    s1 / n AS mean,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+    sln FROM m)
+SELECT l_returnflag, n,
+  round(sqrt(m2), 6) AS stddev_pop,
+  round(m3 / pow(m2, 1.5), 6) AS skewness,
+  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis,
+  round(exp(sln / n), 6) AS gmean
+FROM c ORDER BY l_returnflag""",
+)
+def fn_eval_dist(spark, sf_dir):
+    """Distribution stream evaluators — stddev / skewness / (excess)
+    kurtosis / geometric mean (reference solr/solrj/.../io/eval/
+    StandardDeviationEvaluator.java, SkewnessEvaluator.java,
+    KurtosisEvaluator.java, GeometricMeanEvaluator.java) — computed
+    from order-independent DECIMAL raw moments (and per-term-rounded
+    DECIMAL ln sums for the geometric mean), so the result is bit-
+    stable under any partitioning and reproducible in ANSI SQL."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(4,2)")
+    lnq = F.round(F.log(F.col("l_quantity").cast("double")), 9).cast(
+        "decimal(28,9)"
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+        F.sum(lnq).cast("double").alias("sln"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis"),
+        F.round(F.exp(F.col("sln") / n), 6).alias("gmean"),
+    ).orderBy("l_returnflag")
+
+
 @gate("fts_porter_stemmed_terms")  # rows-only: no stemmer in the oracle engine
 def fts_porter_stemmed_terms(spark, sf_dir):
     """PorterStemFilter chain stage: tokenize → Porter stem → top-20

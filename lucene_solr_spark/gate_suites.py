@@ -34,7 +34,7 @@ def _norm_df(df, kind, keys, vals):
     for i in range(2):
         c = F.col(keys[i]).cast("string") if i < len(keys) else F.lit("")
         cols.append(c.alias(f"k{i + 1}"))
-    for i in range(3):
+    for i in range(4):
         c = F.col(vals[i]).cast("double") if i < len(vals) else F.lit(0.0)
         cols.append(c.alias(f"v{i + 1}"))
     return df.select(*cols)
@@ -49,7 +49,7 @@ def _norm_sql(sql, kind, keys, vals):
     vs = [
         (f"CAST({vals[i]} AS DOUBLE) AS v{i + 1}" if i < len(vals)
          else f"CAST(0.0 AS DOUBLE) AS v{i + 1}")
-        for i in range(3)
+        for i in range(4)
     ]
     return (
         f"SELECT '{kind}' AS kind, " + ", ".join(ks + vs) + f" FROM ({sql})"
@@ -65,7 +65,7 @@ def _suite(suite_name: str, members) -> None:
         for kind, part, keys, vals in _members:
             d = _norm_df(PARTS[part](spark, sf_dir), kind, keys, vals)
             out = d if out is None else out.unionByName(d)
-        return out.orderBy("kind", "k1", "k2", "v1", "v2", "v3")
+        return out.orderBy("kind", "k1", "k2", "v1", "v2", "v3", "v4")
 
     fn.__name__ = suite_name
     fn.__doc__ = "Suite of: " + ", ".join(m[1] for m in members)
@@ -75,7 +75,7 @@ def _suite(suite_name: str, members) -> None:
     )
     QUERIES[suite_name] = fn
     ORACLE_SQL[suite_name] = (
-        f"SELECT * FROM (\n{sql}\n) ORDER BY kind, k1, k2, v1, v2, v3"
+        f"SELECT * FROM (\n{sql}\n) ORDER BY kind, k1, k2, v1, v2, v3, v4"
     )
 
 
@@ -387,13 +387,24 @@ _suite("rel_agg_approx", [
 # 37-38: FetchStream + nested facet
 _passthrough("rel_fetch_enrich", "rel_facet_nested")
 
-# 39: function queries — linear/recip/map/strdist/if + scale (joined)
+# 39: function queries — linear/recip/map/strdist/if + scale + the
+# arithmetic/math/boolean/ordinal families (joined per order key)
 _join_suite(
-    "fn_value_scale", ["fn_value_sources", "fn_scale_query"], "o_orderkey"
+    "fn_value_scale",
+    ["fn_value_sources", "fn_scale_query", "fn_math_funcs"],
+    "o_orderkey",
 )
 
-# 40: statistical stream evaluators
-_passthrough("fn_eval_stats")
+# 40: statistical stream evaluators — corr/covar/OLS + distribution
+# moments (stddev/skewness/kurtosis/geometric mean)
+_suite("fn_evaluators", [
+    ("corr_ols", "fn_eval_stats",
+     ("l_linestatus", "n"), ("corr_qty_price", "covar_qty_price",
+                             "slope", "intercept")),
+    ("dist_moments", "fn_eval_dist",
+     ("l_returnflag", "n"), ("stddev_pop", "skewness", "kurtosis",
+                             "gmean")),
+])
 
 # 41: geodist + spatial bbox
 _suite("fn_geo", [

@@ -61,3 +61,52 @@ def test_ms_and_distances(spark):
     assert _one(spark, sqedist([F.lit(1.0), F.lit(2.0)], [F.lit(4.0), F.lit(6.0)])) == 25.0
     assert _one(spark, dist(2.0, [F.lit(1.0), F.lit(2.0)], [F.lit(4.0), F.lit(6.0)])) == 5.0
     assert _one(spark, dist(1.0, [F.lit(1.0)], [F.lit(4.0)])) == 3.0
+
+
+def test_math_family(spark):
+    from lucene_solr_spark.functions.valuesource import (
+        abs_v, add_v, atan2_v, cbrt_v, div_v, exp_v, hypot_v, log_v, ln_v,
+        max_v, min_v, mod_v, pow_v, product_v, sqrt_v, sub_v,
+    )
+
+    assert _one(spark, add_v(F.lit(1.0), F.lit(2.0), F.lit(3.0))) == 6.0
+    assert _one(spark, sub_v(F.lit(5.0), F.lit(2.0))) == 3.0
+    assert _one(spark, product_v(F.lit(2.0), F.lit(3.0), F.lit(4.0))) == 24.0
+    assert _one(spark, div_v(F.lit(9.0), F.lit(3.0))) == 3.0
+    assert _one(spark, mod_v(F.lit(17), F.lit(5))) == 2
+    assert _one(spark, abs_v(F.lit(-4.5))) == 4.5
+    assert _one(spark, log_v(F.lit(1000.0))) == 3.0
+    assert math.isclose(_one(spark, ln_v(F.lit(math.e))), 1.0)
+    assert _one(spark, sqrt_v(F.lit(49.0))) == 7.0
+    assert math.isclose(_one(spark, cbrt_v(F.lit(27.0))), 3.0)
+    assert _one(spark, pow_v(F.lit(2.0), F.lit(10.0))) == 1024.0
+    assert math.isclose(_one(spark, exp_v(F.lit(0.0))), 1.0)
+    assert _one(spark, hypot_v(F.lit(3.0), F.lit(4.0))) == 5.0
+    assert math.isclose(
+        _one(spark, atan2_v(F.lit(1.0), F.lit(1.0))), math.pi / 4
+    )
+    assert _one(spark, max_v(F.lit(1.0), F.lit(9.0), F.lit(5.0))) == 9.0
+    assert _one(spark, min_v(F.lit(1.0), F.lit(9.0), F.lit(5.0))) == 1.0
+
+
+def test_bool_family(spark):
+    from lucene_solr_spark.functions.valuesource import (
+        and_v, not_v, or_v, xor_v,
+    )
+
+    t, f = F.lit(True), F.lit(False)
+    assert _one(spark, and_v(t, t, f)) is False
+    assert _one(spark, or_v(f, f, t)) is True
+    assert _one(spark, not_v(f)) is True
+    assert _one(spark, xor_v(t, f)) is True
+    assert _one(spark, xor_v(t, t)) is False
+
+
+def test_ord_map_domain_rank(spark):
+    from lucene_solr_spark.functions.valuesource import ord_map
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",)], "val0 string"
+    ).select(F.col("val0").alias("pri"))
+    m = {r["val"]: (r["ord"], r["rord"]) for r in ord_map(df, "pri").collect()}
+    assert m == {"a": (1, 3), "b": (2, 2), "c": (3, 1)}

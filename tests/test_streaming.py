@@ -128,3 +128,58 @@ def test_incremental_builds_on_executors_not_driver():
     src = inspect.getsource(incremental)
     assert ".toPandas(" not in src
     assert ".collect(" not in src
+
+
+def test_stateful_conversation_rollup_accumulates(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-conversation state
+    must survive across micro-batches (batch 2's totals include batch
+    1's turns) — the DaemonStream-over-TopicStream running-rollup
+    analog, with state checkpointed by the state store."""
+    from lucene_solr_spark.streaming.stateful import conversation_rollup_stream
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    schema = transcripts_from_pandas(spark, _mini_batch("w", 1, "x")).schema
+
+    def _push(prefix, n, text):
+        transcripts_from_pandas(spark, _mini_batch(prefix, n, text)).repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    def _latest(table):
+        # update-mode memory sink appends each batch's updated rows;
+        # the freshest state row per conversation has the max n_turns
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        out = {}
+        for r in rows:
+            cur = out.get(r["conv_id"])
+            if cur is None or r["n_turns"] > cur[0]:
+                out[r["conv_id"]] = (
+                    r["n_turns"], r["n_tokens"], r["last_turn_idx"]
+                )
+        return out
+
+    _push("conv", 3, "one two three")  # 3 convs x 1 turn, 5 tokens each
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        conversation_rollup_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_rollup")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = _latest("conv_rollup")
+        assert first["conv0000"][:2] == (1, 5)  # "one two three turn 0"
+
+        # batch 2: same conversations again — state must ACCUMULATE
+        _push("conv", 2, "four five")
+        q.processAllAvailable()
+        second = _latest("conv_rollup")
+        # conv0000: 1 turn (5 tokens) + 1 turn ("four five turn 0" = 4)
+        assert second["conv0000"] == (2, 9, 0)
+        assert second["conv0002"][0] == 1  # only in batch 1
+    finally:
+        q.stop()

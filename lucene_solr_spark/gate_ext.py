@@ -493,32 +493,49 @@ def fn_value_sources(spark, sf_dir):
     "fts_analysis_chain",
     """WITH tok AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS raw,
          unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
   FROM documents),
+syn AS (SELECT doc_id, pos,
+               CASE raw WHEN 'fast' THEN 'quick' WHEN 'big' THEN 'large'
+                        ELSE raw END AS term
+        FROM tok),
 kept AS (SELECT doc_id, term,
                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-         FROM tok WHERE term NOT IN ('the', 'a')),
+         FROM syn
+         WHERE term NOT IN ('the', 'a') AND length(term) BETWEEN 2 AND 30),
 sh AS (SELECT a.doc_id, a.term || ' ' || b.term AS shingle
        FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1)
 SELECT shingle, count(*) AS cnt FROM sh
 GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 20""",
 )
 def fts_analysis_chain(spark, sf_dir):
-    """Analyzer chain: tokenize → StopFilter → ShingleFilter (word
-    bigrams), top shingles by frequency. All JVM-native array transforms
-    (analysis/filters.py). Reference: analysis/core/StopFilter.java,
-    analysis/shingle/ShingleFilter.java."""
-    from .analysis.filters import shingle_filter, stop_filter
+    """Analyzer chain: tokenize → SynonymFilter (fast→quick, big→large)
+    → StopFilter → LengthFilter(2..30) → ShingleFilter (word bigrams),
+    top shingles by frequency. All JVM-native array transforms
+    (analysis/filters.py). Reference: analysis/synonym/SynonymFilter
+    .java, analysis/core/StopFilter.java, analysis/miscellaneous/
+    LengthFilter.java, analysis/shingle/ShingleFilter.java."""
+    from .analysis.filters import (
+        length_filter, shingle_filter, stop_filter, synonym_filter,
+    )
     from .index.builder import simple_tokens
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        shingle_filter(
-            stop_filter(simple_tokens("text"), ["the", "a"]), 2
-        ).alias("shingles"),
+    chain = shingle_filter(
+        length_filter(
+            stop_filter(
+                synonym_filter(
+                    simple_tokens("text"), {"fast": "quick", "big": "large"}
+                ),
+                ["the", "a"],
+            ),
+            2,
+            30,
+        ),
+        2,
     )
+    toks = docs.select("doc_id", chain.alias("shingles"))
     return (
         toks.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")

@@ -112,12 +112,19 @@ def start_incremental_index(
     analyzer: str = "standard",
     checkpoint_dir: str | None = None,
     segments_per_batch: int = 1,
+    processing_interval: str | None = None,
 ) -> IncrementalIndex:
     """Stream-parquet ``source_dir`` → ``segments_per_batch`` segments per
     micro-batch under ``index_dir/segments``, built per-partition on the
     executors (no driver collect). Returns a handle; caller stops the
     query. At scale set segments_per_batch ≈ cores so a large micro-batch
-    flushes in parallel; small test batches use 1 for determinism."""
+    flushes in parallel; small test batches use 1 for determinism.
+
+    ``processing_interval``: None runs drain-and-stop (availableNow —
+    the TopicStream catch-up pull); a value like ``"1 second"`` keeps
+    the query ALIVE re-executing continuously — the DaemonStream mode
+    (reference solr/solrj/.../io/stream/DaemonStream.java) — until
+    ``.stop()``."""
     os.makedirs(f"{index_dir}/segments", exist_ok=True)
     checkpoint_dir = checkpoint_dir or f"{index_dir}/_checkpoint"
 
@@ -162,10 +169,12 @@ def start_incremental_index(
             for c in caches:
                 c.unpersist()
 
-    query = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    query = writer.start()
     return IncrementalIndex(index_dir, query)

@@ -183,3 +183,35 @@ def test_stateful_conversation_rollup_accumulates(spark, tmp_path):
         assert second["conv0002"][0] == 1  # only in batch 1
     finally:
         q.stop()
+
+
+def test_daemon_mode_continuous_trigger(spark, tmp_path):
+    """DaemonStream mode: a processingTime-trigger query stays ALIVE and
+    folds files that arrive AFTER it starts into new segments, without
+    restart (reference DaemonStream.java continuous re-execution)."""
+    src = str(tmp_path / "d_src")
+    idx = str(tmp_path / "d_idx")
+    schema = transcripts_from_pandas(spark, _mini_batch("w", 1, "x")).schema
+
+    transcripts_from_pandas(spark, _mini_batch("da", 10, "alpha")).repartition(
+        1
+    ).write.mode("append").parquet(src)
+    h = start_incremental_index(
+        spark, src, idx, schema, analyzer="simple",
+        processing_interval="500 milliseconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while h.max_doc() < 10 and time.time() < deadline:
+            time.sleep(0.5)
+        assert h.max_doc() == 10
+
+        # new file lands while the daemon is running — no restart
+        transcripts_from_pandas(
+            spark, _mini_batch("db", 5, "beta")
+        ).repartition(1).write.mode("append").parquet(src)
+        while h.max_doc() < 15 and time.time() < deadline:
+            time.sleep(0.5)
+        assert h.max_doc() == 15 and h.query.isActive
+    finally:
+        h.stop()

@@ -424,6 +424,13 @@ class SegmentedIndex:
     max_doc: int
     n_buckets: int
     has_positions: bool = False
+    # resident-searcher term-dictionary cache: term -> df (None =
+    # known-absent). Lucene keeps the term dictionary's FST index
+    # memory-resident per searcher; the Spark analog memoizes per-term
+    # df lookups on the driver so a warm query launches no dictionary
+    # job. The index is immutable (appends produce a NEW handle), so
+    # entries never invalidate.
+    df_cache: dict | None = None
 
 
 def build_segmented_index(

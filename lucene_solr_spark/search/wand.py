@@ -400,16 +400,40 @@ def search_wand(
         return empty
     from ..operators.hashing import h60_py  # local: avoid cycle
 
-    dict_df = index.dictionary
-    if "term_bucket" in dict_df.columns:  # partition-pruned term lookup
-        dict_buckets = sorted({h60_py(t) % index.n_buckets for t in uniq})
-        dict_df = dict_df.filter(F.col("term_bucket").isin(dict_buckets))
-    rows = (
-        dict_df.filter(dict_df.term.isin(uniq))
-        .select("term", "df")
-        .collect()
+    # resident-searcher dictionary cache: warm terms cost no Spark job
+    # (Lucene's memory-resident term-dictionary FST analog; the index
+    # handle is immutable so entries never invalidate)
+    if getattr(index, "df_cache", None) is None:
+        try:
+            index.df_cache = {}
+        except AttributeError:  # frozen/foreign handle: run uncached
+            pass
+    df_cache = getattr(index, "df_cache", None)
+    missing = (
+        uniq if df_cache is None else [t for t in uniq if t not in df_cache]
     )
-    df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    if missing:
+        dict_df = index.dictionary
+        if "term_bucket" in dict_df.columns:  # partition-pruned lookup
+            dict_buckets = sorted(
+                {h60_py(t) % index.n_buckets for t in missing}
+            )
+            dict_df = dict_df.filter(F.col("term_bucket").isin(dict_buckets))
+        rows = (
+            dict_df.filter(dict_df.term.isin(missing))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        if df_cache is not None:
+            for t in missing:
+                df_cache[t] = found.get(t)  # None = known-absent
+    else:
+        found = {}
+    if df_cache is not None:
+        df_by_term = {t: df_cache[t] for t in uniq if df_cache[t] is not None}
+    else:
+        df_by_term = found
     weights = dict(
         term_weights(df_by_term, index.doc_count, uniq, boost, k1, b)
     )

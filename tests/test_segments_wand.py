@@ -197,3 +197,18 @@ def test_per_term_boosts(seg_index, tiny_index):
     assert [(r["doc_id"], r["score"]) for r in w] != [
         (r["doc_id"], r["score"]) for r in plain
     ]
+
+
+def test_dictionary_cache_warm_query_no_lookup_job(spark, seg_index):
+    """Resident-searcher df cache: the second query for the same terms
+    must read its dfs from the handle's cache (absent terms negatively
+    cached), and results must be identical to the cold query."""
+    from lucene_solr_spark import fixtures
+    from lucene_solr_spark.search.wand import search_wand
+
+    terms = [fixtures.make_vocab()[0], "zzznotaterm"]
+    cold = search_wand(seg_index, terms, "disjunctive", k=5).collect()
+    assert seg_index.df_cache[terms[0]] is not None
+    assert seg_index.df_cache["zzznotaterm"] is None  # negative entry
+    warm = search_wand(seg_index, terms, "disjunctive", k=5).collect()
+    assert [tuple(r) for r in warm] == [tuple(r) for r in cold]

@@ -835,6 +835,7 @@ _PERC_QUERIES = [
     ("q_spark_merge", ["spark", "merge"], None),   # conjunctive
     ("q_2of3_window", ["window", "sort", "scan"], 2),
     ("q_vector", ["vector"], None),
+    ("q_join_not_hash", ["join"], None, ["hash"]),  # MUST + MUST_NOT
 ]
 
 
@@ -842,25 +843,31 @@ _PERC_QUERIES = [
     "fts_percolate",
     f"""
 WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKS})),
-qt(query_id, term) AS (VALUES
-  ('q_spark_merge', 'spark'), ('q_spark_merge', 'merge'),
-  ('q_2of3_window', 'window'), ('q_2of3_window', 'sort'),
-  ('q_2of3_window', 'scan'), ('q_vector', 'vector')),
+qt(query_id, term, prohibited) AS (VALUES
+  ('q_spark_merge', 'spark', FALSE), ('q_spark_merge', 'merge', FALSE),
+  ('q_2of3_window', 'window', FALSE), ('q_2of3_window', 'sort', FALSE),
+  ('q_2of3_window', 'scan', FALSE), ('q_vector', 'vector', FALSE),
+  ('q_join_not_hash', 'join', FALSE), ('q_join_not_hash', 'hash', TRUE)),
 qr(query_id, required) AS (VALUES
-  ('q_spark_merge', 2), ('q_2of3_window', 2), ('q_vector', 1)),
+  ('q_spark_merge', 2), ('q_2of3_window', 2), ('q_vector', 1),
+  ('q_join_not_hash', 1)),
 hits AS (
-  SELECT t.doc_id, qt.query_id, count(DISTINCT t.term) AS n_matched
+  SELECT t.doc_id, qt.query_id,
+         count(DISTINCT CASE WHEN NOT qt.prohibited THEN t.term END)
+           AS n_matched,
+         max(CASE WHEN qt.prohibited THEN 1 ELSE 0 END) AS n_vetoed
   FROM toks t JOIN qt ON t.term = qt.term
   WHERE t.doc_id < 100
   GROUP BY t.doc_id, qt.query_id)
 SELECT h.query_id, h.doc_id
 FROM hits h JOIN qr ON h.query_id = qr.query_id
-WHERE h.n_matched >= qr.required
+WHERE h.n_matched >= qr.required AND h.n_vetoed = 0
 ORDER BY h.query_id, h.doc_id""",
 )
 def fts_percolate(spark, sf_dir):
-    """Monitor/percolator module: registered term queries matched in
-    reverse against documents — two hash-aggs regardless of query count
+    """Monitor/percolator module: registered term queries (conjunctive /
+    minShouldMatch, with MUST_NOT veto terms) matched in reverse against
+    documents — two hash-aggs regardless of query count
     (operators/monitor.py; reference lucene/monitor/.../Monitor.java,
     QueryIndex term prefilter)."""
     from .operators.monitor import percolate, register_queries

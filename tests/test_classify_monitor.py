@@ -77,3 +77,25 @@ def test_percolate_duplicate_terms_dedup(spark, idx_labels):
     assert qr.collect()[0].required == 1
     docs = {r.doc_id for r in percolate(idx, qt, qr).collect()}
     assert docs == {0, 1, 4}
+
+
+def test_percolate_must_not_veto(spark):
+    """A registered MUST_NOT term vetoes the (query, doc) pair even when
+    the required terms match (ReqExclScorer in reverse)."""
+    from lucene_solr_spark.operators.monitor import (
+        percolate, register_queries,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "join"), (0, "hash"), (1, "join"), (2, "hash")],
+        "doc_id long, term string",
+    )
+    qt, qr = register_queries(
+        spark, [("q", ["join"], None, ["hash"])]
+    )
+    got = {
+        (r["query_id"], r["doc_id"]) for r in percolate(docs, qt, qr).collect()
+    }
+    assert got == {("q", 1)}  # doc0 vetoed by 'hash', doc2 lacks 'join'
+    with pytest.raises(ValueError, match="requires and prohibits"):
+        register_queries(spark, [("bad", ["a"], None, ["a"])])

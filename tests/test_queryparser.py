@@ -123,3 +123,67 @@ def test_parse_rejects_unbalanced_and_unsupported():
         parse_query("a b)")
     with _pytest.raises(ValueError, match="unsupported"):
         parse_query("(a AND b) c")  # non-disjunctive group in SHOULD position
+
+
+# --------------------------------------------- property: render-parse
+# Random structured specs rendered to classic query strings must parse
+# back to the same structure (the grammar's round-trip contract).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_KEYWORDS = {"and", "or", "not", "to"}
+_WORD = st.from_regex(r"[a-z]{2,8}", fullmatch=True).filter(
+    lambda w: w not in _KEYWORDS
+)
+
+
+def _distinct_words(n):
+    return st.lists(_WORD, min_size=n, max_size=n, unique=True)
+
+
+@st.composite
+def _spec(draw):
+    words = draw(_distinct_words(8))
+    it = iter(words)
+    n_must = draw(st.integers(0, 2))
+    n_should = draw(st.integers(0, 2))
+    n_not = draw(st.integers(0, 2))
+    grp = draw(st.booleans())
+    must = [next(it) for _ in range(n_must)]
+    should = [next(it) for _ in range(n_should)]
+    must_not = [next(it) for _ in range(n_not)]
+    group = [next(it), next(it)] if grp else []
+    rng = draw(
+        st.one_of(
+            st.none(),
+            st.tuples(st.integers(0, 50), st.integers(51, 99)),
+        )
+    )
+    return must, should, must_not, group, rng
+
+
+@given(_spec())
+@settings(max_examples=200, deadline=None)
+def test_render_parse_roundtrip(spec):
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    must, should, must_not, group, rng = spec
+    parts = [f"+{t}" for t in must]
+    parts += list(should)
+    parts += [f"-{t}" for t in must_not]
+    if group:
+        parts.append("+(" + " ".join(group) + ")")
+    if rng is not None:
+        parts.append(f"doc_id:[{rng[0]} TO {rng[1]}]")
+    p = parse_query(" ".join(parts))
+    assert [t for t, _ in p.must] == must
+    assert [t for t, _ in p.should] == should
+    assert p.must_not == must_not
+    assert p.groups == ([[(w, 1.0) for w in group]] if group else [])
+    if rng is not None:
+        assert p.filters == [
+            ("range", "doc_id", float(rng[0]), float(rng[1]), True, True)
+        ]
+    else:
+        assert p.filters == []

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from .gate import (_NORM_VALUES, _TOKS, bm25_scored_cte, bm25_sql,
                    _bm25_spark, doc_tokens, docs_index, gate, load)
+from .search.bruteforce import search_bruteforce
 
 
 # ----------------------------------------------------- mutations (upsert)
@@ -313,6 +314,51 @@ def fts_parsed_group_range(spark, sf_dir):
     QueryParser.jj:195-226 range production)."""
     return _run_parsed(
         spark, sf_dir, "(window OR merge) AND spark lang:en doc_id:[100 TO 4999]"
+    )
+
+
+# ------------------------------------------------- JoinUtil score modes
+
+@gate(
+    "fts_join_scores",
+    f"""WITH {bm25_scored_cte(["spark", "merge", "window"])},
+ds AS (SELECT doc_id, sum(term_score) AS score FROM scored GROUP BY doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_matching,
+       round(max(ds.score), 4) AS score_max,
+       round(CAST(sum(CAST(round(ds.score, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE), 4) AS score_total,
+       round(CAST(sum(CAST(round(ds.score, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) / count(*), 4) AS score_avg
+FROM ds JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source""",
+)
+def fts_join_scores(spark, sf_dir):
+    """JoinUtil query-time score propagation (reference lucene/join/
+    .../JoinUtil.java, ScoreMode.Max/Total/Avg + GlobalOrdinalsWith-
+    ScoreQuery): child documents matching a BM25 query join to their
+    parent key (source) and the parent's score aggregates child scores
+    per mode — one hash-agg over the scored child set, order-independent
+    DECIMAL for the Total/Avg sums."""
+    tables = docs_index(spark, sf_dir)
+    child = search_bruteforce(
+        tables, ["spark", "merge", "window"], "disjunctive",
+        k=None, precision="double",
+    )
+    parents = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dec = F.round(F.col("score"), 9).cast("decimal(28,9)")
+    return (
+        child.join(parents, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_matching"),
+            F.round(F.max("score"), 4).alias("score_max"),
+            F.round(F.sum(dec).cast("double"), 4).alias("score_total"),
+            F.round(
+                F.sum(dec).cast("double") / F.count("*"), 4
+            ).alias("score_avg"),
+        )
+        .orderBy("source")
     )
 
 

@@ -369,11 +369,13 @@ _suite("rel_paging_export", [
     ("export", "rel_export_sorted", ("c_custkey", "c_name"), ("acctbal",)),
 ])
 
-# 35: block join + cartesian product
+# 35: block join + cartesian product + JoinUtil score modes
 _suite("rel_join_specials", [
     ("block_join", "rel_blockjoin_orders_with_big_item",
      ("o_orderkey",), ("o_totalprice",)),
     ("cartesian", "rel_cartesian_explode", ("r_name", "n_name"), ()),
+    ("scored_join", "fts_join_scores",
+     ("source", "n_matching"), ("score_max", "score_total", "score_avg")),
 ])
 
 # 36: percentile + HLL approx aggregates

@@ -424,11 +424,14 @@ _passthrough("ml_naive_bayes_lang", "ml_textlogit_classify")
 # 45: exact dedup
 _passthrough("td_dedup_exact")
 
-# 46: near-dup text family — MinHash-LSH / SimHash / n-gram Jaccard
+# 46: near-dup text family — MinHash-LSH / SimHash / n-gram Jaccard /
+# chunk-level copy-paste contamination
 _suite("td_dedup_near", [
     ("minhash_lsh", "td_dedup_minhash_lsh", ("doc_a", "doc_b"), ("jaccard",)),
     ("simhash", "td_dedup_simhash", ("doc_a", "doc_b"), ("hamming",)),
     ("ngram_jaccard", "td_ngram_jaccard", ("doc_a", "doc_b"), ("jaccard",)),
+    ("chunk_shared", "td_chunk_dedup",
+     ("doc_id",), ("n_chunks", "n_shared_chunks", "shared_ratio")),
 ])
 
 # 47: embedding near-dup — exact all-pairs oracle + LSH scale path

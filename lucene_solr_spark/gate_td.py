@@ -82,6 +82,37 @@ def td_dedup_exact(spark, sf_dir):
     return res.filter(F.col("n_copies") > 1).orderBy("doc_id")
 
 
+# ------------------------------------------------------ chunk duplication
+
+@gate(
+    "td_chunk_dedup",
+    f"""WITH corpus AS ({_CORPUS_EXACT}),
+t AS ({_TOKD.format(src='corpus')}),
+ch AS (SELECT DISTINCT doc_id,
+         {h60_sql("array_to_string(toks[i*10+1 : i*10+10], ' ')")} AS chunk_h
+       FROM (SELECT doc_id, toks,
+                    unnest(range(0, CAST(floor(len(toks) / 10) AS BIGINT))) AS i
+             FROM t)),
+sh AS (SELECT chunk_h FROM ch GROUP BY chunk_h
+       HAVING count(DISTINCT doc_id) > 1),
+m AS (SELECT ch.doc_id, sh.chunk_h IS NOT NULL AS is_sh
+      FROM ch LEFT JOIN sh USING (chunk_h))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN is_sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       round(sum(CASE WHEN is_sh THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS shared_ratio
+FROM m GROUP BY doc_id ORDER BY doc_id""",
+)
+def td_chunk_dedup(spark, sf_dir):
+    """Chunk-level duplication (copy-paste contamination): 10-token
+    non-overlapping chunks hashed; per-doc count of chunks appearing in
+    >1 distinct document — catches partial copies doc-level exact dedup
+    misses (operators/dedup.py chunk_duplication)."""
+    res = dd.chunk_duplication(_corpus_exact(spark, sf_dir), chunk_tokens=10)
+    return res.orderBy("doc_id")
+
+
 # ----------------------------------------------------------- minhash LSH
 
 _MH_N, _MH_BANDS, _MH_K = 8, 4, 3

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .hashing import h60, h60_seeded
 
 __all__ = [
+    "chunk_duplication",
     "tokens_col",
     "shingles",
     "exact_dedup",
@@ -60,6 +61,66 @@ def shingles(tokens: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(tokens, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_duplication(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Copy-paste contamination: non-overlapping ``chunk_tokens``-token
+    chunks h60-hashed; a chunk is SHARED when its hash occurs in more
+    than one distinct document. Returns per-doc
+    (doc_id, n_chunks, n_shared_chunks, shared_ratio).
+
+    The LLM-pipeline "duplicated span" detector (doc-level exact dedup
+    misses partial copies; this catches them at chunk granularity).
+    Scale: explode moves each chunk hash once; the per-hash distinct-doc
+    count is a map-side-combined hash agg on a 60-bit key; the join back
+    rides the same hash — no all-pairs anything."""
+    toks = tokens_col(text_col)
+    nc = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.when(
+        nc > 0,
+        F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: h60(
+                F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    per_chunk = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk_h")
+    ).distinct()
+    shared = (
+        per_chunk.groupBy("chunk_h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("chunk_h")
+    )
+    marked = per_chunk.join(
+        shared.withColumn("is_shared", F.lit(1)), "chunk_h", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(
+                F.col("n_shared_chunks") / F.col("n_chunks").cast("double"), 4
+            ).alias("shared_ratio"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ exact

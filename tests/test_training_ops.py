@@ -266,3 +266,23 @@ def test_ivf_near_dup_recall(spark, emb, tmp_path):
         if qid + 100000 in got:
             hits += 1
     assert hits >= 4, hits
+
+
+def test_chunk_duplication_detects_partial_copies(spark):
+    """A document that copies 20 of its 30 tokens from another must show
+    exactly the copied chunks as shared; a fully-unique doc shows none."""
+    base = " ".join(f"w{i}" for i in range(30))          # 3 chunks
+    partial = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+        f"u{i}" for i in range(10)
+    )                                                     # copies chunks 0,1
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, base), (1, partial), (2, other)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared_chunks"], r["shared_ratio"])
+        for r in dd.chunk_duplication(df, chunk_tokens=10).collect()
+    }
+    assert got[0] == (3, 2, 0.6667)
+    assert got[1] == (3, 2, 0.6667)
+    assert got[2] == (3, 0, 0.0)

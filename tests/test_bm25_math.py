@@ -73,3 +73,71 @@ def test_sum_scores_double_accumulate():
         np.float64(parts[0]) + np.float64(parts[1]) + np.float64(parts[2])
     )
     assert got == expect and got.dtype == np.float32
+
+
+# ---------------------------------------- TestBM25Similarity-style axioms
+# Reference lucene/core/src/test/org/apache/lucene/search/similarities/
+# TestBM25Similarity.java + BaseSimilarityTestCase invariants: scores
+# finite and non-negative, idf decreasing in df, tf saturating and
+# monotonic in freq, norm monotonic in doc length.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.integers(1, 10**9),
+    st.integers(1, 10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_idf_positive_finite_and_decreasing(df1, df2):
+    n = max(df1, df2)
+    a, b_ = bm25.idf(np.array([min(df1, n)]), n), bm25.idf(
+        np.array([min(df2, n)]), n
+    )
+    assert np.isfinite(a)[0] and a[0] >= 0
+    if df1 <= df2 <= n:
+        assert bm25.idf(np.array([df1]), n)[0] >= bm25.idf(
+            np.array([df2]), n
+        )[0]
+
+
+@given(st.integers(0, 254), st.integers(1, 1000))
+@settings(max_examples=200, deadline=None)
+def test_tf_saturating_monotonic(norm_byte, freq):
+    """score(freq+1) >= score(freq), and score < weight (saturation
+    bound: tf/(tf+norm) < 1)."""
+    cache = bm25.norm_cache(np.float32(55.0))
+    w = np.float32(2.0)
+    nb = np.array([norm_byte], dtype=np.int64)
+    s1 = bm25.score_term(np.array([freq]), nb, w, cache)
+    s2 = bm25.score_term(np.array([freq + 1]), nb, w, cache)
+    assert np.isfinite(s1)[0] and s1[0] >= 0
+    assert s2[0] >= s1[0]
+    assert s1[0] < w
+
+
+@given(st.integers(0, 253), st.integers(1, 100))
+@settings(max_examples=200, deadline=None)
+def test_longer_docs_score_no_higher(norm_byte, freq):
+    """At equal freq, a doc with a larger quantized length (higher norm
+    byte) never outscores a shorter one — the b-normalization axiom."""
+    cache = bm25.norm_cache(np.float32(55.0))
+    w = np.float32(2.0)
+    s_short = bm25.score_term(
+        np.array([freq]), np.array([norm_byte]), w, cache
+    )
+    s_long = bm25.score_term(
+        np.array([freq]), np.array([norm_byte + 1]), w, cache
+    )
+    assert s_long[0] <= s_short[0]
+
+
+def test_boost_scales_weight_linearly():
+    """BoostQuery axiom: boost multiplies the clause weight, float32
+    cast points preserved (weight computed in float32 like term_weights)."""
+    from lucene_solr_spark.search.scoring import term_weights
+
+    w1 = dict(term_weights({"t": 100}, 10_000, ["t"], 1.0, bm25.K1, bm25.B))
+    w2 = dict(term_weights({"t": 100}, 10_000, ["t"], 2.5, bm25.K1, bm25.B))
+    assert w2["t"] == np.float32(np.float32(2.5) * w1["t"])

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +47,7 @@ ROLLUP_SCHEMA = StructType(
         StructField("n_turns", LongType()),
         StructField("n_tokens", LongType()),
         StructField("last_turn_idx", IntegerType()),
+        StructField("closed", BooleanType()),
     ]
 )
 
@@ -58,42 +60,71 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update_conversation(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    n_turns, n_tokens, last_idx = (
-        state.get if state.exists else (0, 0, -1)
-    )
-    for pdf in pdfs:
-        n_turns += len(pdf)
-        # whitespace token count, vectorized across the Arrow batch
-        n_tokens += int(
-            pdf["text"].fillna("").str.split().str.len().sum()
-        )
-        if len(pdf):
-            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
-    state.update((n_turns, n_tokens, last_idx))
-    yield pd.DataFrame(
+def _row(conv_id, n_turns, n_tokens, last_idx, closed):
+    return pd.DataFrame(
         {
             "conv_id": [conv_id],
             "n_turns": [n_turns],
             "n_tokens": [n_tokens],
             "last_turn_idx": [last_idx],
+            "closed": [closed],
         }
     )
 
 
-def conversation_rollup_stream(turns: DataFrame) -> DataFrame:
+def _make_update(idle_timeout_ms):
+    def _update_conversation(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            # idle conversation: emit the final CLOSED summary and evict
+            # the state row (session-window close analog)
+            n_turns, n_tokens, last_idx = state.get
+            state.remove()
+            yield _row(conv_id, n_turns, n_tokens, last_idx, True)
+            return
+        n_turns, n_tokens, last_idx = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            # whitespace token count, vectorized across the Arrow batch
+            n_tokens += int(
+                pdf["text"].fillna("").str.split().str.len().sum()
+            )
+            if len(pdf):
+                last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_tokens, last_idx))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield _row(conv_id, n_turns, n_tokens, last_idx, False)
+
+    return _update_conversation
+
+
+def conversation_rollup_stream(
+    turns: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Continuous per-conversation rollup of a streaming transcript
     source: returns the update-mode stream of summary rows. The caller
-    attaches the sink/checkpoint (``writeStream.outputMode('update')``)."""
+    attaches the sink/checkpoint (``writeStream.outputMode('update')``).
+
+    ``idle_timeout_ms``: when set, a conversation idle for that long
+    emits one final row with ``closed=True`` and its state is EVICTED —
+    the session-window close. Without it, state lives forever (the
+    running-rollup daemon mode) and ``closed`` is always False."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return turns.groupBy("conv_id").applyInPandasWithState(
-        _update_conversation,
+        _make_update(idle_timeout_ms),
         outputStructType=ROLLUP_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

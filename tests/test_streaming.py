@@ -215,3 +215,56 @@ def test_daemon_mode_continuous_trigger(spark, tmp_path):
         assert h.max_doc() == 15 and h.query.isActive
     finally:
         h.stop()
+
+
+def test_stateful_idle_timeout_closes_session(spark, tmp_path):
+    """With idle_timeout_ms set, a conversation idle past the timeout
+    emits a final closed=True row and its state is evicted — the
+    session-window close analog. NOTE: ProcessingTimeTimeout makes the
+    trigger fire continuous state-cleanup batches, so the test polls
+    the sink instead of processAllAvailable (which would never return
+    on a never-idle trigger)."""
+    from lucene_solr_spark.streaming.stateful import conversation_rollup_stream
+
+    src = str(tmp_path / "to_src")
+    ckpt = str(tmp_path / "to_ckpt")
+    schema = transcripts_from_pandas(spark, _mini_batch("w", 1, "x")).schema
+
+    transcripts_from_pandas(
+        spark, _mini_batch("idle", 1, "one two")
+    ).repartition(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        conversation_rollup_stream(stream, idle_timeout_ms=1500)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_timeout")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        def rows():
+            return spark.sql("SELECT * FROM conv_timeout").collect()
+
+        deadline = time.time() + 90
+        while time.time() < deadline and not any(
+            r["conv_id"] == "idle0000" and not r["closed"] for r in rows()
+        ):
+            time.sleep(0.5)
+        assert any(
+            r["conv_id"] == "idle0000"
+            and not r["closed"]
+            and r["n_turns"] == 1
+            for r in rows()
+        ), rows()
+
+        # no further data for the conversation: the idle timeout must
+        # fire on a subsequent (empty) trigger and close the session
+        while time.time() < deadline and not any(r["closed"] for r in rows()):
+            time.sleep(0.5)
+        closed = [r for r in rows() if r["closed"]]
+        assert any(
+            r["conv_id"] == "idle0000" and r["n_turns"] == 1 for r in closed
+        ), rows()
+    finally:
+        q.stop()

@@ -114,3 +114,54 @@ def test_regeneration_bumps_and_reader_follows(spark, built):
     assert os.path.isdir(f"{idx}/{merged_dir_name(0)}/postings")
     with open(f"{idx}/snapshots/snap-0000000000.json") as f:
         assert json.load(f)["generation"] == 0
+
+
+# -------------------------------------------------- replicator (pull)
+
+
+def test_replicate_pulls_consistent_snapshot(spark, built, tmp_path):
+    """Full pull: replica activates the primary's generation and serves
+    IDENTICAL query results; re-running is a no-op (idempotent)."""
+    from lucene_solr_spark.index.replicator import replicate
+
+    idx, tables = built
+    dst = str(tmp_path / "replica")
+    r = replicate(idx, dst)
+    assert r["generation"] == latest_snapshot(idx)["generation"]
+    assert r["files_copied"] > 0 and r["bytes_copied"] > 0
+
+    rep_tables = read_segmented_index(spark, dst)
+    assert _top10(rep_tables) == _top10(tables)
+
+    again = replicate(idx, dst)
+    assert again["files_copied"] == 0 and again["bytes_copied"] == 0
+
+
+def test_replicate_resumes_partial_copy(spark, built, tmp_path):
+    """A replication run killed mid-copy leaves no visible snapshot at
+    the replica; re-running copies only the missing files and then
+    activates."""
+    from lucene_solr_spark.index.replicator import replicate
+    from lucene_solr_spark.index.snapshot import _SNAP_DIR
+
+    idx, _ = built
+    dst = str(tmp_path / "replica2")
+    replicate(idx, dst)
+    # simulate the crash: drop the commit point and some data files
+    shutil.rmtree(os.path.join(dst, _SNAP_DIR))
+    snap = latest_snapshot(idx)
+    victim_dir = os.path.join(dst, "segments", snap["segments"][0])
+    victims = [
+        os.path.join(cur, f)
+        for cur, _d, fs in os.walk(victim_dir)
+        for f in fs
+    ]
+    for v in victims:
+        os.remove(v)
+    assert latest_snapshot(dst) is None  # replica is not serving anything
+
+    r = replicate(idx, dst)
+    assert r["files_copied"] == len(victims)
+    assert latest_snapshot(dst)["generation"] == snap["generation"]
+    rep_tables = read_segmented_index(spark, dst)
+    assert rep_tables.doc_count == 400

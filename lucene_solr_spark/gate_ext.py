@@ -317,6 +317,31 @@ def fts_parsed_group_range(spark, sf_dir):
     )
 
 
+@gate(
+    "fts_fuzzy_dl_expand",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE damerau_levenshtein(term, 'jion') <= 1
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_fuzzy_dl_expand(spark, sf_dir):
+    """FuzzyQuery with transpositions=true (the Lucene DEFAULT —
+    search/FuzzyQuery.java:68-88): 'jions'~1 matches 'joins' (adjacent
+    transposition = ONE edit; classic Levenshtein would need 2).
+    Expansion over the tiny dictionary via the Arrow-batched restricted
+    DL distance (functions/editdist.py)."""
+    from .functions.editdist import damerau_levenshtein
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(
+            damerau_levenshtein(F.col("term"), "jion") <= 1
+        )
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
 # ------------------------------------------------- JoinUtil score modes
 
 @gate(

@@ -257,6 +257,7 @@ _suite("fts_expand_multi", [
     ("prefix", "fts_prefix_expand", ("term",), ("df",)),
     ("wildcard", "fts_wildcard_expand", ("term",), ("df",)),
     ("fuzzy", "fts_fuzzy_expand", ("term",), ("df",)),
+    ("fuzzy_dl", "fts_fuzzy_dl_expand", ("term",), ("df",)),
     ("regexp", "fts_regexp_expand", ("term",), ("df",)),
 ])
 

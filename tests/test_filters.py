@@ -67,3 +67,28 @@ def test_length_filter(spark):
     assert _apply(
         spark, ["a", "abc", "abcdef"], lambda c: length_filter(c, 2, 5)
     ) == ["abc"]
+
+
+def test_damerau_levenshtein_counts_transposition_once(spark):
+    """FuzzyQuery default metric: 'jion'->'join' is ONE edit (adjacent
+    transposition); classic Levenshtein says two."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.editdist import (
+        damerau_levenshtein, dl_distance_py,
+    )
+
+    assert dl_distance_py("jion", "join") == 1
+    assert dl_distance_py("abc", "abc") == 0
+    assert dl_distance_py("", "abc") == 3
+    assert dl_distance_py("ca", "abc") == 3  # restricted-DL (OSA) value
+    df = spark.createDataFrame(
+        [("join",), ("joint",), ("coin",)], "term string"
+    ).select(
+        "term",
+        damerau_levenshtein(F.col("term"), "jion").alias("dl"),
+        F.levenshtein(F.col("term"), F.lit("jion")).alias("lev"),
+    )
+    got = {r["term"]: (r["dl"], r["lev"]) for r in df.collect()}
+    assert got["join"] == (1, 2)
+    assert got["joint"][0] == 2

@@ -1,0 +1,112 @@
+"""Searcher — the IndexSearcher / SolrCore request-handler analog.
+
+One front door over the engine's pieces, mirroring the reference's
+query lifecycle (SURVEY §3.1: parse → rewrite → weight → score →
+collect; reference search/IndexSearcher.java:420-470, solr/core/.../
+handler/component/SearchHandler.java):
+
+    idx = Searcher.build(transcripts)          # or Searcher(tables, ...)
+    hits = idx.search('+spark merge -vector role:user', k=10)
+    hits = idx.search('"slow query"~2 fast', k=10)     # needs positions
+    idx.explain(["spark", "merge"])                     # debugQuery
+    idx.highlight(hits, ["spark", "merge"])             # best fragments
+
+Everything returns DataFrames — the searcher composes plans, it never
+collects. For the 10^12-turn serving path use the segmented index +
+block-max WAND (index/segments.py + search/wand.py); this facade wraps
+the feature-complete flat-table engine that backs the full query
+grammar (filters, groups, phrases, ReqOptSum), exactly like Solr's
+request handler fronting the Lucene searcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index.builder import IndexTables, build_index
+from .search.executor import execute_parsed
+from .search.queryparser import parse_query
+
+__all__ = ["Searcher"]
+
+
+class Searcher:
+    """Feature-complete search surface over flat index tables.
+
+    tables: IndexTables (build_index output).
+    pos_index: optional positional SegmentedIndex — required for phrase
+    queries.  stored: defaults to ``tables.stored`` — the metadata
+    source for ``field:value`` / range filters."""
+
+    def __init__(self, tables: IndexTables, pos_index=None, stored=None):
+        self.tables = tables
+        self.pos_index = pos_index
+        self.stored = stored if stored is not None else tables.stored
+
+    @classmethod
+    def build(
+        cls,
+        transcripts: DataFrame,
+        analyzer: str = "standard",
+        with_positions: bool = False,
+        **kwargs,
+    ) -> "Searcher":
+        """Index a transcript-shaped DataFrame and open a searcher on it
+        (IndexWriter.addDocuments + DirectoryReader.open in one step)."""
+        tables = build_index(
+            transcripts,
+            analyzer=analyzer,
+            with_positions=with_positions,
+            **kwargs,
+        )
+        return cls(tables)
+
+    def parse(self, q: str):
+        return parse_query(q)
+
+    def search(
+        self,
+        q: str,
+        k: int | None = 10,
+        precision: str = "float32",
+        with_stored: bool = False,
+    ) -> DataFrame:
+        """Classic query string → (doc_id, score) top-k, float32
+        Lucene-parity by default. ``with_stored`` joins the stored
+        fields onto the hits (the fl=* response shape)."""
+        hits = execute_parsed(
+            q,
+            self.tables,
+            pos_index=self.pos_index,
+            k=k,
+            precision=precision,
+            stored=self.stored,
+        )
+        if with_stored:
+            hits = hits.join(self.stored, "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return hits
+
+    def explain(self, terms, **kwargs) -> DataFrame:
+        """debugQuery: per-(doc, term) BM25 factor table."""
+        from .search.explain import explain_scores
+
+        return explain_scores(self.tables, terms, **kwargs)
+
+    def highlight(
+        self,
+        hits: DataFrame,
+        terms,
+        text_col: str = "text",
+        frag_size: int = 100,
+        lead: int = 30,
+    ) -> DataFrame:
+        """Best-fragment markup for the hits' stored text."""
+        from .search.highlight import highlight
+
+        docs = hits.select("doc_id", "score").join(self.stored, "doc_id")
+        return highlight(
+            docs, text_col, terms, frag_size=frag_size, lead=lead
+        ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,66 @@
+"""Searcher facade: the one-front-door request path (IndexSearcher /
+SearchHandler analog) must route every grammar construct to the same
+results as the underlying engines."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.bruteforce import search_bruteforce
+from lucene_solr_spark.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_corpus):
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    return Searcher.build(df, analyzer="standard")
+
+
+def test_search_matches_engine(spark, searcher):
+    from lucene_solr_spark import fixtures
+
+    t = fixtures.make_vocab()[0]
+    got = searcher.search(t, k=5).collect()
+    ref = search_bruteforce(searcher.tables, [t], k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_search_with_stored_and_filter(spark, searcher):
+    from lucene_solr_spark import fixtures
+
+    t = fixtures.make_vocab()[0]
+    hits = searcher.search(f"{t} role:user", k=None, with_stored=True)
+    rows = hits.collect()
+    assert rows and all(r["role"] == "user" for r in rows)
+    base = {r["doc_id"] for r in searcher.search(t, k=None).collect()}
+    assert {r["doc_id"] for r in rows} <= base
+
+
+def test_explain_and_highlight_compose(spark, searcher):
+    from lucene_solr_spark import fixtures
+
+    t = fixtures.make_vocab()[0]
+    hits = searcher.search(t, k=3)
+    ex = searcher.explain([t])
+    assert {"doc_id", "term", "freq", "df", "weight"} <= set(ex.columns)
+    hl = searcher.highlight(hits, [t]).collect()
+    assert hl and all("<em>" in r["fragment"] for r in hl)
+
+
+def test_mixed_grammar_via_facade(spark, searcher):
+    from lucene_solr_spark import fixtures
+
+    a, b = fixtures.make_vocab()[0], fixtures.make_vocab()[1]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in searcher.search(f"+{a} {b}", k=None, precision="double").collect()
+    }
+    req = {
+        r["doc_id"]: r["score"]
+        for r in search_bruteforce(
+            searcher.tables, [a], k=None, precision="double"
+        ).collect()
+    }
+    assert set(got) == set(req)
+    assert all(got[d] >= req[d] - 1e-9 for d in got)

@@ -551,6 +551,62 @@ def fn_spatial_bbox(spark, sf_dir):
     ).orderBy(F.asc("dist_km"), F.asc("c_custkey")).limit(20)
 
 
+_GEO_INDEX_CACHE: dict = {}
+
+
+def _geo_index_dir(spark, sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _GEO_INDEX_CACHE:
+        c = load(spark, sf_dir, "customer")
+        pts = c.select(
+            "c_custkey",
+            (((F.col("c_custkey") * 7) % 180) - 90 + 0.5).alias("lat"),
+            (((F.col("c_custkey") * 13) % 360) - 180 + 0.5).alias("lon"),
+        )
+        from .operators.spatial import build_geo_index
+
+        d = tempfile.mkdtemp(prefix="lss_geoidx_")
+        build_geo_index(pts, d)
+        _GEO_INDEX_CACHE[sf_dir] = d
+    return _GEO_INDEX_CACHE[sf_dir]
+
+
+@gate(
+    "fn_geo_cells",
+    """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey, lat, lon,
+       CAST(floor((lat + 90.0) / 5.0) AS BIGINT) * 72
+         + CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS geo_cell
+FROM pts
+WHERE lat BETWEEN 12.0 AND 47.0 AND lon BETWEEN -81.0 AND -33.0
+ORDER BY c_custkey""",
+)
+def fn_geo_cells(spark, sf_dir):
+    """Box query over the AT-REST spatial cell index (LatLonPoint/BKD
+    analog, operators/spatial.py): grid cells intersecting the box are
+    resolved driver-side and land in PartitionFilters; the exact lat/lon
+    predicate verifies survivors. The oracle recomputes the identical
+    integer cell ids and the exact box filter from raw points."""
+    from .operators.spatial import geo_cell_col
+
+    idx_dir = _geo_index_dir(spark, sf_dir)
+    from .operators.spatial import box_query
+
+    res = box_query(spark, idx_dir, 12.0, 47.0, -81.0, -33.0)
+    return res.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        geo_cell_col(F.col("lat"), F.col("lon")).alias("geo_cell"),
+    ).orderBy("c_custkey")
+
+
 @gate(
     "fn_scale_query",
     """

@@ -409,11 +409,13 @@ _suite("fn_evaluators", [
                              "gmean")),
 ])
 
-# 41: geodist + spatial bbox
+# 41: geodist + spatial bbox + at-rest cell-index box query
 _suite("fn_geo", [
     ("geodist", "fn_geodist", ("c_custkey",), ("lat", "lon", "dist_km")),
     ("bbox", "fn_spatial_bbox",
      ("c_custkey", "c_name"), ("lat", "lon", "dist_km")),
+    ("cell_index", "fn_geo_cells",
+     ("c_custkey", "geo_cell"), ("lat", "lon")),
 ])
 
 # 42: Solr SQL surface

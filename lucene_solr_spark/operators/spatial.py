@@ -1,0 +1,106 @@
+"""Spatial cell index: LatLonPoint / BKD box queries at rest.
+
+The reference answers box queries by walking a BKD tree of packed
+(lat, lon) points (lucene/core/.../document/LatLonPoint.java,
+util/bkd/BKDReader.java) — the tree prunes whole leaf blocks whose
+bounding box misses the query box. The at-rest Spark analog is the
+same trick the engine already uses for terms (term_bucket), LSH
+buckets and IVF centroids: quantize each point into a fixed-degree
+grid CELL, write the point table partitioned by cell, and answer a box
+query by reading only the cells that intersect the box
+(PartitionFilters), then applying the exact predicate to the survivors
+— conservative prune + exact verify, exactly the BKD leaf visit.
+
+Cell ids are pure integer arithmetic (no library, no floats in the
+id), so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["geo_cell_col", "geo_cells_for_box", "build_geo_index", "box_query"]
+
+DEFAULT_CELL_DEG = 5.0
+
+
+def geo_cell_col(lat: Column, lon: Column, cell_deg: float = DEFAULT_CELL_DEG) -> Column:
+    """Grid cell id: row-major over (lat+90)/deg × (lon+180)/deg."""
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    row = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    col = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    return (row * n_lon + col).alias("geo_cell")
+
+
+def geo_cells_for_box(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> list:
+    """Every cell id intersecting the box (conservative — computed
+    driver-side with the same arithmetic as geo_cell_col)."""
+    n_lon = int(math.ceil(360.0 / cell_deg))
+    r0 = int(math.floor((lat_min + 90.0) / cell_deg))
+    r1 = int(math.floor((lat_max + 90.0) / cell_deg))
+    c0 = int(math.floor((lon_min + 180.0) / cell_deg))
+    c1 = int(math.floor((lon_max + 180.0) / cell_deg))
+    return [
+        r * n_lon + c for r in range(r0, r1 + 1) for c in range(c0, c1 + 1)
+    ]
+
+
+def build_geo_index(
+    pts: DataFrame,
+    index_dir: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = DEFAULT_CELL_DEG,
+) -> None:
+    """Write the point table partitioned by grid cell; metadata
+    committed last (tmp+rename)."""
+    (
+        pts.withColumn(
+            "geo_cell", geo_cell_col(F.col(lat_col), F.col(lon_col), cell_deg)
+        )
+        .write.mode("overwrite")
+        .partitionBy("geo_cell")
+        .parquet(f"{index_dir}/points")
+    )
+    tmp = f"{index_dir}/.meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"cell_deg": cell_deg}, f)
+    os.replace(tmp, f"{index_dir}/meta.json")
+
+
+def box_query(
+    spark: SparkSession,
+    index_dir: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Box query over the at-rest cell index: cell list resolved
+    driver-side (no Spark job) → partition-pruned read → exact
+    predicate on the surviving rows (BKD leaf-visit analog)."""
+    with open(f"{index_dir}/meta.json") as f:
+        cell_deg = json.load(f)["cell_deg"]
+    cells = geo_cells_for_box(lat_min, lat_max, lon_min, lon_max, cell_deg)
+    return (
+        spark.read.parquet(f"{index_dir}/points")
+        .filter(F.col("geo_cell").isin(cells))
+        .filter(
+            F.col(lat_col).between(lat_min, lat_max)
+            & F.col(lon_col).between(lon_min, lon_max)
+        )
+        .drop("geo_cell")
+    )

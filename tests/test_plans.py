@@ -86,3 +86,33 @@ def test_wand_plan_ends_in_global_topk(spark, tiny_corpus, tmp_path_factory):
     )
     hits = search_wand(idx, [fixtures.make_vocab()[0]], "disjunctive", 10)
     assert "TakeOrderedAndProject" in formatted_plan(hits)
+
+
+def test_geo_cell_index_partition_pruning(spark, tmp_path):
+    """A box query over the at-rest spatial cell index must read only
+    the intersecting cell partitions (the BKD leaf-prune analog) and
+    return exactly the exact-filter result."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spatial import (
+        box_query, build_geo_index, geo_cells_for_box,
+    )
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 7) % 180) - 90 + 0.5).cast("double").alias("lat"),
+        (((F.col("id") * 13) % 360) - 180 + 0.5).cast("double").alias("lon"),
+    )
+    idx = str(tmp_path / "geoidx")
+    build_geo_index(pts, idx)
+    res = box_query(spark, idx, 10.0, 30.0, -60.0, -20.0)
+    pf = " ".join(partition_filters(res))
+    assert "geo_cell" in pf, pf
+    expect = pts.filter(
+        F.col("lat").between(10.0, 30.0) & F.col("lon").between(-60.0, -20.0)
+    )
+    assert sorted(r["pid"] for r in res.collect()) == sorted(
+        r["pid"] for r in expect.collect()
+    )
+    # conservative cell cover: box spans 5 lat-rows x 9 lon-cols
+    assert len(geo_cells_for_box(10.0, 30.0, -60.0, -20.0)) == 45

@@ -674,3 +674,70 @@ def fts_parsed_phrase(spark, sf_dir):
     return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+# ------------------------------------------------- graph traversal streams
+
+_GRAPH_EDGES_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS src, "
+    "CAST((3 * n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation "
+    "UNION ALL SELECT CAST(n_nationkey AS BIGINT), "
+    "CAST((7 * n_nationkey + 2) % 25 AS BIGINT) FROM nation"
+)
+
+
+def _graph_edges(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    e1 = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((3 * F.col("n_nationkey") + 1) % 25).cast("long").alias("dst"),
+    )
+    e2 = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((7 * F.col("n_nationkey") + 2) % 25).cast("long").alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+@gate(
+    "rel_graph_gather",
+    f"""WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+bfs(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 2)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth
+FROM bfs GROUP BY node ORDER BY node""",
+)
+def rel_graph_gather(spark, sf_dir):
+    """GatherNodesStream analog: unique nodes within 2 hops of node 0
+    over the deterministic nation-derived edge relation, with minimum
+    depth (operators/graph.py — BFS as bounded iterative joins;
+    reference solr/solrj/.../io/graph/GatherNodesStream.java)."""
+    from .operators.graph import gather_nodes
+
+    return gather_nodes(_graph_edges(spark, sf_dir), [0], hops=2).orderBy(
+        "node"
+    )
+
+
+@gate(
+    "rel_graph_path",
+    f"""WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+bfs(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < 6)
+SELECT CAST(0 AS BIGINT) AS src, node AS dst,
+       CAST(min(depth) AS INTEGER) AS depth
+FROM bfs WHERE node = 13 GROUP BY node""",
+)
+def rel_graph_path(spark, sf_dir):
+    """ShortestPathStream analog: hop distance 0 → 13 over the same
+    edge relation (reference solr/solrj/.../io/graph/
+    ShortestPathStream.java — 'a distributed breadth first search')."""
+    from .operators.graph import shortest_path_length
+
+    return shortest_path_length(_graph_edges(spark, sf_dir), 0, 13, 6)

@@ -323,10 +323,10 @@ _passthrough(
     "rel_leftouter_nation_counts", "rel_having_frequent_buyers",
 )
 
-# 28: semi + anti joins
-_suite("rel_semi_anti", [
-    ("semi", "rel_semijoin_segments", ("c_mktsegment",), ("n_customers",)),
-    ("anti", "rel_antijoin_no_orders", ("c_custkey", "c_name"), ()),
+# 28: graph traversal — gatherNodes + shortestPath (BFS over edges)
+_suite("rel_graph", [
+    ("gather", "rel_graph_gather", ("node",), ("depth",)),
+    ("shortest_path", "rel_graph_path", ("src", "dst"), ("depth",)),
 ])
 
 # 29: top-docs-per-group — grouping module + collapse
@@ -370,11 +370,13 @@ _suite("rel_paging_export", [
     ("export", "rel_export_sorted", ("c_custkey", "c_name"), ("acctbal",)),
 ])
 
-# 35: block join + cartesian product + JoinUtil score modes
+# 35: block join + cartesian + semi/anti + JoinUtil score modes
 _suite("rel_join_specials", [
     ("block_join", "rel_blockjoin_orders_with_big_item",
      ("o_orderkey",), ("o_totalprice",)),
     ("cartesian", "rel_cartesian_explode", ("r_name", "n_name"), ()),
+    ("semi", "rel_semijoin_segments", ("c_mktsegment",), ("n_customers",)),
+    ("anti", "rel_antijoin_no_orders", ("c_custkey", "c_name"), ()),
     ("scored_join", "fts_join_scores",
      ("source", "n_matching"), ("score_max", "score_total", "score_avg")),
 ])

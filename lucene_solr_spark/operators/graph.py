@@ -1,0 +1,85 @@
+"""Graph traversal streams: gatherNodes / shortestPath analogs.
+
+Solr's graph expressions walk an edge relation stored in the index:
+``gatherNodes`` expands a frontier one hop per call (collecting unique
+nodes), ``shortestPath`` runs an iterative breadth-first join until the
+target appears (reference solr/solrj/.../io/graph/GatherNodesStream
+.java, ShortestPathStream.java — whose own implementation is literally
+"a distributed breadth first search" by repeated joins).
+
+Spark-first: BFS IS iterative joins —
+
+    frontier(d+1) = distinct(frontier(d) ⋈ edges) ∖ visited
+
+Each hop is one broadcast/shuffle join + anti-join; the LOOP is bounded
+by ``max_depth`` and runs entirely as plan composition (no collect, no
+driver data — the loop variable is just which DataFrame is the
+frontier). At 10^12 edges each hop is a partitioned join on the edge
+key; a Pregel-style engine only changes who schedules the hops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bfs_depths", "gather_nodes", "shortest_path_length"]
+
+
+def bfs_depths(
+    edges: DataFrame,
+    roots,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, depth) — minimum hop count from any root, BFS bounded by
+    ``max_depth``. ``roots``: list of node ids."""
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(r), 0) for r in roots], "node long, depth int"
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == F.col(src_col))
+            .select(F.col(dst_col).cast("long").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(d).cast("int"))
+        )
+        frontier = nxt
+    return visited
+
+
+def gather_nodes(
+    edges: DataFrame,
+    roots,
+    hops: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GatherNodesStream analog: unique nodes within ``hops`` of the
+    roots, with their minimum depth (roots at depth 0)."""
+    return bfs_depths(edges, roots, hops, src_col, dst_col)
+
+
+def shortest_path_length(
+    edges: DataFrame,
+    src: int,
+    dst: int,
+    max_depth: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """ShortestPathStream analog (hop count): one row
+    (src, dst, depth) when ``dst`` is reachable within ``max_depth``,
+    empty otherwise."""
+    depths = bfs_depths(edges, [src], max_depth, src_col, dst_col)
+    return depths.filter(F.col("node") == dst).select(
+        F.lit(int(src)).alias("src"),
+        F.col("node").alias("dst"),
+        "depth",
+    )

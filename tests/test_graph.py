@@ -1,0 +1,40 @@
+"""Graph traversal streams (gatherNodes / shortestPath analogs):
+BFS-as-iterative-joins must produce textbook BFS results."""
+
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.operators.graph import (
+    bfs_depths,
+    gather_nodes,
+    shortest_path_length,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_min_depths_on_known_graph(spark):
+    # 0→1→2→3 chain plus shortcut 0→2: depth(2) must be 1, not 2
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    got = {r["node"]: r["depth"] for r in bfs_depths(e, [0], 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_gather_respects_hop_bound_and_multi_roots(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (10, 11)])
+    got = {r["node"]: r["depth"] for r in gather_nodes(e, [0, 10], hops=1).collect()}
+    assert got == {0: 0, 10: 0, 1: 1, 11: 1}
+
+
+def test_shortest_path_length_and_unreachable(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    row = shortest_path_length(e, 0, 3, max_depth=6).collect()
+    assert [tuple(r) for r in row] == [(0, 3, 3)]
+    assert shortest_path_length(e, 3, 0, max_depth=6).count() == 0
+
+
+def test_bfs_handles_cycles(spark):
+    e = _edges(spark, [(0, 1), (1, 0), (1, 2)])
+    got = {r["node"]: r["depth"] for r in bfs_depths(e, [0], 5).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

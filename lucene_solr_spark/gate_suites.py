@@ -345,12 +345,15 @@ _suite("rel_facet_time", [
      ("bucket_lo",), ("cnt", "revenue")),
 ])
 
-# 31: UniqueStream + MergeStream
+# 31: UniqueStream + MergeStream + RandomStream (deterministic samples)
 _suite("rel_stream_setops", [
     ("unique", "rel_unique_status_priority",
      ("o_orderstatus", "o_orderpriority"), ()),
     ("merge_sorted", "rel_merge_sorted_union",
      ("o_orderkey",), ("o_totalprice",)),
+    ("random_sample", "td_random_sample", ("doc_id", "lang"), ()),
+    ("stratified_sample", "td_stratified_sample",
+     ("lang",), ("n_total", "n_sampled")),
 ])
 
 # 32: StatsComponent

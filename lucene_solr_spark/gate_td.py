@@ -640,3 +640,64 @@ def td_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 4).alias("f0")
     ).orderBy("media_id")
+
+
+# ------------------------------------------------- deterministic sampling
+
+_SAMPLE_PRED = (
+    "{h} % 1000000 < {thr}".format(
+        h=h60_sql("concat('s0|', CAST(doc_id AS VARCHAR))"), thr="{thr}"
+    )
+)
+
+
+@gate(
+    "td_random_sample",
+    f"""SELECT doc_id, lang FROM documents
+WHERE {_SAMPLE_PRED.format(thr=100000)}
+ORDER BY doc_id""",
+)
+def td_random_sample(spark, sf_dir):
+    """RandomStream analog, pipeline-grade: DETERMINISTIC 10% sample via
+    the portable salted h60 (reproducible across runs/engines/
+    partitionings — unlike df.sample's per-partition seeding); the
+    keep-predicate is a pure Column pushed into the scan
+    (operators/sampling.py; reference solr/solrj/.../io/stream/
+    RandomStream.java)."""
+    from .operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sp.deterministic_sample(docs, 0.1, "doc_id").orderBy("doc_id")
+
+
+@gate(
+    "td_stratified_sample",
+    f"""WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE {h60_sql("concat('s0|', CAST(doc_id AS VARCHAR))")} % 1000000
+        < CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 400000
+                    WHEN 'de' THEN 800000 ELSE 0 END)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(k.doc_id) AS BIGINT) AS n_sampled
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang""",
+)
+def td_stratified_sample(spark, sf_dir):
+    """Stratified deterministic downsampling (per-language quotas —
+    the training-mix rebalancer): en→10%, zh→40%, de→80%, others
+    dropped; summary = per-stratum totals vs kept."""
+    from .operators import sampling as sp
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = sp.stratified_sample(
+        docs, "lang", {"en": 0.1, "zh": 0.4, "de": 0.8}, "doc_id"
+    ).select("doc_id", F.lit(1).alias("k"))
+    return (
+        docs.join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.count("k").cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

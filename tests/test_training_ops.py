@@ -286,3 +286,36 @@ def test_chunk_duplication_detects_partial_copies(spark):
     assert got[0] == (3, 2, 0.6667)
     assert got[1] == (3, 2, 0.6667)
     assert got[2] == (3, 0, 0.0)
+
+
+def test_deterministic_sample_reproducible_and_partition_independent(spark):
+    from lucene_solr_spark.operators import sampling as sp
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sp.deterministic_sample(df, 0.2, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sp.deterministic_sample(df.repartition(13), 0.2, "doc_id").collect()
+    }
+    assert a == b                      # partition-independent
+    assert 0.15 < len(a) / 5000 < 0.25  # ~fraction
+    c = {
+        r["doc_id"]
+        for r in sp.deterministic_sample(df, 0.2, "doc_id", salt="s1").collect()
+    }
+    assert c != a                      # new salt = independent draw
+
+
+def test_stratified_sample_quotas(spark):
+    from lucene_solr_spark.operators import sampling as sp
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = sp.stratified_sample(
+        df, "lang", {"en": 0.1, "de": 0.9}, "doc_id"
+    ).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in kept}
+    assert 120 < got["en"] < 280       # ~200 of 2000
+    assert 1650 < got["de"] < 1950     # ~1800 of 2000

@@ -741,3 +741,34 @@ def rel_graph_path(spark, sf_dir):
     from .operators.graph import shortest_path_length
 
     return shortest_path_length(_graph_edges(spark, sf_dir), 0, 13, 6)
+
+
+@gate(
+    "fts_span_near",
+    """WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents)
+SELECT b.doc_id AS doc_id, count(DISTINCT b.pos) AS phrase_freq
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) BETWEEN 1 AND 3
+WHERE a.term = 'slow' AND b.term = 'query'
+GROUP BY b.doc_id
+ORDER BY doc_id ASC""",
+)
+def fts_span_near(spark, sf_dir):
+    """SpanNearQuery inOrder=false: 'slow' and 'query' within an
+    unordered window of slop=2 (|pa-pb| <= 3), answered from the
+    positional index; freq = distinct qualifying 'query' positions
+    (reference lucene/core/.../search/spans/SpanNearQuery.java:44-66,
+    NearSpansUnordered.java)."""
+    from .gate import docs_pos_index
+    from .search.phrase import search_phrase
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        search_phrase(index, ["slow", "query"], slop=2, ordered=False)
+        .select("doc_id", "phrase_freq")
+        .orderBy("doc_id")
+    )

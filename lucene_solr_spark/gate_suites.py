@@ -266,6 +266,7 @@ _suite("fts_phrase_family", [
     ("exact", "fts_phrase_match", ("doc_id",), ("phrase_freq",)),
     ("sloppy", "fts_phrase_sloppy", ("doc_id",), ()),
     ("multi", "fts_multiphrase", ("doc_id",), ("phrase_freq",)),
+    ("span_unordered", "fts_span_near", ("doc_id",), ("phrase_freq",)),
 ])
 
 # 8-10: index statistics + significant terms

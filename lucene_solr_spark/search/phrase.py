@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions import bm25
 from .scoring import term_weights
 
-__all__ = ["search_phrase"]
+__all__ = ["search_phrase"]  # + span-near via ordered=False
 
 _POS_SHIFT = np.int64(1) << np.int64(32)
 
@@ -144,7 +144,7 @@ def _intersect_docs(slots: list) -> np.ndarray:
 
 
 def _leaf_phrase(
-    pdf: pd.DataFrame, slot_terms: list, slop: int
+    pdf: pd.DataFrame, slot_terms: list, slop: int, ordered: bool = True
 ) -> pd.DataFrame:
     """One leaf → (doc_id, phrase_freq, norm_byte) for matching docs.
 
@@ -176,6 +176,43 @@ def _leaf_phrase(
         return ranks.astype(np.int64) * _POS_SHIFT + pos
 
     d0, p0 = _slot_occurrences(slots[0], cand)
+    if not ordered:
+        # SpanNearQuery inOrder=false (2 slots): match when DISTINCT
+        # positions pa, pb satisfy |pa - pb| <= slop+1; freq = distinct
+        # pb with a qualifying pa. Same packed-key probe as the ordered
+        # chain, deltas in both directions (underflow lands on a
+        # nonexistent huge position of the previous doc — never a hit).
+        keys_a = np.sort(key_of(d0, p0))
+        db, pb = _slot_occurrences(slots[1], cand)
+        base = np.unique(key_of(db, pb))
+        hit = np.zeros(len(base), dtype=bool)
+        for delta in range(-(slop + 1), slop + 2):
+            if delta == 0:
+                continue
+            probe = base + np.int64(delta)
+            idx = np.searchsorted(keys_a, probe)
+            ok = idx < len(keys_a)
+            h = np.zeros(len(probe), dtype=bool)
+            h[ok] = keys_a[idx[ok]] == probe[ok]
+            hit |= h
+        active = base[hit]
+        if len(active) == 0:
+            return empty
+        ranks = (active // _POS_SHIFT).astype(np.int64)
+        m_docs, freq = np.unique(ranks, return_counts=True)
+        out_docs = cand[m_docs]
+        norms = slots[0][0].norms_for(cand)
+        for pt in slots[0][1:]:
+            extra = pt.norms_for(cand)
+            norms = np.where(norms > 0, norms, extra)
+        norms = norms[m_docs]
+        return pd.DataFrame(
+            {
+                "doc_id": out_docs,
+                "phrase_freq": freq.astype(np.int64),
+                "norm_byte": norms.astype(np.int32),
+            }
+        )
     active = np.unique(key_of(d0, p0))  # chain frontier: (doc, last pos)
     for slot in slots[1:]:
         if len(active) == 0:
@@ -219,6 +256,7 @@ def search_phrase(
     k1=bm25.K1,
     b=bm25.B,
     precision: str = "float32",
+    ordered: bool = True,
 ) -> DataFrame:
     """Phrase match over a positional SegmentedIndex.
 
@@ -248,6 +286,11 @@ def search_phrase(
     ]
     if len(slot_terms) < 2:
         raise ValueError("phrase needs >= 2 positions")
+    if not ordered and len(slot_terms) != 2:
+        raise ValueError(
+            "unordered span-near (SpanNearQuery inOrder=false) supports "
+            "exactly 2 positions"
+        )
     from ..operators.hashing import h60_py  # local: avoid cycle
 
     uniq = list(dict.fromkeys(t for alts in slot_terms for t in alts))
@@ -293,7 +336,7 @@ def search_phrase(
     )
 
     def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = _leaf_phrase(pdf, slot_terms, slop)
+        out = _leaf_phrase(pdf, slot_terms, slop, ordered)
         pf = out["phrase_freq"].to_numpy(np.int64)
         nb = out["norm_byte"].to_numpy(np.int64)
         if precision == "double":

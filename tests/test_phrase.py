@@ -219,3 +219,49 @@ def test_positions_survive_merge(pos_index):
             assert len(p) == f[j]
             assert np.all(np.diff(p) >= 1)  # strictly ascending
             assert p[0] >= 0
+
+
+def test_span_near_unordered_matches_both_directions(spark, tmp_path_factory):
+    """SpanNearQuery inOrder=false: 'b a' matches the unordered query
+    (a, b) within slop, while the ordered sloppy phrase does not."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+    from lucene_solr_spark.index.segments import build_segmented_index
+
+    rows = [
+        ("c0", 0, "u", "alpha beta gap gap gap", None),   # ordered adj
+        ("c1", 0, "u", "beta alpha gap gap gap", None),   # reversed adj
+        ("c2", 0, "u", "alpha gap gap gap beta", None),   # too far (4)
+        ("c3", 0, "u", "alpha gap beta gap gap", None),   # gap 2 <= 3
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.Timestamp("2026-01-01", tz="UTC")
+    df = transcripts_from_pandas(spark, pdf)
+    idx = build_segmented_index(
+        df, str(tmp_path_factory.mktemp("spanidx")), num_segments=2,
+        seg_group_size=2, n_buckets=4, analyzer="simple",
+        index_positions=True,
+    )
+    unordered = {
+        r["doc_id"]
+        for r in search_phrase(
+            idx, ["alpha", "beta"], slop=2, ordered=False, k=None
+        ).collect()
+    }
+    ordered = {
+        r["doc_id"]
+        for r in search_phrase(
+            idx, ["alpha", "beta"], slop=2, ordered=True, k=None
+        ).collect()
+    }
+    stored = {
+        r["conv_id"]: r["doc_id"] for r in idx.stored.select(
+            "conv_id", "doc_id"
+        ).collect()
+    }
+    assert unordered == {stored["c0"], stored["c1"], stored["c3"]}
+    assert ordered == {stored["c0"], stored["c3"]}  # reversed NOT ordered

@@ -772,3 +772,25 @@ def fts_span_near(spark, sf_dir):
         .select("doc_id", "phrase_freq")
         .orderBy("doc_id")
     )
+
+
+@gate(
+    "fts_term_range",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term >= 'sc' AND term < 'sp'
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_term_range(spark, sf_dir):
+    """TermRangeQuery: lexicographic term-dictionary range scan
+    ['sc', 'sp') (reference search/TermRangeQuery.java — the automaton
+    walks the sorted term dict; here a range filter over the tiny
+    dictionary table)."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(
+            (F.col("term") >= "sc") & (F.col("term") < "sp")
+        )
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )

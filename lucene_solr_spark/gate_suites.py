@@ -259,6 +259,7 @@ _suite("fts_expand_multi", [
     ("fuzzy", "fts_fuzzy_expand", ("term",), ("df",)),
     ("fuzzy_dl", "fts_fuzzy_dl_expand", ("term",), ("df",)),
     ("regexp", "fts_regexp_expand", ("term",), ("df",)),
+    ("term_range", "fts_term_range", ("term",), ("df",)),
 ])
 
 # 7: positional phrase family — exact / sloppy / multi-term slot

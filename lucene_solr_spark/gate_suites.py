@@ -464,7 +464,11 @@ _join_suite(
     "doc_id",
 )
 
-# 50: multimodal feature extraction
-_passthrough("td_multimodal_features")
+# 50: multimodal — binary feature extraction + video frame sampling
+_suite("td_multimodal", [
+    ("features", "td_multimodal_features",
+     ("media_id", "kind"), ("n_bytes", "f0")),
+    ("frames", "td_multimodal_frames", ("media_id", "frame_ms"), ()),
+])
 
 assert len(QUERIES) == 50, f"curated registry must be 50, got {len(QUERIES)}"

@@ -701,3 +701,23 @@ def td_stratified_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@gate(
+    "td_multimodal_frames",
+    """WITH m AS (SELECT id AS media_id, 1000 + id % 9000 AS duration_ms
+           FROM range(0, 300) t(id) WHERE id % 3 = 2)
+SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_ms
+FROM m ORDER BY media_id, frame_ms""",
+)
+def td_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per 1000ms frame timestamp
+    per video (JVM explode of the timestamp grid — the decode stays
+    stubbed, the fan-out schema is the production shape); the oracle
+    rebuilds the deterministic duration grid."""
+    media = mm.synth_media(spark, 300)
+    return (
+        mm.frame_sample(media, every_ms=1000)
+        .select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
+        .orderBy("media_id", "frame_ms")
+    )

@@ -53,7 +53,11 @@ def mut_upsert_delete(spark, sf_dir):
         .join(tombstones, "doc_id", "left_anti")
     )
     return (
-        merged.select("doc_id", "is_updated", F.length("text").alias("text_len"))
+        merged.select(
+            "doc_id",
+            "is_updated",
+            F.length("text").cast("long").alias("text_len"),
+        )
         .orderBy("doc_id")
         .limit(200)
     )

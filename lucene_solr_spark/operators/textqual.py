@@ -72,7 +72,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(
         F.col(id_col).alias("doc_id"),
         pred.alias("lang_pred"),
-        hits_total.alias("lang_hits"),
+        hits_total.cast("long").alias("lang_hits"),
     )
 
 
@@ -115,8 +115,8 @@ def quality_features(
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
@@ -141,8 +141,8 @@ def token_counts(
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        ws.alias("ws_tokens"),
-        bpe.alias("bpe_ish_tokens"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
     )
 
 

@@ -71,6 +71,17 @@ def main():
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
             ok = False
+        elif [str(d) for d in g.dtypes] != [str(d) for d in e.dtypes]:
+            # the DRIVER's value hash is dtype-sensitive (r01: two gates
+            # hash-failed on DuckDB sum()->HUGEINT with equal values) —
+            # surface dtype drift as a hard failure here too
+            bad = [
+                (c, str(g.dtypes[c]), str(e.dtypes[c]))
+                for c in g.columns
+                if str(g.dtypes[c]) != str(e.dtypes[c])
+            ]
+            print(f"FAIL {name}: dtypes differ (spark vs duckdb): {bad}")
+            ok = False
         elif len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             ok = False

@@ -260,6 +260,13 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
 
         pm = re.match(r'^"([^"]*)"(?:~(\d+))?$', raw)
         if pm:
+            if occur == "must_not":
+                # a silently-required prohibited phrase would invert the
+                # caller's intent — reject until ReqExcl-phrase lands
+                raise ValueError(
+                    "unsupported query: prohibited phrases (-\"...\") are "
+                    "not implemented; phrases are always REQUIRED"
+                )
             words = []
             for w in pm.group(1).split():
                 words.extend(_analyze(w, analyzer))

@@ -187,3 +187,16 @@ def test_render_parse_roundtrip(spec):
         ]
     else:
         assert p.filters == []
+
+
+def test_prohibited_phrase_rejected():
+    import pytest as _pytest
+
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    with _pytest.raises(ValueError, match="prohibited phrases"):
+        parse_query('spark -"slow query"')
+    # required-phrase forms still parse
+    assert parse_query('+"slow query" spark').phrases == [
+        (["slow", "query"], 0)
+    ]

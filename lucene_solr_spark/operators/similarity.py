@@ -186,7 +186,10 @@ def build_ann_index(
     LSH bucket (the term_bucket layout trick applied to embeddings), so
     a probe is a partition-pruned read of |probes| directories instead
     of a full scan. planes metadata committed last via tmp+rename."""
-    dim = emb.select(F.size(vec_col)).first()[0]
+    first = emb.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("cannot build an ANN index over an empty table")
+    dim = first[0]
     planes = h60_plane_matrix(dim, n_planes)
     (
         emb.select(
@@ -370,6 +373,11 @@ def build_ivf_index(
     centroid metadata committed last (tmp+rename, the snapshot-publish
     commit rule)."""
     centroids = _centroid_rows(emb, n_centroids, id_col, vec_col)
+    if not centroids:
+        raise ValueError(
+            f"no centroid vectors: table has no rows with {id_col} < "
+            f"{n_centroids}"
+        )
     (
         emb.select(
             F.col(id_col).alias("vec_id"),

@@ -132,6 +132,16 @@ def execute_parsed(
 
 def _filter_docs(stored: DataFrame, spec) -> DataFrame:
     """(doc_id) matching one filter spec over the stored fields."""
+    fld = spec[1]
+    if fld not in stored.columns:
+        # classic-grammar artifact: ANY 'word:rest' token parses as a
+        # field query (Lucene's parser does the same with 'http://x') —
+        # fail with the field name instead of an AnalysisException
+        raise ValueError(
+            f"unknown filter field {fld!r} (stored fields: "
+            f"{sorted(stored.columns)}) — quote or escape the ':' if "
+            "this was meant as a literal term"
+        )
     if spec[0] == "eq":
         _, fld, val = spec
         cond = F.col(fld).cast("string") == str(val)
@@ -171,10 +181,10 @@ def _execute_general(
     all_terms = list(boosts)
     scoring = None
     if all_terms:
-        weights_df, cache_df, n_present = score_components(
-            spark, tables, all_terms, boosts, bm25.K1, bm25.B, precision
+        weights_df, cache_df, n_present, present = score_components(
+            spark, tables, all_terms, boosts, bm25.K1, bm25.B, precision,
+            with_present=True,
         )
-        present = {r["term"] for r in weights_df.select("term").collect()}
         # a MUST term absent from the index can never match; a group with
         # no present member likewise (BooleanWeight: empty scorer → null)
         if any(t not in present for t, _ in p.must):
@@ -194,17 +204,12 @@ def _execute_general(
         )
 
     must_terms = {t for t, _ in p.must}
-    gid_by_term = {}
-    for t, _, gi in group_terms:
-        gid_by_term.setdefault(t, gi)
-    req_terms = must_terms | set(gid_by_term)
+    group_sets = [{t for t, _ in g} for g in p.groups]
+    req_terms = must_terms.union(*group_sets) if group_sets else set(must_terms)
     opt_terms = {t for t, _ in p.should} - req_terms
 
     base = None  # (doc_id, score double)
     if req_terms:
-        gid_expr = F.lit(None).cast("int")
-        for t, gi in gid_by_term.items():
-            gid_expr = F.when(F.col("term") == t, F.lit(gi)).otherwise(gid_expr)
         n_must_expr = (
             F.count_distinct(
                 F.when(F.col("term").isin(sorted(must_terms)), F.col("term"))
@@ -212,20 +217,27 @@ def _execute_general(
             if must_terms
             else F.max(F.lit(0))
         )
+        # one satisfied-flag per group: a term shared by several groups
+        # satisfies each of them (BooleanQuery semantics — a single gid
+        # per term would under-count)
+        grp_aggs = [
+            F.max(
+                F.when(F.col("term").isin(sorted(gs)), 1).otherwise(0)
+            ).alias(f"grp_{gi}")
+            for gi, gs in enumerate(group_sets)
+        ]
         req = (
             scoring.filter(F.col("term").isin(sorted(req_terms)))
-            .withColumn("gid", gid_expr)
             .groupBy("doc_id")
             .agg(
                 F.sum(F.col("term_score").cast("double")).alias("score"),
                 n_must_expr.alias("n_must"),
-                F.count_distinct("gid").alias("n_groups"),
+                *grp_aggs,
             )
-            .filter(
-                (F.col("n_must") == len(p.must))
-                & (F.col("n_groups") == len(p.groups))
-            )
+            .filter(F.col("n_must") == len(p.must))
         )
+        for gi in range(len(group_sets)):
+            req = req.filter(F.col(f"grp_{gi}") == 1)
         base = req.select("doc_id", "score")
 
     for words, slop in p.phrases:

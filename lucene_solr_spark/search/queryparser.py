@@ -177,18 +177,36 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
     pending_must = False  # set by a preceding AND
     pending_not = False   # set by a preceding NOT
     pending_occur = None  # set by a detached +/- (e.g. "+ (a b)")
-    last_unit = None      # "term" | ("group", n_should_terms) — for AND promotion
+    # what the PREVIOUS clause was, for AND promotion:
+    #   ("opt_term", tok)            — a SHOULD term (promotable)
+    #   ("group", full, added)       — a SHOULD-position group: its full
+    #                                  member list + the terms it newly
+    #                                  added to out.should (dedup-aware)
+    #   "required"                   — already MUST/MUST_NOT/phrase/filter
+    #                                  (AND promotion is a no-op)
+    last_unit = None
+
+    def _remove_should(term):
+        for idx in range(len(out.should) - 1, -1, -1):
+            if out.should[idx][0] == term:
+                return out.should.pop(idx)
+        return None
 
     def promote_last():
-        # a AND b: 'a' was appended as SHOULD — promote it to MUST.
-        # (a b) AND c: the whole group becomes a REQUIRED disjunction.
-        if last_unit == "term" and out.should:
-            out.must.append(out.should.pop())
+        # a AND b: 'a' was a SHOULD term — promote it to MUST.
+        # (a b) AND c: the group becomes a REQUIRED disjunction (its
+        # FULL member list, even members deduped against earlier SHOULD
+        # terms, which themselves stay optional).
+        if isinstance(last_unit, tuple) and last_unit[0] == "opt_term":
+            ent = _remove_should(last_unit[1])
+            if ent and ent[0] not in [t for t, _ in out.must]:
+                out.must.append(ent)
         elif isinstance(last_unit, tuple) and last_unit[0] == "group":
-            n = last_unit[1]
-            if n and len(out.should) >= n:
-                out.groups.append(out.should[-n:])
-                del out.should[-n:]
+            _, full, added = last_unit
+            for t in added:
+                _remove_should(t)
+            if full:
+                out.groups.append(list(full))
 
     while i < len(tokens):
         raw = tokens[i]
@@ -230,13 +248,13 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
 
         if raw == "(":
             sub, i = _parse(tokens, i, analyzer, depth + 1)
-            n_before = len(out.should)
+            before = {t for t, _ in out.should}
             _merge_group(out, sub, occur)
-            last_unit = (
-                ("group", len(out.should) - n_before)
-                if occur == "should"
-                else "term"
-            )
+            if occur == "should":
+                added = [t for t, _ in out.should if t not in before]
+                last_unit = ("group", list(sub.should), added)
+            else:
+                last_unit = "required"
             continue
 
         boost = 1.0
@@ -252,6 +270,7 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
                 hib == "]",
             )
             (out.neg_filters if occur == "must_not" else out.filters).append(spec)
+            last_unit = "required"
             continue
 
         m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", raw)
@@ -272,21 +291,27 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
                 words.extend(_analyze(w, analyzer))
             if words:
                 out.phrases.append((words, int(pm.group(2) or 0)))
+            last_unit = "required"
             continue
 
         fm = _FIELD_TERM.match(raw)
         if fm and fm.group(1) != DEFAULT_FIELD:
             spec = ("eq", fm.group(1), fm.group(2))
             (out.neg_filters if occur == "must_not" else out.filters).append(spec)
+            last_unit = "required"
             continue
         if fm:  # text:term — the default field, a normal term clause
             raw = fm.group(2)
 
         if not raw:
             continue
-        for tok in _analyze(raw, analyzer):
+        toks = _analyze(raw, analyzer)
+        for tok in toks:
             _add_term(out, occur, tok, boost)
-        last_unit = "term"
+        last_unit = (
+            ("opt_term", toks[-1]) if occur == "should" and toks
+            else "required"
+        )
     if depth > 0:
         raise ValueError("unbalanced '(' in query string")
     return out, i

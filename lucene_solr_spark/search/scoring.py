@@ -59,9 +59,12 @@ def score_components(
     k1,
     b,
     precision: str = "float32",
+    with_present: bool = False,
 ):
     """→ (weights_df(term, weight), cache_df(norm_byte, norm_val),
-    n_present). One tiny dictionary lookup job; everything else lazy.
+    n_present[, present_terms]). One tiny dictionary lookup job;
+    everything else lazy. ``with_present=True`` appends the set of
+    terms found in the dictionary (already collected — no extra job).
 
     precision="float32": Lucene-exact (float32 weight, float32 norm cache
     over quantized lengths). precision="double": same quantized lengths
@@ -96,4 +99,6 @@ def score_components(
     cache_df = spark.createDataFrame(
         cache_rows, f"norm_byte int, norm_val {num_type}"
     )
+    if with_present:
+        return weights_df, cache_df, len(weights), {t for t, _ in weights}
     return weights_df, cache_df, len(weights)

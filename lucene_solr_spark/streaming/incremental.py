@@ -83,10 +83,24 @@ class IncrementalIndex:
     def postings(self, spark: SparkSession) -> DataFrame:
         # explicit committed-file list, not a glob: a concurrent in-flight
         # flush (data written, manifest not yet renamed) stays invisible
-        return spark.read.parquet(*self._committed_paths("postings"))
+        paths = self._committed_paths("postings")
+        if not paths:  # warm-up: nothing committed yet → empty, not error
+            return spark.createDataFrame(
+                [],
+                "term string, seg_id int, first_doc long, last_doc long, "
+                "n_docs int, sum_freq long, docs binary, freqs binary, "
+                "norms binary, impact_freqs array<int>, "
+                "impact_norms array<int>, positions binary",
+            )
+        return spark.read.parquet(*paths)
 
     def norms(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(*self._committed_paths("norms"))
+        paths = self._committed_paths("norms")
+        if not paths:
+            return spark.createDataFrame(
+                [], "doc_id long, dl int, norm_byte int"
+            )
+        return spark.read.parquet(*paths)
 
     def stop(self):
         if self.query is not None:
@@ -135,7 +149,24 @@ def start_incremental_index(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int):
+        import shutil
+
         seg_root = f"{index_dir}/segments"
+        # idempotent replay (UpdateLog/tlog-replay contract): a crash
+        # mid-batch leaves the streaming checkpoint un-advanced, so the
+        # SAME batch_id re-runs. Drop whatever a previous attempt of
+        # this batch left behind — its committed segments (manifest
+        # carries batch_id) AND manifest-less partials (invisible to
+        # readers, but they shift seg ids) — so the rebuild lands on
+        # identical seg ids / doc ids instead of duplicating documents.
+        for seg in sorted(os.listdir(seg_root)):
+            mpath = f"{seg_root}/{seg}/manifest.json"
+            if not os.path.exists(mpath):
+                shutil.rmtree(f"{seg_root}/{seg}", ignore_errors=True)
+                continue
+            with open(mpath) as f:
+                if json.load(f).get("batch_id") == int(batch_id):
+                    shutil.rmtree(f"{seg_root}/{seg}", ignore_errors=True)
         seg_base = _next_seg_id(seg_root)
         doc_base = sum(
             json.load(open(f"{seg_root}/{s}/manifest.json"))["n_docs"]

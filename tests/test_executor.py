@@ -233,3 +233,48 @@ def test_absent_must_term_matches_nothing(spark, tiny_index):
         ).count()
         == 0
     )
+
+
+def test_shared_term_satisfies_both_groups(spark):
+    """'(a b) AND (a c)': a doc containing only 'a' satisfies BOTH
+    required disjunctions (one gid per term would wrongly exclude it)."""
+    import pandas as pd
+
+    from lucene_solr_spark.index.builder import (
+        build_index, transcripts_from_pandas,
+    )
+
+    rows = [
+        ("c0", 0, "u", "aaa xonly words here", None),   # only shared term
+        ("c1", 0, "u", "aaa bbb words here", None),     # shared + group1
+        ("c2", 0, "u", "bbb ccc words here", None),     # both via b and c
+        ("c3", 0, "u", "bbb words only here", None),    # group1 only → out
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.Timestamp("2026-01-01", tz="UTC")
+    idx = build_index(
+        transcripts_from_pandas(spark, pdf), analyzer="simple",
+        num_partitions=2,
+    )
+    by_conv = {
+        r["conv_id"]: r["doc_id"]
+        for r in idx.stored.select("conv_id", "doc_id").collect()
+    }
+    got = set(
+        _score_map(
+            execute_parsed("(aaa bbb) AND (aaa ccc)", idx, k=None)
+        )
+    )
+    # c0: 'aaa' alone satisfies both groups; c3: group2 unsatisfied
+    assert got == {by_conv["c0"], by_conv["c1"], by_conv["c2"]}
+
+
+def test_unknown_filter_field_clear_error(spark, tiny_index):
+    with pytest.raises(ValueError, match="unknown filter field 'http'"):
+        execute_parsed(
+            "data http://example.com", tiny_index, k=5,
+            stored=tiny_index.stored,
+        ).collect()

@@ -268,3 +268,54 @@ def test_stateful_idle_timeout_closes_session(spark, tmp_path):
         ), rows()
     finally:
         q.stop()
+
+
+def test_handle_reads_empty_before_first_commit(spark, tmp_path):
+    """postings()/norms() on a never-committed index return EMPTY frames
+    with the committed schema, not a read error (reopen loops poll the
+    handle during warm-up)."""
+    from lucene_solr_spark.streaming.incremental import IncrementalIndex
+
+    idx = str(tmp_path / "empty_idx")
+    import os
+
+    os.makedirs(f"{idx}/segments", exist_ok=True)
+    h = IncrementalIndex(idx, query=None)
+    assert h.max_doc() == 0 and h.manifests() == []
+    assert h.postings(spark).count() == 0
+    assert h.norms(spark).count() == 0
+
+
+def test_batch_replay_does_not_duplicate_documents(spark, tmp_path):
+    """Replaying a micro-batch (checkpoint lost / crash before the
+    offset commit) must NOT duplicate its documents: segments from the
+    same batch_id — and manifest-less partials — are dropped and
+    rebuilt on identical ids (tlog-replay idempotency)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "rp_src")
+    idx = str(tmp_path / "rp_idx")
+    schema = transcripts_from_pandas(spark, _mini_batch("w", 1, "x")).schema
+    transcripts_from_pandas(spark, _mini_batch("rp", 12, "alpha")).repartition(
+        1
+    ).write.mode("append").parquet(src)
+
+    h = start_incremental_index(spark, src, idx, schema, analyzer="simple")
+    _wait(h.query)
+    h.stop()
+    assert h.max_doc() == 12
+    first_segs = sorted(os.listdir(f"{idx}/segments"))
+
+    # simulate a crashed flush: a partial, manifest-less segment dir
+    os.makedirs(f"{idx}/segments/seg-99999", exist_ok=True)
+    with open(f"{idx}/segments/seg-99999/postings.parquet", "w") as f:
+        f.write("partial")
+    # lose the stream checkpoint → the same file replays as the same
+    # batch_id on restart
+    shutil.rmtree(f"{idx}/_checkpoint")
+    h2 = start_incremental_index(spark, src, idx, schema, analyzer="simple")
+    _wait(h2.query)
+    h2.stop()
+    assert h2.max_doc() == 12  # replay replaced, never duplicated
+    assert sorted(os.listdir(f"{idx}/segments")) == first_segs

@@ -411,14 +411,81 @@ def sql_analytics_surface(spark, sf_dir):
 # ----------------------------------------------- TextLogit (rows-only)
 
 
-@gate("ml_textlogit_classify")  # rows-only: iterative GD, not SQL-expressible
+def _textlogit_sql(iterations=5, lr=0.5, max_features=20, label_term="spark"):
+    """Unrolled-CTE oracle for the full TextLogit pipeline: feature
+    selection (df-bounded top-N), `iterations` full-batch GD steps, and
+    final classification — training is ~6 CTEs per iteration, exactly
+    the operators train_text_logit runs per step (margin sum → sigmoid →
+    12dp-DECIMAL err → per-term/bias gradient → 12dp weight update), so
+    the driver hash checks the trained weights, not just the classify
+    join. Cross-engine determinism: err and weight updates round to 12dp
+    (absorbing exp() last-ulp differences), gradient sums are DECIMAL
+    (exact, order-independent), update arithmetic `w - lr*g/n` uses the
+    identical left-associated expression on both sides."""
+    sig = "1.0/(1.0 + exp(-({dot} + {b})))"
+    parts = [
+        f"toks AS ({_TOKS})",
+        "tf AS (SELECT doc_id, term, count(*) AS freq FROM toks"
+        " GROUP BY doc_id, term)",
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        "dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)",
+        "feats AS (SELECT term FROM dict CROSS JOIN nd"
+        f" WHERE df >= 2 AND df <= 0.5 * nd.n"
+        f" ORDER BY df DESC, term ASC LIMIT {max_features})",
+        "x AS (SELECT tf.doc_id, tf.term FROM tf JOIN feats USING (term))",
+        "lab AS (SELECT doc_id, CASE WHEN strpos(lower(text),"
+        f" '{label_term}') > 0 THEN 1 ELSE 0 END AS label FROM documents)",
+        "w0 AS (SELECT term, 0.0 AS w FROM feats)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        s = sig.format(dot=f"coalesce(m{k}.dot, 0.0)", b=f"b{p}.b")
+        parts += [
+            f"m{k} AS (SELECT x.doc_id, sum(w{p}.w) AS dot FROM x"
+            f" JOIN w{p} USING (term) GROUP BY x.doc_id)",
+            f"s{k} AS (SELECT l.doc_id, CAST(round({s} - l.label, 12)"
+            f" AS DECIMAL(28,12)) AS err FROM lab l"
+            f" LEFT JOIN m{k} USING (doc_id) CROSS JOIN b{p})",
+            f"g{k} AS (SELECT x.term, CAST(sum(s{k}.err) AS DOUBLE) AS g"
+            f" FROM x JOIN s{k} USING (doc_id) GROUP BY x.term)",
+            f"bg{k} AS (SELECT CAST(sum(err) AS DOUBLE) AS g FROM s{k})",
+            f"w{k} AS (SELECT f.term,"
+            f" round(w{p}.w - {lr} * coalesce(g{k}.g, 0.0) / nd.n, 12) AS w"
+            f" FROM feats f JOIN w{p} USING (term)"
+            f" LEFT JOIN g{k} USING (term) CROSS JOIN nd)",
+            f"b{k} AS (SELECT round(b{p}.b - {lr} * bg{k}.g / nd.n, 12) AS b"
+            f" FROM b{p} CROSS JOIN bg{k} CROSS JOIN nd)",
+        ]
+    i = iterations
+    final_sig = sig.format(dot="coalesce(d.dot, 0.0)", b=f"b{i}.b")
+    parts += [
+        f"wf AS (SELECT term, w FROM w{i} WHERE term <> '{label_term}')",
+        "dots AS (SELECT tf.doc_id, sum(wf.w) AS dot FROM tf"
+        " JOIN wf USING (term) GROUP BY tf.doc_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT a.doc_id,
+       round({final_sig}, 4) AS prob,
+       CAST(CASE WHEN {final_sig} > 0.5 THEN 1 ELSE 0 END AS INTEGER)
+         AS prediction
+FROM (SELECT doc_id FROM documents) a
+LEFT JOIN dots d USING (doc_id) CROSS JOIN b{i}
+ORDER BY doc_id"""
+    )
+
+
+@gate("ml_textlogit_classify", _textlogit_sql())
 def ml_textlogit_classify(spark, sf_dir):
     """TextLogitStream + FeaturesSelectionStream analog: 5 full-batch
     GD iterations on label = text contains 'spark', features = other
     selected terms; per-doc classification output. Iterative: only the
     weight vector moves between cluster and driver
     (operators/textlogit.py; reference solr/solrj/.../io/stream/
-    TextLogitStream.java, FeaturesSelectionStream.java)."""
+    TextLogitStream.java, FeaturesSelectionStream.java). Oracle: the
+    SAME five GD iterations unrolled as CTEs (_textlogit_sql) — the
+    hash verifies the trained weights end-to-end."""
     from .operators.textlogit import classify, train_text_logit
 
     tables = docs_index(spark, sf_dir)
@@ -802,13 +869,38 @@ def fn_eval_dist(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
-@gate("fts_porter_stemmed_terms")  # rows-only: no stemmer in the oracle engine
+# The oracle engine has no stemmer, so the stem MAP (term → stem over
+# the full corpus vocabulary) is materialized once as a parquet fixture
+# by the paper-golden Python implementation (scripts/make_porter_fixture
+# .py; regenerate if the corpus vocabulary ever changes). The Spark gate
+# still stems live in the distributed pandas-UDF chain — the oracle
+# joins the at-rest map, so the driver hash independently verifies the
+# whole tokenize → stem → explode → agg → top-k pipeline. The COALESCE
+# fallback (term passes through unstemmed) only fires for vocabulary
+# absent from the fixture, which make_porter_fixture.py generation over
+# every sf dir rules out.
+_PORTER_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "porter_stems.parquet",
+)
+
+_PORTER_SQL = f"""
+WITH toks AS ({{toks}}),
+sm AS (SELECT term, stem FROM read_parquet('{_PORTER_FIXTURE}')),
+st AS (SELECT coalesce(sm.stem, t.term) AS stem
+       FROM toks t LEFT JOIN sm USING (term))
+SELECT stem, count(*) AS cnt FROM st
+GROUP BY stem ORDER BY cnt DESC, stem ASC LIMIT 20"""
+
+
+@gate("fts_porter_stemmed_terms", _PORTER_SQL.format(toks=_TOKS))
 def fts_porter_stemmed_terms(spark, sf_dir):
     """PorterStemFilter chain stage: tokenize → Porter stem → top-20
     stems by frequency (analysis/porter.py; reference lucene/analysis/
-    common/.../en/PorterStemFilter.java). Rows-only: DuckDB's stemmer
-    extension is unavailable offline, and the stemmer itself is golden-
-    tested against the Porter paper's examples in tests/test_porter.py."""
+    common/.../en/PorterStemFilter.java). Oracle: DuckDB joins the
+    fixture stem map written by the paper-golden implementation
+    (scripts/make_porter_fixture.py), Spark stems live."""
     from .analysis.porter import porter_stem_filter
     from .index.builder import simple_tokens
 

@@ -462,8 +462,12 @@ def _ivf_index_dir(spark, sf_dir: str) -> str:
     key = (sf_dir, _IVF_K)
     if key not in _IVF_INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="lss_ivfidx_")
+        # first_k centroid source: exactly reproducible in the DuckDB
+        # oracle's SQL; the production "trained" k-means source is
+        # recall-tested in tests/test_training_ops.py
         sim.build_ivf_index(
-            load(spark, sf_dir, "embeddings"), d, n_centroids=_IVF_K
+            load(spark, sf_dir, "embeddings"), d, n_centroids=_IVF_K,
+            centroids="first_k",
         )
         _IVF_INDEX_CACHE[key] = d
     return _IVF_INDEX_CACHE[key]
@@ -492,8 +496,11 @@ def td_ann_ivf_topk(spark, sf_dir):
     f"""WITH corpus AS ({_EMB_CORPUS}),
 {_planes_sql(4)},
 {_buckets_sql('corpus')},
+ok AS (SELECT bucket FROM bkt GROUP BY bucket
+       HAVING count(*) > 1 AND count(*) <= 1024),
+bkt2 AS (SELECT b.vec_id, b.bucket FROM bkt b JOIN ok USING (bucket)),
 cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         FROM bkt2 a JOIN bkt2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
 idx AS (SELECT unnest(range(1, 65)) AS i),
 norms AS (SELECT vec_id, sqrt(sum(CAST(embedding[i] AS DOUBLE) ** 2)) AS nrm
           FROM corpus, idx GROUP BY vec_id),
@@ -513,7 +520,9 @@ def td_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup via the LSH-bucketed SCALE path: same-bucket
     self-join bounds the candidate set (vs the exact all-pairs twin
     td_dedup_embedding_cosine, kept as the small-scale oracle baseline),
-    then exact cosine >= 0.9 verifies each candidate."""
+    then exact cosine >= 0.9 verifies each candidate. The max_bucket
+    skew cap (degenerate buckets dropped pre-join) is mirrored in the
+    oracle's ok/bkt2 CTEs."""
     res = sim.embedding_near_dup_pairs(
         _emb_corpus(spark, sf_dir), threshold=0.9, n_planes=4
     )

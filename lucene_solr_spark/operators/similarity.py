@@ -48,6 +48,7 @@ __all__ = [
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
     "ivf_assign_col",
+    "train_ivf_centroids",
     "build_ivf_index",
     "ivf_index_topk",
 ]
@@ -275,13 +276,16 @@ def ann_lsh_topk(
 # nearest centroid ONCE at indexing time; the vector table is written
 # partitioned by centroid_id (the same at-rest layout as the LSH index
 # and the posting term_bucket), and a query probes only the top-nprobe
-# centroid partitions then exact-reranks. Centroid SOURCE here is the
-# deterministic "first K corpus vectors" so the assignment is exactly
-# reproducible in ANSI SQL (the DuckDB oracle recomputes it); a
-# production build would k-means a sample driver-side and broadcast the
-# centroids back (the textlogit weight-vector pattern) — every other
-# piece (assignment plan, at-rest layout, pruned probe, rerank) is
-# identical whichever centroid source is used.
+# centroid partitions then exact-reranks. Centroid SOURCES: the default
+# "trained" runs spherical k-means driver-side on a deterministic
+# h60-ordered sample and broadcasts the K×dim matrix back (the textlogit
+# weight-vector pattern — data never moves, the model does), giving
+# data-order-independent cells; "first_k" (first K corpus vectors) is
+# kept because it is exactly reproducible in ANSI SQL, which the
+# driver-gate DuckDB oracle requires. Every other piece (assignment
+# plan, at-rest layout, pruned probe, rerank) is identical whichever
+# centroid source is used; recall@10 of both is measured in
+# tests/test_training_ops.py.
 
 
 def _cos_exact_9(vec_col: Column, centroid: np.ndarray, c_norm: float) -> Column:
@@ -346,6 +350,58 @@ def _centroid_rows(emb: DataFrame, n_centroids: int, id_col: str, vec_col: str):
     ]
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 2048,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means (Lloyd) trained driver-side on a deterministic
+    sample — the production centroid source for build_ivf_index.
+
+    The sample is the ``sample_size`` vectors with the smallest
+    h60(id) (a seeded, partitioning-independent order; TakeOrdered ships
+    only the sample to the driver), init is the first K sample vectors,
+    and each Lloyd step assigns by max cosine — the same measure the
+    index's coarse quantizer uses — then re-centers on the mean. Only
+    the K×dim centroid matrix ever crosses the cluster/driver boundary
+    (the textlogit weight-vector pattern), so training cost is
+    independent of corpus size. Deterministic: same input → same
+    centroids under any partitioning.
+
+    Returns [(centroid_id, vector, exact_norm)] consumable by
+    build_ivf_index(centroids=...).
+    """
+    from .hashing import h60
+
+    rows = (
+        emb.select(F.col(id_col).alias("c"), F.col(vec_col).alias("v"))
+        .orderBy(h60(F.col("c").cast("string")), F.col("c"))
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"k-means sample has {len(rows)} vectors < n_centroids="
+            f"{n_centroids}"
+        )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = xn[:n_centroids].copy()
+    for _ in range(iterations):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for k in range(n_centroids):
+            members = xn[assign == k]
+            if len(members):  # empty cell keeps its previous centroid
+                cent[k] = members.mean(axis=0)
+    return [
+        (k, cent[k].copy(), _exact_norm_py(cent[k])) for k in range(n_centroids)
+    ]
+
+
 def ivf_assign_col(vec_col: Column, centroids) -> Column:
     """Nearest-centroid id (argmax exact cosine, ties → smallest id):
     an array of (score, -id) structs reduced by array_max — pure JVM
@@ -368,11 +424,25 @@ def build_ivf_index(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids="trained",
 ) -> None:
     """At-rest IVF index: vectors written partitioned by centroid_id,
     centroid metadata committed last (tmp+rename, the snapshot-publish
-    commit rule)."""
-    centroids = _centroid_rows(emb, n_centroids, id_col, vec_col)
+    commit rule).
+
+    centroids: "trained" (default — driver-side k-means on a
+    deterministic sample, train_ivf_centroids; the production source:
+    data-order-independent cells, no mega-centroid skew), "first_k"
+    (the first K corpus vectors — exactly reproducible in ANSI SQL, used
+    by the driver-gate oracle), or an explicit
+    [(id, vector, exact_norm)] list. Assignment/probe machinery is
+    centroid-source-agnostic."""
+    if centroids == "trained":
+        centroids = train_ivf_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    elif centroids == "first_k":
+        centroids = _centroid_rows(emb, n_centroids, id_col, vec_col)
     if not centroids:
         raise ValueError(
             f"no centroid vectors: table has no rows with {id_col} < "
@@ -444,16 +514,33 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) pairs with cosine >= threshold, found via
     LSH self-join (same-bucket candidates only) + exact verification.
-    With multiprobe-0 banding this trades recall for a bounded join."""
+    With multiprobe-0 banding this trades recall for a bounded join.
+
+    Skew guard (same rule as dedup.lsh_candidate_pairs): buckets larger
+    than ``max_bucket`` are dropped before the self-join, bounding every
+    reducer at max_bucket^2 candidate rows — a near-dup-heavy corpus
+    (the exact case dedup exists for) otherwise concentrates in a few
+    buckets and goes quadratic in one task at 10^9 vectors. At
+    production scale the over-cap mass is near-identical by
+    construction and is handled by exact dedup (hash-groupBy) first;
+    singleton buckets are dropped too (they cannot form a pair)."""
     planes = h60_plane_matrix(emb.select(F.size(vec_col)).first()[0], n_planes)
     b = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("bucket")
+    )
+    b = b.join(ok, "bucket")
     a2, b2 = b.alias("a"), b.alias("b")
     cand = a2.join(
         b2,

@@ -139,6 +139,29 @@ def test_embedding_near_dup_lsh_agrees_with_bruteforce(spark, emb):
     assert len(got_pairs) / len(exact) >= 0.5  # LSH recall
 
 
+def test_embedding_near_dup_skew_cap_bounds_degenerate_bucket(spark, emb):
+    """1000 identical vectors — the degenerate near-dup-heavy corpus —
+    land in ONE LSH bucket. Without the max_bucket guard the self-join
+    would emit ~500k candidate rows in a single task; with the cap the
+    bucket is dropped pre-join (over-cap mass is exact-dedup territory)
+    and the candidate count stays bounded."""
+    base = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rows = [(i, list(base)) for i in range(1000)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    capped = sim.embedding_near_dup_pairs(
+        corpus, threshold=0.9, n_planes=4, max_bucket=64
+    )
+    assert capped.count() == 0  # one 1000-row bucket > cap → dropped
+    # small buckets still pair up: 8 identical vectors fit under the cap
+    small = sim.embedding_near_dup_pairs(
+        corpus.filter(F.col("vec_id") < 8), threshold=0.9, n_planes=4,
+        max_bucket=64,
+    )
+    assert small.count() == 8 * 7 // 2
+
+
 def test_multimodal_feature_extraction(spark):
     media = mm.synth_media(spark, 50)
     feats = mm.extract_features(media).toPandas()

@@ -322,6 +322,67 @@ def fts_parsed_group_range(spark, sf_dir):
 
 
 @gate(
+    "fts_parsed_expand",
+    f"""WITH {bm25_scored_cte(["spark"])},
+req AS (SELECT doc_id, sum(term_score) AS s FROM scored GROUP BY doc_id),
+wc AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 's_a%'),
+fz AS (SELECT DISTINCT doc_id FROM toks
+       WHERE damerau_levenshtein(term, 'scan') <= 1),
+rx AS (SELECT DISTINCT doc_id FROM toks
+       WHERE regexp_matches(term, '^(?:(jo|gr)[a-z]+n)$')),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'vect%')
+SELECT r.doc_id,
+       round(r.s + CASE WHEN wc.doc_id IS NOT NULL THEN 2.0 ELSE 0 END
+                 + CASE WHEN fz.doc_id IS NOT NULL THEN 1.0 ELSE 0 END
+                 + CASE WHEN rx.doc_id IS NOT NULL THEN 1.0 ELSE 0 END,
+             4) AS score
+FROM req r
+LEFT JOIN wc USING (doc_id)
+LEFT JOIN fz USING (doc_id)
+LEFT JOIN rx USING (doc_id)
+WHERE r.doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_parsed_expand(spark, sf_dir):
+    """Term-level multi-term syntax end-to-end from the query STRING:
+    '+spark s?a*^2 scan~1 /(jo|gr)[a-z]+n/ -vect*' — required BM25 term,
+    boosted wildcard, fuzzy (Damerau-Levenshtein <= 1), anchored regexp,
+    and a prohibited prefix, each rewritten to a constant-score
+    dictionary expansion (reference queryparser/.../classic/
+    QueryParser.jj:195-226 <WILDTERM>/<FUZZY_SLOP>/<REGEXPTERM>;
+    search/MultiTermQueryConstantScoreWrapper.java). The fuzzy clause
+    pins the documented constant-score rewrite rather than Lucene's
+    default blended-freq rewrite so the score is SQL-reproducible."""
+    return _run_parsed(
+        spark, sf_dir, "+spark s?a*^2 scan~1 /(jo|gr)[a-z]+n/ -vect*"
+    )
+
+
+@gate(
+    "fts_parsed_fieldgroup",
+    f"""WITH {bm25_scored_cte(["spark", "merge", "window"])},
+agg AS (SELECT doc_id,
+         sum(CASE WHEN term = 'spark' THEN term_score ELSE 0 END) AS s_must,
+         sum(CASE WHEN term IN ('merge', 'window')
+                  THEN 2.0 * term_score ELSE 0 END) AS s_opt,
+         count(DISTINCT CASE WHEN term = 'spark' THEN term END) AS n_must
+        FROM scored GROUP BY doc_id)
+SELECT a.doc_id, round(a.s_must + a.s_opt, 4) AS score
+FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+WHERE a.n_must = 1 AND d.lang IN ('en', 'fr')
+ORDER BY score DESC, a.doc_id ASC LIMIT 10""",
+)
+def fts_parsed_fieldgroup(spark, sf_dir):
+    """Fielded group + trailing group boost from the query STRING:
+    '+spark (merge window)^2 lang:(en fr)' — the group boost distributes
+    onto each member's boost (search/BoostQuery.java over the boolean
+    sum), the fielded group becomes a constant-score IN filter on the
+    stored field (Solr {!terms} / fq analog). Both constructs previously
+    mis-parsed silently (round-2 ADVICE.md items 1-2)."""
+    return _run_parsed(spark, sf_dir, "+spark (merge window)^2 lang:(en fr)")
+
+
+@gate(
     "fts_fuzzy_dl_expand",
     f"""WITH toks AS ({_TOKS})
 SELECT term, count(DISTINCT doc_id) AS df FROM toks

@@ -275,12 +275,14 @@ _passthrough(
     "fts_docfreq_stats", "fts_index_invariants", "fts_significant_terms"
 )
 
-# 11: classic QueryParser grammar end-to-end (4 constructs)
+# 11: classic QueryParser grammar end-to-end (6 constructs)
 _suite("fts_parsed_suite", [
     ("and_not", "fts_parsed_query", ("doc_id",), ("score",)),
     ("mixed_req_opt", "fts_parsed_mixed", ("doc_id",), ("score",)),
     ("group_range", "fts_parsed_group_range", ("doc_id",), ("score",)),
     ("phrase_opt", "fts_parsed_phrase", ("doc_id",), ("score",)),
+    ("expand", "fts_parsed_expand", ("doc_id",), ("score",)),
+    ("fieldgroup", "fts_parsed_fieldgroup", ("doc_id",), ("score",)),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

@@ -45,7 +45,16 @@ def geo_cells_for_box(
     cell_deg: float = DEFAULT_CELL_DEG,
 ) -> list:
     """Every cell id intersecting the box (conservative — computed
-    driver-side with the same arithmetic as geo_cell_col)."""
+    driver-side with the same arithmetic as geo_cell_col).
+
+    lon_min > lon_max means the box crosses the antimeridian (the
+    GeoJSON / Lucene GeoUtils convention — Rectangle.crossesDateline);
+    it splits into two wrapped longitude ranges."""
+    if lon_min > lon_max:
+        return sorted(
+            set(geo_cells_for_box(lat_min, lat_max, lon_min, 180.0, cell_deg))
+            | set(geo_cells_for_box(lat_min, lat_max, -180.0, lon_max, cell_deg))
+        )
     n_lon = int(math.ceil(360.0 / cell_deg))
     r0 = int(math.floor((lat_min + 90.0) / cell_deg))
     r1 = int(math.floor((lat_max + 90.0) / cell_deg))
@@ -95,12 +104,13 @@ def box_query(
     with open(f"{index_dir}/meta.json") as f:
         cell_deg = json.load(f)["cell_deg"]
     cells = geo_cells_for_box(lat_min, lat_max, lon_min, lon_max, cell_deg)
+    if lon_min > lon_max:  # antimeridian-crossing box: wrapped range
+        lon_pred = (F.col(lon_col) >= lon_min) | (F.col(lon_col) <= lon_max)
+    else:
+        lon_pred = F.col(lon_col).between(lon_min, lon_max)
     return (
         spark.read.parquet(f"{index_dir}/points")
         .filter(F.col("geo_cell").isin(cells))
-        .filter(
-            F.col(lat_col).between(lat_min, lat_max)
-            & F.col(lon_col).between(lon_min, lon_max)
-        )
+        .filter(F.col(lat_col).between(lat_min, lat_max) & lon_pred)
         .drop("geo_cell")
     )

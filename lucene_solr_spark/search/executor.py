@@ -130,6 +130,49 @@ def execute_parsed(
     return combined.limit(k) if k is not None else combined
 
 
+def _like_pattern(pat: str) -> str:
+    """``*``/``?`` wildcard syntax → SQL LIKE pattern (literals escaped)."""
+    return (
+        pat.replace("\\", "\\\\")
+        .replace("%", r"\%")
+        .replace("_", r"\_")
+        .replace("*", "%")
+        .replace("?", "_")
+    )
+
+
+def _expansion_docs(tables, spec) -> DataFrame:
+    """Matching doc set for one multi-term expansion clause
+    (occur, kind, pattern, param, boost) — the constant-score rewrite of
+    PrefixQuery / WildcardQuery / FuzzyQuery / RegexpQuery (reference
+    search/MultiTermQueryConstantScoreWrapper.java: collect the expanded
+    terms' postings into one bitset; no per-term scoring).
+
+    Distributed shape: dictionary predicate scan → equi-join with
+    postings on term → distinct doc_ids. Unlike Lucene's
+    IndexSearcher.maxClauseCount rewrite cap there is no 1024-term
+    limit — the expanded term set never materializes on the driver, so
+    a million-term prefix behaves like any other join (AQE broadcasts
+    the matched-terms side when it is small)."""
+    _, kind, pattern, param, _ = spec
+    d = tables.dictionary.select("term")
+    if kind == "prefix":
+        cond = F.col("term").startswith(pattern)
+    elif kind == "wildcard":
+        cond = F.col("term").like(_like_pattern(pattern))
+    elif kind == "fuzzy":
+        from ..functions.editdist import damerau_levenshtein
+
+        cond = damerau_levenshtein(F.col("term"), pattern) <= int(param)
+    elif kind == "regexp":
+        # RegexpQuery anchors the whole term (RegExp.java full-match)
+        cond = F.col("term").rlike("^(?:" + pattern + ")$")
+    else:
+        raise ValueError(f"unknown expansion kind {kind!r}")
+    terms = d.filter(cond)
+    return tables.postings.join(terms, "term").select("doc_id").distinct()
+
+
 def _filter_docs(stored: DataFrame, spec) -> DataFrame:
     """(doc_id) matching one filter spec over the stored fields."""
     fld = spec[1]
@@ -145,6 +188,12 @@ def _filter_docs(stored: DataFrame, spec) -> DataFrame:
     if spec[0] == "eq":
         _, fld, val = spec
         cond = F.col(fld).cast("string") == str(val)
+    elif spec[0] == "in":  # fielded group lang:(en fr) — {!terms} analog
+        _, fld, vals = spec
+        cond = F.col(fld).cast("string").isin([str(v) for v in vals])
+    elif spec[0] == "like":  # wildcard on a stored field: role:us*r
+        _, fld, pat = spec
+        cond = F.col(fld).cast("string").like(_like_pattern(pat))
     else:
         _, fld, lo, hi, lo_incl, hi_incl = spec
         numeric = all(isinstance(x, float) or x is None for x in (lo, hi))
@@ -251,13 +300,44 @@ def _execute_general(
                 "doc_id", (F.col("score") + F.col("ph_score")).alias("score")
             )
 
-    opt = None
+    # required multi-term expansions (constant-score): intersect and add
+    # the clause boost — MultiTermQueryConstantScoreWrapper inside MUST
+    for e in p.expansions:
+        if e[0] != "must":
+            continue
+        docs = _expansion_docs(tables, e)
+        b = F.lit(float(e[4])).cast("double")
+        if base is None:
+            base = docs.select("doc_id", b.alias("score"))
+        else:
+            base = base.join(docs, "doc_id").select(
+                "doc_id", (F.col("score") + b).alias("score")
+            )
+
+    opt_parts = []
     if opt_terms and scoring is not None:
-        opt = (
+        opt_parts.append(
             scoring.filter(F.col("term").isin(sorted(opt_terms)))
             .groupBy("doc_id")
             .agg(F.sum(F.col("term_score").cast("double")).alias("opt_score"))
         )
+    for e in p.expansions:  # optional expansions: constant boost if matched
+        if e[0] != "should":
+            continue
+        opt_parts.append(
+            _expansion_docs(tables, e).select(
+                "doc_id", F.lit(float(e[4])).cast("double").alias("opt_score")
+            )
+        )
+    opt = None
+    if opt_parts:
+        opt = opt_parts[0]
+        for part in opt_parts[1:]:
+            opt = opt.unionByName(part)
+        if len(opt_parts) > 1:
+            opt = opt.groupBy("doc_id").agg(
+                F.sum("opt_score").alias("opt_score")
+            )
     if base is None:
         if opt is not None:
             # no required scoring clause: optional terms define the match set
@@ -290,6 +370,9 @@ def _execute_general(
             tables.postings.term.isin(list(p.exclude))
         ).select("doc_id").distinct()
         base = base.join(excl, "doc_id", "left_anti")
+    for e in p.expansions:  # prohibited expansions: -vect* (ReqExcl)
+        if e[0] == "must_not":
+            base = base.join(_expansion_docs(tables, e), "doc_id", "left_anti")
 
     out = base.select(
         "doc_id", F.col("score").cast(score_type).alias("score")

@@ -25,6 +25,31 @@ Query ::= (Clause)*; Clause ::= ["+","-"] (TERM | "(" Query ")" ...)):
 - mixed ``+a b``          → MUST a, b an optional score contribution
                             (ReqOptSumScorer, Boolean2ScorerSupplier
                             .java:168-174)
+- ``spa*`` / ``s?a*k``    → prefix / wildcard term (QueryParser.jj
+                            <PREFIXTERM>/<WILDTERM>, :195-226), executed
+                            as a CONSTANT-SCORE dictionary expansion
+                            (MultiTermQueryConstantScoreWrapper.java —
+                            the CONSTANT_SCORE_BLENDED default rewrite's
+                            bitset arm; score = boost per matching doc)
+- ``roam~`` / ``roam~1``  → fuzzy term, Damerau-Levenshtein edits ≤ n
+                            (default 2, capped 2 —
+                            FuzzyQuery.java:68-88 transpositions=true),
+                            same constant-score expansion. NOTE: the
+                            reference's default fuzzy rewrite blends
+                            per-term idf (TopTermsBlendedFreqScoring-
+                            Rewrite); this engine pins the documented
+                            constant-score alternative so the score is
+                            ANSI-SQL-reproducible.
+- ``/rege?x/``            → regexp term (RegExp full-match anchoring,
+                            RegexpQuery.java), constant-score expansion
+- ``lang:(en fr)``        → fielded group: constant-score IN filter on
+                            the stored field (Solr fq {!terms} analog);
+                            on the default text field it is a plain
+                            disjunction group
+- ``(a b)^2``             → trailing group boost: multiplies every
+                            member boost (BoostQuery over BooleanQuery
+                            distributes over the sum — reference
+                            search/BoostQuery.java)
 
 The output is the engine's structured spec; BooleanQuery-style
 normalization (empty → match-none, duplicate dedup — reference
@@ -48,7 +73,8 @@ __all__ = ["ParsedQuery", "parse_query", "DEFAULT_FIELD"]
 DEFAULT_FIELD = "text"
 
 _TOKEN = re.compile(
-    r"""\(|\)                                  # parens
+    r"""[+-]?/[^/]*/(?:\^\d+(?:\.\d+)?)?       # /regexp/ (may contain parens)
+      | \(|\)                                  # parens
       | [+-]?[A-Za-z_][\w.]*:\[[^\]]*\]        # field:[a TO b]
       | [+-]?[A-Za-z_][\w.]*:\{[^}]*\}         # field:{a TO b}
       | [+-]?"[^"]*"(?:~\d+)?                  # phrase (opt. +/- prefix)
@@ -73,7 +99,15 @@ class ParsedQuery:
     filters: list = field(default_factory=list)    # [spec, ...] required
     neg_filters: list = field(default_factory=list)  # [spec, ...] prohibited
     # filter spec: ("eq", field, value) |
+    #              ("in", field, [values...]) |
+    #              ("like", field, pattern)  (* and ? wildcards) |
     #              ("range", field, lo, hi, lo_incl, hi_incl)  (None = open)
+    expansions: list = field(default_factory=list)
+    # multi-term expansion clauses on the DEFAULT text field:
+    #   (occur, kind, pattern, param, boost)
+    # occur ∈ must|should|must_not; kind ∈ prefix|wildcard|fuzzy|regexp;
+    # param = max_edits for fuzzy else None. Executed constant-score
+    # (MultiTermQueryConstantScoreWrapper analog).
 
     @property
     def mode(self) -> str:
@@ -98,6 +132,7 @@ class ParsedQuery:
             self.groups
             or self.filters
             or self.neg_filters
+            or self.expansions
             or (self.must and self.should)
         )
 
@@ -136,10 +171,12 @@ def _merge_group(out: ParsedQuery, sub: ParsedQuery, occur: str) -> None:
     pure_disj = not (
         sub.must or sub.groups or sub.must_not or sub.phrases
         or sub.filters or sub.neg_filters
+        or any(e[0] != "should" for e in sub.expansions)
     )
     if occur == "must":
         out.must.extend(x for x in sub.must if x not in out.must)
         out.groups.extend(sub.groups)
+        out.expansions.extend(sub.expansions)
         if sub.should:
             if sub.must or sub.groups:
                 # mixed inside a required group: inner optionals stay
@@ -161,6 +198,9 @@ def _merge_group(out: ParsedQuery, sub: ParsedQuery, occur: str) -> None:
         out.must_not.extend(
             t for t, _ in sub.should if t not in out.must_not
         )
+        out.expansions.extend(
+            ("must_not",) + e[1:] for e in sub.expansions
+        )
     else:  # should
         if not pure_disj:
             raise ValueError(
@@ -169,6 +209,48 @@ def _merge_group(out: ParsedQuery, sub: ParsedQuery, occur: str) -> None:
             )
         for t, b in sub.should:
             _add_term(out, "should", t, b)
+        out.expansions.extend(sub.expansions)
+
+
+def _scale_boosts(p: ParsedQuery, factor: float) -> None:
+    """Trailing group boost ``(a b)^2``: BoostQuery over a BooleanQuery
+    multiplies the summed score, which distributes onto every member's
+    boost (reference search/BoostQuery.java)."""
+    p.must = [(t, b * factor) for t, b in p.must]
+    p.should = [(t, b * factor) for t, b in p.should]
+    p.groups = [[(t, b * factor) for t, b in g] for g in p.groups]
+    p.expansions = [e[:4] + (e[4] * factor,) for e in p.expansions]
+
+
+def _collect_group_values(tokens: list, i: int) -> tuple:
+    """Members of a fielded group ``field:(a b ...)`` — raw values, OR
+    connectors skipped; any boolean structure is rejected loudly (a
+    fielded group is a plain disjunction). → (values, next_i)."""
+    vals = []
+    while i < len(tokens) and tokens[i] != ")":
+        v = tokens[i]
+        i += 1
+        if v.upper() in ("OR", "||"):
+            continue
+        if (
+            v == "("
+            or v.upper() in ("AND", "&&", "NOT", "!")
+            or v.startswith(("+", "-"))
+        ):
+            raise ValueError(
+                "unsupported query: a fielded group field:(...) must be a "
+                "plain disjunction of values, e.g. lang:(en fr)"
+            )
+        vals.append(v)
+    if i >= len(tokens):
+        raise ValueError("unbalanced '(' in query string")
+    return vals, i + 1  # consume ')'
+
+
+_FIELD_GROUP = re.compile(r"^([A-Za-z_][\w.]*):$")
+_BOOST_TOKEN = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+_REGEXP_TERM = re.compile(r"^/(.*)/$", re.DOTALL)
+_FUZZY_TERM = re.compile(r"^(.+?)~(\d*)$")
 
 
 def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
@@ -207,6 +289,12 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
                 _remove_should(t)
             if full:
                 out.groups.append(list(full))
+        elif isinstance(last_unit, tuple) and last_unit[0] == "expansion":
+            # "a* AND b": promote the SHOULD expansion clause to MUST
+            idx = last_unit[1]
+            e = out.expansions[idx]
+            if e[0] == "should":
+                out.expansions[idx] = ("must",) + e[1:]
 
     while i < len(tokens):
         raw = tokens[i]
@@ -246,8 +334,52 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
             occur = "must"
             pending_must = False
 
+        gm = _FIELD_GROUP.match(raw)
+        if gm and i < len(tokens) and tokens[i] == "(":
+            # fielded group  field:(a b ...) — a plain disjunction over
+            # one field (QueryParser field-scoped group; Solr {!terms}).
+            fieldname = gm.group(1)
+            vals, i = _collect_group_values(tokens, i + 1)
+            if fieldname == DEFAULT_FIELD:
+                sub = ParsedQuery()
+                for v in vals:
+                    for tok in _analyze(v, analyzer):
+                        _add_term(sub, "should", tok, 1.0)
+            else:
+                sub = None
+            if i < len(tokens):  # trailing boost "lang:(en fr)^2"
+                bm = _BOOST_TOKEN.match(tokens[i])
+                if bm:
+                    i += 1
+                    if sub is None:
+                        raise ValueError(
+                            "unsupported query: boost on a constant-score "
+                            f"field group {fieldname}:(...) has no effect"
+                        )
+                    _scale_boosts(sub, float(bm.group(1)))
+            if sub is not None:
+                _merge_group(out, sub, occur)
+            elif vals:
+                spec = ("in", fieldname, vals)
+                (out.neg_filters if occur == "must_not" else out.filters
+                 ).append(spec)
+            last_unit = "required"
+            continue
+        if gm:
+            raise ValueError(
+                f"dangling field prefix {raw!r} — expected a value or a "
+                "parenthesized group after the ':'"
+            )
+
         if raw == "(":
             sub, i = _parse(tokens, i, analyzer, depth + 1)
+            if i < len(tokens):
+                # trailing group boost "(a b)^2": the tokenizer emits the
+                # detached "^N" after ')' — distribute onto every member
+                bm = _BOOST_TOKEN.match(tokens[i])
+                if bm:
+                    i += 1
+                    _scale_boosts(sub, float(bm.group(1)))
             before = {t for t, _ in out.should}
             _merge_group(out, sub, occur)
             if occur == "should":
@@ -276,6 +408,20 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
         m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", raw)
         if m:
             raw, boost = m.group(1), float(m.group(2))
+            if not raw:
+                raise ValueError(
+                    f"detached boost token '^{m.group(2)}' — a boost "
+                    "attaches to a term, phrase, or group: term^2, (a b)^2"
+                )
+
+        rx = _REGEXP_TERM.match(raw)
+        if rx:
+            out.expansions.append((occur, "regexp", rx.group(1), None, boost))
+            last_unit = (
+                ("expansion", len(out.expansions) - 1)
+                if occur == "should" else "required"
+            )
+            continue
 
         pm = re.match(r'^"([^"]*)"(?:~(\d+))?$', raw)
         if pm:
@@ -296,7 +442,17 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
 
         fm = _FIELD_TERM.match(raw)
         if fm and fm.group(1) != DEFAULT_FIELD:
-            spec = ("eq", fm.group(1), fm.group(2))
+            val = fm.group(2)
+            if _FUZZY_TERM.match(val) and "*" not in val and "?" not in val:
+                raise ValueError(
+                    f"unsupported query: fuzzy on stored field "
+                    f"{fm.group(1)!r} — only the default text field "
+                    "supports fuzzy expansion"
+                )
+            if "*" in val or "?" in val:
+                spec = ("like", fm.group(1), val)
+            else:
+                spec = ("eq", fm.group(1), val)
             (out.neg_filters if occur == "must_not" else out.filters).append(spec)
             last_unit = "required"
             continue
@@ -304,6 +460,37 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
             raw = fm.group(2)
 
         if not raw:
+            continue
+        if "*" in raw or "?" in raw:
+            pat = raw.lower()
+            if set(pat) <= {"*", "?"}:
+                raise ValueError(
+                    "unsupported query: bare wildcard matches every "
+                    "document — add at least one literal character"
+                )
+            # pure trailing star → PrefixQuery fast path (startswith);
+            # anything else → WildcardQuery LIKE-pattern expansion
+            if pat.endswith("*") and not any(c in "*?" for c in pat[:-1]):
+                out.expansions.append((occur, "prefix", pat[:-1], None, boost))
+            else:
+                out.expansions.append((occur, "wildcard", pat, None, boost))
+            last_unit = (
+                ("expansion", len(out.expansions) - 1)
+                if occur == "should" else "required"
+            )
+            continue
+        fz = _FUZZY_TERM.match(raw)
+        if fz:
+            # max edits default 2, capped 2 (LevenshteinAutomata
+            # .MAXIMUM_SUPPORTED_DISTANCE; FuzzyQuery.java:68-88)
+            edits = min(int(fz.group(2) or 2), 2)
+            out.expansions.append(
+                (occur, "fuzzy", fz.group(1).lower(), edits, boost)
+            )
+            last_unit = (
+                ("expansion", len(out.expansions) - 1)
+                if occur == "should" else "required"
+            )
             continue
         toks = _analyze(raw, analyzer)
         for tok in toks:

@@ -50,17 +50,40 @@ class Searcher:
         transcripts: DataFrame,
         analyzer: str = "standard",
         with_positions: bool = False,
+        index_dir: str | None = None,
         **kwargs,
     ) -> "Searcher":
         """Index a transcript-shaped DataFrame and open a searcher on it
-        (IndexWriter.addDocuments + DirectoryReader.open in one step)."""
+        (IndexWriter.addDocuments + DirectoryReader.open in one step).
+
+        with_positions=True additionally builds a positional segmented
+        index (DOCS_AND_FREQS_AND_POSITIONS) under ``index_dir`` (a temp
+        dir if not given) and wires it in, so phrase queries work
+        straight off the build path."""
         tables = build_index(
             transcripts,
             analyzer=analyzer,
             with_positions=with_positions,
             **kwargs,
         )
-        return cls(tables)
+        pos_index = None
+        if with_positions:
+            import tempfile
+
+            from .index.segments import build_segmented_index
+
+            seg_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k in ("order_cols", "text_col", "id_col")
+            }
+            pos_index = build_segmented_index(
+                transcripts,
+                index_dir or tempfile.mkdtemp(prefix="lss_searcher_pos_"),
+                analyzer=analyzer,
+                index_positions=True,
+                **seg_kwargs,
+            )
+        return cls(tables, pos_index=pos_index)
 
     def parse(self, q: str):
         return parse_query(q)

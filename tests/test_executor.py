@@ -278,3 +278,124 @@ def test_unknown_filter_field_clear_error(spark, tiny_index):
             "data http://example.com", tiny_index, k=5,
             stored=tiny_index.stored,
         ).collect()
+
+
+# ------------------------------- constant-score multi-term expansions
+
+
+def test_should_expansion_adds_constant_boost(spark, tiny_index):
+    """'+head pre*': required BM25 term plus an optional prefix
+    expansion — each matching doc gains exactly the clause boost
+    (MultiTermQueryConstantScoreWrapper semantics)."""
+    tables = tiny_index
+    head = tables.dictionary.orderBy(F.desc("df"), "term").first()["term"]
+    pre = head[:2]
+    res = {
+        r["doc_id"]: r["score"]
+        for r in execute_parsed(
+            f"+{head} {pre}*^2", tables, k=None, precision="double"
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_bruteforce(
+            tables, [head], mode="conjunctive", k=None, precision="double"
+        ).collect()
+    }
+    matched = {
+        r["doc_id"]
+        for r in tables.postings.join(
+            tables.dictionary.filter(F.col("term").startswith(pre))
+            .select("term"),
+            "term",
+        ).select("doc_id").distinct().collect()
+    }
+    assert set(res) == set(base)  # expansion is optional: no gating
+    for d, s in base.items():
+        want = s + (2.0 if d in matched else 0.0)
+        assert math.isclose(res[d], want, rel_tol=1e-12), (d, res[d], want)
+
+
+def test_must_and_not_expansions_gate_matches(spark, tiny_index):
+    """'+pre*' alone matches exactly the expansion doc set at constant
+    score; '-pre*' excludes it (ReqExcl)."""
+    tables = tiny_index
+    term = tables.dictionary.orderBy(F.desc("df"), "term").first()["term"]
+    pre = term[:2]
+    matched = {
+        r["doc_id"]
+        for r in tables.postings.join(
+            tables.dictionary.filter(F.col("term").startswith(pre))
+            .select("term"),
+            "term",
+        ).select("doc_id").distinct().collect()
+    }
+    res = execute_parsed(
+        f"+{pre}*", tables, k=None, precision="double"
+    ).collect()
+    assert {r["doc_id"] for r in res} == matched
+    assert all(r["score"] == 1.0 for r in res)
+
+    # fuzzy~0 == exact term set, constant score
+    fz = execute_parsed(
+        "+repeatterm~0", tables, k=None, precision="double"
+    ).collect()
+    exact = {
+        r["doc_id"]
+        for r in tables.postings.filter(F.col("term") == "repeatterm")
+        .select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in fz} == exact and len(exact) > 0
+
+    # prohibited expansion: survivors share no pre-prefixed term
+    excl = execute_parsed(
+        f"zzsingletonterm -{pre}*", tables, k=None, precision="double"
+    ).collect()
+    assert all(r["doc_id"] not in matched for r in excl)
+
+
+def test_regexp_expansion_anchored(spark, tiny_index):
+    """'/gap.*/' must match gapterm docs (full-term anchoring) and not
+    terms merely containing 'gap' mid-string."""
+    tables = tiny_index
+    res = {
+        r["doc_id"]
+        for r in execute_parsed(
+            "+/gap.*/", tables, k=None, precision="double"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in tables.postings.filter(F.col("term").rlike("^gap"))
+        .select("doc_id").distinct().collect()
+    }
+    assert res == want and len(res) > 0
+
+
+def test_fielded_group_in_filter(spark, tiny_index):
+    """'head role:(user assistant)' == bruteforce(head) semi-joined to
+    docs whose stored role is in the set (constant-score filter)."""
+    tables = tiny_index
+    head = tables.dictionary.orderBy(F.desc("df"), "term").first()["term"]
+    res = execute_parsed(
+        f"{head} role:(user assistant)",
+        tables,
+        k=None,
+        precision="double",
+        stored=tables.stored,
+    ).collect()
+    keep = {
+        r["doc_id"]
+        for r in tables.stored.filter(
+            F.col("role").isin("user", "assistant")
+        ).select("doc_id").collect()
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_bruteforce(
+            tables, [head], mode="disjunctive", k=None, precision="double"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in res} == {d for d in base if d in keep}
+    for r in res:
+        assert math.isclose(r["score"], base[r["doc_id"]], rel_tol=1e-12)

@@ -116,3 +116,32 @@ def test_geo_cell_index_partition_pruning(spark, tmp_path):
     )
     # conservative cell cover: box spans 5 lat-rows x 9 lon-cols
     assert len(geo_cells_for_box(10.0, 30.0, -60.0, -20.0)) == 45
+
+
+def test_geo_box_antimeridian_wrap(spark, tmp_path):
+    """A box with lon_min > lon_max crosses the antimeridian
+    (GeoUtils Rectangle.crossesDateline): it must split into two
+    wrapped longitude ranges instead of silently matching nothing."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spatial import (
+        box_query, build_geo_index, geo_cells_for_box,
+    )
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 7) % 180) - 90 + 0.5).cast("double").alias("lat"),
+        (((F.col("id") * 13) % 360) - 180 + 0.5).cast("double").alias("lon"),
+    )
+    idx = str(tmp_path / "geoidx_am")
+    build_geo_index(pts, idx)
+    res = box_query(spark, idx, -20.0, 20.0, 170.0, -170.0)
+    expect = pts.filter(
+        F.col("lat").between(-20.0, 20.0)
+        & ((F.col("lon") >= 170.0) | (F.col("lon") <= -170.0))
+    )
+    got = sorted(r["pid"] for r in res.collect())
+    want = sorted(r["pid"] for r in expect.collect())
+    assert got == want and len(want) > 0
+    cells = geo_cells_for_box(-20.0, 20.0, 170.0, -170.0)
+    assert cells  # two wrapped ranges, 8 lat-rows x (2+2+1 edge) lon-cols

@@ -200,3 +200,105 @@ def test_prohibited_phrase_rejected():
     assert parse_query('+"slow query" spark').phrases == [
         (["slow", "query"], 0)
     ]
+
+
+# ---------------------------------------------- multi-term expansions
+
+
+def test_prefix_and_wildcard_terms():
+    p = parse_query("spa* s?a*k")
+    assert p.expansions == [
+        ("should", "prefix", "spa", None, 1.0),
+        ("should", "wildcard", "s?a*k", None, 1.0),
+    ]
+    assert not p.is_simple()
+
+
+def test_fuzzy_term_default_and_explicit_edits():
+    p = parse_query("roam~ merge~1 deep~9")
+    # default 2 edits; explicit value honored; capped at 2
+    # (LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)
+    assert p.expansions == [
+        ("should", "fuzzy", "roam", 2, 1.0),
+        ("should", "fuzzy", "merge", 1, 1.0),
+        ("should", "fuzzy", "deep", 2, 1.0),
+    ]
+
+
+def test_regexp_term_may_contain_parens():
+    p = parse_query("/(jo|gr)[a-z]+n/ spark")
+    assert p.expansions == [("should", "regexp", "(jo|gr)[a-z]+n", None, 1.0)]
+    assert p.terms == ["spark"]
+
+
+def test_expansion_boost_occur_and_promotion():
+    p = parse_query("+win* -vect* scan~1^3")
+    assert ("must", "prefix", "win", None, 1.0) in p.expansions
+    assert ("must_not", "prefix", "vect", None, 1.0) in p.expansions
+    assert ("should", "fuzzy", "scan", 1, 3.0) in p.expansions
+    # AND promotes a preceding SHOULD expansion (same rule as terms)
+    q = parse_query("spa* AND merge")
+    assert q.expansions == [("must", "prefix", "spa", None, 1.0)]
+    assert q.must == [("merge", 1.0)]
+
+
+def test_prohibited_group_of_expansions():
+    p = parse_query("-(foo* bar) spark")
+    assert ("must_not", "prefix", "foo", None, 1.0) in p.expansions
+    assert p.must_not == ["bar"]
+
+
+def test_wildcard_on_stored_field_is_like_filter():
+    p = parse_query("role:us*r spark")
+    assert p.filters == [("like", "role", "us*r")]
+
+
+def test_bare_wildcard_and_stored_fuzzy_rejected():
+    import pytest
+
+    for bad in ("*", "?*", "role:term~1"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# ------------------------------------- fielded groups and group boosts
+
+
+def test_fielded_group_becomes_in_filter():
+    p = parse_query("lang:(en OR fr) spark")
+    assert p.filters == [("in", "lang", ["en", "fr"])]
+    assert p.terms == ["spark"]
+    n = parse_query("-lang:(en fr) spark")
+    assert n.neg_filters == [("in", "lang", ["en", "fr"])]
+
+
+def test_fielded_group_on_default_field_is_disjunction():
+    p = parse_query("text:(spark merge)^2 +window")
+    assert p.must == [("window", 1.0)]
+    assert ("spark", 2.0) in p.should and ("merge", 2.0) in p.should
+
+
+def test_fielded_group_rejects_boolean_structure():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_query("lang:(en AND fr)")
+    with pytest.raises(ValueError):
+        parse_query("lang:(+en fr)")
+    with pytest.raises(ValueError):
+        parse_query("lang:")  # dangling field prefix
+
+
+def test_group_boost_distributes():
+    p = parse_query("(merge window)^2 +spark")
+    assert ("merge", 2.0) in p.should and ("window", 2.0) in p.should
+    # MUST-position group keeps the boost on the required disjunction
+    q = parse_query("(merge window)^2 AND spark")
+    assert q.groups == [[("merge", 2.0), ("window", 2.0)]]
+
+
+def test_detached_boost_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_query("spark ^2")

@@ -64,3 +64,18 @@ def test_mixed_grammar_via_facade(spark, searcher):
     }
     assert set(got) == set(req)
     assert all(got[d] >= req[d] - 1e-9 for d in got)
+
+
+def test_build_with_positions_wires_phrase_path(spark, tiny_corpus, tmp_path):
+    """Searcher.build(with_positions=True) must return a searcher whose
+    phrase queries actually run (round-2 ADVICE: pos_index was dropped)."""
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+
+    df = transcripts_from_pandas(spark, tiny_corpus)
+    s = Searcher.build(
+        df, analyzer="standard", with_positions=True,
+        index_dir=str(tmp_path / "posidx"),
+    )
+    assert s.pos_index is not None and s.pos_index.has_positions
+    hits = s.search('"duplicated tie" breaker', k=5).collect()
+    assert len(hits) > 0  # the duplicated edge-case convs match

@@ -173,7 +173,9 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         spark.stop()
 
 
-def run_scaling(sf_dir: str, n_turns: int, n_cores: int = 2) -> dict:
+def run_scaling(
+    sf_dir: str, n_turns: int, n_cores: int = 2, n_rounds: int = 3
+) -> dict:
     """Same job at local[N] and local[4N], fresh JVM each, same
     deterministic corpus (fixed 64-segment partitioning — the cluster
     analog: data layout constant, executor count varies) → throughput
@@ -185,32 +187,53 @@ def run_scaling(sf_dir: str, n_turns: int, n_cores: int = 2) -> dict:
     machine, not the engine. The corpus must be big enough that the
     ~10-15s of fixed per-job latency (Spark stage setup, file listing,
     parquet footers) amortizes: use SPARK_GRAFT_SCALING_TURNS >= 1.6M.
+
+    n_rounds (SPARK_GRAFT_SCALING_RUNS, default 3): sandbox VMs show
+    run-to-run noise comparable to the efficiency margin itself
+    (round-1/2 measurements spanned 0.82-1.06 for the same code), so
+    each parallelism level runs n_rounds times — interleaved N, 4N, N,
+    4N, … so slow host phases hit both levels — and the headline
+    efficiency uses the per-level best (the noise-robust estimator the
+    per-build best-of-2 already uses); the full per-round spread is
+    reported alongside.
     """
-    out = {}
-    for cores in (n_cores, 4 * n_cores):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-                   SPARK_GRAFT_BENCH_TURNS=str(n_turns))
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--json-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-    tps_n, tps_4n = (
-        out[n_cores]["turns_per_sec"],
-        out[4 * n_cores]["turns_per_sec"],
-    )
+    levels = (n_cores, 4 * n_cores)
+    rounds: dict[int, list] = {c: [] for c in levels}
+    for _ in range(n_rounds):
+        for cores in levels:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
+                       SPARK_GRAFT_BENCH_TURNS=str(n_turns))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--json-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            rounds[cores].append(json.loads(r.stdout.strip().splitlines()[-1]))
+    tps = {c: [r["turns_per_sec"] for r in rounds[c]] for c in levels}
+    tps_n, tps_4n = max(tps[n_cores]), max(tps[4 * n_cores])
+    per_round_eff = [
+        round((tps[4 * n_cores][i] / tps[n_cores][i]) / 4.0, 3)
+        for i in range(n_rounds)
+    ]
     return {
         "metric": f"index_build_scaling_efficiency_{n_cores}_to_{4 * n_cores}_cores",
         "value": round((tps_4n / tps_n) / 4.0, 3),
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "turns": n_turns,
+        "rounds": n_rounds,
         f"turns_per_sec_{n_cores}": tps_n,
         f"turns_per_sec_{4 * n_cores}": tps_4n,
+        f"turns_per_sec_runs_{n_cores}": tps[n_cores],
+        f"turns_per_sec_runs_{4 * n_cores}": tps[4 * n_cores],
+        "per_round_efficiency": per_round_eff,
         "speedup": round(tps_4n / tps_n, 2),
-        f"query_p50_sec_{n_cores}": out[n_cores]["query_p50_sec"],
-        f"query_p50_sec_{4 * n_cores}": out[4 * n_cores]["query_p50_sec"],
-        "runs": out,
+        f"query_p50_sec_{n_cores}": min(
+            r["query_p50_sec"] for r in rounds[n_cores]
+        ),
+        f"query_p50_sec_{4 * n_cores}": min(
+            r["query_p50_sec"] for r in rounds[4 * n_cores]
+        ),
+        "runs": {c: rounds[c][-1] for c in levels},
     }
 
 
@@ -222,7 +245,8 @@ def main():
         scaling_turns = int(
             os.environ.get("SPARK_GRAFT_SCALING_TURNS", "1600000")
         )
-        print(json.dumps(run_scaling(sf_dir, scaling_turns)))
+        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        print(json.dumps(run_scaling(sf_dir, scaling_turns, n_rounds=n_rounds)))
     else:
         print(json.dumps(run_bench(cores, sf_dir, n_turns)))
 

@@ -54,7 +54,9 @@ def norm_byte_udf(lengths: pd.Series) -> pd.Series:
 class IndexTables:
     """The at-rest index: everything a searcher needs.
 
-    postings  : (term, doc_id, freq[, positions])  — flat, pre-segment
+    postings  : (term, doc_id, norm_byte, freq[, positions]) — flat,
+                pre-segment; norm_byte denormalized per posting (the
+                impact-postings layout) so scoring never joins norms
     dictionary: (term, df, cf)                     — term dict + stats
     norms     : (doc_id, dl, norm_byte)
     docmap    : (doc_id, conv_id, turn_idx)        — id ↔ source key
@@ -176,17 +178,30 @@ def build_index(
     if persist:
         docs = docs.persist()
 
+    # norm_byte rides INSIDE the postings rows (computed once per doc,
+    # pre-explode; constant per doc_id so the extra group key is free) —
+    # the Lucene impact-postings layout ((freq, norm) pairs in the
+    # posting stream, index/CompetitiveImpactAccumulator.java /
+    # Lucene90PostingsFormat impacts). Query-time scoring then never
+    # joins the full norms table: at 10^12 docs that join shuffles the
+    # whole corpus for a query touching 0.01% of it.
     if with_positions:
         tok = docs.select(
-            "doc_id", F.posexplode("tokens").alias("pos", "term")
+            "doc_id",
+            norm_byte_udf(F.size("tokens")).alias("norm_byte"),
+            F.posexplode("tokens").alias("pos", "term"),
         )
-        postings = tok.groupBy("term", "doc_id").agg(
+        postings = tok.groupBy("term", "doc_id", "norm_byte").agg(
             F.count("*").cast("int").alias("freq"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
     else:
-        tok = docs.select("doc_id", F.explode("tokens").alias("term"))
-        postings = tok.groupBy("term", "doc_id").agg(
+        tok = docs.select(
+            "doc_id",
+            norm_byte_udf(F.size("tokens")).alias("norm_byte"),
+            F.explode("tokens").alias("term"),
+        )
+        postings = tok.groupBy("term", "doc_id", "norm_byte").agg(
             F.count("*").cast("int").alias("freq")
         )
 

@@ -176,6 +176,41 @@ def probe_buckets(q_bucket: int, n_planes: int, multiprobe_hamming: int = 1) -> 
     return sorted(probes)
 
 
+def _ann_delta_name(generation: int) -> str:
+    return f"vecs-{generation:08d}"
+
+
+def _ann_snapshot(index_dir: str) -> dict:
+    """Latest committed ANN generation (index/snapshot.py model). Falls
+    back to the pre-generation single-dir layout (vectors/ + meta.json)
+    for indexes built before the snapshot integration."""
+    from ..index.snapshot import latest_snapshot
+
+    snap = latest_snapshot(index_dir)
+    if snap is not None:
+        return snap
+    if os.path.exists(f"{index_dir}/meta.json"):
+        with open(f"{index_dir}/meta.json") as f:
+            return {"generation": 0, "segments": ["vectors"],
+                    "stats": json.load(f)}
+    raise FileNotFoundError(
+        f"no committed ANN snapshot under {index_dir} — the index was "
+        "never published (build_ann_index / build_ivf_index commits one)"
+    )
+
+
+def _ann_union(spark: SparkSession, index_dir: str, snap: dict) -> DataFrame:
+    """Union of the snapshot's delta dirs — each read is its own
+    partition-pruned scan (the per-segment LeafReader analog; Spark
+    cannot partition-discover across multiple roots, so the union IS
+    the multi-segment read)."""
+    dfs = [spark.read.parquet(f"{index_dir}/{s}") for s in snap["segments"]]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def build_ann_index(
     emb: DataFrame,
     index_dir: str,
@@ -186,12 +221,32 @@ def build_ann_index(
     """At-rest ANN index: the vector table written ONCE partitioned by
     LSH bucket (the term_bucket layout trick applied to embeddings), so
     a probe is a partition-pruned read of |probes| directories instead
-    of a full scan. planes metadata committed last via tmp+rename."""
+    of a full scan.
+
+    Published through the same atomic generation snapshots as the text
+    segments (index/snapshot.py — SegmentInfos analog): the bucketed
+    delta dir is written first, then ``snapshots/snap-<gen>.json`` via
+    tmp+rename. Incremental adds go through ann_index_append; a reader
+    mid-append keeps resolving the previous generation."""
     first = emb.select(F.size(vec_col)).first()
     if first is None:
         raise ValueError("cannot build an ANN index over an empty table")
     dim = first[0]
     planes = h60_plane_matrix(dim, n_planes)
+    _write_lsh_delta(emb, index_dir, _ann_delta_name(0), planes,
+                     id_col, vec_col)
+    from ..index.snapshot import commit_snapshot
+
+    commit_snapshot(
+        index_dir, 0, segments=[_ann_delta_name(0)],
+        stats={"format": "ann-lsh", "n_planes": n_planes, "dim": dim},
+    )
+
+
+def _write_lsh_delta(
+    emb: DataFrame, index_dir: str, delta: str, planes: np.ndarray,
+    id_col: str, vec_col: str,
+) -> None:
     (
         emb.select(
             F.col(id_col).alias("vec_id"),
@@ -200,12 +255,37 @@ def build_ann_index(
         )
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(f"{index_dir}/vectors")
+        .parquet(f"{index_dir}/{delta}")
     )
-    tmp = f"{index_dir}/.meta.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"n_planes": n_planes, "dim": dim}, f)
-    os.replace(tmp, f"{index_dir}/meta.json")  # commit point
+
+
+def ann_index_append(
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append vectors to a published LSH index as a new generation:
+    bucket the new rows under the INDEX's frozen hyperplanes, write them
+    as a fresh delta dir, then commit a snapshot listing old + new
+    deltas. Returns the new generation. Concurrent readers holding the
+    previous snapshot are unaffected (its files are never touched) —
+    the same publish rule as text-segment NRT appends."""
+    from ..index.snapshot import commit_snapshot
+
+    snap = _ann_snapshot(index_dir)
+    stats = snap["stats"]
+    if stats.get("format", "ann-lsh") != "ann-lsh":
+        raise ValueError(f"not an LSH ANN index: {stats.get('format')!r}")
+    planes = h60_plane_matrix(stats["dim"], stats["n_planes"])
+    gen = snap["generation"] + 1
+    delta = _ann_delta_name(gen)
+    _write_lsh_delta(emb, index_dir, delta, planes, id_col, vec_col)
+    commit_snapshot(
+        index_dir, gen, segments=list(snap["segments"]) + [delta],
+        stats=stats,
+    )
+    return gen
 
 
 def ann_index_topk(
@@ -218,14 +298,15 @@ def ann_index_topk(
 ) -> DataFrame:
     """Probe the at-rest index: the probe set is resolved driver-side
     (numpy bucket of the query — no Spark job), and the bucket filter
-    lands in PartitionFilters, pruning unread directories."""
-    with open(f"{index_dir}/meta.json") as f:
-        meta = json.load(f)
+    lands in PartitionFilters of every delta scan, pruning unread
+    directories."""
+    snap = _ann_snapshot(index_dir)
+    meta = snap["stats"]
     planes = h60_plane_matrix(meta["dim"], meta["n_planes"])
     probes = probe_buckets(
         lsh_bucket_py(query, planes), meta["n_planes"], multiprobe_hamming
     )
-    cand = spark.read.parquet(f"{index_dir}/vectors").filter(
+    cand = _ann_union(spark, index_dir, snap).filter(
         F.col("bucket").isin(probes)
     )
     return (
@@ -448,6 +529,27 @@ def build_ivf_index(
             f"no centroid vectors: table has no rows with {id_col} < "
             f"{n_centroids}"
         )
+    _write_ivf_delta(emb, index_dir, _ann_delta_name(0), centroids,
+                     id_col, vec_col)
+    from ..index.snapshot import commit_snapshot
+
+    commit_snapshot(
+        index_dir, 0, segments=[_ann_delta_name(0)],
+        stats={
+            "format": "ann-ivf",
+            "n_centroids": n_centroids,
+            "centroids": [
+                {"id": cid, "v": list(cv), "norm": cn}
+                for cid, cv, cn in centroids
+            ],
+        },
+    )
+
+
+def _write_ivf_delta(
+    emb: DataFrame, index_dir: str, delta: str, centroids,
+    id_col: str, vec_col: str,
+) -> None:
     (
         emb.select(
             F.col(id_col).alias("vec_id"),
@@ -456,21 +558,44 @@ def build_ivf_index(
         )
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(f"{index_dir}/vectors")
+        .parquet(f"{index_dir}/{delta}")
     )
-    tmp = f"{index_dir}/.meta.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "n_centroids": n_centroids,
-                "centroids": [
-                    {"id": cid, "v": list(cv), "norm": cn}
-                    for cid, cv, cn in centroids
-                ],
-            },
-            f,
-        )
-    os.replace(tmp, f"{index_dir}/meta.json")  # commit point
+
+
+def _ivf_centroids_of(stats: dict):
+    return [
+        (c["id"], np.asarray(c["v"], dtype=np.float64), c["norm"])
+        for c in stats["centroids"]
+    ]
+
+
+def ivf_index_append(
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append vectors to a published IVF index as a new generation. The
+    coarse quantizer (centroids) is FROZEN at build time — the standard
+    IVF contract (FAISS trains once; re-training moves cell boundaries
+    and would orphan existing assignments); new vectors are assigned
+    under the stored centroids and published atomically. Returns the
+    new generation."""
+    from ..index.snapshot import commit_snapshot
+
+    snap = _ann_snapshot(index_dir)
+    stats = snap["stats"]
+    if stats.get("format", "ann-ivf") != "ann-ivf":
+        raise ValueError(f"not an IVF ANN index: {stats.get('format')!r}")
+    centroids = _ivf_centroids_of(stats)
+    gen = snap["generation"] + 1
+    delta = _ann_delta_name(gen)
+    _write_ivf_delta(emb, index_dir, delta, centroids, id_col, vec_col)
+    commit_snapshot(
+        index_dir, gen, segments=list(snap["segments"]) + [delta],
+        stats=stats,
+    )
+    return gen
 
 
 def ivf_index_topk(
@@ -483,16 +608,13 @@ def ivf_index_topk(
 ) -> DataFrame:
     """Probe the at-rest IVF index: top-``n_probes`` centroids resolved
     driver-side (no Spark job), centroid_id filter lands in
-    PartitionFilters, exact cosine rerank over the candidates only."""
-    with open(f"{index_dir}/meta.json") as f:
-        meta = json.load(f)
-    centroids = [
-        (c["id"], np.asarray(c["v"], dtype=np.float64), c["norm"])
-        for c in meta["centroids"]
-    ]
+    PartitionFilters of every delta scan, exact cosine rerank over the
+    candidates only. Reads the latest committed generation snapshot."""
+    snap = _ann_snapshot(index_dir)
+    centroids = _ivf_centroids_of(snap["stats"])
     ranked = sorted(_ivf_scores_py(query, centroids), key=lambda t: (-t[0], t[1]))
     probes = [cid for _, cid in ranked[:n_probes]]
-    cand = spark.read.parquet(f"{index_dir}/vectors").filter(
+    cand = _ann_union(spark, index_dir, snap).filter(
         F.col("centroid_id").isin(probes)
     )
     return (

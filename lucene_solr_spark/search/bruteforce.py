@@ -70,11 +70,14 @@ def search_bruteforce(
     )
     if precision != "double":
         tf = tf.cast("float")
-    scored = (
-        tables.postings.join(F.broadcast(weights_df), "term")
-        .join(tables.norms.select("doc_id", "norm_byte"), "doc_id")
-        .join(F.broadcast(cache_df), "norm_byte")
-        .withColumn("term_score", F.col("weight") * tf)
+    scored = tables.postings.join(F.broadcast(weights_df), "term")
+    if "norm_byte" not in tables.postings.columns:
+        # legacy layout without per-posting norms: join the norms table
+        scored = scored.join(
+            tables.norms.select("doc_id", "norm_byte"), "doc_id"
+        )
+    scored = scored.join(F.broadcast(cache_df), "norm_byte").withColumn(
+        "term_score", F.col("weight") * tf
     )
     if mode == "dismax":
         score_agg = F.max("term_score")

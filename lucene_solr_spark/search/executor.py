@@ -245,11 +245,13 @@ def _execute_general(
         )
         if precision != "double":
             tf = tf.cast("float")
-        scoring = (
-            tables.postings.join(F.broadcast(weights_df), "term")
-            .join(tables.norms.select("doc_id", "norm_byte"), "doc_id")
-            .join(F.broadcast(cache_df), "norm_byte")
-            .select("doc_id", "term", (F.col("weight") * tf).alias("term_score"))
+        scoring = tables.postings.join(F.broadcast(weights_df), "term")
+        if "norm_byte" not in tables.postings.columns:
+            scoring = scoring.join(
+                tables.norms.select("doc_id", "norm_byte"), "doc_id"
+            )
+        scoring = scoring.join(F.broadcast(cache_df), "norm_byte").select(
+            "doc_id", "term", (F.col("weight") * tf).alias("term_score")
         )
 
     must_terms = {t for t, _ in p.must}

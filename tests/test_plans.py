@@ -145,3 +145,38 @@ def test_geo_box_antimeridian_wrap(spark, tmp_path):
     assert got == want and len(want) > 0
     cells = geo_cells_for_box(-20.0, 20.0, 170.0, -170.0)
     assert cells  # two wrapped ranges, 8 lat-rows x (2+2+1 edge) lon-cols
+
+
+def test_scoring_never_shuffle_joins_norms(spark, tiny_index):
+    """Impact-postings contract (Lucene90PostingsFormat impacts / per-
+    posting (freq, norm) pairs): norm_byte rides inside the postings
+    rows, so BM25 scoring joins ONLY broadcast sides (query weights +
+    the 256-row norm cache) — no shuffle join of the full norms table
+    on doc_id. At 10^12 docs that join would shuffle the whole corpus
+    for a query touching 0.01% of it."""
+    from lucene_solr_spark.search.bruteforce import search_bruteforce
+
+    assert "norm_byte" in tiny_index.postings.columns
+    hits = search_bruteforce(tiny_index, ["vinza", "lanso"], "disjunctive", 10)
+    strategies = join_strategies(hits)
+    assert strategies, "expected broadcast joins in the scoring plan"
+    assert set(strategies) == {"BroadcastHashJoin"}, strategies
+
+
+def test_general_executor_never_shuffle_joins_norms(spark, tiny_index):
+    """Same contract through the general Boolean executor path (mixed
+    MUST/SHOULD/MUST_NOT): every INNER join in the scoring plan is
+    broadcast (weights + norm cache) — the norms table never enters.
+    The only permitted shuffle joins are the candidate-set combinators
+    (LeftOuter MUST←SHOULD merge, LeftAnti MUST_NOT), whose sides are
+    df-bounded candidate sets, not the corpus."""
+    from lucene_solr_spark.plans.explain import formatted_plan
+    from lucene_solr_spark.search.executor import execute_parsed
+
+    hits = execute_parsed("+vinza lanso -sokidi", tiny_index, k=10)
+    plan = formatted_plan(hits)
+    import re
+
+    smj_types = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert not any(t == "Inner" for t in smj_types), smj_types
+    assert "BroadcastHashJoin" in join_strategies(hits)

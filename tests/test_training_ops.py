@@ -261,8 +261,12 @@ def test_ivf_assignment_deterministic_and_total(spark, emb, tmp_path):
     b = str(tmp_path / "ivf_b")
     sim.build_ivf_index(emb, a, n_centroids=8)
     sim.build_ivf_index(emb.repartition(7), b, n_centroids=8)
-    ra = spark.read.parquet(f"{a}/vectors").select("vec_id", "centroid_id")
-    rb = spark.read.parquet(f"{b}/vectors").select("vec_id", "centroid_id")
+    ra = sim._ann_union(spark, a, sim._ann_snapshot(a)).select(
+        "vec_id", "centroid_id"
+    )
+    rb = sim._ann_union(spark, b, sim._ann_snapshot(b)).select(
+        "vec_id", "centroid_id"
+    )
     assert ra.count() == emb.count()
     pa = {r["vec_id"]: r["centroid_id"] for r in ra.collect()}
     pb = {r["vec_id"]: r["centroid_id"] for r in rb.collect()}
@@ -289,6 +293,87 @@ def test_ivf_near_dup_recall(spark, emb, tmp_path):
         if qid + 100000 in got:
             hits += 1
     assert hits >= 4, hits
+
+
+def test_ann_lsh_append_publishes_new_generation(spark, emb, tmp_path):
+    """Incremental ANN adds follow the text-segment publish rule:
+    append writes a fresh bucketed delta dir + a higher-generation
+    snapshot; a probe over the new snapshot sees old AND new vectors,
+    and each delta scan is still partition-pruned."""
+    from lucene_solr_spark.plans.explain import partition_filters
+
+    idx = str(tmp_path / "ann_gen")
+    old = emb.filter(F.col("vec_id") < 50)
+    new = emb.filter(F.col("vec_id") >= 50)
+    sim.build_ann_index(old, idx, n_planes=6)
+    assert sim._ann_snapshot(idx)["generation"] == 0
+    gen = sim.ann_index_append(new, idx)
+    assert gen == 1
+    snap = sim._ann_snapshot(idx)
+    assert snap["generation"] == 1 and len(snap["segments"]) == 2
+
+    # appended vector retrievable; result identical to a one-shot build
+    q = emb.filter(F.col("vec_id") == 60).select("embedding").first()[0]
+    via_gen = sim.ann_index_topk(spark, idx, list(q), k=10, multiprobe_hamming=1)
+    one = str(tmp_path / "ann_one")
+    sim.build_ann_index(emb, one, n_planes=6)
+    via_one = sim.ann_index_topk(spark, one, list(q), k=10, multiprobe_hamming=1)
+    assert [tuple(r) for r in via_gen.collect()] == [
+        tuple(r) for r in via_one.collect()
+    ]
+    pf = partition_filters(via_gen)
+    assert pf and any("bucket" in f for f in pf), pf
+
+
+def test_ann_append_concurrent_reader_unaffected(spark, emb, tmp_path):
+    """A reader that resolved the previous generation keeps computing
+    against it mid-append: its delta files are never touched, so its
+    already-planned DataFrame returns the same rows after the append
+    commits (the commit-point-last rule from index/snapshot.py)."""
+    idx = str(tmp_path / "ann_mvcc")
+    sim.build_ann_index(emb.filter(F.col("vec_id") < 50), idx, n_planes=6)
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()[0]
+    reader = sim.ann_index_topk(spark, idx, list(q), k=5, multiprobe_hamming=2)
+    before = [tuple(r) for r in reader.collect()]
+    sim.ann_index_append(emb.filter(F.col("vec_id") >= 50), idx)
+    assert [tuple(r) for r in reader.collect()] == before
+    # a NEW reader resolves generation 1 and may see appended vectors
+    after = sim.ann_index_topk(spark, idx, list(q), k=5, multiprobe_hamming=2)
+    assert sim._ann_snapshot(idx)["generation"] == 1
+    assert len(after.collect()) == 5
+
+
+def test_ivf_append_assigns_under_frozen_centroids(spark, emb, tmp_path):
+    """IVF appends keep the coarse quantizer frozen (the FAISS
+    contract): appended vectors are assigned under the stored
+    centroids — identical cells to a one-shot build — and the appended
+    vector is retrievable through the probe."""
+    idx = str(tmp_path / "ivf_gen")
+    sim.build_ivf_index(emb, idx, n_centroids=8)  # trains on full corpus
+    one_shot = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim._ann_union(spark, idx, sim._ann_snapshot(idx)).collect()
+    }
+    gen = sim.ivf_index_append(
+        emb.filter(F.col("vec_id") >= 90).withColumn(
+            "vec_id", F.col("vec_id") + 1000
+        ),
+        idx,
+    )
+    assert gen == 1
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in sim._ann_union(spark, idx, sim._ann_snapshot(idx)).collect()
+    }
+    for vid, cid in assigned.items():
+        if vid >= 1000:
+            assert cid == one_shot[vid - 1000]  # frozen quantizer
+    q = emb.filter(F.col("vec_id") == 95).select("embedding").first()[0]
+    got = [
+        r["vec_id"]
+        for r in sim.ivf_index_topk(spark, idx, list(q), k=3, n_probes=2).collect()
+    ]
+    assert 95 in got and 1095 in got  # twin appended under gen 1
 
 
 def test_chunk_duplication_detects_partial_copies(spark):

@@ -222,6 +222,84 @@ def xor_v(a, b) -> Column:
     return _c(a) != _c(b)
 
 
+# --- trig / hyperbolic / rounding family ---------------------------------
+# ValueSourceParser.java registers the java.lang.Math single-arg family:
+# sin cos tan asin acos atan sinh cosh tanh ceil floor rint deg rad pi e
+# (DualFloatFunction/SimpleFloatFunction registrations ~line 400-520).
+
+
+def sin_v(x) -> Column:
+    return F.sin(_c(x))
+
+
+def cos_v(x) -> Column:
+    return F.cos(_c(x))
+
+
+def tan_v(x) -> Column:
+    return F.tan(_c(x))
+
+
+def asin_v(x) -> Column:
+    return F.asin(_c(x))
+
+
+def acos_v(x) -> Column:
+    return F.acos(_c(x))
+
+
+def atan_v(x) -> Column:
+    return F.atan(_c(x))
+
+
+def sinh_v(x) -> Column:
+    """sinh spelled (e^x - e^-x)/2: the SQL oracle engine has no sinh
+    builtin, so both engines evaluate the identical expression tree."""
+    x = _c(x)
+    return (F.exp(x) - F.exp(-x)) / 2
+
+
+def cosh_v(x) -> Column:
+    x = _c(x)
+    return (F.exp(x) + F.exp(-x)) / 2
+
+
+def tanh_v(x) -> Column:
+    """tanh spelled (e^2x - 1)/(e^2x + 1) — same oracle-parity reason."""
+    x = _c(x)
+    e2x = F.exp(x * 2)
+    return (e2x - 1) / (e2x + 1)
+
+
+def ceil_v(x) -> Column:
+    return F.ceil(_c(x)).cast("long")
+
+
+def floor_v(x) -> Column:
+    return F.floor(_c(x)).cast("long")
+
+
+def deg_v(x) -> Column:
+    return F.degrees(_c(x))
+
+
+def rad_v(x) -> Column:
+    return F.radians(_c(x))
+
+
+def pi_v() -> Column:
+    return F.lit(3.141592653589793)
+
+
+def e_v() -> Column:
+    return F.lit(2.718281828459045)
+
+
+def concat_v(*xs) -> Column:
+    """concat(...) ValueSource (ConcatStringFunction)."""
+    return F.concat(*[x if isinstance(x, Column) else F.lit(x) for x in xs])
+
+
 def ord_map(df, col: str):
     """`ord(field)` / `rord(field)` (OrdFieldSource): 1-based ordinal of
     the row's value within the field's sorted distinct domain. Returns a
@@ -238,6 +316,51 @@ def ord_map(df, col: str):
     n = ranked.agg(F.max("ord").alias("n_vals"))
     return ranked.crossJoin(F.broadcast(n)).select(
         "val", "ord", (F.col("n_vals") - F.col("ord") + 1).alias("rord")
+    )
+
+
+def index_stat_values(tables, term: str) -> "DataFrame":
+    """The index-statistic ValueSource family over one term
+    (ValueSourceParser.java registrations: ``termfreq(f,t)``,
+    ``tf(f,t)``, ``docfreq(f,t)``, ``totaltermfreq(f,t)``, ``idf``,
+    ``numdocs()``, ``maxdoc()``, ``sumtotaltermfreq(f)``, plus the
+    per-doc field length behind ``norm(f)``):
+
+    → DataFrame(doc_id, termfreq, tf_classic, idf, dl, docfreq,
+    totaltermfreq, numdocs, sumttf) — one row per doc containing the
+    term. tf_classic = sqrt(freq) and idf = 1 + ln((N+1)/(df+1)) follow
+    ClassicSimilarity (reference lucene/core/.../search/similarities/
+    ClassicSimilarity.java:40-55, TFIDFSimilarity.java).
+
+    Scale shape: postings pruned to ONE term (df-bounded), the term's
+    dictionary row broadcast, corpus constants are driver-side metadata
+    — no corpus-wide work at all."""
+    stats = tables.dictionary.filter(F.col("term") == term).select(
+        F.col("df").cast("long").alias("docfreq"),
+        F.col("cf").cast("long").alias("totaltermfreq"),
+    )
+    hits = tables.postings.filter(F.col("term") == term).select(
+        "doc_id", "freq"
+    )
+    n = int(tables.doc_count)
+    return (
+        hits.join(tables.norms.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("freq").cast("long").alias("termfreq"),
+            F.round(F.sqrt(F.col("freq")), 6).alias("tf_classic"),
+            F.round(
+                F.lit(1.0)
+                + F.log((n + 1.0) / (F.col("docfreq") + F.lit(1.0))),
+                6,
+            ).alias("idf"),
+            F.col("dl").cast("long").alias("dl"),
+            "docfreq",
+            "totaltermfreq",
+            F.lit(n).cast("long").alias("numdocs"),
+            F.lit(int(tables.sum_total_term_freq)).cast("long").alias("sumttf"),
+        )
     )
 
 

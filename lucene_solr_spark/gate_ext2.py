@@ -44,6 +44,72 @@ FROM p WHERE mp < 2147483647
 ORDER BY doc_id"""
 
 
+def _passage_sql(terms, window=32, k1=1.2, max_doc=100):
+    tl = ",".join(f"'{t.lower()}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents WHERE doc_id < {max_doc}
+),
+ptoks AS (SELECT doc_id, term, pos,
+                 CAST(floor((pos - 1) / {window}) AS BIGINT) AS passage
+          FROM toks),
+stats AS (SELECT count(*) AS doc_count FROM documents WHERE doc_id < {max_doc}),
+qt AS (SELECT * FROM ptoks WHERE term IN ({tl})),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+tf AS (SELECT doc_id, passage, term, count(*) AS freq
+       FROM qt GROUP BY doc_id, passage, term),
+scored AS (
+  SELECT tf.doc_id, tf.passage,
+         round(sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.freq / (tf.freq + {k1}))), 4) AS passage_score,
+         count(*) AS n_terms, sum(tf.freq) AS n_matches
+  FROM tf JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id, tf.passage
+),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY passage_score DESC, passage ASC) AS rn
+         FROM scored),
+win AS (SELECT doc_id, passage, passage_score, n_terms, n_matches
+        FROM best WHERE rn = 1),
+ptext AS (SELECT p.doc_id, p.passage,
+                 string_agg(CASE WHEN p.term IN ({tl})
+                                 THEN '<em>' || p.term || '</em>'
+                                 ELSE p.term END, ' ' ORDER BY p.pos)
+                   AS passage_text
+          FROM ptoks p JOIN win USING (doc_id, passage)
+          GROUP BY p.doc_id, p.passage)
+SELECT w.doc_id, w.passage, w.passage_score,
+       CAST(w.n_terms AS BIGINT) AS n_terms,
+       CAST(w.n_matches AS BIGINT) AS n_matches,
+       t.passage_text
+FROM win w JOIN ptext t USING (doc_id, passage)
+ORDER BY w.doc_id"""
+
+
+@gate("fts_passage_highlight", _passage_sql(_HL_TERMS))
+def fts_passage_highlight(spark, sf_dir):
+    """Passage-scored highlighting (UnifiedHighlighter/PassageScorer
+    analog — reference lucene/highlighter/.../uhighlight/
+    UnifiedHighlighter.java, PassageScorer.java): BM25-weighted fixed
+    token windows, best passage per doc, term markup. The oracle
+    recomputes windows, idf weights, tf saturation, the per-doc argmax
+    and the marked-up passage string from raw text."""
+    from .search.highlight import best_passages
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return best_passages(docs, _HL_TERMS, window=32).select(
+        "doc_id",
+        "passage",
+        "passage_score",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        "passage_text",
+    )
+
+
 @gate("fts_highlight", _hl_sql(_HL_TERMS))
 def fts_highlight(spark, sf_dir):
     """Highlighter module: best-fragment + SimpleHTMLFormatter markup
@@ -169,6 +235,137 @@ def fts_spellcheck(spark, sf_dir):
         "term",
         F.col("distance").cast("long").alias("distance"),
         F.col("df").cast("long").alias("df"),
+    )
+
+
+@gate(
+    "fn_index_stats",
+    f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS numdocs, sum(dl) AS sumttf FROM dl),
+tf AS (SELECT doc_id, count(*) AS freq FROM toks
+       WHERE term = 'spark' GROUP BY doc_id),
+dfq AS (SELECT count(*) AS docfreq, sum(freq) AS totaltermfreq FROM tf)
+SELECT tf.doc_id,
+       CAST(tf.freq AS BIGINT) AS termfreq,
+       round(sqrt(tf.freq), 6) AS tf_classic,
+       round(1 + ln((s.numdocs + 1.0) / (d.docfreq + 1.0)), 6) AS idf,
+       CAST(dl.dl AS BIGINT) AS dl,
+       CAST(d.docfreq AS BIGINT) AS docfreq,
+       CAST(d.totaltermfreq AS BIGINT) AS totaltermfreq,
+       CAST(s.numdocs AS BIGINT) AS numdocs,
+       CAST(s.sumttf AS BIGINT) AS sumttf
+FROM tf JOIN dl USING (doc_id) CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY tf.doc_id""",
+)
+def fn_index_stats(spark, sf_dir):
+    """Index-statistic function queries — termfreq/tf/docfreq/
+    totaltermfreq/idf/numdocs/sumtotaltermfreq + per-doc length
+    (ValueSourceParser.java registrations; ClassicSimilarity tf/idf,
+    lucene/core/.../similarities/ClassicSimilarity.java:40-55). The
+    oracle recomputes every statistic from raw tokens."""
+    from .functions.valuesource import index_stat_values
+
+    return index_stat_values(docs_index(spark, sf_dir), "spark").orderBy(
+        "doc_id"
+    )
+
+
+@gate(
+    "fn_index_stats_packed",
+    f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS numdocs, sum(dl) AS sumttf FROM dl),
+tf AS (SELECT doc_id, count(*) AS freq FROM toks
+       WHERE term = 'spark' GROUP BY doc_id),
+dfq AS (SELECT count(*) AS docfreq, sum(freq) AS totaltermfreq FROM tf)
+SELECT tf.doc_id,
+       CAST(d.docfreq AS VARCHAR) || ':' || CAST(d.totaltermfreq AS VARCHAR)
+         || ':' || CAST(s.numdocs AS VARCHAR) || ':'
+         || CAST(s.sumttf AS VARCHAR) AS consts,
+       CAST(tf.freq AS BIGINT) AS termfreq,
+       round(sqrt(tf.freq), 6) AS tf_classic,
+       round(1 + ln((s.numdocs + 1.0) / (d.docfreq + 1.0)), 6) AS idf,
+       CAST(dl.dl AS BIGINT) AS dl
+FROM tf JOIN dl USING (doc_id) CROSS JOIN dfq d CROSS JOIN stats s
+ORDER BY tf.doc_id""",
+)
+def fn_index_stats_packed(spark, sf_dir):
+    """fn_index_stats with the corpus-constant columns (docfreq, cf,
+    numdocs, sumttf) packed into one string key so the tagged-union
+    suite slot (2 keys + 4 values) still verifies every statistic."""
+    from .functions.valuesource import index_stat_values
+
+    v = index_stat_values(docs_index(spark, sf_dir), "spark")
+    return v.select(
+        "doc_id",
+        F.concat_ws(
+            ":", "docfreq", "totaltermfreq", "numdocs", "sumttf"
+        ).alias("consts"),
+        "termfreq",
+        "tf_classic",
+        "idf",
+        "dl",
+    ).orderBy("doc_id")
+
+
+_SUGG_SQL = """
+sraw AS (
+  SELECT array_to_string(
+           list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 4),
+           ' ') AS key,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents),
+sugg AS (SELECT key, max(dl) AS weight FROM sraw WHERE key <> ''
+         GROUP BY key)"""
+
+
+@gate(
+    "fts_suggest_analyzing",
+    f"""
+WITH {_SUGG_SQL}
+SELECT key, CAST(weight AS BIGINT) AS weight FROM sugg
+WHERE key LIKE 'key agg%'
+ORDER BY weight DESC, key ASC LIMIT 10""",
+)
+def fts_suggest_analyzing(spark, sf_dir):
+    """AnalyzingSuggester: multi-token suggestions keyed by analyzed
+    form, analyzed-prefix lookup, weight-ordered, surface-deduped at
+    max weight (reference lucene/suggest/.../analyzing/
+    AnalyzingSuggester.java:59-107)."""
+    from .search.suggest import analyzing_suggest, build_suggestions
+
+    sugg = build_suggestions(load(spark, sf_dir, "documents"))
+    return analyzing_suggest(sugg, "Key  AGG!", 10).select(
+        "key", F.col("weight").cast("long").alias("weight")
+    )
+
+
+@gate(
+    "fts_suggest_fuzzy",
+    f"""
+WITH {_SUGG_SQL}
+SELECT key, CAST(weight AS BIGINT) AS weight,
+       CAST(levenshtein(substring(key, 1, 7), 'keu agg') AS BIGINT) AS distance
+FROM sugg
+WHERE substring(key, 1, 1) = 'k'
+  AND levenshtein(substring(key, 1, 7), 'keu agg') <= 1
+ORDER BY weight DESC, key ASC LIMIT 10""",
+)
+def fts_suggest_fuzzy(spark, sf_dir):
+    """FuzzySuggester: analyzing suggester tolerating maxEdits=1 typo
+    in the typed prefix, first nonFuzzyPrefix=1 chars exact (reference
+    lucene/suggest/.../analyzing/FuzzySuggester.java:38-77). Query
+    'keu agg' (typo) must still complete 'key agg …' suggestions."""
+    from .search.suggest import build_suggestions, fuzzy_suggest
+
+    sugg = build_suggestions(load(spark, sf_dir, "documents"))
+    return fuzzy_suggest(sugg, "keu agg", 10).select(
+        "key",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("distance").cast("long").alias("distance"),
     )
 
 
@@ -792,6 +989,70 @@ def fn_math_funcs(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@gate(
+    "fn_trig_funcs",
+    """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 256)
+SELECT o_orderkey,
+  round(sin(CAST(o_orderkey % 10 AS DOUBLE)), 6) AS sn,
+  round(cos(CAST(o_orderkey % 10 AS DOUBLE)), 6) AS cs,
+  round(tan(CAST(o_orderkey % 10 AS DOUBLE)), 6) AS tn,
+  round(asin((o_orderkey % 10) / 10.0), 6) AS asn,
+  round(acos((o_orderkey % 10) / 10.0), 6) AS acs,
+  round(atan(CAST(o_orderkey % 10 AS DOUBLE)), 6) AS atn,
+  round((exp((o_orderkey % 5) / 2.0) - exp(-((o_orderkey % 5) / 2.0))) / 2, 6) AS snh,
+  round((exp((o_orderkey % 5) / 2.0) + exp(-((o_orderkey % 5) / 2.0))) / 2, 6) AS csh,
+  round((exp(((o_orderkey % 5) / 2.0) * 2) - 1)
+        / (exp(((o_orderkey % 5) / 2.0) * 2) + 1), 6) AS tnh,
+  CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS cl,
+  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS fl,
+  round(degrees((o_orderkey % 5) / 2.0), 6) AS dg,
+  round(radians(CAST(o_orderkey % 180 AS DOUBLE)), 6) AS rd,
+  round(3.141592653589793 * (o_orderkey % 4), 6) AS pim,
+  round(2.718281828459045 + (o_orderkey % 4), 6) AS ep,
+  o_orderpriority || '_' || CAST(o_orderkey % 2 AS VARCHAR) AS cc
+FROM o ORDER BY o_orderkey""",
+)
+def fn_trig_funcs(spark, sf_dir):
+    """Trig/hyperbolic/rounding/constant/concat function-query family
+    (ValueSourceParser.java java.lang.Math registrations: sin cos tan
+    asin acos atan sinh cosh tanh ceil floor deg rad pi e concat).
+    sinh/cosh/tanh are spelled via exp() so both engines evaluate the
+    identical IEEE expression tree (the oracle has no hyperbolic
+    builtins)."""
+    from .functions.valuesource import (
+        acos_v, asin_v, atan_v, ceil_v, concat_v, cos_v, cosh_v, deg_v,
+        e_v, floor_v, pi_v, rad_v, sin_v, sinh_v, tan_v, tanh_v,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 256)
+    m10 = (F.col("o_orderkey") % 10).cast("double")
+    frac = (F.col("o_orderkey") % 10) / 10.0
+    h = (F.col("o_orderkey") % 5) / 2.0
+    return o.select(
+        "o_orderkey",
+        F.round(sin_v(m10), 6).alias("sn"),
+        F.round(cos_v(m10), 6).alias("cs"),
+        F.round(tan_v(m10), 6).alias("tn"),
+        F.round(asin_v(frac), 6).alias("asn"),
+        F.round(acos_v(frac), 6).alias("acs"),
+        F.round(atan_v(m10), 6).alias("atn"),
+        F.round(sinh_v(h), 6).alias("snh"),
+        F.round(cosh_v(h), 6).alias("csh"),
+        F.round(tanh_v(h), 6).alias("tnh"),
+        ceil_v(F.col("o_totalprice") / 1000.0).alias("cl"),
+        floor_v(F.col("o_totalprice") / 1000.0).alias("fl"),
+        F.round(deg_v(h), 6).alias("dg"),
+        F.round(rad_v((F.col("o_orderkey") % 180).cast("double")), 6).alias("rd"),
+        F.round(pi_v() * (F.col("o_orderkey") % 4), 6).alias("pim"),
+        F.round(e_v() + (F.col("o_orderkey") % 4), 6).alias("ep"),
+        concat_v(
+            F.col("o_orderpriority"), "_",
+            (F.col("o_orderkey") % 2).cast("string"),
+        ).alias("cc"),
+    ).orderBy("o_orderkey")
 
 
 @gate(

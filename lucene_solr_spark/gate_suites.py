@@ -250,6 +250,11 @@ _suite("fts_bool_modes", [
 _suite("fts_term_stats", [
     ("in_set_count", "fts_term_in_set_count", (), ("n_docs",)),
     ("facet_terms", "fts_facet_terms", ("term",), ("df",)),
+    # index-statistic ValueSources: per-doc termfreq/tf/idf/dl; the
+    # corpus constants (docfreq, cf, numdocs, sumttf) fold into k2 so
+    # one hash row still verifies them
+    ("index_stats", "fn_index_stats_packed", ("doc_id", "consts"),
+     ("termfreq", "tf_classic", "idf", "dl")),
 ])
 
 # 6: multi-term expansion — Prefix/Wildcard/Fuzzy/Regexp
@@ -294,8 +299,15 @@ _suite("fts_score_shaping", [
 # 13-14: analysis chains
 _passthrough("fts_analysis_chain", "fts_porter_stemmed_terms")
 
-# 15: highlighter
-_passthrough("fts_highlight")
+# 15: highlighter — classic first-match best-fragment (Highlighter/
+# SimpleFragmenter) + passage-SCORED unified highlighting
+# (UnifiedHighlighter/PassageScorer: BM25-weighted token windows,
+# per-doc argmax, markup)
+_suite("fts_highlight", [
+    ("first", "fts_highlight", ("doc_id", "fragment"), ("first_pos",)),
+    ("passage", "fts_passage_highlight", ("doc_id", "passage_text"),
+     ("passage_score", "n_terms", "n_matches", "passage")),
+])
 
 # 16: MoreLikeThis — term selection + retrieval
 _suite("fts_mlt", [
@@ -303,10 +315,14 @@ _suite("fts_mlt", [
     ("retrieve", "fts_morelikethis", ("doc_id",), ("overlap",)),
 ])
 
-# 17: suggest + spellcheck
+# 17: suggest + spellcheck — term-prefix, direct spellcheck, plus the
+# analyzed multi-token suggesters (AnalyzingSuggester lookup and
+# FuzzySuggester typo-tolerant prefix)
 _suite("fts_suggest_spell", [
     ("suggest", "fts_suggest_prefix", ("term",), ("weight",)),
     ("spellcheck", "fts_spellcheck", ("term",), ("distance", "df")),
+    ("analyzing", "fts_suggest_analyzing", ("key",), ("weight",)),
+    ("fuzzy", "fts_suggest_fuzzy", ("key",), ("weight", "distance")),
 ])
 
 # 18-19: percolator + explain
@@ -400,10 +416,12 @@ _suite("rel_agg_approx", [
 _passthrough("rel_fetch_enrich", "rel_facet_nested")
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the
-# arithmetic/math/boolean/ordinal families (joined per order key)
+# arithmetic/math/boolean/ordinal families + trig/hyperbolic/rounding/
+# constants/concat (joined per order key)
 _join_suite(
     "fn_value_scale",
-    ["fn_value_sources", "fn_scale_query", "fn_math_funcs"],
+    ["fn_value_sources", "fn_scale_query", "fn_math_funcs",
+     "fn_trig_funcs"],
     "o_orderkey",
 )
 

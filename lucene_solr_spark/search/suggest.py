@@ -1,4 +1,4 @@
-"""Suggest / spellcheck over the term dictionary.
+"""Suggest / spellcheck over the term dictionary + analyzed suggesters.
 
 Re-expresses the reference suggest module as dictionary-table queries:
 
@@ -12,14 +12,27 @@ Re-expresses the reference suggest module as dictionary-table queries:
   lucene/suggest/src/java/org/apache/lucene/search/spell/
   DirectSpellChecker.java:42-60 — default maxEdits=2, scores by edit
   distance then docFreq).
+- analyzing suggester — full multi-token suggestions keyed by their
+  ANALYZED form; the query is analyzed with the same chain before
+  prefix-matching, so "Key  AGG!" completes "key agg row scan …"
+  (reference .../suggest/analyzing/AnalyzingSuggester.java:59-107:
+  "analyzes the input text … and then suggests matching query terms",
+  weight-ordered, surface forms deduped keeping the max weight).
+- fuzzy suggester — analyzing suggester that tolerates typos in the
+  typed prefix (reference .../suggest/analyzing/FuzzySuggester.java:
+  38-77 defaults: maxEdits=1, nonFuzzyPrefix=1 chars matched exactly,
+  minFuzzyLength=3 below which matching is exact).
 
-Scale shape: both are filters + top-k over the dictionary table — at
-100 TB the dictionary is orders of magnitude smaller than postings, the
-prefix filter is pushdown-able, and the result is a
-TakeOrderedAndProject (no full sort).
+Scale shape: all are filters + top-k over a dictionary/suggestion table
+— at 100 TB that table is orders of magnitude smaller than postings,
+the prefix filter is pushdown-able, and the result is a
+TakeOrderedAndProject (no full sort). The fuzzy path's edit-distance
+filter runs on the length-bounded typed prefix only, JVM-side.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,5 +63,98 @@ def spellcheck(
         .filter((F.col("distance") <= max_edits) & (F.col("distance") > 0))
         .select("term", "distance", "df")
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def analyze_key(s: str) -> str:
+    """The suggester's query-side analysis chain: lowercase, keep
+    alnum runs, single-space-join — identical to the simple analyzer
+    used on the index side (AnalyzingSuggester analyzes the lookup key
+    with the same analyzer as the stored suggestions)."""
+    return " ".join(re.findall(r"[a-z0-9]+", s.lower()))
+
+
+def build_suggestions(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_tokens: int = 4,
+) -> DataFrame:
+    """(key, surface, weight) suggestion table from a document corpus:
+    surface = the doc's first ``n_tokens`` analyzed tokens joined (a
+    title-ish completion target), key = its analyzed form, weight = the
+    max doc length over docs sharing the surface (AnalyzingSuggester
+    dedups identical surface forms keeping the highest weight —
+    reference .../analyzing/AnalyzingSuggester.java:88-96 "If true,
+    the returned results … only return unique surface forms").
+
+    One narrow scan + one hash-agg on the (short) surface key — scales.
+    """
+    from ..index.builder import simple_tokens
+
+    toks = simple_tokens(text_col)
+    surface = F.array_join(F.slice(toks, 1, n_tokens), " ")
+    return (
+        docs.select(surface.alias("surface"), F.size(toks).alias("dl"))
+        .filter(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(F.max("dl").alias("weight"))
+        .withColumn("key", F.col("surface"))  # simple chain: key==surface
+        .select("key", "surface", "weight")
+    )
+
+
+def analyzing_suggest(
+    suggestions: DataFrame, query: str, k: int = 10
+) -> DataFrame:
+    """(key, surface, weight) — top-k suggestions whose ANALYZED key
+    completes the analyzed query, by weight desc then key asc.
+    (AnalyzingSuggester.lookup: analyzed-prefix automaton intersect,
+    results by weight.)"""
+    q = analyze_key(query)
+    return (
+        suggestions.filter(F.col("key").startswith(q))
+        .orderBy(F.desc("weight"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def fuzzy_suggest(
+    suggestions: DataFrame,
+    query: str,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """(key, surface, weight, distance) — analyzing suggester tolerant
+    of typos in the typed prefix (FuzzySuggester.java:38-77 defaults:
+    maxEdits=1, nonFuzzyPrefix=1, minFuzzyLength=3).
+
+    Semantics: the first ``non_fuzzy_prefix`` chars must match exactly;
+    the key's first len(query) chars must be within ``max_edits``
+    Levenshtein edits of the analyzed query; queries shorter than
+    ``min_fuzzy_length`` fall back to exact prefix match. Deviation
+    from the reference noted: Lucene counts a transposition as one edit
+    (LevenshteinAutomata with transpositions=true); plain Levenshtein
+    counts it as two — documented, and bounded in the same way."""
+    q = analyze_key(query)
+    if len(q) < min_fuzzy_length:
+        cand = suggestions.filter(F.col("key").startswith(q)).withColumn(
+            "distance", F.lit(0)
+        )
+    else:
+        typed = F.substring("key", 1, len(q))
+        cand = (
+            suggestions.filter(
+                F.substring("key", 1, non_fuzzy_prefix)
+                == q[:non_fuzzy_prefix]
+            )
+            .withColumn("distance", F.levenshtein(typed, F.lit(q)))
+            .filter(F.col("distance") <= max_edits)
+        )
+    return (
+        cand.select("key", "surface", "weight", "distance")
+        .orderBy(F.desc("weight"), F.asc("key"))
         .limit(k)
     )

@@ -87,3 +87,91 @@ def test_spellcheck_distance_rank(idx):
 def test_spellcheck_excludes_exact(idx):
     s = spellcheck(idx, "spark", max_edits=2, k=5).collect()
     assert all(r.term != "spark" for r in s)
+
+
+def test_best_passages_picks_highest_scoring_window(corpus):
+    """UnifiedHighlighter semantics: the winning passage is the
+    highest-BM25-weighted window, NOT the window of the first match —
+    doc 2's first 'merge' sits in window 0, but window 1 holds two."""
+    from lucene_solr_spark.search.highlight import best_passages
+
+    rows = {
+        r.doc_id: r
+        for r in best_passages(corpus, ["spark", "merge"], window=4).collect()
+    }
+    assert set(rows) == {1, 2, 4}  # docs 0 and 3 have no query terms
+    # doc 1: window 0 = spark merge spark merge (2+2 hits) beats window 1
+    assert rows[1].passage == 0 and rows[1].n_matches == 4
+    assert rows[1].passage_text == (
+        "<em>spark</em> <em>merge</em> <em>spark</em> <em>merge</em>"
+    )
+    # doc 2: first match is in window 0, but window 1 has merge x2
+    assert rows[2].passage == 1 and rows[2].n_matches == 2
+    assert rows[2].passage_text == "<em>merge</em> cascades and <em>merge</em>"
+    # doc 4: window 1 (spark x2) beats windows 0 and 2 (spark x1 each)
+    assert rows[4].passage == 1 and rows[4].n_matches == 2
+    # scores are monotone in matched-term weight: doc1 (both terms,
+    # 4 hits) outscores doc2 and doc4 (one term, 2 hits)
+    assert rows[1].passage_score > rows[2].passage_score
+    assert rows[1].passage_score > rows[4].passage_score
+
+
+def test_best_passages_tie_breaks_to_earliest_window(spark):
+    from lucene_solr_spark.search.highlight import best_passages
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    r = best_passages(df, ["alpha"], window=4).collect()[0]
+    assert r.passage == 0  # equal scores -> earliest window wins
+
+
+@pytest.fixture(scope="module")
+def sugg(spark):
+    from lucene_solr_spark.search.suggest import build_suggestions
+
+    df = spark.createDataFrame(
+        [
+            (0, "Key Agg Row Scan extra tokens live here"),
+            (1, "key agg row merge"),
+            (2, "unrelated start of doc"),
+            (3, "key agg row merge"),  # duplicate surface, shorter doc
+        ],
+        "doc_id long, text string",
+    )
+    return build_suggestions(df)
+
+
+def test_analyzing_suggest_analyzes_query_and_ranks_by_weight(sugg):
+    """AnalyzingSuggester: the lookup key is analyzed with the same
+    chain as the suggestions ('Key  AGG!' -> 'key agg'), completions
+    come back weight-desc, and duplicate surfaces are deduped at max
+    weight."""
+    from lucene_solr_spark.search.suggest import analyzing_suggest
+
+    rows = analyzing_suggest(sugg, "Key  AGG!").collect()
+    assert [r["key"] for r in rows] == [
+        "key agg row scan",   # weight 8 (longest doc)
+        "key agg row merge",  # weight 4 (deduped: two docs, same dl)
+    ]
+    assert [r["weight"] for r in rows] == [8, 4]
+
+
+def test_fuzzy_suggest_tolerates_prefix_typo(sugg):
+    """FuzzySuggester: 'keu agg' (1 edit) still completes 'key agg …';
+    a wrong FIRST char (nonFuzzyPrefix=1) matches nothing; a query
+    under minFuzzyLength falls back to exact prefix."""
+    from lucene_solr_spark.search.suggest import fuzzy_suggest
+
+    rows = fuzzy_suggest(sugg, "keu agg").collect()
+    assert [r["key"] for r in rows] == [
+        "key agg row scan", "key agg row merge",
+    ]
+    assert all(r["distance"] == 1 for r in rows)
+    assert fuzzy_suggest(sugg, "xey agg").count() == 0
+    short = fuzzy_suggest(sugg, "ke").collect()  # < minFuzzyLength: exact
+    assert {r["key"] for r in short} == {
+        "key agg row scan", "key agg row merge",
+    }
+    assert fuzzy_suggest(sugg, "ku").count() == 0  # exact prefix miss

@@ -110,3 +110,74 @@ def test_ord_map_domain_rank(spark):
     ).select(F.col("val0").alias("pri"))
     m = {r["val"]: (r["ord"], r["rord"]) for r in ord_map(df, "pri").collect()}
     assert m == {"a": (1, 3), "b": (2, 2), "c": (3, 1)}
+
+
+def test_trig_hyperbolic_rounding_family(spark):
+    from lucene_solr_spark.functions.valuesource import (
+        acos_v, asin_v, atan_v, ceil_v, concat_v, cos_v, cosh_v, deg_v,
+        e_v, floor_v, pi_v, rad_v, sin_v, sinh_v, tan_v, tanh_v,
+    )
+
+    df = spark.createDataFrame([(1.0,), (0.5,), (0.0,)], "x double")
+    r = {
+        row["x"]: row
+        for row in df.select(
+            "x",
+            sin_v(F.col("x")).alias("sn"),
+            cos_v(F.col("x")).alias("cs"),
+            tan_v(F.col("x")).alias("tn"),
+            asin_v(F.col("x")).alias("asn"),
+            acos_v(F.col("x")).alias("acs"),
+            atan_v(F.col("x")).alias("atn"),
+            sinh_v(F.col("x")).alias("snh"),
+            cosh_v(F.col("x")).alias("csh"),
+            tanh_v(F.col("x")).alias("tnh"),
+            ceil_v(F.col("x") * 3).alias("cl"),
+            floor_v(F.col("x") * 3).alias("fl"),
+            deg_v(F.col("x")).alias("dg"),
+            rad_v(F.col("x")).alias("rd"),
+            (pi_v() * F.col("x")).alias("pim"),
+            (e_v() * F.col("x")).alias("em"),
+            concat_v(F.lit("a"), "_", F.col("x").cast("int").cast("string")).alias("cc"),
+        ).collect()
+    }
+    x = 0.5
+    row = r[x]
+    for col, fn in (
+        ("sn", math.sin), ("cs", math.cos), ("tn", math.tan),
+        ("asn", math.asin), ("acs", math.acos), ("atn", math.atan),
+        ("snh", math.sinh), ("csh", math.cosh), ("tnh", math.tanh),
+        ("dg", math.degrees), ("rd", math.radians),
+    ):
+        assert abs(row[col] - fn(x)) < 1e-12, (col, row[col], fn(x))
+    assert row["cl"] == 2 and row["fl"] == 1
+    assert abs(row["pim"] - math.pi * x) < 1e-12
+    assert abs(row["em"] - math.e * x) < 1e-12
+    assert row["cc"] == "a_0"
+
+
+def test_index_stat_values_classic_similarity(spark):
+    """termfreq/tf/idf/docfreq/numdocs follow ClassicSimilarity on a
+    hand-checkable corpus: term 'spark' in 2 of 4 docs, freq 1 and 3."""
+    from lucene_solr_spark.functions.valuesource import index_stat_values
+    from lucene_solr_spark.index.builder import build_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge shuffle"),
+            (1, "spark spark spark join"),
+            (2, "merge only here"),
+            (3, "nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    t = build_index(docs, analyzer="simple", id_col="doc_id")
+    rows = {r["doc_id"]: r for r in index_stat_values(t, "spark").collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["termfreq"] == 1 and rows[1]["termfreq"] == 3
+    assert abs(rows[1]["tf_classic"] - round(math.sqrt(3), 6)) < 1e-9
+    expected_idf = round(1 + math.log((4 + 1) / (2 + 1)), 6)
+    assert abs(rows[0]["idf"] - expected_idf) < 1e-9
+    assert rows[0]["docfreq"] == 2 and rows[0]["totaltermfreq"] == 4
+    assert rows[0]["numdocs"] == 4 and rows[0]["sumttf"] == 12
+    assert rows[0]["dl"] == 3 and rows[1]["dl"] == 4

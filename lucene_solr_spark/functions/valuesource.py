@@ -85,6 +85,28 @@ def def_value(x, fallback) -> Column:
     return F.coalesce(_c(x), _c(fallback))
 
 
+def gt_v(a, b) -> Column:
+    """ValueSourceParser.java `gt` (ComparisonBoolFunction family,
+    registrations alongside lt/gte/lte/eq)."""
+    return _c(a) > _c(b)
+
+
+def lt_v(a, b) -> Column:
+    return _c(a) < _c(b)
+
+
+def gte_v(a, b) -> Column:
+    return _c(a) >= _c(b)
+
+
+def lte_v(a, b) -> Column:
+    return _c(a) <= _c(b)
+
+
+def eq_v(a, b) -> Column:
+    return _c(a) == _c(b)
+
+
 def ms(ts_a, ts_b=None) -> Column:
     """ValueSourceParser.java `ms`: epoch millis, or millis between."""
     a = F.unix_millis(_c(ts_a))
@@ -108,6 +130,62 @@ def dist(power: float, xs: list, ys: list) -> Column:
     for a, b in zip(xs, ys):
         out = out + F.pow(F.abs(_c(a) - _c(b)), F.lit(power))
     return F.pow(out, F.lit(1.0 / power))
+
+
+# --- vector-distance stream evaluators ------------------------------------
+# The reference's io/eval distance family over numeric arrays
+# (solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/
+# EuclideanDistanceEvaluator.java, ManhattanDistanceEvaluator.java,
+# ChebyshevDistanceEvaluator.java, CanberraDistanceEvaluator.java —
+# each delegates to the commons-math DistanceMeasure of the same name).
+# Spark shape: pure higher-order-function Column expressions over the
+# array column (zip_with / aggregate / transform) — JVM-side, no Python,
+# no explode; at 100 TB each distance is a narrow per-row projection.
+
+
+def _pairs(a, b):
+    """zip two float-array columns into (double, double) structs."""
+    return F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: F.struct(
+            x.cast("double").alias("x"), y.cast("double").alias("y")
+        ),
+    )
+
+
+def _fsum(arr) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def euclidean_dist(a, b) -> Column:
+    """EuclideanDistanceEvaluator: sqrt(sum((a_i-b_i)^2))."""
+    return F.sqrt(
+        _fsum(F.transform(_pairs(a, b), lambda p: (p.x - p.y) * (p.x - p.y)))
+    )
+
+
+def manhattan_dist(a, b) -> Column:
+    """ManhattanDistanceEvaluator: sum(|a_i-b_i|)."""
+    return _fsum(F.transform(_pairs(a, b), lambda p: F.abs(p.x - p.y)))
+
+
+def chebyshev_dist(a, b) -> Column:
+    """ChebyshevDistanceEvaluator: max(|a_i-b_i|)."""
+    return F.array_max(
+        F.transform(_pairs(a, b), lambda p: F.abs(p.x - p.y))
+    )
+
+
+def canberra_dist(a, b) -> Column:
+    """CanberraDistanceEvaluator: sum(|a_i-b_i| / (|a_i|+|b_i|)), with
+    the commons-math 0/0 -> 0 convention."""
+    def term(p):
+        den = F.abs(p.x) + F.abs(p.y)
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.abs(p.x - p.y) / den
+        )
+
+    return _fsum(F.transform(_pairs(a, b), term))
 
 
 # --- arithmetic / math family -------------------------------------------

@@ -1130,6 +1130,100 @@ def fn_eval_dist(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@gate(
+    "fn_eval_vecdist",
+    """
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 64),
+t AS (SELECT vec_a, vec_b,
+             CAST(ea[i] AS DOUBLE) AS x, CAST(eb[i] AS DOUBLE) AS y
+      FROM p, idx)
+SELECT vec_a, vec_b,
+  round(sqrt(sum((x - y) * (x - y))), 6) AS euclid,
+  round(sum(abs(x - y)), 6) AS manhattan,
+  round(max(abs(x - y)), 6) AS chebyshev,
+  round(sum(CASE WHEN abs(x) + abs(y) = 0 THEN 0.0
+                 ELSE abs(x - y) / (abs(x) + abs(y)) END), 6) AS canberra
+FROM t GROUP BY vec_a, vec_b ORDER BY vec_a""",
+)
+def fn_eval_vecdist(spark, sf_dir):
+    """Vector-distance stream evaluators — Euclidean / Manhattan /
+    Chebyshev / Canberra over embedding array columns (reference
+    solr/solrj/.../io/eval/{EuclideanDistance,ManhattanDistance,
+    ChebyshevDistance,CanberraDistance}Evaluator.java). Spark side is
+    pure higher-order-function Column expressions (zip_with/aggregate)
+    — JVM-side per-row projections, no explode, no Python — evaluated
+    here on consecutive-vector pairs so the gate also exercises the
+    self-join shape."""
+    from .functions.valuesource import (
+        canberra_dist, chebyshev_dist, euclidean_dist, manhattan_dist,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    ).filter(F.col("vec_a") < 64)
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    ea, eb = F.col("ea"), F.col("eb")
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(euclidean_dist(ea, eb), 6).alias("euclid"),
+            F.round(manhattan_dist(ea, eb), 6).alias("manhattan"),
+            F.round(chebyshev_dist(ea, eb), 6).alias("chebyshev"),
+            F.round(canberra_dist(ea, eb), 6).alias("canberra"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+@gate(
+    "fn_cmp_bools",
+    """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_eq,
+  CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gt,
+  CAST(sum(CASE WHEN o_totalprice < 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lt,
+  CAST(sum(CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_gte,
+  CAST(sum(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lte
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def fn_cmp_bools(spark, sf_dir):
+    """Comparison bool function queries — gt/lt/gte/lte/eq (reference
+    solr/core/.../search/ValueSourceParser.java ComparisonBoolFunction
+    registrations) as codegen Column predicates, aggregated per order
+    priority so every comparison's full truth table is hash-checked."""
+    from .functions.valuesource import eq_v, gt_v, gte_v, lt_v, lte_v
+
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    t = F.lit(150000.0)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(eq_v(F.col("o_orderkey") % 7, 3).cast("int"))
+            .cast("long").alias("n_eq"),
+            F.sum(gt_v(p, t).cast("int")).cast("long").alias("n_gt"),
+            F.sum(lt_v(p, t).cast("int")).cast("long").alias("n_lt"),
+            F.sum(gte_v(p, t).cast("int")).cast("long").alias("n_gte"),
+            F.sum(lte_v(p, t).cast("int")).cast("long").alias("n_lte"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # The oracle engine has no stemmer, so the stem MAP (term → stem over
 # the full corpus vocabulary) is materialized once as a parquet fixture
 # by the paper-golden Python implementation (scripts/make_porter_fixture

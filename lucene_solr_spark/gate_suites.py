@@ -426,7 +426,8 @@ _join_suite(
 )
 
 # 40: statistical stream evaluators — corr/covar/OLS + distribution
-# moments (stddev/skewness/kurtosis/geometric mean)
+# moments (stddev/skewness/kurtosis/geometric mean) + vector distances
+# (euclidean/manhattan/chebyshev/canberra) + comparison bools
 _suite("fn_evaluators", [
     ("corr_ols", "fn_eval_stats",
      ("l_linestatus", "n"), ("corr_qty_price", "covar_qty_price",
@@ -434,6 +435,11 @@ _suite("fn_evaluators", [
     ("dist_moments", "fn_eval_dist",
      ("l_returnflag", "n"), ("stddev_pop", "skewness", "kurtosis",
                              "gmean")),
+    ("vec_dist", "fn_eval_vecdist",
+     ("vec_a", "vec_b"), ("euclid", "manhattan", "chebyshev",
+                          "canberra")),
+    ("cmp_bool", "fn_cmp_bools",
+     ("o_orderpriority", "n_eq"), ("n_gt", "n_lt", "n_gte", "n_lte")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

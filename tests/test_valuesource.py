@@ -156,6 +156,64 @@ def test_trig_hyperbolic_rounding_family(spark):
     assert row["cc"] == "a_0"
 
 
+def test_comparison_bool_family(spark):
+    from lucene_solr_spark.functions.valuesource import (
+        eq_v, gt_v, gte_v, lt_v, lte_v,
+    )
+
+    a, b = F.lit(3.0), F.lit(5.0)
+    assert _one(spark, gt_v(b, a)) is True
+    assert _one(spark, gt_v(a, a)) is False
+    assert _one(spark, lt_v(a, b)) is True
+    assert _one(spark, gte_v(a, a)) is True
+    assert _one(spark, lte_v(b, a)) is False
+    assert _one(spark, eq_v(F.lit(7), F.lit(7))) is True
+    assert _one(spark, eq_v(F.lit(7), F.lit(8))) is False
+
+
+def test_vector_distance_evaluators(spark):
+    """Distance evaluators vs numpy on float32 arrays (the evaluators
+    cast elements to double internally, matching commons-math)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xa = rng.standard_normal(16).astype("float32")
+    xb = rng.standard_normal(16).astype("float32")
+    xb[3] = 0.0
+    xa[3] = 0.0  # exercise the canberra 0/0 -> 0 convention
+
+    from lucene_solr_spark.functions.valuesource import (
+        canberra_dist, chebyshev_dist, euclidean_dist, manhattan_dist,
+    )
+
+    df = spark.createDataFrame(
+        [(xa.tolist(), xb.tolist())], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        euclidean_dist(F.col("a"), F.col("b")).alias("eu"),
+        manhattan_dist(F.col("a"), F.col("b")).alias("ma"),
+        chebyshev_dist(F.col("a"), F.col("b")).alias("ch"),
+        canberra_dist(F.col("a"), F.col("b")).alias("ca"),
+    ).collect()[0]
+
+    da = xa.astype("float64")
+    db = xb.astype("float64")
+    diff = np.abs(da - db)
+    assert math.isclose(row["eu"], float(np.sqrt(np.sum(diff * diff))),
+                        rel_tol=1e-12)
+    assert math.isclose(row["ma"], float(np.sum(diff)), rel_tol=1e-12)
+    assert math.isclose(row["ch"], float(np.max(diff)), rel_tol=1e-12)
+    den = np.abs(da) + np.abs(db)
+    terms = np.where(den == 0, 0.0, diff / np.where(den == 0, 1.0, den))
+    assert math.isclose(row["ca"], float(np.sum(terms)), rel_tol=1e-12)
+    # identical vectors -> all four distances are exactly zero
+    same = df.select(
+        euclidean_dist(F.col("a"), F.col("a")).alias("eu"),
+        canberra_dist(F.col("a"), F.col("a")).alias("ca"),
+    ).collect()[0]
+    assert same["eu"] == 0.0 and same["ca"] == 0.0
+
+
 def test_index_stat_values_classic_similarity(spark):
     """termfreq/tf/idf/docfreq/numdocs follow ClassicSimilarity on a
     hand-checkable corpus: term 'spark' in 2 of 4 docs, freq 1 and 3."""

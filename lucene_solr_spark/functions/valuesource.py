@@ -188,6 +188,56 @@ def canberra_dist(a, b) -> Column:
     return _fsum(F.transform(_pairs(a, b), term))
 
 
+# --- query() value source / FunctionScoreQuery --------------------------
+
+
+def true_v() -> Column:
+    """ValueSourceParser `true` (BoolConstValueSource)."""
+    return F.lit(True)
+
+
+def false_v() -> Column:
+    """ValueSourceParser `false` (BoolConstValueSource)."""
+    return F.lit(False)
+
+
+def field_v(name: str) -> Column:
+    """ValueSourceParser `field` — the raw field value as a source."""
+    return F.col(name)
+
+
+def query_boost(main, sub, factor: float = 1.0, default: float = 0.0,
+                round_to: int | None = 4):
+    """Solr ``query($q, default)`` value source composed into Lucene's
+    FunctionScoreQuery.boostByQuery shape: the subquery's per-doc score
+    becomes a value (``default`` where the doc doesn't match) and the
+    main query's score is multiplied by ``(1 + factor * value)``.
+
+    References: solr/core/.../search/ValueSourceParser.java ``query``
+    registration (QueryValueSource, defVal) and lucene/queries/.../
+    function/FunctionScoreQuery.java#boostByQuery.
+
+    ``main`` and ``sub`` are per-doc score DataFrames (doc_id, score).
+    Equi-join on doc_id — co-partitionable at scale; the optimizer
+    picks broadcast when the boost query is selective. ``round_to``
+    quantizes both inputs and the product for cross-engine parity."""
+    s = sub.select(F.col("doc_id"), F.col("score").alias("_qval"))
+    m = main.select("doc_id", "score")
+    if round_to is not None:
+        s = s.withColumn("_qval", F.round("_qval", round_to))
+        m = m.withColumn("score", F.round("score", round_to))
+    out = m.join(s, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("score")
+            * (1.0 + factor * F.coalesce(F.col("_qval"), F.lit(default)))
+        ).alias("score"),
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
 # --- arithmetic / math family -------------------------------------------
 # ValueSourceParser.java registrations: sum, sub, product, div, mod, abs,
 # log, ln, sqrt, cbrt, pow, exp, atan2, hypot, max, min (each a direct

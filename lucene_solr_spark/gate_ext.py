@@ -497,6 +497,35 @@ def fts_boost_clauses(spark, sf_dir):
 
 
 @gate(
+    "fn_query_boost",
+    f"""WITH main AS ({bm25_sql(["spark"], "disjunctive", 100000)}),
+sub AS ({bm25_sql(["merge"], "disjunctive", 100000)})
+SELECT m.doc_id,
+       round(m.score * (1 + 0.5 * coalesce(s.score, 0.0)), 4) AS score
+FROM main m LEFT JOIN sub s ON s.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id ASC LIMIT 20""",
+)
+def fn_query_boost(spark, sf_dir):
+    """query($q, default) value source + FunctionScoreQuery.boostByQuery:
+    BM25('spark') rescored by 1 + 0.5*query(BM25('merge'), def=0) —
+    the Solr boost-qparser shape (ValueSourceParser.java `query`
+    registration / lucene/queries FunctionScoreQuery.boostByQuery).
+    Composition is a doc_id equi-join of two per-doc score frames
+    (functions/valuesource.py query_boost) — co-partitionable at scale,
+    broadcast when the boost query is selective."""
+    from .functions.valuesource import query_boost
+    from .gate import _bm25_spark
+
+    main = _bm25_spark(spark, sf_dir, ["spark"], "disjunctive", 100000)
+    sub = _bm25_spark(spark, sf_dir, ["merge"], "disjunctive", 100000)
+    return (
+        query_boost(main, sub, factor=0.5, default=0.0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@gate(
     "fts_constant_score",
     f"""WITH toks AS ({_TOKS})
 SELECT DISTINCT doc_id, 1.5 AS score FROM toks WHERE term = 'spark'

@@ -294,6 +294,7 @@ _suite("fts_parsed_suite", [
 _suite("fts_score_shaping", [
     ("boost", "fts_boost_clauses", ("doc_id",), ("score",)),
     ("constant", "fts_constant_score", ("doc_id",), ("score",)),
+    ("query_fn", "fn_query_boost", ("doc_id",), ("score",)),
 ])
 
 # 13-14: analysis chains

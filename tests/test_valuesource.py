@@ -214,6 +214,33 @@ def test_vector_distance_evaluators(spark):
     assert same["eu"] == 0.0 and same["ca"] == 0.0
 
 
+def test_query_boost_value_source(spark):
+    """query($q, default) + FunctionScoreQuery.boostByQuery: main score
+    multiplied by (1 + factor * subquery score), default where the doc
+    doesn't match the subquery."""
+    from lucene_solr_spark.functions.valuesource import (
+        false_v, field_v, query_boost, true_v,
+    )
+
+    main = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 1.0)], "doc_id long, score double"
+    )
+    sub = spark.createDataFrame(
+        [(1, 0.5), (9, 4.0)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in query_boost(main, sub, factor=2.0, default=0.0).collect()
+    }
+    # doc 1 matches sub: 2.0 * (1 + 2*0.5) = 4.0; docs 2,3 use default 0
+    assert got == {1: 4.0, 2: 3.0, 3: 1.0}
+
+    assert _one(spark, true_v()) is True
+    assert _one(spark, false_v()) is False
+    df = spark.createDataFrame([(7,)], "x long")
+    assert df.select(field_v("x").alias("v")).collect()[0]["v"] == 7
+
+
 def test_index_stat_values_classic_similarity(spark):
     """termfreq/tf/idf/docfreq/numdocs follow ClassicSimilarity on a
     hand-checkable corpus: term 'spark' in 2 of 4 docs, freq 1 and 3."""

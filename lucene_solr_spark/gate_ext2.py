@@ -1185,6 +1185,74 @@ def fn_eval_vecdist(spark, sf_dir):
 
 
 @gate(
+    "fn_eval_series",
+    """
+WITH it AS (
+  SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS q,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n,
+         avg(CAST(l_quantity AS DOUBLE)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+  FROM lineitem WHERE l_orderkey <= 2048),
+agg AS (
+  SELECT l_orderkey AS o_orderkey, CAST(max(n) AS BIGINT) AS n,
+    round(max(CASE WHEN rn = 3 THEN ma END), 6) AS ma_first,
+    round(max(CASE WHEN rn = n THEN ma END), 6) AS ma_last,
+    round(max(CASE WHEN rn = n THEN q END)
+          - max(CASE WHEN rn = 1 THEN q END), 6) AS diff_sum,
+    round(max(q), 6) AS q_max
+  FROM it GROUP BY l_orderkey)
+SELECT * FROM agg WHERE n >= 4 ORDER BY o_orderkey""",
+)
+def fn_eval_series(spark, sf_dir):
+    """Array / time-series evaluator family over per-order quantity
+    series (reference solr/solrj/.../io/eval/{MovingAverage,
+    TimeDifferencing,Asc,Reverse,ValueAt,Length}Evaluator.java):
+    trailing-window moving average (full windows only), lag-1
+    differencing (summed — telescopes to last-first, which the oracle
+    recomputes directly), and desc-sort + 0-based valueAt for the max.
+    The series is assembled deterministically (collect_list of
+    (l_linenumber, qty) structs, array_sort — qty is the tiebreak since
+    the synthetic lineitem repeats l_linenumber) and every evaluator is
+    a higher-order-function Column expr (functions/evaluators.py) —
+    arrays never explode or shuffle."""
+    from .functions.evaluators import (
+        desc_v, length_v, moving_avg, sum_v, ts_diff, value_at,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2048)
+    arr_df = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            F.col("l_quantity").cast("double").alias("q"),
+                        )
+                    )
+                ),
+                lambda s: s.q,
+            ).alias("qty")
+        )
+        .filter(F.size("qty") >= 4)
+    )
+    qty = F.col("qty")
+    ma = moving_avg(qty, 3)
+    return arr_df.select(
+        "o_orderkey",
+        F.size("qty").cast("long").alias("n"),
+        F.round(value_at(ma, 0), 6).alias("ma_first"),
+        F.round(value_at(ma, length_v(ma) - 1), 6).alias("ma_last"),
+        F.round(sum_v(ts_diff(qty, 1)), 6).alias("diff_sum"),
+        F.round(value_at(desc_v(qty), 0), 6).alias("q_max"),
+    ).orderBy("o_orderkey")
+
+
+@gate(
     "fn_cmp_bools",
     """
 SELECT o_orderpriority,

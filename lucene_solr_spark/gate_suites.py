@@ -441,6 +441,8 @@ _suite("fn_evaluators", [
                           "canberra")),
     ("cmp_bool", "fn_cmp_bools",
      ("o_orderpriority", "n_eq"), ("n_gt", "n_lt", "n_gte", "n_lte")),
+    ("series", "fn_eval_series",
+     ("o_orderkey", "n"), ("ma_first", "ma_last", "diff_sum", "q_max")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

@@ -266,3 +266,42 @@ def test_index_stat_values_classic_similarity(spark):
     assert rows[0]["docfreq"] == 2 and rows[0]["totaltermfreq"] == 4
     assert rows[0]["numdocs"] == 4 and rows[0]["sumttf"] == 12
     assert rows[0]["dl"] == 3 and rows[1]["dl"] == 4
+
+
+def test_array_series_evaluators(spark):
+    """Array/time-series evaluator family vs hand-computed values
+    (MovingAverage/TimeDifferencing/Asc/Desc/Reverse/ValueAt/Sequence
+    Evaluator semantics: full trailing windows only, 0-based valueAt)."""
+    from lucene_solr_spark.functions.evaluators import (
+        asc_v, desc_v, length_v, moving_avg, rev_v, sequence_v, sum_v,
+        ts_diff, value_at,
+    )
+
+    df = spark.createDataFrame(
+        [([4.0, 1.0, 3.0, 2.0, 5.0],)], "a array<double>"
+    )
+    row = df.select(
+        asc_v(F.col("a")).alias("asc"),
+        desc_v(F.col("a")).alias("desc"),
+        rev_v(F.col("a")).alias("rev"),
+        length_v(F.col("a")).alias("n"),
+        value_at(F.col("a"), 0).alias("v0"),
+        value_at(F.col("a"), 4).alias("v4"),
+        value_at(F.col("a"), 9).alias("oob"),
+        moving_avg(F.col("a"), 3).alias("ma"),
+        ts_diff(F.col("a"), 1).alias("d1"),
+        ts_diff(F.col("a"), 2).alias("d2"),
+        sum_v(F.col("a")).alias("s"),
+        sequence_v(4, 10, 5).alias("seq"),
+    ).collect()[0]
+    assert row["asc"] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert row["desc"] == [5.0, 4.0, 3.0, 2.0, 1.0]
+    assert row["rev"] == [5.0, 2.0, 3.0, 1.0, 4.0]
+    assert row["n"] == 5
+    assert row["v0"] == 4.0 and row["v4"] == 5.0 and row["oob"] is None
+    # moving_avg window 3: [(4+1+3)/3, (1+3+2)/3, (3+2+5)/3]
+    assert row["ma"] == [8.0 / 3, 2.0, 10.0 / 3]
+    assert row["d1"] == [-3.0, 2.0, -1.0, 3.0]
+    assert row["d2"] == [-1.0, 1.0, 2.0]
+    assert row["s"] == 15.0
+    assert row["seq"] == [10, 15, 20, 25]

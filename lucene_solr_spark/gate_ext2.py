@@ -1253,6 +1253,47 @@ def fn_eval_series(spark, sf_dir):
 
 
 @gate(
+    "rel_date_math_window",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 3) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-14 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY day ORDER BY day""",
+)
+def rel_date_math_window(spark, sf_dir):
+    """Solr date-math range: the engine resolves NOW/DAY-7DAYS ..
+    NOW/DAY from the anchor 2024-01-21T07:45:30 via the date-math
+    Column chain (functions/datemath.py — reference solr/core/.../util/
+    DateMathParser.java), filters the event stream to the window and
+    date-histograms it; the oracle hard-codes the humanly-resolved
+    boundaries, so a hash match proves the date-math evaluation."""
+    from .functions.datemath import date_math_col
+    from .gate import _dec
+
+    anchor = F.lit("2024-01-21 07:45:30").cast("timestamp")
+    lo = date_math_col(anchor, "/DAY-7DAYS")
+    hi = date_math_col(anchor, "/DAY")
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 3)
+            .alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@gate(
     "fn_cmp_bools",
     """
 SELECT o_orderpriority,

@@ -364,6 +364,8 @@ _suite("rel_facet_time", [
      ("day", "event_type"), ("n_events", "total_value")),
     ("range_buckets", "rel_facet_range_buckets",
      ("bucket_lo",), ("cnt", "revenue")),
+    ("date_math", "rel_date_math_window",
+     ("day",), ("n_events", "total_value")),
 ])
 
 # 31: UniqueStream + MergeStream + RandomStream (deterministic samples)

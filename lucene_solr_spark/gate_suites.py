@@ -473,6 +473,8 @@ _suite("td_dedup_near", [
     ("ngram_jaccard", "td_ngram_jaccard", ("doc_a", "doc_b"), ("jaccard",)),
     ("chunk_shared", "td_chunk_dedup",
      ("doc_id",), ("n_chunks", "n_shared_chunks", "shared_ratio")),
+    ("clusters", "td_dedup_clusters",
+     ("doc_id", "canonical"), ("cluster_size",)),
 ])
 
 # 47: embedding near-dup — exact all-pairs oracle + LSH scale path
@@ -491,7 +493,8 @@ _suite("td_ann", [
 # 49: per-document text metrics — lang ID / quality / tokens / fingerprint
 _join_suite(
     "td_text_metrics",
-    ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint"],
+    ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint",
+     "td_redaction"],
     "doc_id",
 )
 

@@ -730,3 +730,96 @@ def td_multimodal_frames(spark, sf_dir):
         .select("media_id", F.col("frame_ms").cast("long").alias("frame_ms"))
         .orderBy("media_id", "frame_ms")
     )
+
+
+# -------------------------------------------------------- PII redaction
+
+# The synthetic documents contain no PII, so identifiers are injected
+# deterministically from doc_id on BOTH engines (same trick as
+# _EMB_CORPUS): the operator under test is the detection/masking, the
+# input derivation is part of the fixture.
+_PII_SQL = (
+    "SELECT doc_id, coalesce(text, '') || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com visit https://site' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.org or call 555-123-4567 from "
+    "192.168.0.' || CAST(doc_id % 254 AS VARCHAR) AS text FROM documents"
+)
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_URL = r"https?://[A-Za-z0-9./_-]+"
+_RE_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_REDACT_SQL = (
+    "WITH src AS (" + _PII_SQL + "),\n"
+    "red AS (SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _RE_EMAIL + "')) AS BIGINT) AS n_email,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _RE_URL + "')) AS BIGINT) AS n_url,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _RE_PHONE + "')) AS BIGINT) AS n_phone,\n"
+    "  CAST(len(regexp_extract_all(text, '" + _RE_IPV4 + "')) AS BIGINT) AS n_ipv4,\n"
+    "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "    '" + _RE_EMAIL + "', '<EMAIL>', 'g'),\n"
+    "    '" + _RE_URL + "', '<URL>', 'g'),\n"
+    "    '" + _RE_PHONE + "', '<PHONE>', 'g'),\n"
+    "    '" + _RE_IPV4 + "', '<IPV4>', 'g') AS rt\n"
+    "FROM src)\n"
+    "SELECT doc_id, n_email, n_url, n_phone, n_ipv4,\n"
+    "  CAST(length(rt) AS BIGINT) AS red_len\n"
+    "FROM red ORDER BY doc_id"
+)
+
+
+@gate("td_redaction", _REDACT_SQL)
+def td_redaction(spark, sf_dir):
+    """PII scrub metrics: emails / URLs / phone numbers / IPv4s counted
+    and masked per document (operators/textqual.py redact — pure
+    regexp Column exprs, patterns chosen to evaluate identically in
+    Java regex and RE2). The redacted-text length is hash-checked, so
+    the oracle verifies the masking itself, not just the counts."""
+    doc = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com visit https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or call 555-123-4567 from 192.168.0."),
+            (F.col("doc_id") % 254).cast("string"),
+        ).alias("text"),
+    )
+    return tq.redact(doc).drop("redacted").orderBy("doc_id")
+
+
+# ------------------------------------------- dedup clusters (keep-one)
+
+_CLUSTER_SQL = """
+WITH RECURSIVE pr AS ({pairs}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+),
+canon AS (SELECT src AS doc_id, min(node) AS canonical
+          FROM reach GROUP BY src)
+SELECT doc_id, canonical,
+  CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
+FROM canon ORDER BY doc_id"""
+
+
+def _cluster_oracle() -> str:
+    return _CLUSTER_SQL.format(pairs=_minhash_sql())
+
+
+@gate("td_dedup_clusters", _cluster_oracle())
+def td_dedup_clusters(spark, sf_dir):
+    """Near-dup graph → connected components → canonical doc per
+    cluster (the keep-one dedup step): min-label propagation over the
+    MinHash-LSH pair list (operators/dedup.py dedup_clusters — one
+    shuffle per round, O(cluster diameter) rounds, labels
+    localCheckpoint-ed). The oracle computes min-reachable-id closure
+    with WITH RECURSIVE over the identical pair list."""
+    pairs = td_dedup_minhash_lsh(spark, sf_dir)
+    return dd.dedup_clusters(pairs).orderBy("doc_id")

@@ -390,3 +390,68 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given candidate pairs."""
     return _pair_jaccard(df, pairs, id_col, text_col, shingle_k)
+
+
+# ------------------------------------------------- dedup cluster canon
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate pairs → connected components → one canonical doc
+    per cluster (the keep-one step of a training-data dedup pipeline:
+    cluster the near-dup graph, keep min doc_id per cluster).
+
+    Min-label propagation: every node starts labelled with itself; each
+    round a node takes the min of its own label and its neighbours'.
+    Each round is one shuffle (edge join + min-agg) and converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow, and
+    ``max_iter`` bounds the worst case. Labels are localCheckpoint-ed
+    per round so lineage stays flat at 10^9-edge scale; the edge list
+    is never collected. Convergence is detected with a count of changed
+    labels (a scalar per round, like TextLogitStream's gradient loop).
+
+    Returns (doc_id, canonical, cluster_size), singleton nodes included
+    only if they appear in ``pairs``.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).union(
+        pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(edges.a.alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce("nlabel", F.col("label")) < F.col("label")
+                ).cast("int").alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.agg(F.sum("chg")).first()[0]
+        labels = new.select("id", "label")
+        if not changed:
+            break
+    sizes = labels.groupBy(F.col("label").alias("canonical")).agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical")
+    ).join(sizes, "canonical").select("doc_id", "canonical", "cluster_size")

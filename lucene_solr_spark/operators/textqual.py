@@ -24,6 +24,8 @@ __all__ = [
     "quality_features",
     "token_counts",
     "fingerprint",
+    "REDACT_PATTERNS",
+    "redact",
 ]
 
 # Tiny high-frequency marker sets per language. The heuristic is the
@@ -164,4 +166,50 @@ def fingerprint(
         F.min(h60("g")).alias("fp_min"),
         F.max(h60("g")).alias("fp_max"),
         F.count("*").alias("n_grams"),
+    )
+
+
+# ------------------------------------------------------ PII redaction
+
+# Conservative patterns valid in both Java regex (Spark) and RE2
+# (the oracle engine): no lookaround, no backrefs.
+REDACT_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[A-Za-z0-9./_-]+"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns=None,
+) -> DataFrame:
+    """PII / identifier scrub for training-data pipelines: count and
+    mask emails, URLs, phone numbers and IPv4 addresses.
+
+    Pure regexp_count / regexp_replace Column expressions (JVM codegen,
+    one pass per pattern, no Python) — at 100 TB this is a narrow
+    per-row projection with nothing to shuffle. Patterns apply in list
+    order; replacement tokens (``<EMAIL>`` …) never re-match later
+    patterns.
+
+    Returns (id, n_<name> per pattern, red_len, redacted).
+    """
+    patterns = REDACT_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col)]
+    for name, pat in patterns:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long").alias(f"n_{name}")
+        )
+    red = F.col(text_col)
+    for name, pat in patterns:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(
+        *cols,
+        F.length(red).cast("long").alias("red_len"),
+        red.alias("redacted"),
     )

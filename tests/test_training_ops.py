@@ -427,3 +427,55 @@ def test_stratified_sample_quotas(spark):
     got = {r["lang"]: r["count"] for r in kept}
     assert 120 < got["en"] < 280       # ~200 of 2000
     assert 1650 < got["de"] < 1950     # ~1800 of 2000
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds components and canonical min-ids on
+    a graph with a chain (propagation depth > 1), a separate pair, and
+    no singleton leakage."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["canonical"], r["cluster_size"])
+        for r in dd.dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        3: (3, 4), 5: (3, 4), 7: (3, 4), 9: (3, 4),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-node path needs several propagation rounds — the label of
+    the far end must still reach the min id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = dd.dedup_clusters(pairs).collect()
+    assert all(r["canonical"] == 0 and r["cluster_size"] == 13 for r in got)
+    assert len(got) == 13
+
+
+def test_redact_patterns(spark):
+    from lucene_solr_spark.operators.textqual import redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@x-mail.co.uk and x@y.io, see "
+                "https://ex.org/p_1 call 555-123-4567 ip 10.0.0.1 done"),
+            (1, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact(df).collect()}
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_url"], r0["n_phone"], r0["n_ipv4"]) == (
+        2, 1, 1, 1)
+    assert rows[0]["redacted"] == (
+        "mail <EMAIL> and <EMAIL>, see <URL> call <PHONE> ip <IPV4> done")
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_url"], r1["n_phone"], r1["n_ipv4"]) == (
+        0, 0, 0, 0)
+    assert r1["redacted"] == "clean text with no identifiers at all"

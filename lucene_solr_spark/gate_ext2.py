@@ -432,6 +432,79 @@ def rel_facet_nested(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- taxonomy facets
+
+_TAX_PATHS = """
+  SELECT r.r_name || '/' || n.n_name || '/' || c.c_mktsegment AS path
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey"""
+
+
+def _tax_paths(spark, sf_dir):
+    from .operators.facet import path_col
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            path_col(
+                F.col("r_name"), F.col("n_name"), F.col("c_mktsegment")
+            ).alias("path")
+        )
+    )
+
+
+@gate(
+    "rel_facet_taxonomy",
+    f"""
+WITH p AS ({_TAX_PATHS}),
+pre AS (
+  SELECT array_to_string(sp[1:i], '/') AS path
+  FROM (SELECT string_split(path, '/') AS sp FROM p),
+       (SELECT unnest(range(1, 4)) AS i))
+SELECT path,
+  CAST(len(string_split(path, '/')) AS BIGINT) AS depth,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM pre GROUP BY path ORDER BY path""",
+)
+def rel_facet_taxonomy(spark, sf_dir):
+    """Taxonomy facet counts at every level (lucene/facet
+    FastTaxonomyFacetCounts: each doc increments every ancestor
+    ordinal) over the region/nation/segment hierarchy — ancestor
+    prefixes built with higher-order functions, one exploded
+    hash-agg (operators/facet.py taxonomy_counts)."""
+    from .operators.facet import taxonomy_counts
+
+    return (
+        taxonomy_counts(_tax_paths(spark, sf_dir))
+        .select("path", "depth", "cnt")
+        .orderBy("path")
+    )
+
+
+@gate(
+    "rel_facet_drilldown",
+    f"""
+WITH p AS ({_TAX_PATHS})
+SELECT string_split(path, '/')[3] AS child,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM p WHERE path LIKE 'AMERICA/BRAZIL/%'
+GROUP BY child ORDER BY child""",
+)
+def rel_facet_drilldown(spark, sf_dir):
+    """DrillDownQuery('AMERICA/BRAZIL') + getTopChildren: prefix
+    filter + next-component counts (operators/facet.py drill_down)."""
+    from .operators.facet import drill_down
+
+    return (
+        drill_down(_tax_paths(spark, sf_dir), "AMERICA/BRAZIL")
+        .orderBy("child")
+    )
+
+
 # ------------------------------------------------------------ range facet
 
 

@@ -415,8 +415,17 @@ _suite("rel_agg_approx", [
      ("event_type", "hll_ok"), ("exact_users",)),
 ])
 
-# 37-38: FetchStream + nested facet
-_passthrough("rel_fetch_enrich", "rel_facet_nested")
+# 37: FetchStream
+_passthrough("rel_fetch_enrich")
+
+# 38: facet nesting + taxonomy (lucene/facet): nested JSON facet,
+# all-levels taxonomy counts, drill-down children
+_suite("rel_facet_nested", [
+    ("nested", "rel_facet_nested",
+     ("n_name", "c_mktsegment"), ("nation_cnt", "cnt")),
+    ("taxonomy", "rel_facet_taxonomy", ("path",), ("depth", "cnt")),
+    ("drilldown", "rel_facet_drilldown", ("child",), ("cnt",)),
+])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the
 # arithmetic/math/boolean/ordinal families + trig/hyperbolic/rounding/

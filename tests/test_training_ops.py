@@ -479,3 +479,28 @@ def test_redact_patterns(spark):
     assert (r1["n_email"], r1["n_url"], r1["n_phone"], r1["n_ipv4"]) == (
         0, 0, 0, 0)
     assert r1["redacted"] == "clean text with no identifiers at all"
+
+
+def test_taxonomy_counts_and_drilldown(spark):
+    """lucene/facet analog: every ancestor prefix counted once per doc
+    (uneven depths included), drill-down filters the subtree and counts
+    the next component."""
+    from lucene_solr_spark.operators.facet import (
+        drill_down, taxonomy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a/b/c",), ("a/b/d",), ("a/e",), ("x",)], "path string"
+    )
+    got = {
+        r["path"]: (r["depth"], r["cnt"])
+        for r in taxonomy_counts(df).collect()
+    }
+    assert got == {
+        "a": (1, 3), "a/b": (2, 2), "a/b/c": (3, 1), "a/b/d": (3, 1),
+        "a/e": (2, 1), "x": (1, 1),
+    }
+    kids = {r["child"]: r["cnt"] for r in drill_down(df, "a/b").collect()}
+    assert kids == {"c": 1, "d": 1}
+    kids_a = {r["child"]: r["cnt"] for r in drill_down(df, "a").collect()}
+    assert kids_a == {"b": 2, "e": 1}

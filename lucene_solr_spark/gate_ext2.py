@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .gate import _TOKS, docs_index, gate, load
+from .gate import _TOKS, bm25_scored_cte, docs_index, gate, load
 
 # ------------------------------------------------------------ highlighter
 
@@ -1514,6 +1514,52 @@ def ml_naive_bayes_lang(spark, sf_dir):
     return classify_naive_bayes(
         tables, model, doc_filter=F.col("doc_id") < 100
     ).orderBy("doc_id")
+
+
+_LTR_TERMS = ["spark", "merge", "window"]
+_LTR_W = {"f_bm25": 0.8, "n_matched": 0.4, "dl": -0.01, "max_tf": 0.05}
+
+
+@gate(
+    "ml_ltr_rerank",
+    f"""
+WITH {bm25_scored_cte(_LTR_TERMS)},
+agg AS (
+  SELECT tf.doc_id,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS n_matched,
+         CAST(max(tf.freq) AS BIGINT) AS max_tf
+  FROM tf GROUP BY tf.doc_id),
+sc AS (SELECT doc_id, round(sum(term_score), 4) AS f_bm25
+       FROM scored GROUP BY doc_id),
+cand AS (SELECT doc_id, f_bm25 FROM sc
+         ORDER BY f_bm25 DESC, doc_id ASC LIMIT 100),
+feat AS (
+  SELECT c.doc_id, c.f_bm25, a.n_matched, a.max_tf,
+         CAST(dl.dl AS BIGINT) AS dl
+  FROM cand c JOIN agg a USING (doc_id) JOIN dl USING (doc_id)),
+rer AS (
+  SELECT doc_id, f_bm25, n_matched, dl,
+         round(0.8 * f_bm25 + 0.4 * n_matched - 0.01 * dl
+               + 0.05 * max_tf, 4) AS ltr_score
+  FROM feat)
+SELECT doc_id, f_bm25, n_matched, dl, ltr_score
+FROM rer ORDER BY ltr_score DESC, doc_id ASC LIMIT 10""",
+)
+def ml_ltr_rerank(spark, sf_dir):
+    """solr/contrib/ltr: LinearModel rerank of the top-100 first-pass
+    BM25 candidates with features f_bm25 / n_matched / doc-length /
+    max_tf (operators/ltr.py; reference ltr/model/LinearModel.java,
+    feature/FieldLengthFeature.java, LTRQParserPlugin reRankDocs).
+    Only the candidate window is rescored — the feature join is
+    term-pruned postings + norms, the model a Column expression."""
+    from .gate import _bm25_spark, docs_index
+    from .operators.ltr import ltr_rerank
+
+    tables = docs_index(spark, sf_dir)
+    cand = _bm25_spark(spark, sf_dir, _LTR_TERMS, "disjunctive", 100)
+    return ltr_rerank(tables, _LTR_TERMS, cand, _LTR_W, k=10).select(
+        "doc_id", "f_bm25", "n_matched", "dl", "ltr_score"
+    )
 
 
 _PERC_QUERIES = [

@@ -468,8 +468,16 @@ _suite("fn_geo", [
 # 42: Solr SQL surface
 _passthrough("sql_analytics_surface")
 
-# 43-44: classification modules
-_passthrough("ml_naive_bayes_lang", "ml_textlogit_classify")
+# 43: classification + learning-to-rank rerank (solr/contrib/ltr)
+_suite("ml_classify_rank", [
+    ("naive_bayes", "ml_naive_bayes_lang",
+     ("doc_id", "label"), ("score",)),
+    ("ltr_rerank", "ml_ltr_rerank",
+     ("doc_id", "n_matched"), ("f_bm25", "dl", "ltr_score")),
+])
+
+# 44: TextLogit classification
+_passthrough("ml_textlogit_classify")
 
 # 45: exact dedup
 _passthrough("td_dedup_exact")

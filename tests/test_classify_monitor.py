@@ -99,3 +99,34 @@ def test_percolate_must_not_veto(spark):
     assert got == {("q", 1)}  # doc0 vetoed by 'hash', doc2 lacks 'join'
     with pytest.raises(ValueError, match="requires and prohibits"):
         register_queries(spark, [("bad", ["a"], None, ["a"])])
+
+
+def test_ltr_linear_rerank(spark):
+    """LinearModel rerank flips the first-pass order when a shorter doc
+    with more matched terms beats a higher-BM25 one on the model."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.operators.ltr import ltr_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark spark merge filler " + "pad " * 40),
+            (1, "spark merge window"),
+            (2, "window only here"),
+            (3, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = build_index(docs, analyzer="simple", id_col="doc_id")
+    cand = spark.createDataFrame(
+        [(0, 3.0), (1, 2.0), (2, 0.5)], "doc_id long, score double"
+    )
+    weights = {"f_bm25": 1.0, "n_matched": 5.0, "dl": -0.5, "max_tf": 0.0}
+    got = ltr_rerank(
+        tables, ["spark", "merge", "window"], cand, weights, k=3
+    ).collect()
+    # doc1: 2 + 15 - 1.5 = 15.5 ; doc0: 3 + 10 - 23 = -10 ; doc2: .5+5-1.5=4
+    assert [r["doc_id"] for r in got] == [1, 2, 0]
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["ltr_score"] == 15.5
+    assert by_id[1]["n_matched"] == 3 and by_id[1]["dl"] == 3
+    assert by_id[0]["n_matched"] == 2 and by_id[0]["max_tf"] == 4

@@ -116,7 +116,16 @@ def h60_plane_matrix(dim: int, n_planes: int = 8) -> np.ndarray:
 def _dot_exact(a: Column, plane: np.ndarray) -> Column:
     """Σ_i round(a_i * w_i, 9) as DECIMAL — order-independent, identical
     in Spark / DuckDB / numpy (used only for the bucket SIGN, where a
-    float-associativity flip at the boundary would diverge engines)."""
+    float-associativity flip at the boundary would diverge engines).
+
+    This exactness is an ORACLE requirement, not an index-quality one:
+    a boundary flip only moves a vector to the adjacent bucket, which
+    changes nothing about recall. A production deployment without a
+    cross-engine checker should swap this for a plain-double
+    ``F.aggregate`` (or the numpy matmul in h60_plane_matrix) — same
+    buckets for all but ~1-in-10^9 boundary vectors, and the DECIMAL
+    quantization cost (n_planes × dim rounds per vector) disappears
+    from the index build."""
     p = F.array(*[F.lit(float(v)) for v in plane])
     zero = F.lit(0).cast("decimal(28,9)")
     return F.aggregate(

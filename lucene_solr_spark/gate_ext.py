@@ -526,6 +526,37 @@ def fn_query_boost(spark, sf_dir):
 
 
 @gate(
+    "fts_query_elevation",
+    f"""WITH main AS ({bm25_sql(["spark", "merge"], "disjunctive", 50)}),
+kept AS (SELECT doc_id, score FROM main WHERE doc_id <> 0),
+ranked AS (
+  SELECT doc_id, score,
+    CASE WHEN doc_id = 11 THEN 1 WHEN doc_id = 4 THEN 2 ELSE 0 END
+      AS elev_pos,
+    row_number() OVER (ORDER BY
+      CASE WHEN doc_id = 11 THEN 1 WHEN doc_id = 4 THEN 2 ELSE 3 END ASC,
+      score DESC, doc_id ASC) AS rank
+  FROM kept)
+SELECT doc_id, score, CAST(elev_pos AS BIGINT) AS elev_pos,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10 ORDER BY rank""",
+)
+def fts_query_elevation(spark, sf_dir):
+    """QueryElevationComponent: editorial pins [11, 4] jump to the top
+    in elevation order, doc 0 is excluded, organic ranking continues
+    below (search/elevation.py; reference solr/core/.../component/
+    QueryElevationComponent.java). The pin rank is a constant CASE
+    Column over the organic top-k — no join, no added shuffle."""
+    from .gate import _bm25_spark
+    from .search.elevation import elevate
+
+    organic = _bm25_spark(
+        spark, sf_dir, ["spark", "merge"], "disjunctive", 50
+    )
+    return elevate(organic, [11, 4], excluded=[0], k=10)
+
+
+@gate(
     "fts_constant_score",
     f"""WITH toks AS ({_TOKS})
 SELECT DISTINCT doc_id, 1.5 AS score FROM toks WHERE term = 'spark'

@@ -295,6 +295,8 @@ _suite("fts_score_shaping", [
     ("boost", "fts_boost_clauses", ("doc_id",), ("score",)),
     ("constant", "fts_constant_score", ("doc_id",), ("score",)),
     ("query_fn", "fn_query_boost", ("doc_id",), ("score",)),
+    ("elevate", "fts_query_elevation",
+     ("doc_id",), ("score", "elev_pos", "rank")),
 ])
 
 # 13-14: analysis chains

@@ -399,3 +399,21 @@ def test_fielded_group_in_filter(spark, tiny_index):
     assert {r["doc_id"] for r in res} == {d for d in base if d in keep}
     for r in res:
         assert math.isclose(r["score"], base[r["doc_id"]], rel_tol=1e-12)
+
+
+def test_query_elevation(spark):
+    """QueryElevationComponent: pins in elevation order, excludes
+    dropped, organic tail keeps score ranking; pinned doc missing from
+    the organic result is simply absent (rerank-only semantics)."""
+    from lucene_solr_spark.search.elevation import elevate
+
+    organic = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0), (4, 2.0), (5, 1.0)],
+        "doc_id long, score double",
+    )
+    got = elevate(organic, [4, 2], excluded=[3], k=10).collect()
+    assert [(r["doc_id"], r["elev_pos"], r["rank"]) for r in got] == [
+        (4, 1, 1), (2, 2, 2), (1, 0, 3), (5, 0, 4)]
+    # pinned id not present in the organic window: no phantom row
+    got2 = elevate(organic, [99, 5], k=3).collect()
+    assert [r["doc_id"] for r in got2] == [5, 1, 2]

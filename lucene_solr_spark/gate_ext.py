@@ -525,6 +525,87 @@ def fn_query_boost(spark, sf_dir):
     )
 
 
+_CLU_CTE = f"""{bm25_scored_cte(["spark", "merge"])},
+sc AS (SELECT doc_id, round(sum(term_score), 4) AS score
+       FROM scored GROUP BY doc_id),
+cand AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20),
+dtf AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS freq
+        FROM toks t JOIN cand USING (doc_id) GROUP BY t.doc_id, t.term),
+n2 AS (SELECT doc_id, sum(freq * freq) AS n2 FROM dtf GROUP BY doc_id),
+sv AS (SELECT doc_id AS seed, term, freq AS sfreq FROM dtf
+       WHERE doc_id IN (11, 4)),
+sn2 AS (SELECT seed, sum(sfreq * sfreq) AS sn2 FROM sv GROUP BY seed),
+dots AS (SELECT d.doc_id, s.seed, sum(d.freq * s.sfreq) AS dot
+         FROM dtf d JOIN sv s USING (term) GROUP BY d.doc_id, s.seed),
+simt AS (SELECT dots.doc_id, dots.seed,
+                round(dots.dot
+                      / sqrt(CAST(n2.n2 * sn2.sn2 AS DOUBLE)), 6) AS sim
+         FROM dots JOIN n2 USING (doc_id) JOIN sn2 USING (seed)),
+best AS (SELECT doc_id, seed, sim,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY sim DESC, seed ASC) AS rk
+         FROM simt)"""
+
+
+def _clu_candidates(spark, sf_dir):
+    from .gate import _bm25_spark
+
+    return _bm25_spark(spark, sf_dir, ["spark", "merge"], "disjunctive", 20)
+
+
+@gate(
+    "fts_result_clusters",
+    f"""WITH {_CLU_CTE}
+SELECT doc_id, CAST(seed AS BIGINT) AS seed, sim
+FROM best WHERE rk = 1 ORDER BY doc_id""",
+)
+def fts_result_clusters(spark, sf_dir):
+    """Search-result clustering (solr/contrib/clustering Carrot2
+    analog): the top-20 results assigned to the nearest of two seed
+    docs by term-vector cosine — integer tf dot products and norms, so
+    every aggregation is exact (operators/clustering.py). Only the
+    result window is clustered, never the corpus."""
+    from .gate import docs_index
+    from .operators.clustering import seeded_cluster_assign
+
+    tables = docs_index(spark, sf_dir)
+    return seeded_cluster_assign(
+        tables, _clu_candidates(spark, sf_dir), [11, 4]
+    ).orderBy("doc_id")
+
+
+@gate(
+    "fts_cluster_labels",
+    f"""WITH {_CLU_CTE},
+lab AS (SELECT b.seed, d.term, sum(d.freq) AS weight
+        FROM best b JOIN dtf d USING (doc_id)
+        WHERE b.rk = 1 GROUP BY b.seed, d.term),
+rl AS (SELECT seed, term, CAST(weight AS BIGINT) AS weight,
+              row_number() OVER (PARTITION BY seed
+                                 ORDER BY weight DESC, term ASC) AS pos
+       FROM lab)
+SELECT CAST(seed AS BIGINT) AS seed, term, weight,
+       CAST(pos AS BIGINT) AS pos
+FROM rl WHERE pos <= 3 ORDER BY seed, pos""",
+)
+def fts_cluster_labels(spark, sf_dir):
+    """Cluster labels: top-3 terms per result cluster by summed tf
+    (operators/clustering.py cluster_labels — the Carrot2 label
+    step)."""
+    from .gate import docs_index
+    from .operators.clustering import (
+        cluster_labels, seeded_cluster_assign,
+    )
+
+    tables = docs_index(spark, sf_dir)
+    assign = seeded_cluster_assign(
+        tables, _clu_candidates(spark, sf_dir), [11, 4]
+    )
+    return cluster_labels(tables, assign, top_terms=3).orderBy(
+        "seed", "pos"
+    )
+
+
 @gate(
     "fts_query_elevation",
     f"""WITH main AS ({bm25_sql(["spark", "merge"], "disjunctive", 50)}),

@@ -316,6 +316,9 @@ _suite("fts_highlight", [
 _suite("fts_mlt", [
     ("terms", "fts_mlt_terms", ("term",), ("tf", "df", "mlt_score")),
     ("retrieve", "fts_morelikethis", ("doc_id",), ("overlap",)),
+    ("cluster", "fts_result_clusters", ("doc_id", "seed"), ("sim",)),
+    ("cluster_labels", "fts_cluster_labels",
+     ("seed", "term"), ("weight", "pos")),
 ])
 
 # 17: suggest + spellcheck — term-prefix, direct spellcheck, plus the

@@ -130,3 +130,35 @@ def test_ltr_linear_rerank(spark):
     assert by_id[1]["ltr_score"] == 15.5
     assert by_id[1]["n_matched"] == 3 and by_id[1]["dl"] == 3
     assert by_id[0]["n_matched"] == 2 and by_id[0]["max_tf"] == 4
+
+
+def test_seeded_result_clustering(spark):
+    """Carrot2-analog assignment: docs go to the seed whose term vector
+    they share most (cosine over integer tf), labels are the top terms
+    per cluster."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.operators.clustering import (
+        cluster_labels, seeded_cluster_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffle merge spark"),
+            (1, "spark shuffle partition"),
+            (2, "vector index cosine"),
+            (3, "vector cosine probe probe"),
+            (4, "spark vector"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = build_index(docs, analyzer="simple", id_col="doc_id")
+    cand = docs.select("doc_id", F.lit(1.0).alias("score"))
+    assign = seeded_cluster_assign(tables, cand, [0, 2])
+    got = {r["doc_id"]: r["seed"] for r in assign.collect()}
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 2 and got[3] == 2
+    assert got[4] in (0, 2)  # shares one term with each seed
+    labels = cluster_labels(tables, assign, top_terms=2).collect()
+    top = {(r["seed"], r["pos"]): r["term"] for r in labels}
+    assert top[(0, 1)] == "spark"  # dominant term of the spark cluster
+    assert top[(2, 1)] in ("cosine", "vector", "probe")

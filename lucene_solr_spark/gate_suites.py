@@ -520,11 +520,14 @@ _join_suite(
     "doc_id",
 )
 
-# 50: multimodal — binary feature extraction + video frame sampling
+# 50: multimodal/binary — feature extraction + video frame sampling +
+# Tika-style content extraction (sniff/dispatch/extract over binary)
 _suite("td_multimodal", [
     ("features", "td_multimodal_features",
      ("media_id", "kind"), ("n_bytes", "f0")),
     ("frames", "td_multimodal_frames", ("media_id", "frame_ms"), ()),
+    ("extract", "td_binary_extract",
+     ("doc_id", "text"), ("ct_code", "n_chars", "is_stub")),
 ])
 
 assert len(QUERIES) == 50, f"curated registry must be 50, got {len(QUERIES)}"

@@ -823,3 +823,74 @@ def td_dedup_clusters(spark, sf_dir):
     with WITH RECURSIVE over the identical pair list."""
     pairs = td_dedup_minhash_lsh(spark, sf_dir)
     return dd.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ----------------------------------------- binary content extraction
+
+_EXTRACT_SQL = """
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+           THEN '<html><body><p>' || coalesce(text, '') || '</p></body></html>'
+         WHEN doc_id % 3 = 1 THEN coalesce(text, '')
+         ELSE '%PDF-1.4' || chr(10) || coalesce(text, '') END AS payload
+  FROM documents WHERE doc_id < 300),
+ex AS (
+  SELECT doc_id,
+    CASE WHEN substr(payload, 1, 5) = '%PDF-' THEN 'application/pdf'
+         WHEN substr(payload, 1, 1) = '<' THEN 'text/html'
+         ELSE 'text/plain' END AS content_type,
+    CASE WHEN substr(payload, 1, 5) = '%PDF-'
+           THEN 'PDF_TEXT_UNAVAILABLE('
+                || CAST(octet_length(encode(payload)) AS VARCHAR) || ')'
+         WHEN substr(payload, 1, 1) = '<'
+           THEN trim(regexp_replace(payload, '<[^>]*>', '', 'g'))
+         ELSE payload END AS text
+  FROM src)
+SELECT doc_id, text,
+  CAST(CASE content_type WHEN 'text/html' THEN 0
+       WHEN 'text/plain' THEN 1 ELSE 2 END AS BIGINT) AS ct_code,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN content_type = 'application/pdf' THEN 1 ELSE 0 END
+       AS BIGINT) AS is_stub
+FROM ex ORDER BY doc_id"""
+
+
+@gate("td_binary_extract", _EXTRACT_SQL)
+def td_binary_extract(spark, sf_dir):
+    """ExtractingRequestHandler (Tika) analog over a binary content
+    column: magic-byte content-type sniff + per-type text extraction
+    (sources/extraction.py — HTML tag-strip and plaintext decode real,
+    PDF honestly stubbed with a deterministic marker). The corpus
+    wraps each document's text as HTML / plaintext / fake-PDF by
+    doc_id; the engine round-trips through a real binary column
+    (encode → sniff bytes → decode), the oracle mirrors the dispatch
+    on the string payload — the extracted TEXT itself is a hash-
+    checked key."""
+    from .sources.extraction import extract
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    payload = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<html><body><p>"), txt, F.lit("</p></body></html>")
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, txt)
+        .otherwise(F.concat(F.lit("%PDF-1.4\n"), txt))
+    )
+    binary = docs.select(
+        "doc_id", F.encode(payload, "UTF-8").alias("content")
+    )
+    ex = extract(binary)
+    ct_code = (
+        F.when(F.col("content_type") == "text/html", 0)
+        .when(F.col("content_type") == "text/plain", 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    return ex.select(
+        "doc_id", "text", ct_code.alias("ct_code"), "n_chars", "is_stub"
+    ).orderBy("doc_id")

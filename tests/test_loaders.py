@@ -103,3 +103,30 @@ def test_csv_roundtrip_hostile_text(spark):
     write_transcripts_csv(df, path)
     back = read_transcripts_csv(spark, path)
     assert _sorted_rows(back) == _sorted_rows(df)
+
+
+def test_binary_extraction_dispatch(spark):
+    """Tika-analog: magic-byte sniff routes HTML (tag-strip), plaintext
+    (decode), and PDF (deterministic stub) — over a real binary
+    column; byte length counts multibyte UTF-8 correctly."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.sources.extraction import extract
+
+    rows = [
+        (0, "<html><b>hello</b> world</html>"),
+        (1, "plain café text"),
+        (2, "%PDF-1.4\nsecret pdf body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload string").select(
+        "doc_id", F.encode("payload", "UTF-8").alias("content")
+    )
+    got = {r["doc_id"]: r for r in extract(df).collect()}
+    assert got[0]["content_type"] == "text/html"
+    assert got[0]["text"] == "hello world"
+    assert got[1]["content_type"] == "text/plain"
+    assert got[1]["text"] == "plain café text"
+    assert got[2]["content_type"] == "application/pdf"
+    # 24 chars + 1 multibyte-free => 24 bytes payload
+    assert got[2]["text"] == "PDF_TEXT_UNAVAILABLE(24)"
+    assert got[2]["is_stub"] == 1 and got[0]["is_stub"] == 0

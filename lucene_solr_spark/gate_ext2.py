@@ -1454,6 +1454,44 @@ def fts_porter_stemmed_terms(spark, sf_dir):
     )
 
 
+_SOUNDEX_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "soundex_codes.parquet",
+)
+
+
+@gate(
+    "fts_phonetic_codes",
+    f"""
+WITH toks AS ({_TOKS}),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE regexp_matches(term, '^[a-z]+$') GROUP BY term),
+cm AS (SELECT term, code FROM read_parquet('{_SOUNDEX_FIXTURE}'))
+SELECT df.term, cm.code, CAST(df.df AS BIGINT) AS df
+FROM df JOIN cm USING (term)
+ORDER BY df.term""",
+)
+def fts_phonetic_codes(spark, sf_dir):
+    """PhoneticFilter (lucene/analysis/phonetic, Soundex encoder): the
+    full vocabulary→code mapping plus df — spelling variants collide
+    on the code column, so phonetic term expansion is a group-by on
+    it. Engine encodes live with the JVM built-in F.soundex
+    (analysis/phonetic.py asserts it equals the independent Python
+    implementation); the oracle joins the at-rest fixture map written
+    by that Python implementation (scripts/make_phonetic_fixture.py)
+    — the Porter-fixture pattern."""
+    from .analysis.phonetic import soundex_col
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.col("term").rlike("^[a-z]+$"))
+        .select("term", soundex_col("term").alias("code"),
+                F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
 # ------------------------------------- classification + monitor modules
 
 

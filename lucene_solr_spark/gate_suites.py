@@ -265,6 +265,7 @@ _suite("fts_expand_multi", [
     ("fuzzy_dl", "fts_fuzzy_dl_expand", ("term",), ("df",)),
     ("regexp", "fts_regexp_expand", ("term",), ("df",)),
     ("term_range", "fts_term_range", ("term",), ("df",)),
+    ("phonetic", "fts_phonetic_codes", ("term", "code"), ("df",)),
 ])
 
 # 7: positional phrase family — exact / sloppy / multi-term slot

@@ -92,3 +92,60 @@ def test_damerau_levenshtein_counts_transposition_once(spark):
     got = {r["term"]: (r["dl"], r["lev"]) for r in df.collect()}
     assert got["join"] == (1, 2)
     assert got["joint"][0] == 2
+
+
+def test_soundex_golden_examples():
+    """Published Soundex examples, commons-codec variant (h/w
+    transparent, vowel reset, first-letter code suppression)."""
+    from lucene_solr_spark.analysis.phonetic import soundex
+
+    golden = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "lloyd": "L300", "hw": "H000",
+        "aaa": "A000", "spark": "S162",
+    }
+    for word, code in golden.items():
+        assert soundex(word) == code, word
+
+
+def test_soundex_matches_spark_builtin(spark):
+    """The independent Python encoder (fixture source) must equal the
+    JVM F.soundex (engine path) over the corpus vocabulary AND fuzzed
+    alphabetic strings — the cross-engine contract the
+    fts_phonetic_codes gate rests on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.phonetic import soundex
+
+    vocab = [
+        r["term"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        .select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"[^a-z]+")
+            ).alias("term")
+        )
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+        .collect()
+    ]
+    rng = random.Random(7)
+    fuzz = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    words = sorted(set(vocab + fuzz))
+    got = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("s"))
+        .collect()
+    }
+    for w in words:
+        assert got[w] == soundex(w), w

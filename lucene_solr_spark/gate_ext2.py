@@ -1454,6 +1454,41 @@ def fts_porter_stemmed_terms(spark, sf_dir):
     )
 
 
+_COVER_TERMS = ["spark", "merge", "window"]
+
+
+@gate(
+    "fts_covering_query",
+    f"""
+WITH {bm25_scored_cte(_COVER_TERMS)},
+agg AS (
+  SELECT doc_id,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_matched,
+         round(sum(term_score), 4) AS score
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_matched,
+       CAST(1 + doc_id % 3 AS BIGINT) AS min_required, score
+FROM agg WHERE n_matched >= 1 + doc_id % 3
+ORDER BY doc_id""",
+)
+def fts_covering_query(spark, sf_dir):
+    """CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java):
+    disjunction whose min-should-match is a PER-DOCUMENT value source
+    (here 1 + doc_id % 3 — the LongValuesSource analog), not a query
+    constant. Matched-count is one hash-agg over term-pruned postings;
+    scoring is the BM25 sum of matched clauses (search/covering.py)."""
+    from .gate import _bm25_spark
+    from .search.covering import covering_query
+
+    tables = docs_index(spark, sf_dir)
+    scores = _bm25_spark(
+        spark, sf_dir, _COVER_TERMS, "disjunctive", 100000
+    )
+    return covering_query(
+        tables, _COVER_TERMS, 1 + F.col("doc_id") % 3, scores
+    ).orderBy("doc_id")
+
+
 _SOUNDEX_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

@@ -244,6 +244,8 @@ _suite("fts_bool_modes", [
     ("must_not", "fts_bool_must_not", ("doc_id",), ("score",)),
     ("min_should", "fts_minshouldmatch", ("doc_id",), ("score",)),
     ("dismax", "fts_dismax", ("doc_id",), ("score",)),
+    ("covering", "fts_covering_query",
+     ("doc_id",), ("n_matched", "min_required", "score")),
 ])
 
 # 5: TermInSetQuery/TotalHitCount + FacetField term stats

@@ -417,3 +417,34 @@ def test_query_elevation(spark):
     # pinned id not present in the organic window: no phantom row
     got2 = elevate(organic, [99, 5], k=3).collect()
     assert [r["doc_id"] for r in got2] == [5, 1, 2]
+
+
+def test_covering_query_per_doc_msm(spark):
+    """CoveringQuery: the min-should-match threshold varies per doc —
+    a doc matching 2 clauses passes when its threshold is 2 but a doc
+    with threshold 3 needs all three."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.covering import covering_query
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark merge window"),   # 3 matches
+            (1, "spark merge other"),    # 2 matches
+            (2, "spark only here"),      # 1 match
+            (3, "nothing relevant"),     # 0 matches
+        ],
+        "doc_id long, text string",
+    )
+    tables = build_index(docs, analyzer="simple", id_col="doc_id")
+    scores = spark.createDataFrame(
+        [(0, 3.0), (1, 2.0), (2, 1.0)], "doc_id long, score double"
+    )
+    # threshold: doc 0 -> 3, doc 1 -> 2, doc 2 -> 2
+    thresh = F.when(F.col("doc_id") == 0, 3).otherwise(2)
+    got = {
+        r["doc_id"]: (r["n_matched"], r["min_required"])
+        for r in covering_query(
+            tables, ["spark", "merge", "window"], thresh, scores
+        ).collect()
+    }
+    assert got == {0: (3, 3), 1: (2, 2)}  # doc 2 fails 1 < 2; doc 3 absent

@@ -1489,6 +1489,44 @@ def fts_covering_query(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_CTQ_TERMS = ["dup", "spark", "merge"]
+
+
+@gate(
+    "fts_common_terms",
+    f"""
+WITH {bm25_scored_cte(_CTQ_TERMS)},
+flag AS (SELECT term,
+         CASE WHEN df <= 0.4 * (SELECT doc_count FROM stats)
+              THEN 1 ELSE 0 END AS rare
+         FROM dfs),
+per AS (SELECT s.doc_id, f.rare, s.term_score
+        FROM scored s JOIN flag f USING (term)),
+agg AS (SELECT doc_id,
+        round(coalesce(sum(CASE WHEN rare = 1 THEN term_score END), 0), 4)
+          AS rare_score,
+        round(coalesce(sum(CASE WHEN rare = 0 THEN term_score END), 0), 4)
+          AS common_score
+        FROM per GROUP BY doc_id)
+SELECT doc_id, round(rare_score + common_score, 4) AS score
+FROM agg
+WHERE doc_id IN (SELECT doc_id FROM per WHERE rare = 1)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_common_terms(spark, sf_dir):
+    """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java):
+    terms split at df <= 0.4·docCount — the rare term ('dup', df≈5%)
+    gates the match, the common terms ('spark','merge', df≈77%) only
+    add score to matching docs. The split is a driver-side dictionary
+    lookup; no stopword list needed (search/commonterms.py)."""
+    from .search.commonterms import common_terms_query
+
+    tables = docs_index(spark, sf_dir)
+    return common_terms_query(
+        tables, _CTQ_TERMS, max_term_frequency=0.4, k=10
+    )
+
+
 _SOUNDEX_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

@@ -246,6 +246,7 @@ _suite("fts_bool_modes", [
     ("dismax", "fts_dismax", ("doc_id",), ("score",)),
     ("covering", "fts_covering_query",
      ("doc_id",), ("n_matched", "min_required", "score")),
+    ("common_terms", "fts_common_terms", ("doc_id",), ("score",)),
 ])
 
 # 5: TermInSetQuery/TotalHitCount + FacetField term stats

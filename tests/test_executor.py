@@ -448,3 +448,38 @@ def test_covering_query_per_doc_msm(spark):
         ).collect()
     }
     assert got == {0: (3, 3), 1: (2, 2)}  # doc 2 fails 1 < 2; doc 3 absent
+
+
+def test_common_terms_query_split_and_fallback(spark):
+    """CommonTermsQuery: only the rare term gates matching; common
+    terms boost score. All-common input falls back to a plain
+    disjunction."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.commonterms import (
+        common_terms_query, split_by_frequency,
+    )
+
+    # 'everywhere' in all 4 docs (common at 0.5 cutoff); 'rareword' in 1
+    docs = spark.createDataFrame(
+        [
+            (0, "everywhere rareword alpha"),
+            (1, "everywhere beta"),
+            (2, "everywhere gamma"),
+            (3, "everywhere delta"),
+        ],
+        "doc_id long, text string",
+    )
+    tables = build_index(docs, analyzer="simple", id_col="doc_id")
+    rare, common = split_by_frequency(
+        tables, ["rareword", "everywhere"], max_term_frequency=0.5
+    )
+    assert rare == ["rareword"] and common == ["everywhere"]
+    got = common_terms_query(
+        tables, ["rareword", "everywhere"], max_term_frequency=0.5, k=10
+    ).collect()
+    assert [r["doc_id"] for r in got] == [0]  # only the rare-term doc
+    # all-common fallback: plain disjunction matches everything
+    fb = common_terms_query(
+        tables, ["everywhere"], max_term_frequency=0.5, k=10
+    ).collect()
+    assert len(fb) == 4

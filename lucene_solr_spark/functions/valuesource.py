@@ -188,6 +188,36 @@ def canberra_dist(a, b) -> Column:
     return _fsum(F.transform(_pairs(a, b), term))
 
 
+# --- currency(field, target) ---------------------------------------------
+
+
+def currency_convert(df, amount_col, currency_col, target: str, rates_df,
+                     round_to: int = 2):
+    """ValueSourceParser `currency(field, [CODE])` / CurrencyFieldType
+    (solr/core/.../schema/CurrencyFieldType.java + CurrencyValueSource):
+    convert per-row (amount, currency) into the target currency via an
+    exchange-rate provider.
+
+    ``rates_df`` is the provider table (currency, rate) with rates
+    expressed per 1 unit of ``target`` — the FileExchangeRateProvider
+    analog. It is tiny and broadcast; conversion is one multiply in
+    codegen. Returns df plus an ``amount_<target>`` column."""
+    amount = amount_col if isinstance(amount_col, Column) else F.col(amount_col)
+    cur = currency_col if isinstance(currency_col, Column) else F.col(currency_col)
+    r = F.broadcast(
+        rates_df.select(
+            F.col("currency").alias("_cur"), F.col("rate").alias("_rate")
+        )
+    )
+    out = df.join(r, cur == F.col("_cur"), "left")
+    conv = amount.cast("double") / F.col("_rate")
+    if round_to is not None:
+        conv = F.round(conv, round_to)
+    return out.withColumn(f"amount_{target.lower()}", conv).drop(
+        "_cur", "_rate"
+    )
+
+
 # --- query() value source / FunctionScoreQuery --------------------------
 
 

@@ -1489,6 +1489,48 @@ def fts_covering_query(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@gate(
+    "fn_currency",
+    """
+WITH rates(currency, rate) AS (VALUES ('USD', 1.0), ('EUR', 0.92),
+                                      ('JPY', 155.0)),
+o AS (SELECT o_orderkey, o_totalprice,
+        CASE o_orderkey % 3 WHEN 0 THEN 'USD'
+             WHEN 1 THEN 'EUR' ELSE 'JPY' END AS cur
+      FROM orders WHERE o_orderkey <= 256)
+SELECT o_orderkey, cur,
+       round(CAST(o_totalprice AS DOUBLE) / rate, 2) AS amount_usd
+FROM o JOIN rates ON cur = currency ORDER BY o_orderkey""",
+)
+def fn_currency(spark, sf_dir):
+    """currency(field, CODE) value source / CurrencyFieldType
+    (solr/core/.../schema/CurrencyFieldType.java, CurrencyValueSource +
+    FileExchangeRateProvider): per-row (amount, currency) converted to
+    USD through a broadcast exchange-rate table — one codegen multiply
+    per row (functions/valuesource.py currency_convert)."""
+    from .functions.valuesource import currency_convert
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 256
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, "USD")
+        .when(F.col("o_orderkey") % 3 == 1, "EUR")
+        .otherwise("JPY")
+        .alias("cur"),
+    )
+    rates = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 0.92), ("JPY", 155.0)],
+        "currency string, rate double",
+    )
+    return (
+        currency_convert(o, "o_totalprice", "cur", "USD", rates)
+        .select("o_orderkey", "cur", "amount_usd")
+        .orderBy("o_orderkey")
+    )
+
+
 _CTQ_TERMS = ["dup", "spark", "merge"]
 
 

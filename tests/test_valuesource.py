@@ -305,3 +305,25 @@ def test_array_series_evaluators(spark):
     assert row["d2"] == [-1.0, 1.0, 2.0]
     assert row["s"] == 15.0
     assert row["seq"] == [10, 15, 20, 25]
+
+
+def test_currency_convert(spark):
+    """currency(field, CODE): broadcast rate join; unknown currency
+    yields null (no silent identity conversion)."""
+    from lucene_solr_spark.functions.valuesource import currency_convert
+
+    df = spark.createDataFrame(
+        [(1, 92.0, "EUR"), (2, 155.0, "JPY"), (3, 10.0, "USD"),
+         (4, 5.0, "XXX")],
+        "id long, amount double, cur string",
+    )
+    rates = spark.createDataFrame(
+        [("USD", 1.0), ("EUR", 0.92), ("JPY", 155.0)],
+        "currency string, rate double",
+    )
+    got = {
+        r["id"]: r["amount_usd"]
+        for r in currency_convert(df, "amount", "cur", "USD", rates)
+        .collect()
+    }
+    assert got == {1: 100.0, 2: 1.0, 3: 10.0, 4: None}

@@ -236,6 +236,17 @@ def field_v(name: str) -> Column:
     return F.col(name)
 
 
+def field_select(name: str, selector: str = "min") -> Column:
+    """ValueSourceParser `field(name, min|max)` — multivalued field
+    selector (MultiValuedDoubleFieldSource / SortedSetSelector): the
+    min or max of an array-typed column."""
+    if selector == "min":
+        return F.array_min(F.col(name))
+    if selector == "max":
+        return F.array_max(F.col(name))
+    raise ValueError(f"unsupported field selector: {selector!r}")
+
+
 def query_boost(main, sub, factor: float = 1.0, default: float = 0.0,
                 round_to: int | None = 4):
     """Solr ``query($q, default)`` value source composed into Lucene's

@@ -327,3 +327,18 @@ def test_currency_convert(spark):
         .collect()
     }
     assert got == {1: 100.0, 2: 1.0, 3: 10.0, 4: None}
+
+
+def test_field_multivalued_selector(spark):
+    from lucene_solr_spark.functions.valuesource import field_select
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([([3.0, 1.0, 2.0],)], "vals array<double>")
+    row = df.select(
+        field_select("vals", "min").alias("mn"),
+        field_select("vals", "max").alias("mx"),
+    ).collect()[0]
+    assert row["mn"] == 1.0 and row["mx"] == 3.0
+    with _pytest.raises(ValueError):
+        field_select("vals", "median")

@@ -277,6 +277,7 @@ _suite("fts_phrase_family", [
     ("sloppy", "fts_phrase_sloppy", ("doc_id",), ()),
     ("multi", "fts_multiphrase", ("doc_id",), ("phrase_freq",)),
     ("span_unordered", "fts_span_near", ("doc_id",), ("phrase_freq",)),
+    ("span_first", "fts_span_first", ("doc_id",), ("span_freq", "score")),
 ])
 
 # 8-10: index statistics + significant terms

@@ -351,3 +351,98 @@ def search_phrase(
     )
     out = local.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out
+
+
+def span_first(
+    index,
+    term: str,
+    end: int,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanFirstQuery(SpanTermQuery(term), end): docs where the term
+    occurs within the first ``end`` positions (0-based position
+    ``< end`` — a single-term span at p has end p+1 ≤ end). Reference
+    lucene/core/.../search/spans/SpanFirstQuery.java.
+
+    Pinned scoring contract: BM25 with ``freq`` = number of qualifying
+    occurrences (span_freq), the same shape phrase scoring uses — the
+    reference's SpanScorer sloppyFreq reduces to this for zero-length
+    single-term spans.
+
+    Same plan shape as phrases: the ONE term's positional blocks,
+    term_bucket-pruned, matched per seg_group leaf; cost scales with
+    that term's posting list, never the corpus."""
+    from ..operators.hashing import h60_py
+
+    score_type = "double" if precision == "double" else "float"
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame(
+        [], f"doc_id long, span_freq long, score {score_type}"
+    )
+    if not getattr(index, "has_positions", False):
+        raise ValueError("span_first needs a positional index")
+    dict_df = index.dictionary
+    if "term_bucket" in dict_df.columns:
+        dict_df = dict_df.filter(
+            F.col("term_bucket") == h60_py(term) % index.n_buckets
+        )
+    rows = dict_df.filter(dict_df.term == term).select("df").collect()
+    if not rows:
+        return empty
+    weights = dict(
+        term_weights(
+            {term: int(rows[0]["df"])}, index.doc_count, [term], boost,
+            k1, b, precision,
+        )
+    )
+    w = float(weights[term])
+    if precision == "double":
+        from ..functions import smallfloat
+
+        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
+        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
+            max(index.doc_count, 1)
+        )
+        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
+    else:
+        avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+        cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+    blocks = index.blocks.filter(
+        (F.col("term_bucket") == h60_py(term) % index.n_buckets)
+        & (F.col("term") == term)
+    )
+    end64 = np.int64(end)
+
+    def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+        pt = _PosTerm(pdf)
+        cand = np.unique(pt.all_docs())
+        docs, pos = pt.occurrences(cand)
+        keep = pos < end64
+        if not keep.any():
+            return pd.DataFrame(
+                {"doc_id": [], "span_freq": [], "score": []}
+            ).astype({"doc_id": "int64", "span_freq": "int64",
+                      "score": "float64" if precision == "double"
+                      else "float32"})
+        hit_docs, sf = np.unique(docs[keep], return_counts=True)
+        nb = pt.norms_for(hit_docs)
+        if precision == "double":
+            norm = cache[nb & 0xFF]
+            score = w * (sf / (sf + norm))
+        else:
+            score = bm25.score_term(sf.astype(np.int64), nb, np.float32(w),
+                                    cache)
+        return pd.DataFrame(
+            {"doc_id": hit_docs, "span_freq": sf.astype(np.int64),
+             "score": score}
+        )
+
+    local = blocks.groupBy("seg_group").applyInPandas(
+        leaf, schema=f"doc_id long, span_freq long, score {score_type}"
+    )
+    out = local.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out

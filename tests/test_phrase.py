@@ -265,3 +265,38 @@ def test_span_near_unordered_matches_both_directions(spark, tmp_path_factory):
     }
     assert unordered == {stored["c0"], stored["c1"], stored["c3"]}
     assert ordered == {stored["c0"], stored["c3"]}  # reversed NOT ordered
+
+
+def test_span_first(spark, tmp_path):
+    """SpanFirstQuery: only occurrences with 0-based position < end
+    qualify; span_freq counts qualifying occurrences only."""
+    import tempfile
+
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import span_first
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "spark first here"),
+            ("c0", 1, "then spark again spark"),
+            ("c0", 2, "way down the line comes spark"),
+            ("c0", 3, "no match at all"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "sfidx"), analyzer="simple",
+        index_positions=True,
+    )
+    got = {
+        e: sorted(
+            (r["doc_id"], r["span_freq"])
+            for r in span_first(idx, "spark", e).collect()
+        )
+        for e in (1, 2, 4, 6)
+    }
+    assert got[1] == [(0, 1)]
+    assert got[2] == [(0, 1), (1, 1)]
+    assert got[4] == [(0, 1), (1, 2)]   # second 'spark' at pos 3
+    assert got[6] == [(0, 1), (1, 2), (2, 1)]
+    assert span_first(idx, "absentterm", 5).count() == 0

@@ -568,6 +568,53 @@ def fts_span_first(spark, sf_dir):
     )
 
 
+@gate(
+    "fts_span_not",
+    f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'spark'),
+sf AS (SELECT a.doc_id, count(*) AS span_freq FROM tok a
+       WHERE a.term = 'spark' AND NOT EXISTS (
+         SELECT 1 FROM tok x
+         WHERE x.doc_id = a.doc_id AND x.term = 'merge'
+           AND x.pos BETWEEN a.pos - 1 AND a.pos + 1)
+       GROUP BY a.doc_id)
+SELECT s.doc_id, CAST(s.span_freq AS BIGINT) AS span_freq,
+  round(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5))
+        * (s.span_freq / (s.span_freq
+           + 1.2 * (1.0 - 0.75
+                    + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))), 4)
+    AS score
+FROM sf s JOIN qd ON qd.doc_id = s.doc_id
+CROSS JOIN stats st CROSS JOIN dfq d
+ORDER BY s.doc_id""",
+)
+def fts_span_not(spark, sf_dir):
+    """SpanNotQuery(spark, merge, pre=1, post=1): 'spark' occurrences
+    with no 'merge' within one position either side — per seg_group
+    leaf over BOTH terms' positional blocks, exclusion via one
+    vectorized searchsorted (search/phrase.py span_not; reference
+    lucene/core/.../search/spans/SpanNotQuery.java)."""
+    from .gate import docs_pos_index
+    from .search.phrase import span_not
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        span_not(index, "spark", "merge", pre=1, post=1, k=None,
+                 precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 _CLU_CTE = f"""{bm25_scored_cte(["spark", "merge"])},
 sc AS (SELECT doc_id, round(sum(term_score), 4) AS score
        FROM scored GROUP BY doc_id),

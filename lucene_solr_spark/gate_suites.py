@@ -278,6 +278,7 @@ _suite("fts_phrase_family", [
     ("multi", "fts_multiphrase", ("doc_id",), ("phrase_freq",)),
     ("span_unordered", "fts_span_near", ("doc_id",), ("phrase_freq",)),
     ("span_first", "fts_span_first", ("doc_id",), ("span_freq", "score")),
+    ("span_not", "fts_span_not", ("doc_id",), ("span_freq", "score")),
 ])
 
 # 8-10: index statistics + significant terms

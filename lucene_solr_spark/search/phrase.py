@@ -446,3 +446,121 @@ def span_first(
     )
     out = local.orderBy(F.desc("score"), F.asc("doc_id"))
     return out.limit(k) if k is not None else out
+
+
+def span_not(
+    index,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanNotQuery(SpanTermQuery(include), SpanTermQuery(exclude),
+    pre, post): occurrences of ``include`` with NO ``exclude``
+    occurrence within ``[p - pre, p + post]`` in the same doc
+    (reference lucene/core/.../search/spans/SpanNotQuery.java — the
+    pre/post slack constructor). Scoring contract as span_first: BM25
+    with freq = qualifying occurrences, idf from the include term.
+
+    Plan shape: BOTH terms' positional blocks (bucket-pruned) per
+    seg_group leaf; the exclusion check is one vectorized searchsorted
+    over the exclude occurrences of docs that contain the include term
+    — never the corpus."""
+    from ..operators.hashing import h60_py
+
+    score_type = "double" if precision == "double" else "float"
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame(
+        [], f"doc_id long, span_freq long, score {score_type}"
+    )
+    if not getattr(index, "has_positions", False):
+        raise ValueError("span_not needs a positional index")
+    dict_df = index.dictionary
+    if "term_bucket" in dict_df.columns:
+        dict_df = dict_df.filter(
+            F.col("term_bucket") == h60_py(include) % index.n_buckets
+        )
+    rows = dict_df.filter(dict_df.term == include).select("df").collect()
+    if not rows:
+        return empty
+    weights = dict(
+        term_weights(
+            {include: int(rows[0]["df"])}, index.doc_count, [include],
+            boost, k1, b, precision,
+        )
+    )
+    w = float(weights[include])
+    if precision == "double":
+        from ..functions import smallfloat
+
+        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
+        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
+            max(index.doc_count, 1)
+        )
+        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
+    else:
+        avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+        cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+    buckets = sorted(
+        {h60_py(t) % index.n_buckets for t in (include, exclude)}
+    )
+    blocks = index.blocks.filter(
+        F.col("term_bucket").isin(buckets)
+        & F.col("term").isin([include, exclude])
+    )
+    pre64, post64 = np.int64(pre), np.int64(post)
+    fp_dtype = "float64" if precision == "double" else "float32"
+
+    def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+        inc_pdf = pdf[pdf["term"] == include]
+        if not len(inc_pdf):
+            return pd.DataFrame(
+                {"doc_id": [], "span_freq": [], "score": []}
+            ).astype({"doc_id": "int64", "span_freq": "int64",
+                      "score": fp_dtype})
+        inc = _PosTerm(inc_pdf)
+        cand = np.unique(inc.all_docs())
+        docs_a, pos_a = inc.occurrences(cand)
+        bad = np.zeros(len(docs_a), dtype=bool)
+        exc_pdf = pdf[pdf["term"] == exclude]
+        if len(exc_pdf) and len(docs_a):
+            exc = _PosTerm(exc_pdf)
+            docs_b, pos_b = exc.occurrences(np.unique(docs_a))
+            if len(docs_b):
+                key_b = docs_b * _POS_SHIFT + pos_b  # doc-then-pos sorted
+                lo = np.searchsorted(
+                    key_b, docs_a * _POS_SHIFT + (pos_a - pre64), "left"
+                )
+                hi = np.searchsorted(
+                    key_b, docs_a * _POS_SHIFT + (pos_a + post64), "right"
+                )
+                bad = hi > lo
+        keep = ~bad
+        if not keep.any():
+            return pd.DataFrame(
+                {"doc_id": [], "span_freq": [], "score": []}
+            ).astype({"doc_id": "int64", "span_freq": "int64",
+                      "score": fp_dtype})
+        hit_docs, sf = np.unique(docs_a[keep], return_counts=True)
+        nb = inc.norms_for(hit_docs)
+        if precision == "double":
+            norm = cache[nb & 0xFF]
+            score = w * (sf / (sf + norm))
+        else:
+            score = bm25.score_term(sf.astype(np.int64), nb, np.float32(w),
+                                    cache)
+        return pd.DataFrame(
+            {"doc_id": hit_docs, "span_freq": sf.astype(np.int64),
+             "score": score}
+        )
+
+    local = blocks.groupBy("seg_group").applyInPandas(
+        leaf, schema=f"doc_id long, span_freq long, score {score_type}"
+    )
+    out = local.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out

@@ -300,3 +300,43 @@ def test_span_first(spark, tmp_path):
     assert got[4] == [(0, 1), (1, 2)]   # second 'spark' at pos 3
     assert got[6] == [(0, 1), (1, 2), (2, 1)]
     assert span_first(idx, "absentterm", 5).count() == 0
+
+
+def test_span_not(spark, tmp_path):
+    """SpanNotQuery: include occurrences with an exclude term inside
+    [p-pre, p+post] are vetoed; others survive, per occurrence."""
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import span_not
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "spark merge now"),          # merge adjacent -> veto
+            ("c0", 1, "spark alone here"),          # survives
+            ("c0", 2, "merge x spark far spark"),   # pos2 veto@pre2? no:
+                                                    # merge at 0, sparks at 2,4
+            ("c0", 3, "no relevant terms"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "snidx"), analyzer="simple",
+        index_positions=True,
+    )
+    # post=1: veto if merge within [p-0, p+1] -> doc0 spark@0 merge@1 veto
+    got = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_not(idx, "spark", "merge", pre=0, post=1).collect()
+    }
+    assert got == {1: 1, 2: 2}
+    # pre=2: doc2 spark@2 sees merge@0 within [0,2] -> vetoed, spark@4 ok
+    got2 = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_not(idx, "spark", "merge", pre=2, post=1).collect()
+    }
+    assert got2 == {1: 1, 2: 1}
+    # no exclusions anywhere: behaves like plain term occurrences
+    got3 = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_not(idx, "spark", "absent", pre=9, post=9).collect()
+    }
+    assert got3 == {0: 1, 1: 1, 2: 2}

@@ -615,6 +615,168 @@ def fts_span_not(spark, sf_dir):
     )
 
 
+# Shared positional-token prologue + span BM25 scoring epilogue for the
+# span/interval oracles (pinned span contract: freq = qualifying spans,
+# idf = Σ idf over the span tree's terms — SpanWeight.buildSimWeight).
+_SPAN_CTE = f"""tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl)"""
+
+
+def _span_score_sql(idf_terms, sf_cte):
+    terms = ", ".join(f"'{t}'" for t in idf_terms)
+    return f"""WITH {_SPAN_CTE},
+{sf_cte},
+widf AS (SELECT sum(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5))) AS w
+         FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term IN ({terms}) GROUP BY term) d
+         CROSS JOIN stats st)
+SELECT s.doc_id, CAST(s.span_freq AS BIGINT) AS span_freq,
+  round(w.w * (s.span_freq / (s.span_freq
+        + 1.2 * (1.0 - 0.75
+                 + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))), 4)
+    AS score
+FROM sf s JOIN qd ON qd.doc_id = s.doc_id
+CROSS JOIN stats st CROSS JOIN widf w
+ORDER BY s.doc_id"""
+
+
+@gate(
+    "fts_span_or",
+    _span_score_sql(
+        ["spark", "vector"],
+        """sf AS (SELECT doc_id, count(*) AS span_freq FROM tok
+       WHERE term IN ('spark', 'vector') GROUP BY doc_id)""",
+    ),
+)
+def fts_span_or(spark, sf_dir):
+    """SpanOrQuery(spark, vector): union of the clause terms' spans,
+    span_freq = total occurrences of either term per doc (reference
+    lucene/core/.../search/spans/SpanOrQuery.java). Plan: both terms'
+    positional blocks, bucket-pruned, per seg_group leaf
+    (search/phrase.py span_or)."""
+    from .gate import docs_pos_index
+    from .search.phrase import span_or
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        span_or(index, ["spark", "vector"], k=None, precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+_PAIRS_CTE = """pairs AS (
+  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+  WHERE a.term = 'spark' AND b.term = 'merge'
+    AND b.pos - a.pos BETWEEN 1 AND 7)"""
+
+
+@gate(
+    "fts_span_within",
+    _span_score_sql(
+        ["query", "spark", "merge"],
+        f"""{_PAIRS_CTE},
+sf AS (SELECT t.doc_id, count(DISTINCT t.pos) AS span_freq
+       FROM tok t JOIN pairs p
+         ON p.doc_id = t.doc_id AND t.pos BETWEEN p.pa AND p.pb
+       WHERE t.term = 'query' GROUP BY t.doc_id)""",
+    ),
+)
+def fts_span_within(spark, sf_dir):
+    """SpanWithinQuery(little=query, big=SpanNear([spark, merge],
+    slop=6, inOrder)): 'query' occurrences inside an ordered
+    spark..merge window (reference lucene/core/.../search/spans/
+    SpanWithinQuery.java). Freq = qualifying little occurrences
+    (search/phrase.py span_within)."""
+    from .gate import docs_pos_index
+    from .search.phrase import span_within
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        span_within(index, "query", ("spark", "merge"), slop=6, k=None,
+                    precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+@gate(
+    "fts_span_containing",
+    _span_score_sql(
+        ["spark", "merge", "query"],
+        f"""{_PAIRS_CTE},
+sf AS (SELECT p.doc_id, count(*) AS span_freq FROM pairs p
+       WHERE EXISTS (SELECT 1 FROM tok t
+                     WHERE t.doc_id = p.doc_id AND t.term = 'query'
+                       AND t.pos BETWEEN p.pa AND p.pb)
+       GROUP BY p.doc_id)""",
+    ),
+)
+def fts_span_containing(spark, sf_dir):
+    """SpanContainingQuery(big=SpanNear([spark, merge], slop=6,
+    inOrder), little=query): ordered spark..merge windows holding a
+    'query' occurrence, freq = qualifying windows (reference
+    lucene/core/.../search/spans/SpanContainingQuery.java;
+    search/phrase.py span_containing)."""
+    from .gate import docs_pos_index
+    from .search.phrase import span_containing
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        span_containing(index, ("spark", "merge"), "query", slop=6, k=None,
+                        precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+@gate(
+    "fts_interval_ordered",
+    _span_score_sql(
+        ["join", "hash"],
+        """bp AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'hash'),
+pr AS (SELECT b.doc_id, b.pb,
+              (SELECT max(a.pos) FROM tok a
+               WHERE a.doc_id = b.doc_id AND a.term = 'join'
+                 AND a.pos < b.pb) AS pa
+       FROM bp b),
+minimal AS (SELECT doc_id, pa, pb FROM pr
+            WHERE pa IS NOT NULL AND pb - pa + 1 <= 8
+              AND NOT EXISTS (SELECT 1 FROM tok c
+                              WHERE c.doc_id = pr.doc_id
+                                AND c.term = 'hash'
+                                AND c.pos > pr.pa AND c.pos < pr.pb)),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM minimal
+       GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_ordered(spark, sf_dir):
+    """Minimal-interval ordered query, Intervals.maxwidth(8,
+    Intervals.ordered(join, hash)) — the lucene/queries intervals
+    module (Intervals.java, OrderedIntervalsSource.java). Freq =
+    minimal intervals per doc (last 'join' before each 'hash', no other
+    'hash' inside, width <= 8); search/phrase.py interval_ordered."""
+    from .gate import docs_pos_index
+    from .search.phrase import interval_ordered
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        interval_ordered(index, "join", "hash", max_width=8, k=None,
+                         precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 _CLU_CTE = f"""{bm25_scored_cte(["spark", "merge"])},
 sc AS (SELECT doc_id, round(sum(term_score), 4) AS score
        FROM scored GROUP BY doc_id),

@@ -279,6 +279,12 @@ _suite("fts_phrase_family", [
     ("span_unordered", "fts_span_near", ("doc_id",), ("phrase_freq",)),
     ("span_first", "fts_span_first", ("doc_id",), ("span_freq", "score")),
     ("span_not", "fts_span_not", ("doc_id",), ("span_freq", "score")),
+    ("span_or", "fts_span_or", ("doc_id",), ("span_freq", "score")),
+    ("span_within", "fts_span_within", ("doc_id",), ("span_freq", "score")),
+    ("span_containing", "fts_span_containing",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval", "fts_interval_ordered",
+     ("doc_id",), ("span_freq", "score")),
 ])
 
 # 8-10: index statistics + significant terms

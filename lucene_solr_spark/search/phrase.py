@@ -448,6 +448,329 @@ def span_first(
     return out.limit(k) if k is not None else out
 
 
+def _span_env(index, df_by_term, idf_terms, boost, k1, b, precision):
+    """(w_sum, norm_cache) for the pinned span scoring contract: BM25
+    with idf = Σ idf(t) over ``idf_terms`` (SpanWeight.buildSimWeight
+    collects TermStatistics for every term in the span tree — reference
+    lucene/core/.../search/spans/SpanWeight.java:86-101)."""
+    raw = sum(
+        float(w) for _, w in term_weights(
+            df_by_term, index.doc_count, idf_terms, boost, k1, b, precision
+        )
+    )
+    if precision == "double":
+        from ..functions import smallfloat
+
+        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
+        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
+            max(index.doc_count, 1)
+        )
+        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
+        return np.float64(raw), cache
+    avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
+    return np.float32(raw), bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
+
+
+def _run_span(
+    index,
+    needed: Sequence[str],
+    required: Sequence[str],
+    leaf_hits,
+    k: int | None,
+    boost: float,
+    k1,
+    b,
+    precision: str,
+    idf_terms: Sequence[str] | None = None,
+):
+    """Shared span-query runner: dictionary df lookup (bucket-pruned),
+    pinned BM25 span scoring env, per-``seg_group``-leaf matching over
+    the needed terms' positional blocks only.
+
+    leaf_hits(pts: dict[term, _PosTerm]) -> (hit_docs int64, span_freq
+    int64); terms in ``required`` that miss the dictionary (or a leaf)
+    short-circuit to empty — span composition is conjunctive across its
+    required inputs."""
+    from ..operators.hashing import h60_py
+
+    if not getattr(index, "has_positions", False):
+        raise ValueError("span queries need a positional index")
+    score_type = "double" if precision == "double" else "float"
+    fp_dtype = "float64" if precision == "double" else "float32"
+    spark = index.blocks.sparkSession
+    empty = spark.createDataFrame(
+        [], f"doc_id long, span_freq long, score {score_type}"
+    )
+    needed = list(dict.fromkeys(needed))
+    buckets = sorted({h60_py(t) % index.n_buckets for t in needed})
+    dict_df = index.dictionary
+    if "term_bucket" in dict_df.columns:
+        dict_df = dict_df.filter(F.col("term_bucket").isin(buckets))
+    rows = dict_df.filter(dict_df.term.isin(needed)).select(
+        "term", "df"
+    ).collect()
+    df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    if any(t not in df_by_term for t in required):
+        return empty
+    present = [t for t in needed if t in df_by_term]
+    if not present:
+        return empty
+    idf_terms = [
+        t for t in (idf_terms if idf_terms is not None else needed)
+        if t in df_by_term
+    ]
+    w_sum, cache = _span_env(
+        index, df_by_term, idf_terms, boost, k1, b, precision
+    )
+    blocks = index.blocks.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+    )
+    req = tuple(required)
+
+    def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"doc_id": [], "span_freq": [], "score": []}
+        ).astype({"doc_id": "int64", "span_freq": "int64",
+                  "score": fp_dtype})
+        pts = {t: _PosTerm(g) for t, g in pdf.groupby("term")}
+        if any(t not in pts for t in req):
+            return out_empty
+        hit_docs, sf = leaf_hits(pts)
+        if not len(hit_docs):
+            return out_empty
+        norms = np.zeros(len(hit_docs), dtype=np.int64)
+        for pt in pts.values():
+            if norms.all():
+                break
+            extra = pt.norms_for(hit_docs)
+            norms = np.where(norms > 0, norms, extra)
+        if precision == "double":
+            score = float(w_sum) * (sf / (sf + cache[norms & 0xFF]))
+        else:
+            score = bm25.score_term(
+                sf.astype(np.int64), norms, np.float32(w_sum), cache
+            )
+        return pd.DataFrame(
+            {"doc_id": hit_docs, "span_freq": sf.astype(np.int64),
+             "score": score}
+        )
+
+    local = blocks.groupBy("seg_group").applyInPandas(
+        leaf, schema=f"doc_id long, span_freq long, score {score_type}"
+    )
+    out = local.orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out
+
+
+def span_or(
+    index,
+    terms: Sequence[str],
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanOrQuery(SpanTermQuery(t) for t in terms): the union of the
+    clauses' spans (reference lucene/core/.../search/spans/
+    SpanOrQuery.java). One token per position, so span_freq = total
+    occurrences of any clause term per doc; idf = Σ idf(term) per the
+    span-weight contract. Cost scales with the clause terms' posting
+    lists (bucket-pruned), never the corpus."""
+
+    def leaf_hits(pts):
+        parts = []
+        for t in terms:
+            pt = pts.get(t)
+            if pt is None:
+                continue
+            cand = np.unique(pt.all_docs())
+            d, _ = pt.occurrences(cand)
+            parts.append(d)
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts), return_counts=True)
+
+    return _run_span(
+        index, list(terms), [], leaf_hits, k, boost, k1, b, precision
+    )
+
+
+def _ordered_pairs(pts, first: str, second: str, slop: int):
+    """All ordered occurrence pairs (first at pa, second at pb) with
+    0 < pb - pa <= slop + 1, per doc, as packed (doc*SHIFT + pos) keys
+    → (pair_start_keys, deltas). Positions are unique per doc, so each
+    (pa, delta) names at most one pair."""
+    a, b_ = pts[first], pts[second]
+    cand = np.intersect1d(np.unique(a.all_docs()), np.unique(b_.all_docs()))
+    if not len(cand):
+        z = np.empty(0, np.int64)
+        return z, z
+    da, pa = a.occurrences(cand)
+    db, pb = b_.occurrences(cand)
+    ka = da * _POS_SHIFT + pa
+    kb = np.sort(db * _POS_SHIFT + pb)
+    starts, deltas = [], []
+    for delta in range(1, slop + 2):
+        probe = ka + np.int64(delta)
+        idx = np.searchsorted(kb, probe)
+        ok = idx < len(kb)
+        hit = np.zeros(len(probe), dtype=bool)
+        hit[ok] = kb[idx[ok]] == probe[ok]
+        if hit.any():
+            starts.append(ka[hit])
+            deltas.append(np.full(int(hit.sum()), delta, dtype=np.int64))
+    if not starts:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(starts), np.concatenate(deltas)
+
+
+def span_within(
+    index,
+    little: str,
+    big: Sequence[str],
+    slop: int = 0,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanWithinQuery(big=SpanNearQuery([a, b], slop, inOrder=true),
+    little=SpanTermQuery(little)): occurrences of ``little`` that lie
+    inside an ordered a..b window (a at pa, b at pb, 0 < pb-pa <=
+    slop+1, pa <= p <= pb). Reference lucene/core/.../search/spans/
+    SpanWithinQuery.java (SpanContainQuery subclass — the little side
+    is returned). span_freq = qualifying little occurrences; idf = Σ
+    idf over the whole span tree {little, a, b}."""
+    a_term, b_term = big
+
+    def leaf_hits(pts):
+        starts, deltas = _ordered_pairs(pts, a_term, b_term, slop)
+        lt = pts[little]
+        cand = np.unique(lt.all_docs())
+        dl, pl = lt.occurrences(cand)
+        kl = dl * _POS_SHIFT + pl  # doc-then-pos ascending already
+        if not len(starts) or not len(kl):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        lo = np.searchsorted(kl, starts, "left")
+        hi = np.searchsorted(kl, starts + deltas, "right")
+        mark = np.zeros(len(kl) + 1, dtype=np.int64)
+        np.add.at(mark, lo, 1)
+        np.add.at(mark, hi, -1)
+        covered = np.cumsum(mark[:-1]) > 0
+        if not covered.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.unique(dl[covered], return_counts=True)
+
+    return _run_span(
+        index, [little, a_term, b_term], [little, a_term, b_term],
+        leaf_hits, k, boost, k1, b, precision,
+    )
+
+
+def span_containing(
+    index,
+    big: Sequence[str],
+    little: str,
+    slop: int = 0,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanContainingQuery(big=SpanNearQuery([a, b], slop, inOrder=true),
+    little=SpanTermQuery(little)): ordered a..b windows that contain at
+    least one ``little`` occurrence (big side returned — reference
+    lucene/core/.../search/spans/SpanContainingQuery.java). span_freq =
+    qualifying (pa, pb) windows per doc; idf = Σ idf over {a, b,
+    little}."""
+    a_term, b_term = big
+
+    def leaf_hits(pts):
+        starts, deltas = _ordered_pairs(pts, a_term, b_term, slop)
+        lt = pts[little]
+        cand = np.unique(lt.all_docs())
+        dl, pl = lt.occurrences(cand)
+        kl = dl * _POS_SHIFT + pl
+        if not len(starts) or not len(kl):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        lo = np.searchsorted(kl, starts, "left")
+        hi = np.searchsorted(kl, starts + deltas, "right")
+        good = hi > lo
+        if not good.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ranks = (starts[good] // _POS_SHIFT).astype(np.int64)
+        return np.unique(ranks, return_counts=True)
+
+    return _run_span(
+        index, [a_term, b_term, little], [a_term, b_term, little],
+        leaf_hits, k, boost, k1, b, precision,
+    )
+
+
+def interval_ordered(
+    index,
+    first: str,
+    second: str,
+    max_width: int,
+    k: int | None = None,
+    boost: float = 1.0,
+    k1=bm25.K1,
+    b=bm25.B,
+    precision: str = "double",
+) -> DataFrame:
+    """Minimal-interval ordered query — the lucene/queries intervals
+    module's ``Intervals.maxwidth(W, Intervals.ordered(a, b))``
+    (reference lucene/queries/.../intervals/Intervals.java,
+    OrderedIntervalsSource.java). A minimal ordered interval is
+    (pa, pb) with a at pa, b at pb, pa < pb, where pa is the LAST a
+    before pb and no other b lies strictly inside (Vigna's minimal
+    interval semantics: no match interval contains another); kept when
+    pb - pa + 1 <= max_width. span_freq = minimal intervals per doc;
+    scoring follows this engine's pinned span contract (BM25, freq =
+    interval count, idf = Σ idf{a, b}) rather than IntervalQuery's
+    saturation function — declared divergence, the match SET is the
+    module's."""
+
+    def leaf_hits(pts):
+        a, b_ = pts[first], pts[second]
+        cand = np.intersect1d(
+            np.unique(a.all_docs()), np.unique(b_.all_docs())
+        )
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        da, pa = a.occurrences(cand)
+        db, pb = b_.occurrences(cand)
+        ka = da * _POS_SHIFT + pa  # sorted: doc asc, pos asc
+        kb = db * _POS_SHIFT + pb
+        idx = np.searchsorted(ka, kb) - 1  # last a strictly before b
+        valid = idx >= 0
+        good = np.zeros(len(kb), dtype=bool)
+        ia = np.clip(idx, 0, None)
+        same_doc = (ka[ia] // _POS_SHIFT) == (kb // _POS_SHIFT)
+        width_ok = (kb - ka[ia]) <= np.int64(max_width - 1)
+        # minimality: no other b strictly inside (pa, pb) — the previous
+        # same-doc b occurrence must be <= pa
+        prev_kb = np.empty(len(kb), dtype=np.int64)
+        prev_kb[0] = -1
+        prev_kb[1:] = kb[:-1]
+        prev_same = (prev_kb // _POS_SHIFT) == (kb // _POS_SHIFT)
+        minimal = ~prev_same | (prev_kb <= ka[ia])
+        good = valid & same_doc & width_ok & minimal
+        if not good.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ranks = (kb[good] // _POS_SHIFT).astype(np.int64)
+        return np.unique(ranks, return_counts=True)
+
+    return _run_span(
+        index, [first, second], [first, second], leaf_hits, k, boost,
+        k1, b, precision,
+    )
+
+
 def span_not(
     index,
     include: str,

@@ -340,3 +340,107 @@ def test_span_not(spark, tmp_path):
         for r in span_not(idx, "spark", "absent", pre=9, post=9).collect()
     }
     assert got3 == {0: 1, 1: 1, 2: 2}
+
+
+def test_span_or_union_counts(spark, tmp_path):
+    """SpanOrQuery: union of the clause terms' spans; span_freq is the
+    total occurrence count of any clause term per doc."""
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import span_or
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "alpha beta cat gap"),
+            ("c0", 1, "cat alpha beta alpha beta cat"),
+            ("c0", 2, "beta gap gap"),
+            ("c0", 3, "nothing here"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "soidx"), analyzer="simple",
+        index_positions=True,
+    )
+    got = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_or(idx, ["alpha", "cat"]).collect()
+    }
+    assert got == {0: 2, 1: 4}
+    # a clause absent from the dictionary is just dropped (SpanOr is a
+    # disjunction), and an all-absent query matches nothing
+    got2 = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_or(idx, ["alpha", "zzz"]).collect()
+    }
+    assert got2 == {0: 1, 1: 2}
+    assert span_or(idx, ["zzz", "yyy"]).count() == 0
+
+
+def test_span_within_and_containing(spark, tmp_path):
+    """SpanWithin/SpanContaining over big = ordered near(alpha, beta,
+    slop=2), little = cat: within counts little occurrences inside a
+    window, containing counts windows holding a little occurrence."""
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import span_containing, span_within
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "alpha cat beta"),                     # 1 inside
+            ("c0", 1, "alpha beta cat"),                     # cat outside
+            ("c0", 2, "alpha cat cat beta"),                 # 2 inside, 1 win
+            ("c0", 3, "alpha cat beta alpha cat beta"),      # 2 wins, 2 in
+            ("c0", 4, "cat alpha beta"),                     # cat before win
+            ("c0", 5, "alpha gap gap gap cat beta"),         # window too wide
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "swidx"), analyzer="simple",
+        index_positions=True,
+    )
+    w = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_within(idx, "cat", ("alpha", "beta"), slop=2).collect()
+    }
+    assert w == {0: 1, 2: 2, 3: 2}
+    c = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_containing(
+            idx, ("alpha", "beta"), "cat", slop=2
+        ).collect()
+    }
+    assert c == {0: 1, 2: 1, 3: 2}
+    # any required term missing from the index -> empty
+    assert span_within(idx, "zzz", ("alpha", "beta"), slop=2).count() == 0
+    assert span_containing(idx, ("alpha", "zzz"), "cat", slop=2).count() == 0
+
+
+def test_interval_ordered_minimal(spark, tmp_path):
+    """Minimal ordered intervals (Intervals.maxwidth(ordered(a, b))):
+    pa = last a before pb, no other b inside, width <= max_width."""
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import interval_ordered
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "alpha alpha beta beta"),    # minimal (1,2) only
+            ("c0", 1, "alpha gap beta"),           # width 3
+            ("c0", 2, "beta alpha"),               # unordered -> none
+            ("c0", 3, "alpha beta alpha beta"),    # two minimal pairs
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "ividx"), analyzer="simple",
+        index_positions=True,
+    )
+    w2 = {
+        r["doc_id"]: r["span_freq"]
+        for r in interval_ordered(idx, "alpha", "beta", max_width=2).collect()
+    }
+    assert w2 == {0: 1, 3: 2}
+    w3 = {
+        r["doc_id"]: r["span_freq"]
+        for r in interval_ordered(idx, "alpha", "beta", max_width=3).collect()
+    }
+    assert w3 == {0: 1, 1: 1, 3: 2}

@@ -139,6 +139,7 @@ def bm25_sql(
     min_should_match: int | None = None,
     exclude: list | None = None,
     boosts: dict | None = None,
+    tie: float = 0.0,
 ) -> str:
     tl = ",".join(f"'{t}'" for t in terms)
     boost_mul = ""
@@ -152,7 +153,14 @@ def bm25_sql(
         having = f"HAVING count(*) = {len(terms)}"
     elif min_should_match:
         having = f"HAVING count(*) >= {min_should_match}"
-    agg = "max(term_score)" if mode == "dismax" else "sum(term_score)"
+    if mode == "dismax":
+        agg = (
+            f"max(term_score) + {float(tie)!r}"
+            " * (sum(term_score) - max(term_score))"
+            if tie else "max(term_score)"
+        )
+    else:
+        agg = "sum(term_score)"
     excl = ""
     if exclude:
         el = ",".join(f"'{t}'" for t in exclude)
@@ -222,6 +230,7 @@ def _bm25_spark(
     min_should_match=None,
     exclude=None,
     boosts=None,
+    tie=0.0,
 ) -> DataFrame:
     tables = docs_index(spark, sf_dir)
     res = search_bruteforce(
@@ -232,6 +241,7 @@ def _bm25_spark(
         precision="double",
         min_should_match=min_should_match,
         boost=(boosts if boosts else 1.0),
+        tie=tie,
     )
     if exclude:
         excl_docs = tables.postings.filter(
@@ -297,6 +307,41 @@ def fts_minshouldmatch(spark, sf_dir):
 def fts_dismax(spark, sf_dir):
     """DisjunctionMaxQuery: per-doc max over clause scores."""
     return _bm25_spark(spark, sf_dir, ["spark", "customer"], "dismax", 10)
+
+
+@gate(
+    "fts_dismax_tie",
+    bm25_sql(["spark", "customer"], "dismax", 10, tie=0.3),
+)
+def fts_dismax_tie(spark, sf_dir):
+    """DisjunctionMaxQuery(tieBreakerMultiplier=0.3): score = max +
+    0.3 * (sum - max) over clause scores (reference search/
+    DisjunctionMaxScorer.java:84-95 — the dismax qparser's `tie`)."""
+    return _bm25_spark(
+        spark, sf_dir, ["spark", "customer"], "dismax", 10, tie=0.3
+    )
+
+
+_MSM_TERMS = ["spark", "vector", "stream", "scan", "filter"]
+
+
+@gate(
+    "fts_msm_spec",
+    bm25_sql(_MSM_TERMS, "disjunctive", 10, min_should_match=4),
+)
+def fts_msm_spec(spark, sf_dir):
+    """Solr mm-spec minimumShouldMatch: spec "2<-25%" over 5 optional
+    clauses resolves to 4 (5 > 2, so all-but-int(25% of 5)=1). The
+    Spark side computes msm FROM THE SPEC at runtime
+    (search/mmspec.py, SolrPluginUtils.calculateMinShouldMatch); the
+    oracle hard-codes the resolved 4, so a spec-parser drift breaks
+    the hash."""
+    from .search.mmspec import calculate_min_should_match
+
+    msm = calculate_min_should_match(len(_MSM_TERMS), "2<-25%")
+    return _bm25_spark(
+        spark, sf_dir, _MSM_TERMS, "disjunctive", 10, min_should_match=msm
+    )
 
 
 @gate(

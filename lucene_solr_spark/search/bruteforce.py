@@ -45,6 +45,7 @@ def search_bruteforce(
     precision: str = "float32",
     min_should_match: int | None = None,
     after: tuple | None = None,
+    tie: float = 0.0,
 ) -> DataFrame:
     """→ DataFrame(doc_id long, score float|double) ordered by (score
     desc, doc_id asc), limited to k (k=None: all matches, unordered).
@@ -52,9 +53,11 @@ def search_bruteforce(
     reproducible double pipeline (see scoring.score_components).
 
     mode: "disjunctive" (SHOULD/sum), "conjunctive" (MUST/sum),
-    "dismax" (per-doc max over clause scores, tiebreak 0 —
-    reference search/DisjunctionMaxQuery.java). min_should_match: keep
-    docs matching >= m clauses (BooleanQuery minimumNumberShouldMatch,
+    "dismax" (per-doc max over clause scores plus ``tie`` times the
+    remainder: max + tie * (sum - max), DisjunctionMaxScorer's
+    tieBreakerMultiplier — reference search/DisjunctionMaxQuery.java,
+    DisjunctionMaxScorer.java:84-95). min_should_match: keep docs
+    matching >= m clauses (BooleanQuery minimumNumberShouldMatch,
     search/BooleanQuery.java:138-167)."""
     spark = tables.postings.sparkSession
     weights_df, cache_df, n_present = score_components(
@@ -81,6 +84,12 @@ def search_bruteforce(
     )
     if mode == "dismax":
         score_agg = F.max("term_score")
+        if tie:
+            score_agg = score_agg + F.lit(float(tie)) * (
+                F.sum(F.col("term_score").cast("double")) - F.max("term_score")
+            )
+            if precision != "double":
+                score_agg = score_agg.cast("float")
     else:
         score_agg = F.sum(F.col("term_score").cast("double"))
         if precision != "double":

@@ -407,6 +407,61 @@ def fts_fuzzy_dl_expand(spark, sf_dir):
     )
 
 
+@gate(
+    "fts_fuzzy_scored",
+    f"""WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+exp AS (SELECT term, df, damerau_levenshtein(term, 'jion') AS ed
+        FROM dict WHERE damerau_levenshtein(term, 'jion') <= 2),
+bst AS (SELECT term, df,
+               1.0 - ed / CAST(least(length(term), 4) AS DOUBLE) AS boost
+        FROM exp WHERE ed < least(length(term), 4)),
+kept AS (SELECT term, df, boost,
+                row_number() OVER (ORDER BY boost DESC, df DESC, term ASC)
+                  AS rk
+         FROM bst QUALIFY rk <= 50),
+blend AS (SELECT max(df) AS dfb FROM kept),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN (SELECT term FROM kept) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id,
+         k.boost * ln(1 + (s.doc_count - bl.dfb + 0.5) / (bl.dfb + 0.5))
+           * (tf.freq / (tf.freq
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+           AS term_score
+  FROM tf JOIN kept k USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id
+  CROSS JOIN stats s CROSS JOIN blend bl)
+SELECT doc_id, round(sum(term_score), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20""",
+)
+def fts_fuzzy_scored(spark, sf_dir):
+    """FuzzyQuery 'jion'~2 under the DEFAULT scoring rewrite
+    (TopTermsBlendedFreqScoringRewrite): per-term similarity boost
+    1 - ed/min(|q|,|t|), top-50 expansions by (boost, df), df blended
+    to the max, SHOULD-sum scoring (search/fuzzyq.py; reference
+    search/FuzzyQuery.java:60-75, MultiTermQuery.java:180-196,
+    BlendedTermQuery.java:268-287)."""
+    from .search.fuzzyq import fuzzy_scored
+
+    tables = docs_index(spark, sf_dir)
+    # the top-20 cut is taken on the ROUNDED score (doc_id tie-break) so
+    # both engines pick the same members of a rounded-score tie — a ~50-
+    # term double sum differs in final ulps across engines
+    return (
+        fuzzy_scored(tables, "jion", max_edits=2, k=None, precision="double")
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ------------------------------------------------- JoinUtil score modes
 
 @gate(

@@ -309,6 +309,7 @@ _suite("fts_score_shaping", [
     ("boost", "fts_boost_clauses", ("doc_id",), ("score",)),
     ("constant", "fts_constant_score", ("doc_id",), ("score",)),
     ("query_fn", "fn_query_boost", ("doc_id",), ("score",)),
+    ("fuzzy_scored", "fts_fuzzy_scored", ("doc_id",), ("score",)),
     ("elevate", "fts_query_elevation",
      ("doc_id",), ("score", "elev_pos", "rank")),
 ])

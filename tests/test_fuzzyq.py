@@ -1,0 +1,82 @@
+"""Scored fuzzy rewrite (TopTermsBlendedFreqScoringRewrite analog).
+
+Expectations computed by hand from the pinned contract: expansion
+boost 1 - ed/min(|q|,|t|), df blended to the max over kept expansions,
+score = Σ boost · idf(df_blend) · tf/(tf + norm) (double path).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions import smallfloat
+from lucene_solr_spark.index.builder import build_index
+from lucene_solr_spark.search.bruteforce import search_bruteforce
+from lucene_solr_spark.search.fuzzyq import fuzzy_scored
+
+
+@pytest.fixture(scope="module")
+def fz_index(spark):
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "join join beta"),
+            ("c0", 1, "joins gap gap"),
+            ("c0", 2, "point gap gap"),
+            ("c0", 3, "beta gap gap"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    return build_index(docs, analyzer="simple")
+
+
+def test_exact_only_matches_bruteforce(fz_index):
+    """max_edits=0 degenerates to a single exact term with boost 1 and
+    df_blend = its own df — identical to plain BM25."""
+    got = {
+        (r["doc_id"], round(r["score"], 10))
+        for r in fuzzy_scored(
+            fz_index, "join", max_edits=0, precision="double"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], round(r["score"], 10))
+        for r in search_bruteforce(
+            fz_index, ["join"], "disjunctive", k=10, precision="double"
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_blended_df_and_boost(fz_index):
+    """'join'~1 expands to join(ed0, boost 1) and joins(ed1, boost
+    1 - 1/4 = 0.75); point is ed 3. df blends to max(df_join=1,
+    df_joins=1) = 1; doc1's score is 0.75 * doc-length-matched
+    BM25."""
+    rows = {
+        r["doc_id"]: r["score"]
+        for r in fuzzy_scored(
+            fz_index, "join", max_edits=1, precision="double"
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    n, sum_ttf = fz_index.doc_count, fz_index.sum_total_term_freq
+    avgdl = sum_ttf / n
+    idf = np.log(1.0 + (n - 1 + 0.5) / (1 + 0.5))
+    dl = smallfloat.byte4_to_int(
+        np.array([smallfloat.int_to_byte4(np.array([3]))[0]])
+    )[0]
+    # the engine's default k1/b are float32 constants (1.2 is not
+    # exactly representable); replicate to the ulp
+    from lucene_solr_spark.functions import bm25
+
+    k1, b = float(bm25.K1), float(bm25.B)
+    norm = k1 * (1 - b + b * dl / avgdl)
+    # doc0: freq 2 of 'join' (boost 1); doc1: freq 1 of 'joins' (0.75)
+    assert rows[0] == pytest.approx(idf * 2 / (2 + norm), rel=1e-12)
+    assert rows[1] == pytest.approx(0.75 * idf * 1 / (1 + norm), rel=1e-12)
+
+
+def test_zero_boost_dropped_and_absent_empty(fz_index):
+    """Expansions whose edit count reaches min(|q|,|t|) get boost 0 and
+    are dropped; a query with no surviving expansion returns empty."""
+    assert fuzzy_scored(fz_index, "xy", max_edits=2).count() == 0

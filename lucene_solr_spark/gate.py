@@ -407,6 +407,28 @@ def fts_wildcard_expand(spark, sf_dir):
 
 
 @gate(
+    "fts_rev_wildcard",
+    f"""WITH toks AS ({_TOKS})
+SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term LIKE '%er'
+GROUP BY term ORDER BY term ASC""",
+)
+def fts_rev_wildcard(spark, sf_dir):
+    """Leading-wildcard `*er` via the REVERSED term (ReversedWildcard-
+    FilterFactory analog — reference solr/core/.../analysis/
+    ReversedWildcardFilterFactory.java): reverse(term) startswith
+    reverse(suffix), which on an at-rest dictionary stored with a
+    sorted/partitioned `term_rev` column is an ordinary prefix
+    pushdown instead of a full dictionary scan — the same trick the
+    reference plays by indexing reversed tokens."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(F.reverse(F.col("term")).startswith("re"))
+        .select("term", "df")
+        .orderBy(F.asc("term"))
+    )
+
+
+@gate(
     "fts_fuzzy_expand",
     f"""WITH toks AS ({_TOKS})
 SELECT term, count(DISTINCT doc_id) AS df FROM toks

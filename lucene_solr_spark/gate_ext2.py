@@ -239,6 +239,43 @@ def fts_spellcheck(spark, sf_dir):
 
 
 @gate(
+    "fts_word_breaks",
+    f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+w(input) AS (VALUES ('sortmerge'), ('scanline'), ('hashjoin'),
+                    ('sparkmerge')),
+s AS (SELECT input, unnest(range(2, length(input) - 1)) AS i FROM w),
+sp AS (SELECT input, substr(input, 1, i) AS lft, substr(input, i + 1) AS rgt
+       FROM s)
+SELECT sp.input, sp.lft, sp.rgt,
+       CAST(a.df AS BIGINT) AS df_left, CAST(b.df AS BIGINT) AS df_right,
+       CAST(a.df + b.df AS BIGINT) AS freq_sum
+FROM sp JOIN dict a ON a.term = sp.lft JOIN dict b ON b.term = sp.rgt
+ORDER BY freq_sum DESC, input ASC, lft ASC LIMIT 20""",
+)
+def fts_word_breaks(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks: run-together compounds
+    split where both halves are dictionary terms, ranked by summed df
+    (reference lucene/suggest/.../spell/WordBreakSpellChecker.java:
+    73-107; search/suggest.py word_breaks). The split candidates
+    broadcast; the dictionary is equi-join probed twice."""
+    from .search.suggest import word_breaks
+
+    wb = word_breaks(
+        docs_index(spark, sf_dir),
+        ["sortmerge", "scanline", "hashjoin", "sparkmerge"],
+        min_break_length=2, k=20,
+    )
+    return wb.select(
+        "input", "lft", "rgt",
+        F.col("df_left").cast("long").alias("df_left"),
+        F.col("df_right").cast("long").alias("df_right"),
+        F.col("freq_sum").cast("long").alias("freq_sum"),
+    )
+
+
+@gate(
     "fn_index_stats",
     f"""
 WITH toks AS ({_TOKS}),

@@ -266,6 +266,7 @@ _suite("fts_term_stats", [
 _suite("fts_expand_multi", [
     ("prefix", "fts_prefix_expand", ("term",), ("df",)),
     ("wildcard", "fts_wildcard_expand", ("term",), ("df",)),
+    ("rev_wildcard", "fts_rev_wildcard", ("term",), ("df",)),
     ("fuzzy", "fts_fuzzy_expand", ("term",), ("df",)),
     ("fuzzy_dl", "fts_fuzzy_dl_expand", ("term",), ("df",)),
     ("regexp", "fts_regexp_expand", ("term",), ("df",)),
@@ -344,6 +345,8 @@ _suite("fts_suggest_spell", [
     ("spellcheck", "fts_spellcheck", ("term",), ("distance", "df")),
     ("analyzing", "fts_suggest_analyzing", ("key",), ("weight",)),
     ("fuzzy", "fts_suggest_fuzzy", ("key",), ("weight", "distance")),
+    ("word_breaks", "fts_word_breaks",
+     ("input", "lft"), ("df_left", "df_right", "freq_sum")),
 ])
 
 # 18-19: percolator + explain

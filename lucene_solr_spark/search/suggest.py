@@ -158,3 +158,90 @@ def fuzzy_suggest(
         .orderBy(F.desc("weight"), F.asc("key"))
         .limit(k)
     )
+
+
+def word_breaks(
+    tables,
+    words,
+    min_break_length: int = 2,
+    min_freq: int = 1,
+    k: int | None = 20,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks, single split (reference
+    lucene/suggest/src/java/org/apache/lucene/search/spell/
+    WordBreakSpellChecker.java:73-107 — maxChanges=1): every split of
+    each input word into (left, right) where BOTH parts are dictionary
+    terms with df >= min_freq and length >= min_break_length, ranked by
+    summed frequency desc (BreakSuggestionSortMethod
+    NUM_CHANGES_THEN_SUMMED_FREQUENCY with a single change count).
+
+    → (input, lft, rgt, df_left, df_right, freq_sum). Plan: the split
+    candidates are a tiny broadcast side; the dictionary (the big side
+    at scale) is probed twice by equi-join — prefix/term pushdown, no
+    corpus scan."""
+    spark = tables.dictionary.sparkSession
+    pairs = [
+        (w, w[:i], w[i:])
+        for w in words
+        for i in range(min_break_length, len(w) - min_break_length + 1)
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "input string, lft string, rgt string, df_left long, "
+                "df_right long, freq_sum long"
+        )
+    cand = spark.createDataFrame(
+        pairs, "input string, lft string, rgt string"
+    )
+    d = tables.dictionary.filter(F.col("df") >= min_freq).select("term", "df")
+    out = (
+        d.withColumnRenamed("term", "lft")
+        .withColumnRenamed("df", "df_left")
+        .join(F.broadcast(cand), "lft")
+        .join(
+            d.withColumnRenamed("term", "rgt").withColumnRenamed(
+                "df", "df_right"
+            ),
+            "rgt",
+        )
+        .select(
+            "input", "lft", "rgt", "df_left", "df_right",
+            (F.col("df_left") + F.col("df_right")).alias("freq_sum"),
+        )
+        .orderBy(F.desc("freq_sum"), F.asc("input"), F.asc("lft"))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def word_combinations(
+    tables,
+    terms,
+    max_combine_length: int = 20,
+    min_freq: int = 1,
+    k: int | None = 10,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (reference
+    WordBreakSpellChecker.java:109-145): adjacent query terms whose
+    concatenation is a dictionary term with df >= min_freq and length
+    <= max_combine_length, ranked by df desc.
+
+    → (w1, w2, combined, df)."""
+    spark = tables.dictionary.sparkSession
+    pairs = [
+        (terms[i], terms[i + 1], terms[i] + terms[i + 1])
+        for i in range(len(terms) - 1)
+        if len(terms[i] + terms[i + 1]) <= max_combine_length
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "w1 string, w2 string, combined string, df long"
+        )
+    cand = spark.createDataFrame(pairs, "w1 string, w2 string, combined string")
+    out = (
+        tables.dictionary.filter(F.col("df") >= min_freq)
+        .withColumnRenamed("term", "combined")
+        .join(F.broadcast(cand), "combined")
+        .select("w1", "w2", "combined", "df")
+        .orderBy(F.desc("df"), F.asc("combined"))
+    )
+    return out.limit(k) if k is not None else out

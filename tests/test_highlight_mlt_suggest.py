@@ -175,3 +175,42 @@ def test_fuzzy_suggest_tolerates_prefix_typo(sugg):
         "key agg row scan", "key agg row merge",
     }
     assert fuzzy_suggest(sugg, "ku").count() == 0  # exact prefix miss
+
+
+def test_word_breaks_and_combinations(spark):
+    """WordBreakSpellChecker analogs: breaks need BOTH halves in the
+    dictionary at min length; combinations need the concatenation to
+    be a dictionary term."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.suggest import (
+        word_breaks, word_combinations,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "sort merge sort data base"),
+            ("c0", 1, "database lookup sort"),
+            ("c0", 2, "merge data"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_index(docs, analyzer="simple")
+    wb = word_breaks(idx, ["sortmerge", "database", "xyzzy"]).collect()
+    got = {(r["input"], r["lft"], r["rgt"]): r["freq_sum"] for r in wb}
+    # sortmerge -> sort+merge; database -> data+base (despite 'database'
+    # itself being a term); xyzzy -> nothing
+    assert set(got) == {
+        ("sortmerge", "sort", "merge"), ("database", "data", "base"),
+    }
+    assert got[("sortmerge", "sort", "merge")] == 2 + 2  # df sort=2, merge=2
+    # min_break_length excludes short halves
+    assert not word_breaks(idx, ["database"], min_break_length=5).count()
+
+    wc = word_combinations(idx, ["data", "base", "sort"]).collect()
+    # adjacent pair data+base = 'database' (df 1); base+sort absent
+    assert [(r["w1"], r["w2"], r["combined"], r["df"]) for r in wc] == [
+        ("data", "base", "database", 1)
+    ]
+    assert word_combinations(
+        idx, ["data", "base"], max_combine_length=6
+    ).count() == 0  # length cap

@@ -689,6 +689,34 @@ def rel_collapse_best_order(spark, sf_dir):
 
 
 @gate(
+    "rel_expand_groups",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk BETWEEN 2 AND 3
+ORDER BY o_custkey ASC, rnk ASC""",
+)
+def rel_expand_groups(spark, sf_dir):
+    """ExpandComponent: after collapsing to the best row per group,
+    expand returns the next expand.rows=2 rows of each collapsed group
+    under the same sort (reference solr/core/.../handler/component/
+    ExpandComponent.java — 'expands the collapsed groups for the
+    current page'). Same single-shuffle window as collapse; rank
+    slice [2, 1+rows]."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk").between(2, 3))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy(F.asc("o_custkey"), F.asc("rnk"))
+    )
+
+
+@gate(
     "rel_timeseries_daily",
     """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
   event_type, count(*) AS n_events,

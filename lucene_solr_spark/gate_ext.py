@@ -1257,6 +1257,34 @@ def rel_graph_path(spark, sf_dir):
 
 
 @gate(
+    "rel_graph_score",
+    f"""WITH edges AS ({_GRAPH_EDGES_SQL}),
+arr AS (SELECT dst AS node, count(*) AS cnt FROM edges
+        WHERE src IN (0, 1, 2) GROUP BY dst),
+ind AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst),
+tot AS (SELECT count(*) AS n_edges FROM edges)
+SELECT a.node, CAST(a.cnt AS BIGINT) AS cnt,
+       CAST(i.in_degree AS BIGINT) AS in_degree,
+       round(a.cnt * ln(CAST(t.n_edges AS DOUBLE) / i.in_degree), 6)
+         AS score
+FROM arr a JOIN ind i USING (node) CROSS JOIN tot t
+ORDER BY node""",
+)
+def rel_graph_score(spark, sf_dir):
+    """ScoreNodesStream: tf-idf node relevance for one gather round
+    from roots {0,1,2} — cnt * ln(n_edges / in_degree)
+    (operators/graph.py score_nodes; reference solr/solrj/.../io/
+    stream/ScoreNodesStream.java)."""
+    from .operators.graph import score_nodes
+
+    return (
+        score_nodes(_graph_edges(spark, sf_dir), [0, 1, 2])
+        .withColumn("score", F.round("score", 6))
+        .orderBy("node")
+    )
+
+
+@gate(
     "fts_span_near",
     """WITH tok AS (
   SELECT doc_id,

@@ -371,6 +371,8 @@ _passthrough(
 _suite("rel_graph", [
     ("gather", "rel_graph_gather", ("node",), ("depth",)),
     ("shortest_path", "rel_graph_path", ("src", "dst"), ("depth",)),
+    ("score_nodes", "rel_graph_score",
+     ("node",), ("cnt", "in_degree", "score")),
 ])
 
 # 29: top-docs-per-group — grouping module + collapse
@@ -379,6 +381,8 @@ _suite("rel_topk_groups", [
      ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
     ("collapse", "rel_collapse_best_order",
      ("o_custkey", "o_orderkey"), ("o_totalprice",)),
+    ("expand", "rel_expand_groups",
+     ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
 ])
 
 # 30: FacetRange + TimeSeriesStream histograms

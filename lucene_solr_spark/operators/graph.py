@@ -83,3 +83,50 @@ def shortest_path_length(
         F.col("node").alias("dst"),
         "depth",
     )
+
+
+def score_nodes(
+    edges: DataFrame,
+    roots,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """ScoreNodesStream analog (reference solr/solrj/.../io/stream/
+    ScoreNodesStream.java): tf-idf relevance for the nodes of one
+    gather round. tf = the node's traversal count (edges arriving from
+    the root set — gatherNodes' count(*) aggregation); idf uses the
+    node's global in-degree as its docFreq against the edge count as
+    docCount: score = cnt * ln(n_edges / in_degree). Nodes every walk
+    reaches (hubs) rank below selectively-reached ones, exactly the
+    stream's purpose.
+
+    → (node, cnt, in_degree, score). Plan: two hash-aggs over the edge
+    relation plus one broadcast of the 1-row edge count — no driver
+    collect, co-partitionable on dst at scale."""
+    spark = edges.sparkSession
+    roots = [int(r) for r in roots]
+    arrivals = (
+        edges.filter(F.col(src_col).isin(roots))
+        .groupBy(F.col(dst_col).cast("long").alias("node"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    indeg = edges.groupBy(F.col(dst_col).cast("long").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    total = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        arrivals.join(indeg, "node")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "cnt",
+            "in_degree",
+            (
+                F.col("cnt").cast("double")
+                * F.log(
+                    F.col("n_edges").cast("double")
+                    / F.col("in_degree").cast("double")
+                )
+            ).alias("score"),
+        )
+    )

@@ -38,3 +38,30 @@ def test_bfs_handles_cycles(spark):
     e = _edges(spark, [(0, 1), (1, 0), (1, 2)])
     got = {r["node"]: r["depth"] for r in bfs_depths(e, [0], 5).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_score_nodes(spark):
+    """ScoreNodesStream tf-idf: hubs reached by everything score below
+    selectively-reached nodes with the same traversal count."""
+    import math
+
+    import pytest
+
+    from lucene_solr_spark.operators.graph import score_nodes
+
+    # 6 edges; node 9 is a hub (in-degree 4), node 5 rare (in-degree 1)
+    edges = spark.createDataFrame(
+        [(0, 9), (1, 9), (2, 9), (3, 9), (0, 5), (3, 6)],
+        "src long, dst long",
+    )
+    rows = {
+        r["node"]: (r["cnt"], r["in_degree"], r["score"])
+        for r in score_nodes(edges, [0, 1]).collect()
+    }
+    assert set(rows) == {9, 5}
+    cnt9, ind9, s9 = rows[9]
+    cnt5, ind5, s5 = rows[5]
+    assert (cnt9, ind9) == (2, 4) and (cnt5, ind5) == (1, 1)
+    assert s9 == pytest.approx(2 * math.log(6 / 4))
+    assert s5 == pytest.approx(1 * math.log(6 / 1))
+    assert s5 > s9  # rarity outranks the hub despite half the count

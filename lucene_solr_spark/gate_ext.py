@@ -471,6 +471,7 @@ ds AS (SELECT doc_id, sum(term_score) AS score FROM scored GROUP BY doc_id)
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_matching,
        round(max(ds.score), 4) AS score_max,
+       round(min(ds.score), 4) AS score_min,
        round(CAST(sum(CAST(round(ds.score, 9) AS DECIMAL(28,9)))
                   AS DOUBLE), 4) AS score_total,
        round(CAST(sum(CAST(round(ds.score, 9) AS DECIMAL(28,9)))
@@ -480,7 +481,7 @@ GROUP BY d.source ORDER BY d.source""",
 )
 def fts_join_scores(spark, sf_dir):
     """JoinUtil query-time score propagation (reference lucene/join/
-    .../JoinUtil.java, ScoreMode.Max/Total/Avg + GlobalOrdinalsWith-
+    .../JoinUtil.java, ScoreMode.Max/Min/Total/Avg + GlobalOrdinalsWith-
     ScoreQuery): child documents matching a BM25 query join to their
     parent key (source) and the parent's score aggregates child scores
     per mode — one hash-agg over the scored child set, order-independent
@@ -498,6 +499,7 @@ def fts_join_scores(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n_matching"),
             F.round(F.max("score"), 4).alias("score_max"),
+            F.round(F.min("score"), 4).alias("score_min"),
             F.round(F.sum(dec).cast("double"), 4).alias("score_total"),
             F.round(
                 F.sum(dec).cast("double") / F.count("*"), 4

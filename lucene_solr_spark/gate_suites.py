@@ -431,7 +431,8 @@ _suite("rel_join_specials", [
     ("semi", "rel_semijoin_segments", ("c_mktsegment",), ("n_customers",)),
     ("anti", "rel_antijoin_no_orders", ("c_custkey", "c_name"), ()),
     ("scored_join", "fts_join_scores",
-     ("source", "n_matching"), ("score_max", "score_total", "score_avg")),
+     ("source", "n_matching"),
+     ("score_max", "score_min", "score_total", "score_avg")),
 ])
 
 # 36: percentile + HLL approx aggregates

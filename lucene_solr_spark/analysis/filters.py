@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "stop_filter",
+    "word_delimiter_filter",
+    "pattern_replace_filter",
+    "trim_filter",
     "shingle_filter",
     "ngram_filter",
     "edge_ngram_filter",
@@ -117,4 +120,52 @@ def length_filter(tokens: Column, min_len: int = 1, max_len: int = 255) -> Colum
     """Keep tokens with length in [min_len, max_len]."""
     return F.filter(
         tokens, lambda x: F.length(x).between(min_len, max_len)
+    )
+
+
+def word_delimiter_filter(tokens: Column) -> Column:
+    """WordDelimiterGraphFilter subset (generateWordParts +
+    generateNumberParts, no catenation — reference lucene/analysis/
+    common/.../miscellaneous/WordDelimiterGraphFilter.java:63-107):
+    sub-words split on intra-word case transitions, letter/digit
+    transitions, and non-alphanumeric delimiters; "PowerShot500-MkII"
+    → [Power, Shot, 500, Mk, II].
+
+    Pinned as four sequential boundary-marking regexp_replace passes
+    (upper-run|UpperLower, lower/digit|Upper, letter|digit,
+    digit|letter) followed by a non-alphanumeric split — lookahead-free
+    so the identical rewrite runs on any RE2-class engine (the DuckDB
+    oracle uses the same four patterns)."""
+
+    def split_one(t):
+        x = F.regexp_replace(t, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+        x = F.regexp_replace(x, r"([a-z0-9])([A-Z])", r"$1 $2")
+        x = F.regexp_replace(x, r"([A-Za-z])([0-9])", r"$1 $2")
+        x = F.regexp_replace(x, r"([0-9])([A-Za-z])", r"$1 $2")
+        return F.split(x, r"[^A-Za-z0-9]+")
+
+    return F.filter(
+        F.flatten(F.transform(tokens, split_one)), lambda p: p != ""
+    )
+
+
+def pattern_replace_filter(
+    tokens: Column, pattern: str, replacement: str
+) -> Column:
+    """PatternReplaceFilter (reference lucene/analysis/common/.../
+    pattern/PatternReplaceFilter.java): regex-rewrite every token
+    (replaceAll semantics)."""
+    return F.transform(
+        tokens, lambda t: F.regexp_replace(t, pattern, replacement)
+    )
+
+
+def trim_filter(tokens: Column) -> Column:
+    """TrimFilter (reference lucene/analysis/common/.../miscellaneous/
+    TrimFilter.java): strip leading/trailing whitespace from each
+    token. Regexp-based because the reference trims every
+    Character.isWhitespace (tabs included) while F.trim strips only
+    spaces."""
+    return F.transform(
+        tokens, lambda t: F.regexp_replace(t, r"^\s+|\s+$", "")
     )

@@ -1132,6 +1132,80 @@ def fts_analysis_chain(spark, sf_dir):
 
 
 @gate(
+    "fts_word_delimiter",
+    """WITH inp AS (
+  SELECT concat('PowerShot', CAST(doc_id % 30 AS VARCHAR), '-Src',
+                substr(source, 4), 'MkII') AS s
+  FROM documents),
+rw AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+         '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+         '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+         '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+         '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s FROM inp),
+parts AS (SELECT unnest(string_split_regex(s, '[^A-Za-z0-9]+')) AS part
+          FROM rw)
+SELECT part, count(*) AS cnt FROM parts WHERE part <> ''
+GROUP BY part ORDER BY part ASC""",
+)
+def fts_word_delimiter(spark, sf_dir):
+    """WordDelimiterGraphFilter over synthesized product-code strings
+    (PowerShot<N>-Src<k>MkII): case/digit/delimiter sub-word splits,
+    counted per part (analysis/filters.py word_delimiter_filter;
+    reference lucene/analysis/common/.../miscellaneous/
+    WordDelimiterGraphFilter.java)."""
+    from .analysis.filters import word_delimiter_filter
+
+    docs = load(spark, sf_dir, "documents")
+    inp = F.concat(
+        F.lit("PowerShot"),
+        (F.col("doc_id") % 30).cast("string"),
+        F.lit("-Src"),
+        F.substring("source", 4, 10),
+        F.lit("MkII"),
+    )
+    parts = docs.select(
+        F.explode(word_delimiter_filter(F.array(inp))).alias("part")
+    )
+    return (
+        parts.groupBy("part")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("part"))
+    )
+
+
+@gate(
+    "fts_pattern_trim",
+    """WITH inp AS (
+  SELECT concat('  ', upper(source), '-', lang, ' ') AS s FROM documents),
+norm AS (SELECT regexp_replace(trim(s), '[0-9]+', '#', 'g') AS tok
+         FROM inp)
+SELECT tok, count(*) AS cnt FROM norm GROUP BY tok ORDER BY tok ASC""",
+)
+def fts_pattern_trim(spark, sf_dir):
+    """TrimFilter + PatternReplaceFilter chain: padded '  SRC12-en '
+    tokens are trimmed then digit-runs collapsed to '#'
+    (analysis/filters.py trim_filter / pattern_replace_filter;
+    reference lucene/analysis/common/.../miscellaneous/TrimFilter.java,
+    .../pattern/PatternReplaceFilter.java)."""
+    from .analysis.filters import pattern_replace_filter, trim_filter
+
+    docs = load(spark, sf_dir, "documents")
+    inp = F.concat(
+        F.lit("  "), F.upper("source"), F.lit("-"), F.col("lang"),
+        F.lit(" "),
+    )
+    toks = pattern_replace_filter(
+        trim_filter(F.array(inp)), "[0-9]+", "#"
+    )
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("tok"))
+    )
+
+
+@gate(
     "fts_parsed_phrase",
     f"""WITH toks AS ({_TOKS}),
 tokp AS (

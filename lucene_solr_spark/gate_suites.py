@@ -316,7 +316,14 @@ _suite("fts_score_shaping", [
 ])
 
 # 13-14: analysis chains
-_passthrough("fts_analysis_chain", "fts_porter_stemmed_terms")
+# 13: analysis chains — the synonym/stop/length/shingle chain plus the
+# WordDelimiterGraph sub-word splitter and Trim+PatternReplace chain
+_suite("fts_analysis_suite", [
+    ("chain", "fts_analysis_chain", ("shingle",), ("cnt",)),
+    ("word_delim", "fts_word_delimiter", ("part",), ("cnt",)),
+    ("pattern_trim", "fts_pattern_trim", ("tok",), ("cnt",)),
+])
+_passthrough("fts_porter_stemmed_terms")
 
 # 15: highlighter — classic first-match best-fragment (Highlighter/
 # SimpleFragmenter) + passage-SCORED unified highlighting

@@ -149,3 +149,45 @@ def test_soundex_matches_spark_builtin(spark):
     }
     for w in words:
         assert got[w] == soundex(w), w
+
+
+def test_word_delimiter_filter(spark):
+    """WDGF subset: case transitions, letter/digit transitions, and
+    delimiters all split; upper-runs keep their tail capital with the
+    following word (ABCDef -> ABC, Def)."""
+    from lucene_solr_spark.analysis.filters import word_delimiter_filter
+
+    df = spark.createDataFrame(
+        [(["PowerShot500-MkII"],), (["ABCDef"],), (["Wi-Fi"],),
+         (["x9Y"],), ([""],)],
+        "toks array<string>",
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            word_delimiter_filter(F.col("toks")).alias("out")
+        ).collect()
+    ]
+    assert got == [
+        ["Power", "Shot", "500", "Mk", "II"],
+        ["ABC", "Def"],
+        ["Wi", "Fi"],
+        ["x", "9", "Y"],
+        [],
+    ]
+
+
+def test_pattern_replace_and_trim(spark):
+    from lucene_solr_spark.analysis.filters import (
+        pattern_replace_filter, trim_filter,
+    )
+
+    df = spark.createDataFrame(
+        [([" ab12 ", "\tc3\t", "clean"],)], "toks array<string>"
+    )
+    out = df.select(
+        pattern_replace_filter(
+            trim_filter(F.col("toks")), "[0-9]+", "#"
+        ).alias("out")
+    ).collect()[0]["out"]
+    assert out == ["ab#", "c#", "clean"]

@@ -1132,6 +1132,58 @@ def fts_analysis_chain(spark, sf_dir):
 
 
 @gate(
+    "fts_payload_score",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+pl AS (SELECT doc_id, term, (doc_id + pos) % 5 AS payload FROM tok)
+SELECT doc_id, count(*) AS n_occ,
+       CAST(sum(payload) AS DOUBLE) AS pay_sum,
+       CAST(max(payload) AS DOUBLE) AS pay_max,
+       round(avg(payload), 6) AS pay_avg
+FROM pl WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id""",
+)
+def fts_payload_score(spark, sf_dir):
+    """Payload pipeline end-to-end: tokens are serialized with
+    deterministic delimited payloads ("spark|3"), re-parsed by the
+    DelimitedPayloadTokenFilter analog into a payload posting relation,
+    and PayloadScoreQuery aggregates Sum/Max/Average payload per doc
+    for 'spark' (analysis/payloads.py; reference lucene/analysis/
+    common/.../payloads/DelimitedPayloadTokenFilter.java,
+    lucene/queries/.../payloads/PayloadScoreQuery.java)."""
+    from .analysis.payloads import delimited_payload_postings
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    payloaded = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda t, i: F.concat(
+                t, F.lit("|"), ((F.col("doc_id") + i) % 5).cast("string")
+            ),
+        ),
+    )
+    postings = delimited_payload_postings(
+        docs.select("doc_id", payloaded.alias("text"))
+    )
+    return (
+        postings.filter(F.col("term") == "spark")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.sum(F.col("payload").cast("double")).alias("pay_sum"),
+            F.max(F.col("payload").cast("double")).alias("pay_max"),
+            F.round(F.avg(F.col("payload").cast("double")), 6).alias(
+                "pay_avg"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@gate(
     "fts_word_delimiter",
     """WITH inp AS (
   SELECT concat('PowerShot', CAST(doc_id % 30 AS VARCHAR), '-Src',

@@ -311,6 +311,8 @@ _suite("fts_score_shaping", [
     ("constant", "fts_constant_score", ("doc_id",), ("score",)),
     ("query_fn", "fn_query_boost", ("doc_id",), ("score",)),
     ("fuzzy_scored", "fts_fuzzy_scored", ("doc_id",), ("score",)),
+    ("payload", "fts_payload_score",
+     ("doc_id",), ("n_occ", "pay_sum", "pay_max", "pay_avg")),
     ("elevate", "fts_query_elevation",
      ("doc_id",), ("score", "elev_pos", "rank")),
 ])

@@ -191,3 +191,37 @@ def test_pattern_replace_and_trim(spark):
         ).alias("out")
     ).collect()[0]["out"]
     assert out == ["ab#", "c#", "clean"]
+
+
+def test_delimited_payloads_and_payload_score(spark):
+    """DelimitedPayloadTokenFilter parse + PayloadScoreQuery functions
+    (sum/max/min/avg); tokens without a delimiter carry payload 0."""
+    import pytest
+
+    from lucene_solr_spark.analysis.payloads import (
+        delimited_payload_postings, payload_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "boost|2.5 plain boost|0.5"), (1, "boost|4.0"), (2, "other|9")],
+        "doc_id long, text string",
+    )
+    p = delimited_payload_postings(docs)
+    rows = {(r["doc_id"], r["pos"]): (r["term"], r["payload"])
+            for r in p.collect()}
+    assert rows[(0, 0)] == ("boost", 2.5)
+    assert rows[(0, 1)] == ("plain", 0.0)
+    assert rows[(0, 2)] == ("boost", 0.5)
+
+    def got(func):
+        return {
+            r["doc_id"]: (r["n_occ"], r["score"])
+            for r in payload_score(p, "boost", func).collect()
+        }
+
+    assert got("sum") == {0: (2, 3.0), 1: (1, 4.0)}
+    assert got("max") == {0: (2, 2.5), 1: (1, 4.0)}
+    assert got("min") == {0: (2, 0.5), 1: (1, 4.0)}
+    assert got("avg") == {0: (2, 1.5), 1: (1, 4.0)}
+    with pytest.raises(ValueError):
+        payload_score(p, "boost", "median")

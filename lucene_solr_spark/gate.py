@@ -77,6 +77,27 @@ def docs_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def docs_title_index(spark: SparkSession, sf_dir: str):
+    """Second indexed FIELD over the documents table: title = the first
+    8 analyzed tokens (a deterministic field projection both engines
+    derive identically). Own df/avgdl/norm statistics — the reference's
+    per-field semantics for multi-field (qf) queries."""
+    from .index.builder import simple_tokens
+
+    key = ("docs_title", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(simple_tokens("text"), 1, 8)
+            ).alias("text"),
+        )
+        _INDEX_CACHE[key] = build_index(
+            docs, analyzer="simple", id_col="doc_id"
+        )
+    return _INDEX_CACHE[key]
+
+
 def docs_pos_index(spark: SparkSession, sf_dir: str):
     """Positional segmented index over the documents table (simple
     analyzer) — backs the index-side phrase gates; cached per sf_dir."""
@@ -319,6 +340,74 @@ def fts_dismax_tie(spark, sf_dir):
     DisjunctionMaxScorer.java:84-95 — the dismax qparser's `tie`)."""
     return _bm25_spark(
         spark, sf_dir, ["spark", "customer"], "dismax", 10, tie=0.3
+    )
+
+
+@gate(
+    "fts_edismax_fields",
+    f"""WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dlb AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+dlt AS (SELECT doc_id, least(count(*), 8) AS dl FROM tokp GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {{NORM_VALUES}}),
+qdb AS (SELECT d.doc_id, nt.qdl FROM dlb d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+qdt AS (SELECT d.doc_id, nt.qdl FROM dlt d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+sb AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dlb),
+st AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dlt),
+tfb AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+tft AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') AND pos <= 8
+        GROUP BY doc_id, term),
+dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY term),
+dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+scb AS (SELECT t.doc_id, t.term,
+               1.0 * ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                 * (t.freq / (t.freq + 1.2 * (0.25
+                    + 0.75 * q.qdl / (s.sum_ttf / s.doc_count)))) AS s
+        FROM tfb t JOIN dfb d USING (term)
+        JOIN qdb q ON q.doc_id = t.doc_id CROSS JOIN sb s),
+sct AS (SELECT t.doc_id, t.term,
+               2.0 * ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                 * (t.freq / (t.freq + 1.2 * (0.25
+                    + 0.75 * q.qdl / (s.sum_ttf / s.doc_count)))) AS s
+        FROM tft t JOIN dft d USING (term)
+        JOIN qdt q ON q.doc_id = t.doc_id CROSS JOIN st s),
+u AS (SELECT * FROM scb UNION ALL SELECT * FROM sct),
+comb AS (SELECT doc_id, term,
+                max(s) + 0.3 * (sum(s) - max(s)) AS ts
+         FROM u GROUP BY doc_id, term)
+SELECT doc_id, round(sum(ts), 4) AS score
+FROM comb GROUP BY doc_id ORDER BY doc_id""".replace(
+        "{NORM_VALUES}", _NORM_VALUES
+    ),
+)
+def fts_edismax_fields(spark, sf_dir):
+    """ExtendedDisMax qf + tie over two fields: title (first 8 tokens,
+    its own df/avgdl/norms) boosted 2.0 and body 1.0, tie 0.3, query
+    'spark merge' — per-term DisMax across fields, per-doc sum
+    (search/edismax.py; reference solr/core/.../search/
+    ExtendedDismaxQParser.java:1262-1304, DisjunctionMaxQuery.java)."""
+    from .search.edismax import edismax
+
+    out = edismax(
+        {
+            "body": docs_index(spark, sf_dir),
+            "title": docs_title_index(spark, sf_dir),
+        },
+        ["spark", "merge"],
+        qf={"title": 2.0, "body": 1.0},
+        tie=0.3,
+        k=None,
+        precision="double",
+    )
+    return (
+        out.withColumn("score", F.round("score", 4)).orderBy("doc_id")
     )
 
 

@@ -80,3 +80,53 @@ def test_zero_boost_dropped_and_absent_empty(fz_index):
     """Expansions whose edit count reaches min(|q|,|t|) get boost 0 and
     are dropped; a query with no surviving expansion returns empty."""
     assert fuzzy_scored(fz_index, "xy", max_edits=2).count() == 0
+
+
+def test_edismax_qf_tie(spark):
+    """eDisMax: per-term dismax across fields with qf boosts and tie,
+    summed per doc — verified against a hand-computed two-field case."""
+    import numpy as np
+
+    from lucene_solr_spark.functions import bm25, smallfloat
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.edismax import edismax
+
+    body = spark.createDataFrame(
+        [(0, "alpha beta gap"), (1, "alpha gap gap"), (2, "gap gap gap")],
+        "doc_id long, text string",
+    )
+    title = spark.createDataFrame(
+        [(0, "alpha"), (1, "gap"), (2, "beta")],
+        "doc_id long, text string",
+    )
+    tb = build_index(body, analyzer="simple", id_col="doc_id")
+    tt = build_index(title, analyzer="simple", id_col="doc_id")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in edismax(
+            {"body": tb, "title": tt}, ["alpha", "beta"],
+            qf={"title": 2.0}, tie=0.5, precision="double",
+        ).collect()
+    }
+
+    k1, b = float(bm25.K1), float(bm25.B)
+
+    def s(freq, dl, avgdl, df, n, boost):
+        qdl = float(smallfloat.byte4_to_int(
+            smallfloat.int_to_byte4(np.array([dl])))[0])
+        idf = np.log(1 + (n - df + 0.5) / (df + 0.5))
+        return boost * idf * freq / (freq + k1 * (1 - b + b * qdl / avgdl))
+
+    # body: n=3, avgdl=3; alpha df=2, beta df=1. title: n=3, avgdl=1;
+    # alpha df=1, beta df=1.
+    a_b0 = s(1, 3, 3, 2, 3, 1.0)   # alpha in body doc0
+    a_t0 = s(1, 1, 1, 1, 3, 2.0)   # alpha in title doc0
+    b_b0 = s(1, 3, 3, 1, 3, 1.0)   # beta in body doc0
+    exp0 = (max(a_b0, a_t0) + 0.5 * (a_b0 + a_t0 - max(a_b0, a_t0))) + b_b0
+    a_b1 = s(1, 3, 3, 2, 3, 1.0)
+    exp1 = a_b1                     # alpha only, body only
+    b_t2 = s(1, 1, 1, 1, 3, 2.0)
+    exp2 = b_t2                     # beta only, title only
+    assert got[0] == pytest.approx(exp0, rel=1e-12)
+    assert got[1] == pytest.approx(exp1, rel=1e-12)
+    assert got[2] == pytest.approx(exp2, rel=1e-12)

@@ -63,6 +63,75 @@ def mut_upsert_delete(spark, sf_dir):
     )
 
 
+@gate(
+    "mut_atomic_update",
+    """WITH base AS (
+  SELECT doc_id, lang, n_chars, [source] AS tags FROM documents
+  WHERE doc_id < 200),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 7 ELSE 0 END AS n_chars,
+         list_sort(
+           CASE WHEN doc_id % 3 = 0
+                THEN list_filter(
+                       CASE WHEN doc_id % 5 = 0
+                            THEN list_append(tags, 'extra') ELSE tags END,
+                       t -> t <> 'src1')
+                WHEN doc_id % 5 = 0 THEN list_append(tags, 'extra')
+                ELSE tags END) AS tags
+  FROM base)
+SELECT doc_id,
+       concat(lang, ':', array_to_string(tags, ',')) AS state,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(tags) AS BIGINT) AS n_tags
+FROM fin ORDER BY doc_id""",
+)
+def mut_atomic_update(spark, sf_dir):
+    """Solr atomic updates: a modifier stream (set lang, inc n_chars,
+    add tag, remove tag) merged into stored docs via ONE conditional-
+    aggregation pivot + left join (operators/atomic.py; reference
+    solr/core/.../update/processor/AtomicUpdateDocumentMerger.java:
+    117-220). The oracle states the expected FINAL document state
+    directly, so the op machinery itself is what's verified."""
+    from .operators.atomic import apply_atomic_updates
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = docs.select(
+        "doc_id", "lang", "n_chars", F.array("source").alias("tags")
+    )
+    d = F.col("doc_id")
+    upd_set = docs.filter(d % 11 == 0).select(
+        "doc_id", F.lit("lang").alias("field"), F.lit("set").alias("op"),
+        F.lit("xx").alias("value"),
+    )
+    upd_inc = docs.filter(d % 7 == 0).select(
+        "doc_id", F.lit("n_chars").alias("field"), F.lit("inc").alias("op"),
+        F.lit("7").alias("value"),
+    )
+    upd_add = docs.filter(d % 5 == 0).select(
+        "doc_id", F.lit("tags").alias("field"), F.lit("add").alias("op"),
+        F.lit("extra").alias("value"),
+    )
+    upd_rm = docs.filter(d % 3 == 0).select(
+        "doc_id", F.lit("tags").alias("field"), F.lit("remove").alias("op"),
+        F.lit("src1").alias("value"),
+    )
+    updates = upd_set.unionByName(upd_inc).unionByName(upd_add).unionByName(
+        upd_rm
+    )
+    out = apply_atomic_updates(base, updates)
+    return out.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit(":"),
+            F.array_join(F.array_sort("tags"), ","),
+        ).alias("state"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("tags").cast("long").alias("n_tags"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------ significant terms
 
 @gate(

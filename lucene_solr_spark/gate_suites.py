@@ -363,7 +363,13 @@ _suite("fts_suggest_spell", [
 _passthrough("fts_percolate", "fts_explain_scores")
 
 # 20: mutations
-_passthrough("mut_upsert_delete")
+# 20: mutations — upsert/delete plus Solr atomic field modifiers
+_suite("mut_suite", [
+    ("upsert_delete", "mut_upsert_delete",
+     ("doc_id", "is_updated"), ("text_len",)),
+    ("atomic", "mut_atomic_update",
+     ("doc_id", "state"), ("n_chars", "n_tags")),
+])
 
 # 21-22: source loaders (§2.1 wire formats)
 QUERIES["src_xml_roundtrip"] = src_xml_roundtrip

@@ -504,3 +504,42 @@ def test_taxonomy_counts_and_drilldown(spark):
     assert kids == {"c": 1, "d": 1}
     kids_a = {r["child"]: r["cnt"] for r in drill_down(df, "a").collect()}
     assert kids_a == {"b": 2, "e": 1}
+
+
+def test_atomic_updates(spark):
+    """Atomic field modifiers: set/inc/add/add_distinct/remove merge
+    into the stored doc; untouched docs pass through unchanged."""
+    import pytest
+
+    from lucene_solr_spark.operators.atomic import apply_atomic_updates
+
+    base = spark.createDataFrame(
+        [(0, "en", 10, ["a"]), (1, "fr", 20, ["a", "b"]),
+         (2, "de", 30, ["c"])],
+        "doc_id long, lang string, n int, tags array<string>",
+    )
+    updates = spark.createDataFrame(
+        [
+            (0, "lang", "set", "xx"),
+            (0, "n", "inc", "5"),
+            (1, "tags", "add", "a"),            # duplicate appended
+            (2, "tags", "add_distinct", "c"),   # already present -> no-op
+            (1, "tags", "remove", "b"),
+        ],
+        "doc_id long, field string, op string, value string",
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["n"], sorted(r["tags"]))
+        for r in apply_atomic_updates(base, updates).collect()
+    }
+    assert got[0] == ("xx", 15, ["a"])
+    assert got[1] == ("fr", 20, ["a", "a"])    # add dup kept, b removed
+    assert got[2] == ("de", 30, ["c"])         # add_distinct no-op
+    with pytest.raises(ValueError):
+        apply_atomic_updates(
+            base,
+            spark.createDataFrame(
+                [(0, "nope", "set", "x")],
+                "doc_id long, field string, op string, value string",
+            ),
+        )

@@ -464,6 +464,43 @@ def fts_facet_terms(spark, sf_dir):
 
 
 @gate(
+    "fts_term_vectors",
+    f"""WITH toks AS ({_TOKS}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE doc_id < 5 GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(d.df AS BIGINT) AS df,
+       round(CAST(tf.tf AS DOUBLE) / d.df, 6) AS tfidf
+FROM tf JOIN dfs d USING (term)
+ORDER BY tf.doc_id, tf.term""",
+)
+def fts_term_vectors(spark, sf_dir):
+    """TermVectorComponent: per-document term vectors for a doc set —
+    tf, collection df, and the component's tf-idf (tf/docFreq)
+    (reference solr/core/.../handler/component/TermVectorComponent
+    .java:238-247: `tf`, `df`, `tf-idf` = tf/docFreq). Answered from
+    the index tables: the doc-pruned postings join the dictionary —
+    no re-tokenization."""
+    tables = docs_index(spark, sf_dir)
+    tf = tables.postings.filter(F.col("doc_id") < 5).select(
+        "doc_id", "term", F.col("freq").alias("tf")
+    )
+    return (
+        tf.join(tables.dictionary.select("term", "df"), "term")
+        .select(
+            "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+@gate(
     "fts_prefix_expand",
     f"""WITH toks AS ({_TOKS})
 SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term LIKE 's%'

@@ -261,6 +261,8 @@ _suite("fts_term_stats", [
     # one hash row still verifies them
     ("index_stats", "fn_index_stats_packed", ("doc_id", "consts"),
      ("termfreq", "tf_classic", "idf", "dl")),
+    ("term_vectors", "fts_term_vectors",
+     ("doc_id", "term"), ("tf", "df", "tfidf")),
 ])
 
 # 6: multi-term expansion — Prefix/Wildcard/Fuzzy/Regexp

@@ -995,6 +995,35 @@ def rel_blockjoin_orders_with_big_item(spark, sf_dir):
 
 
 @gate(
+    "rel_blockjoin_children",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_totalprice >= 400000)
+ORDER BY l.l_orderkey ASC, l.l_linenumber ASC LIMIT 60""",
+)
+def rel_blockjoin_children(spark, sf_dir):
+    """ToChildBlockJoinQuery: child docs whose PARENT matches the
+    parent-side query (reference lucene/join/src/java/org/apache/
+    lucene/search/join/ToChildBlockJoinQuery.java — the inverse of
+    ToParent). Semi-join from the filtered parent keys; the parent
+    side broadcasts when selective."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 400000
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(60)
+    )
+
+
+@gate(
     "rel_cartesian_explode",
     """SELECT r.r_name AS r_name, n.n_name AS n_name
 FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey

@@ -239,6 +239,89 @@ def fts_spellcheck(spark, sf_dir):
 
 
 @gate(
+    "fts_spell_collation",
+    f"""WITH toks AS ({_TOKS}),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+q(qterm) AS (VALUES ('slo'), ('querry')),
+cand AS (SELECT q.qterm, d.term, levenshtein(d.term, q.qterm) AS dist, d.df,
+                row_number() OVER (
+                  PARTITION BY q.qterm
+                  ORDER BY levenshtein(d.term, q.qterm) ASC, d.df DESC,
+                           d.term ASC) AS rk
+         FROM q JOIN dfs d
+           ON levenshtein(d.term, q.qterm) BETWEEN 1 AND 2
+          AND length(d.term) BETWEEN length(q.qterm) - 2
+                                 AND length(q.qterm) + 2),
+best AS (SELECT qterm, term FROM cand WHERE rk = 1),
+nb AS (SELECT count(*) AS nb FROM best),
+coll AS (SELECT string_agg(term, ' ' ORDER BY qterm) AS collated,
+                count(*) AS n_terms FROM best),
+perdoc AS (SELECT t.doc_id, count(DISTINCT t.term) AS nt
+           FROM toks t JOIN best b ON t.term = b.term
+           GROUP BY t.doc_id),
+hits AS (SELECT count(*) AS n_hits FROM perdoc CROSS JOIN nb
+         WHERE perdoc.nt = nb.nb)
+SELECT c.collated, CAST(c.n_terms AS BIGINT) AS n_terms,
+       CAST(h.n_hits AS BIGINT) AS n_hits
+FROM coll c CROSS JOIN hits h""",
+)
+def fts_spell_collation(spark, sf_dir):
+    """SpellCheckCollator: take the best correction per misspelled
+    query term (DirectSpellChecker rank: distance, df), assemble the
+    collated query, and verify it — n_hits = docs matching ALL
+    corrected terms, the collator's maxCollationTries re-query
+    (reference solr/core/.../spelling/SpellCheckCollator.java:53-120).
+    One dictionary scan + one postings semi-agg; no re-tokenization."""
+    from pyspark.sql import Window as W
+
+    tables = docs_index(spark, sf_dir)
+    q = spark.createDataFrame([("slo",), ("querry",)], "qterm string")
+    d = tables.dictionary.select("term", "df")
+    cand = (
+        d.crossJoin(F.broadcast(q))
+        .filter(
+            F.length("term").between(
+                F.length("qterm") - 2, F.length("qterm") + 2
+            )
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("qterm")))
+        .filter(F.col("dist").between(1, 2))
+    )
+    rk = W.partitionBy("qterm").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("qterm", "term")
+    )
+    coll = best.agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("qterm", "term")))
+            .getField("term")
+        ).alias("collated"),
+        F.count("*").alias("n_terms"),
+    )
+    n_best = best.select(F.count("*").alias("nb"))
+    hits = (
+        tables.postings.join(F.broadcast(best.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .crossJoin(F.broadcast(n_best))
+        .filter(F.col("nt") == F.col("nb"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        coll.crossJoin(hits)
+        .select(
+            "collated",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        )
+    )
+
+
+@gate(
     "fts_word_breaks",
     f"""
 WITH toks AS ({_TOKS}),

@@ -359,6 +359,8 @@ _suite("fts_suggest_spell", [
     ("fuzzy", "fts_suggest_fuzzy", ("key",), ("weight", "distance")),
     ("word_breaks", "fts_word_breaks",
      ("input", "lft"), ("df_left", "df_right", "freq_sum")),
+    ("collation", "fts_spell_collation",
+     ("collated",), ("n_terms", "n_hits")),
 ])
 
 # 18-19: percolator + explain
@@ -445,6 +447,8 @@ _suite("rel_paging_export", [
 _suite("rel_join_specials", [
     ("block_join", "rel_blockjoin_orders_with_big_item",
      ("o_orderkey",), ("o_totalprice",)),
+    ("block_join_child", "rel_blockjoin_children",
+     ("l_orderkey", "l_linenumber"), ("l_quantity",)),
     ("cartesian", "rel_cartesian_explode", ("r_name", "n_name"), ()),
     ("semi", "rel_semijoin_segments", ("c_mktsegment",), ("n_customers",)),
     ("anti", "rel_antijoin_no_orders", ("c_custkey", "c_name"), ()),

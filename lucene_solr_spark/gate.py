@@ -815,6 +815,51 @@ def rel_collapse_best_order(spark, sf_dir):
 
 
 @gate(
+    "rel_group_ngroups",
+    """SELECT count(DISTINCT o_custkey) AS n_groups, count(*) AS n_docs
+FROM orders""",
+)
+def rel_group_ngroups(spark, sf_dir):
+    """Grouping ngroups=true: the total distinct-group count beside the
+    doc count (reference lucene/grouping/src/java/org/apache/lucene/
+    search/grouping/AllGroupsCollector.java; Solr exposes it as the
+    group.ngroups param). One partial+final distinct-agg, no sort."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_groups"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@gate(
+    "rel_interval_facets",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN '(*,50k)'
+            WHEN o_totalprice < 150000 THEN '[50k,150k)'
+            ELSE '[150k,*)' END AS ival,
+       count(*) AS n
+FROM orders GROUP BY ival ORDER BY ival""",
+)
+def rel_interval_facets(spark, sf_dir):
+    """Interval faceting: arbitrary user-defined intervals per field,
+    each doc counted into every interval containing it (reference
+    solr/core/.../request/IntervalFacets.java — distinct from range
+    faceting's fixed gap). Disjoint intervals here → one CASE hash-agg;
+    overlapping intervals would be a small explode of the interval
+    list."""
+    o = load(spark, sf_dir, "orders")
+    ival = (
+        F.when(F.col("o_totalprice") < 50000, "(*,50k)")
+        .when(F.col("o_totalprice") < 150000, "[50k,150k)")
+        .otherwise("[150k,*)")
+    )
+    return (
+        o.groupBy(ival.alias("ival"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("ival")
+    )
+
+
+@gate(
     "rel_expand_groups",
     """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,

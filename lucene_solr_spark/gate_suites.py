@@ -403,6 +403,7 @@ _suite("rel_topk_groups", [
      ("o_custkey", "o_orderkey"), ("o_totalprice",)),
     ("expand", "rel_expand_groups",
      ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
+    ("ngroups", "rel_group_ngroups", (), ("n_groups", "n_docs")),
 ])
 
 # 30: FacetRange + TimeSeriesStream histograms
@@ -413,6 +414,7 @@ _suite("rel_facet_time", [
      ("bucket_lo",), ("cnt", "revenue")),
     ("date_math", "rel_date_math_window",
      ("day",), ("n_events", "total_value")),
+    ("intervals", "rel_interval_facets", ("ival",), ("n",)),
 ])
 
 # 31: UniqueStream + MergeStream + RandomStream (deterministic samples)

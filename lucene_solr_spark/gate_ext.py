@@ -652,6 +652,60 @@ def fn_query_boost(spark, sf_dir):
 
 
 @gate(
+    "fts_rerank_query",
+    f"""WITH {bm25_scored_cte(["spark", "merge"])},
+mn AS (SELECT doc_id, sum(term_score) AS score FROM scored
+       WHERE term = 'spark' GROUP BY doc_id),
+rr AS (SELECT doc_id, sum(term_score) AS rscore FROM scored
+       WHERE term = 'merge' GROUP BY doc_id),
+mr AS (SELECT doc_id, score,
+              row_number() OVER (ORDER BY round(score, 4) DESC,
+                                 doc_id ASC) AS rk
+       FROM mn),
+fin AS (SELECT m.doc_id,
+               m.score + CASE WHEN m.rk <= 50 AND r.rscore IS NOT NULL
+                              THEN 0.5 * r.rscore ELSE 0 END AS fscore
+        FROM mr m LEFT JOIN rr r USING (doc_id))
+SELECT doc_id, round(fscore, 4) AS score FROM fin
+ORDER BY round(fscore, 4) DESC, doc_id ASC LIMIT 20""",
+)
+def fts_rerank_query(spark, sf_dir):
+    """ReRankQParserPlugin: the top reRankDocs=50 first-pass hits gain
+    reRankWeight=0.5 × the rerank query's score; docs below the window
+    keep their original score (reference solr/core/.../search/
+    ReRankQParserPlugin.java — 'ReRankQuery ... re-ranks the top N').
+    At scale the window comes from the WAND top-N and the rerank join
+    broadcasts (the ml_ltr_rerank plan); the rank cut is on the
+    rounded score so both engines agree at the boundary."""
+    from pyspark.sql import Window as W
+
+    tables = docs_index(spark, sf_dir)
+    main = search_bruteforce(
+        tables, ["spark"], "disjunctive", k=None, precision="double"
+    )
+    rer = search_bruteforce(
+        tables, ["merge"], "disjunctive", k=None, precision="double"
+    ).select("doc_id", F.col("score").alias("rscore"))
+    w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+    ranked = main.withColumn("rk", F.row_number().over(w))
+    fin = ranked.join(rer, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("score")
+            + F.when(
+                (F.col("rk") <= 50) & F.col("rscore").isNotNull(),
+                0.5 * F.col("rscore"),
+            ).otherwise(0.0)
+        ).alias("fscore"),
+    )
+    return (
+        fin.select("doc_id", F.round("fscore", 4).alias("score"))
+        .orderBy(F.desc(F.round("fscore", 4)), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@gate(
     "fts_span_first",
     f"""WITH tok AS (
   SELECT doc_id,

@@ -526,6 +526,7 @@ _suite("ml_classify_rank", [
      ("doc_id", "label"), ("score",)),
     ("ltr_rerank", "ml_ltr_rerank",
      ("doc_id", "n_matched"), ("f_bm25", "dl", "ltr_score")),
+    ("rerank_query", "fts_rerank_query", ("doc_id",), ("score",)),
 ])
 
 # 44: TextLogit classification

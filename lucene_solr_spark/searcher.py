@@ -94,10 +94,45 @@ class Searcher:
         k: int | None = 10,
         precision: str = "float32",
         with_stored: bool = False,
+        mm: str | None = None,
     ) -> DataFrame:
         """Classic query string → (doc_id, score) top-k, float32
         Lucene-parity by default. ``with_stored`` joins the stored
-        fields onto the hits (the fl=* response shape)."""
+        fields onto the hits (the fl=* response shape).
+
+        mm: Solr minimum-should-match spec ("3", "-2", "75%",
+        "2<-25% 9<-3" — search/mmspec.py). As in the reference it
+        constrains the OPTIONAL clauses, so it applies to all-SHOULD
+        term queries (the dismax q= shape); other query shapes reject
+        it loudly rather than silently ignoring the parameter."""
+        if mm is not None:
+            from .search.bruteforce import search_bruteforce
+            from .search.mmspec import calculate_min_should_match
+
+            p = parse_query(q)
+            if (
+                p.is_simple() and not p.phrases and p.must == []
+                and p.should and p.mode == "disjunctive"
+            ):
+                msm = calculate_min_should_match(len(p.should), mm)
+                hits = search_bruteforce(
+                    self.tables,
+                    [t for t, _ in p.should],
+                    mode="disjunctive",
+                    k=k,
+                    boost={t: b for t, b in p.should},
+                    precision=precision,
+                    min_should_match=msm,
+                )
+                if with_stored:
+                    hits = hits.join(self.stored, "doc_id").orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    )
+                return hits
+            raise ValueError(
+                "mm applies to all-SHOULD term queries (the dismax q= "
+                "shape); this query has required/phrase/field clauses"
+            )
         hits = execute_parsed(
             q,
             self.tables,

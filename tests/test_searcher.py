@@ -79,3 +79,28 @@ def test_build_with_positions_wires_phrase_path(spark, tiny_corpus, tmp_path):
     assert s.pos_index is not None and s.pos_index.has_positions
     hits = s.search('"duplicated tie" breaker', k=5).collect()
     assert len(hits) > 0  # the duplicated edge-case convs match
+
+
+def test_search_mm_spec(spark, tiny_corpus):
+    """Searcher.search(mm=...): the Solr mm spec constrains optional
+    clauses on the all-SHOULD query shape; other shapes reject."""
+    import pytest
+
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+    from lucene_solr_spark.searcher import Searcher
+
+    idx = Searcher.build(transcripts_from_pandas(spark, tiny_corpus))
+    q = "spark merge vector"
+    all_hits = {r["doc_id"] for r in idx.search(q, k=None).collect()}
+    mm_hits = {r["doc_id"] for r in idx.search(q, k=None, mm="100%").collect()}
+    # 100% == conjunctive
+    con = {
+        r["doc_id"]
+        for r in idx.search("+spark +merge +vector", k=None).collect()
+    }
+    assert mm_hits == con and mm_hits <= all_hits
+    # "2" keeps docs matching at least 2 of the 3
+    two = {r["doc_id"] for r in idx.search(q, k=None, mm="2").collect()}
+    assert con <= two <= all_hits
+    with pytest.raises(ValueError):
+        idx.search("+spark merge", mm="2")

@@ -444,3 +444,123 @@ def test_interval_ordered_minimal(spark, tmp_path):
         for r in interval_ordered(idx, "alpha", "beta", max_width=3).collect()
     }
     assert w3 == {0: 1, 1: 1, 3: 2}
+
+
+def test_span_family_randomized_vs_brute(spark, tmp_path_factory):
+    """Randomized corpus: span_or / span_within / span_containing /
+    interval_ordered agree with a pure-Python brute-force oracle over
+    the same token lists, across slop/width settings."""
+    import random
+
+    from lucene_solr_spark.index.builder import transcripts_from_pandas
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.phrase import (
+        interval_ordered, span_containing, span_or, span_within,
+    )
+
+    rng = random.Random(421)
+    vocab = ["aa", "bb", "cc", "gap"]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        for _ in range(40)
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:03d}" for i in range(len(docs))],
+            "turn_idx": [0] * len(docs),
+            "role": "u",
+            "text": [" ".join(d) for d in docs],
+            "tool": None,
+        }
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.Timestamp("2026-01-01", tz="UTC")
+    idx = build_segmented_index(
+        transcripts_from_pandas(spark, pdf),
+        str(tmp_path_factory.mktemp("span_prop")),
+        num_segments=4, seg_group_size=2, n_buckets=8,
+        analyzer="simple", index_positions=True,
+    )
+    by_doc = {
+        r["conv_id"]: r["doc_id"]
+        for r in idx.stored.select("conv_id", "doc_id").collect()
+    }
+    toks = {by_doc[f"c{i:03d}"]: d for i, d in enumerate(docs)}
+
+    def occs(d, t):
+        return [p for p, w in enumerate(toks[d]) if w == t]
+
+    def pairs(d, slop):
+        return [
+            (pa, pb)
+            for pa in occs(d, "aa")
+            for pb in occs(d, "bb")
+            if 1 <= pb - pa <= slop + 1
+        ]
+
+    got_or = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_or(idx, ["aa", "cc"]).collect()
+    }
+    want_or = {
+        d: len(occs(d, "aa")) + len(occs(d, "cc"))
+        for d in toks
+        if occs(d, "aa") or occs(d, "cc")
+    }
+    assert got_or == want_or
+
+    for slop in (0, 1, 3):
+        got_w = {
+            r["doc_id"]: r["span_freq"]
+            for r in span_within(idx, "cc", ("aa", "bb"), slop).collect()
+        }
+        want_w = {}
+        for d in toks:
+            n = sum(
+                1
+                for p in occs(d, "cc")
+                if any(pa <= p <= pb for pa, pb in pairs(d, slop))
+            )
+            if n:
+                want_w[d] = n
+        assert got_w == want_w, f"within slop={slop}"
+
+        got_c = {
+            r["doc_id"]: r["span_freq"]
+            for r in span_containing(idx, ("aa", "bb"), "cc", slop).collect()
+        }
+        want_c = {}
+        for d in toks:
+            n = sum(
+                1
+                for pa, pb in pairs(d, slop)
+                if any(pa <= p <= pb for p in occs(d, "cc"))
+            )
+            if n:
+                want_c[d] = n
+        assert got_c == want_c, f"containing slop={slop}"
+
+    for width in (2, 4, 6):
+        got_i = {
+            r["doc_id"]: r["span_freq"]
+            for r in interval_ordered(idx, "aa", "bb", width).collect()
+        }
+        want_i = {}
+        for d in toks:
+            a, b = occs(d, "aa"), occs(d, "bb")
+            n = 0
+            for pb in b:
+                prev_a = [p for p in a if p < pb]
+                if not prev_a:
+                    continue
+                pa = max(prev_a)
+                if pb - pa + 1 > width:
+                    continue
+                if any(pa < p < pb for p in b):
+                    continue  # not minimal
+                n += 1
+            if n:
+                want_i[d] = n
+        assert got_i == want_i, f"interval width={width}"

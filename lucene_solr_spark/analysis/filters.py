@@ -169,3 +169,30 @@ def trim_filter(tokens: Column) -> Column:
     return F.transform(
         tokens, lambda t: F.regexp_replace(t, r"^\s+|\s+$", "")
     )
+
+
+def common_grams_filter(
+    tokens: Column, common_words: list, sep: str = "_"
+) -> Column:
+    """CommonGramsQueryFilter form (reference lucene/analysis/common/
+    .../commongrams/CommonGramsFilter.java, CommonGramsQueryFilter
+    .java): the bigram stream of adjacent pairs where EITHER side is a
+    common word — the trick that makes stopword phrases ("the who")
+    matchable without positional scans of the stopword's postings."""
+    common = F.array(*[F.lit(w) for w in common_words])
+    pairs = F.when(
+        F.size(tokens) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(1)),
+            lambda i: F.when(
+                F.array_contains(common, F.element_at(tokens, i))
+                | F.array_contains(common, F.element_at(tokens, i + 1)),
+                F.concat(
+                    F.element_at(tokens, i), F.lit(sep),
+                    F.element_at(tokens, i + 1),
+                ),
+            ),
+        )
+    )
+    return F.filter(pairs, lambda x: x.isNotNull())

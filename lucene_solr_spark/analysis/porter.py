@@ -184,3 +184,28 @@ def porter_stem_filter(tokens_col):
         )
 
     return F.pandas_udf(_stem, "array<string>")(tokens_col)
+
+
+def stem_with_overrides(tokens_col, overrides=None, keywords=()):
+    """PorterStemFilter preceded by KeywordMarkerFilter +
+    StemmerOverrideFilter (reference lucene/analysis/common/.../
+    miscellaneous/KeywordMarkerFilter.java, StemmerOverrideFilter.java:
+    both set KeywordAttribute so the downstream stemmer skips the
+    token): ``keywords`` pass through unstemmed, ``overrides`` map
+    straight to their dictated stem, everything else Porter-stems.
+    Arrow-vectorized like porter_stem_filter."""
+    from pyspark.sql import functions as F
+
+    ov = dict(overrides or {})
+    kw = frozenset(keywords)
+
+    def _stem(arrs):
+        return arrs.map(
+            lambda toks: [
+                t if t in kw else ov.get(t, porter_stem(t)) for t in toks
+            ]
+            if toks is not None
+            else None
+        )
+
+    return F.pandas_udf(_stem, "array<string>")(tokens_col)

@@ -1574,6 +1574,166 @@ def fts_porter_stemmed_terms(spark, sf_dir):
     )
 
 
+_OVERRIDE_SQL = f"""
+WITH toks AS ({{toks}}),
+sm AS (SELECT term, stem FROM read_parquet('{_PORTER_FIXTURE}')),
+st AS (SELECT CASE WHEN t.term = 'customer' THEN 'customer'
+                   WHEN t.term = 'merge' THEN 'mrg'
+                   ELSE coalesce(sm.stem, t.term) END AS stem
+       FROM toks t LEFT JOIN sm USING (term))
+SELECT stem, count(*) AS cnt FROM st
+GROUP BY stem ORDER BY cnt DESC, stem ASC LIMIT 20"""
+
+
+@gate("fts_stem_override", _OVERRIDE_SQL.format(toks=_TOKS))
+def fts_stem_override(spark, sf_dir):
+    """KeywordMarkerFilter + StemmerOverrideFilter ahead of Porter:
+    'customer' is keyword-protected (passes unstemmed), 'merge'
+    override-maps to 'mrg', everything else Porter-stems (reference
+    lucene/analysis/common/.../miscellaneous/KeywordMarkerFilter.java,
+    StemmerOverrideFilter.java — both set KeywordAttribute so the
+    stemmer skips). Spark stems live (analysis/porter.py
+    stem_with_overrides); the oracle CASEs over the fixture map."""
+    from .analysis.porter import stem_with_overrides
+    from .index.builder import simple_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        stem_with_overrides(
+            simple_tokens("text"),
+            overrides={"merge": "mrg"},
+            keywords={"customer"},
+        ).alias("stems")
+    )
+    return (
+        toks.select(F.explode("stems").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("stem"))
+        .limit(20)
+    )
+
+
+@gate(
+    "fts_common_grams",
+    f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents),
+grams AS (
+  SELECT concat(ts[i], '_', ts[i + 1]) AS gram
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM tok) s
+  WHERE ts[i] IN ('the', 'a') OR ts[i + 1] IN ('the', 'a'))
+SELECT gram, count(*) AS cnt FROM grams
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""",
+)
+def fts_common_grams(spark, sf_dir):
+    """CommonGramsQueryFilter: bigrams of adjacent pairs where either
+    side is a common word ('the', 'a') — the stopword-phrase
+    acceleration trick (analysis/filters.py common_grams_filter;
+    reference lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java)."""
+    from .analysis.filters import common_grams_filter
+    from .index.builder import simple_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            common_grams_filter(simple_tokens("text"), ["the", "a"])
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+# Convex quad (CCW, (lat, lon)): a diamond over the south Atlantic
+_POLY = [(10.0, -60.0), (30.0, -20.0), (50.0, -60.0), (30.0, -100.0)]
+
+
+@gate(
+    "fn_geo_polygon",
+    """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey, lat, lon FROM pts
+WHERE ((-20.0 - -60.0) * (lat - 10.0) - (30.0 - 10.0) * (lon - -60.0)) >= 0
+  AND ((-60.0 - -20.0) * (lat - 30.0) - (50.0 - 30.0) * (lon - -20.0)) >= 0
+  AND ((-100.0 - -60.0) * (lat - 50.0) - (30.0 - 50.0) * (lon - -60.0)) >= 0
+  AND ((-60.0 - -100.0) * (lat - 30.0) - (10.0 - 30.0) * (lon - -100.0)) >= 0
+ORDER BY c_custkey""",
+)
+def fn_geo_polygon(spark, sf_dir):
+    """Polygon containment (LatLonPoint.newPolygonQuery, convex case
+    pinned): same-side-of-every-edge cross-product test as pure Column
+    expressions (operators/spatial.py polygon_contains_col; reference
+    lucene/core/.../geo/Polygon2D.java — general polygons decompose
+    into convex pieces OR'd together)."""
+    from .operators.spatial import polygon_contains_col
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5)
+        .cast("double").alias("lon"),
+    )
+    return (
+        pts.filter(
+            polygon_contains_col(F.col("lat"), F.col("lon"), _POLY)
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@gate(
+    "rel_sort_missing",
+    """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer),
+miss AS (SELECT count(*) AS n_missing FROM c WHERE bal IS NULL),
+top AS (SELECT c_custkey, bal FROM c
+        ORDER BY bal ASC NULLS LAST, c_custkey ASC LIMIT 30)
+SELECT t.c_custkey, coalesce(t.bal, -999999.0) AS bal_disp,
+       CAST(m.n_missing AS BIGINT) AS n_missing
+FROM top t CROSS JOIN miss m
+ORDER BY t.c_custkey""",
+)
+def rel_sort_missing(spark, sf_dir):
+    """sortMissingLast + facet.missing: sort a nullable field with
+    missing values forced last (Solr schema sortMissingLast=true;
+    Lucene SortField.setMissingValue) and count the missing bucket
+    (facet.missing=true, solr/core/.../request/SimpleFacets.java).
+    asc_nulls_last is the native Catalyst sort; the missing count is
+    one filtered agg broadcast onto the page."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    miss = c.filter(F.col("bal").isNull()).agg(
+        F.count("*").alias("n_missing")
+    )
+    top = c.orderBy(F.asc_nulls_last("bal"), F.asc("c_custkey")).limit(30)
+    return (
+        top.crossJoin(F.broadcast(miss))
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("bal"), F.lit(-999999.0)).alias("bal_disp"),
+            F.col("n_missing").cast("long").alias("n_missing"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 _COVER_TERMS = ["spark", "merge", "window"]
 
 

@@ -327,6 +327,8 @@ _suite("fts_analysis_suite", [
     ("chain", "fts_analysis_chain", ("shingle",), ("cnt",)),
     ("word_delim", "fts_word_delimiter", ("part",), ("cnt",)),
     ("pattern_trim", "fts_pattern_trim", ("tok",), ("cnt",)),
+    ("stem_override", "fts_stem_override", ("stem",), ("cnt",)),
+    ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
 ])
 _passthrough("fts_porter_stemmed_terms")
 
@@ -443,6 +445,8 @@ _suite("rel_paging_export", [
     ("search_after", "rel_search_after_page",
      ("o_orderkey",), ("o_totalprice",)),
     ("export", "rel_export_sorted", ("c_custkey", "c_name"), ("acctbal",)),
+    ("sort_missing", "rel_sort_missing",
+     ("c_custkey",), ("bal_disp", "n_missing")),
 ])
 
 # 35: block join + cartesian + semi/anti + JoinUtil score modes
@@ -515,6 +519,7 @@ _suite("fn_geo", [
      ("c_custkey", "c_name"), ("lat", "lon", "dist_km")),
     ("cell_index", "fn_geo_cells",
      ("c_custkey", "geo_cell"), ("lat", "lon")),
+    ("polygon", "fn_geo_polygon", ("c_custkey",), ("lat", "lon")),
 ])
 
 # 42: Solr SQL surface

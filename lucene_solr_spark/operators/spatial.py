@@ -114,3 +114,28 @@ def box_query(
         .filter(F.col(lat_col).between(lat_min, lat_max) & lon_pred)
         .drop("geo_cell")
     )
+
+
+def polygon_contains_col(lat_col, lon_col, vertices):
+    """CONVEX-polygon point containment as a pure Column expression:
+    the point is inside iff it lies on the same side of every edge
+    (cross-product sign test), vertices given counter-clockwise as
+    (lat, lon) pairs. The reference's LatLonPoint.newPolygonQuery
+    handles arbitrary polygons via triangulation (lucene/core/.../
+    geo/Polygon2D.java, Tessellator.java); the convex case is pinned
+    here — a general polygon decomposes into convex pieces OR'd
+    together, each this same predicate. Boundary points count as
+    inside (>= 0)."""
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        cross = (
+            F.lit(float(x2 - x1)) * (lat_col - F.lit(float(y1)))
+            - F.lit(float(y2 - y1)) * (lon_col - F.lit(float(x1)))
+        )
+        pred = pred & (cross >= 0)
+    return pred

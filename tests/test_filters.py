@@ -225,3 +225,56 @@ def test_delimited_payloads_and_payload_score(spark):
     assert got("avg") == {0: (2, 1.5), 1: (1, 4.0)}
     with pytest.raises(ValueError):
         payload_score(p, "boost", "median")
+
+
+def test_common_grams_filter(spark):
+    from lucene_solr_spark.analysis.filters import common_grams_filter
+
+    df = spark.createDataFrame(
+        [(["the", "quick", "fox", "a", "dog"],), (["one"],)],
+        "toks array<string>",
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            common_grams_filter(F.col("toks"), ["the", "a"]).alias("out")
+        ).collect()
+    ]
+    assert got == [["the_quick", "fox_a", "a_dog"], []]
+
+
+def test_stem_with_overrides(spark):
+    from lucene_solr_spark.analysis.porter import (
+        porter_stem, stem_with_overrides,
+    )
+
+    df = spark.createDataFrame(
+        [(["merging", "customer", "running"],)], "toks array<string>"
+    )
+    out = df.select(
+        stem_with_overrides(
+            F.col("toks"), overrides={"merging": "merge"},
+            keywords={"customer"},
+        ).alias("out")
+    ).collect()[0]["out"]
+    assert out == ["merge", "customer", porter_stem("running")]
+
+
+def test_polygon_contains(spark):
+    """Convex diamond: inside / boundary / outside classification."""
+    from lucene_solr_spark.operators.spatial import polygon_contains_col
+
+    poly = [(0.0, 10.0), (10.0, 20.0), (20.0, 10.0), (10.0, 0.0)]
+    df = spark.createDataFrame(
+        [(10.0, 10.0), (0.0, 10.0), (1.0, 1.0), (25.0, 10.0)],
+        "lat double, lon double",
+    )
+    got = [
+        r["inside"]
+        for r in df.select(
+            polygon_contains_col(
+                F.col("lat"), F.col("lon"), poly
+            ).alias("inside")
+        ).collect()
+    ]
+    assert got == [True, True, False, False]  # center, vertex, out, out

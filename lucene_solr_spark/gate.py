@@ -411,6 +411,46 @@ def fts_edismax_fields(spark, sf_dir):
     )
 
 
+@gate(
+    "fts_multireader_shards",
+    bm25_sql(["spark", "merge"], "disjunctive", 20),
+)
+def fts_multireader_shards(spark, sf_dir):
+    """MultiReader / distributed-search parity: the corpus is split
+    into TWO shard indexes (each with local doc ids), composed by
+    search/multireader.py with docBase offsets and summed collection
+    statistics, and searched as one — scores must equal a single index
+    of the union, which is exactly what the oracle computes (reference
+    lucene/core/.../index/MultiReader.java, BaseCompositeReader.java:
+    31-58; Solr ExactStatsCache global IDF)."""
+    from .index.builder import build_index
+    from .search.multireader import multi_reader
+
+    key = ("docs_shards", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        s1 = build_index(
+            docs.filter(F.col("doc_id") < 250),
+            analyzer="simple", id_col="doc_id",
+        )
+        s2 = build_index(
+            docs.filter(F.col("doc_id") >= 250).withColumn(
+                "doc_id", F.col("doc_id") - 250
+            ),
+            analyzer="simple", id_col="doc_id",
+        )
+        _INDEX_CACHE[key] = multi_reader([s1, s2])
+    comp = _INDEX_CACHE[key]
+    res = search_bruteforce(
+        comp, ["spark", "merge"], "disjunctive", k=None, precision="double"
+    )
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 _MSM_TERMS = ["spark", "vector", "stream", "scan", "filter"]
 
 

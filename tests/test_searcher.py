@@ -104,3 +104,47 @@ def test_search_mm_spec(spark, tiny_corpus):
     assert con <= two <= all_hits
     with pytest.raises(ValueError):
         idx.search("+spark merge", mm="2")
+
+
+def test_multireader_parity(spark):
+    """Composite of shard indexes scores identically to one index of
+    the union (MultiReader/BaseCompositeReader contract), including a
+    term present in only one shard."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.bruteforce import search_bruteforce
+    from lucene_solr_spark.search.multireader import multi_reader
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["alpha beta", "alpha alpha rare", "beta gap", "alpha beta gap",
+             "gap gap", "beta beta alpha"]
+        )],
+        "doc_id long, text string",
+    )
+    single = build_index(docs, analyzer="simple", id_col="doc_id")
+    s1 = build_index(
+        docs.filter("doc_id < 3"), analyzer="simple", id_col="doc_id"
+    )
+    s2 = build_index(
+        docs.filter("doc_id >= 3").withColumn(
+            "doc_id", docs.doc_id - 3
+        ),
+        analyzer="simple", id_col="doc_id",
+    )
+    comp = multi_reader([s1, s2])
+    assert comp.doc_count == single.doc_count
+    assert comp.sum_total_term_freq == single.sum_total_term_freq
+    for terms in (["alpha", "beta"], ["rare"], ["gap", "rare"]):
+        a = {
+            (r["doc_id"], r["score"])
+            for r in search_bruteforce(
+                single, terms, "disjunctive", k=None, precision="double"
+            ).collect()
+        }
+        b = {
+            (r["doc_id"], r["score"])
+            for r in search_bruteforce(
+                comp, terms, "disjunctive", k=None, precision="double"
+            ).collect()
+        }
+        assert a == b and a

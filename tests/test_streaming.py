@@ -319,3 +319,66 @@ def test_batch_replay_does_not_duplicate_documents(spark, tmp_path):
     h2.stop()
     assert h2.max_doc() == 12  # replay replaced, never duplicated
     assert sorted(os.listdir(f"{idx}/segments")) == first_segs
+
+
+def test_streaming_signature_dedup(spark, tmp_path):
+    """SignatureUpdateProcessor analog: duplicate text arriving within
+    the watermark horizon is suppressed across micro-batches; distinct
+    text flows through."""
+    import pandas as pd
+
+    from lucene_solr_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    out_rows = []
+
+    def write_batch(path, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pdf["ts"] = pd.Timestamp("2026-01-01 00:00:00")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            path
+        )
+
+    write_batch(src, [(0, "alpha beta"), (1, "ALPHA   beta"),
+                      (2, "gamma delta")])
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream(stream)
+
+    def sink(batch_df, _bid):
+        out_rows.extend(
+            (r["doc_id"], r["text"]) for r in batch_df.collect()
+        )
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch 2: one dup of doc0's normalized text + one new doc
+    write_batch(src, [(3, "alpha  BETA"), (4, "epsilon zeta")])
+    q2 = (
+        dedup_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    ids = sorted(i for i, _ in out_rows)
+    # doc1 (dup of 0, same batch) and doc3 (dup, later batch within the
+    # watermark) are suppressed
+    assert ids == [0, 2, 4] or ids == [1, 2, 4]  # first-arrival per sig
+    # batch path: same semantics with infinite horizon
+    batch = spark.createDataFrame(
+        [(0, "x y", None), (1, "x  Y", None), (2, "z", None)],
+        schema,
+    )
+    got = sorted(
+        r["text"] for r in dedup_stream(batch).collect()
+    )
+    assert len(got) == 2

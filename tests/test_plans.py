@@ -180,3 +180,55 @@ def test_general_executor_never_shuffle_joins_norms(spark, tiny_index):
     smj_types = re.findall(r"SortMergeJoin (\w+)", plan)
     assert not any(t == "Inner" for t in smj_types), smj_types
     assert "BroadcastHashJoin" in join_strategies(hits)
+
+
+def test_edismax_broadcasts_weights_no_norms_shuffle(spark, tiny_index):
+    """eDisMax's per-field scored frames broadcast their weight/cache
+    tables; no SortMergeJoin appears anywhere in the plan."""
+    from lucene_solr_spark.search.edismax import edismax
+
+    df = edismax(
+        {"body": tiny_index}, ["vinza", "ralandi"], qf={"body": 1.5},
+        tie=0.2, k=10,
+    )
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}
+    assert df.count() > 0
+
+
+def test_fuzzy_scored_broadcasts_and_filters_terms(spark, tiny_index):
+    """The blended fuzzy query's weight/cache joins broadcast — no
+    shuffle join anywhere. (Scan pushdown is asserted by the parquet-
+    backed tests above; the fixture index is cached, so its scans are
+    InMemoryTableScans with the term filter applied above them.)"""
+    from lucene_solr_spark.search.fuzzyq import fuzzy_scored
+
+    df = fuzzy_scored(tiny_index, "vinza", max_edits=1, k=10)
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert df.count() > 0
+
+
+def test_word_breaks_broadcasts_candidates(spark, tiny_index):
+    """The split-candidate side (tiny) broadcasts into the dictionary
+    probes — never the reverse."""
+    from lucene_solr_spark.search.suggest import word_breaks
+
+    df = word_breaks(tiny_index, ["vinzaralandi"])
+    assert set(join_strategies(df)) <= {"BroadcastHashJoin"}
+    assert df.count() == 1  # vinza + ralandi both in the dictionary
+
+
+def test_atomic_updates_single_broadcast_merge(spark):
+    """apply_atomic_updates is one broadcast left join — the update
+    stream never shuffles the base table."""
+    from lucene_solr_spark.operators.atomic import apply_atomic_updates
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "doc_id long, n int"
+    )
+    updates = spark.createDataFrame(
+        [(1, "n", "inc", "5")],
+        "doc_id long, field string, op string, value string",
+    )
+    df = apply_atomic_updates(base, updates)
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}

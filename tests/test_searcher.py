@@ -90,20 +90,20 @@ def test_search_mm_spec(spark, tiny_corpus):
     from lucene_solr_spark.searcher import Searcher
 
     idx = Searcher.build(transcripts_from_pandas(spark, tiny_corpus))
-    q = "spark merge vector"
+    q = "vinza ralandi kidivacor"
     all_hits = {r["doc_id"] for r in idx.search(q, k=None).collect()}
     mm_hits = {r["doc_id"] for r in idx.search(q, k=None, mm="100%").collect()}
     # 100% == conjunctive
     con = {
         r["doc_id"]
-        for r in idx.search("+spark +merge +vector", k=None).collect()
+        for r in idx.search("+vinza +ralandi +kidivacor", k=None).collect()
     }
-    assert mm_hits == con and mm_hits <= all_hits
+    assert mm_hits == con and mm_hits <= all_hits and all_hits
     # "2" keeps docs matching at least 2 of the 3
     two = {r["doc_id"] for r in idx.search(q, k=None, mm="2").collect()}
-    assert con <= two <= all_hits
+    assert con <= two <= all_hits and two
     with pytest.raises(ValueError):
-        idx.search("+spark merge", mm="2")
+        idx.search("+vinza ralandi", mm="2")
 
 
 def test_multireader_parity(spark):

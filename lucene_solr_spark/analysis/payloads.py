@@ -36,7 +36,10 @@ def delimited_payload_postings(
     payload=2.5), (doc_id, 'plain', 1, 0.0). Tokens without a delimiter
     carry payload 0.0 (the reference leaves the payload attribute
     unset; pinned here as 0)."""
+    import re
+
     d = delimiter
+    d_rx = re.escape(d)  # F.split takes a regex; the delimiter is literal
     toks = F.split(F.col(text_col), r"\s+")
     exploded = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -45,7 +48,7 @@ def delimited_payload_postings(
     before = F.substring_index(F.col("raw"), d, 1)
     after = F.when(
         F.col("raw").contains(d),
-        F.element_at(F.split(F.col("raw"), f"[{d}]" if d == "|" else d), -1),
+        F.element_at(F.split(F.col("raw"), d_rx), -1),
     )
     return exploded.select(
         "doc_id",

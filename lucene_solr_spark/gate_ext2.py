@@ -301,6 +301,10 @@ def fts_spell_collation(spark, sf_dir):
             .getField("term")
         ).alias("collated"),
         F.count("*").alias("n_terms"),
+    ).select(
+        # no candidates → NULL collation (string_agg semantics), not ''
+        F.when(F.col("n_terms") > 0, F.col("collated")).alias("collated"),
+        "n_terms",
     )
     n_best = best.select(F.count("*").alias("nb"))
     hits = (

@@ -60,24 +60,28 @@ def apply_atomic_updates(
         c = F.col(f"__{op}__{fld}")
         dt = fields[fld]
         cur = F.col(fld)
+        # A modifier against a MISSING (NULL) stored value CREATES the
+        # field, as the reference merger does (AtomicUpdateDocumentMerger
+        # "if field doesn't exist, add it") — inc starts from 0, array
+        # ops start from []; remove-from-missing stays missing.
         if op == "set":
             expr = F.coalesce(c.cast(dt), cur)
         elif op == "inc":
-            expr = cur + F.coalesce(c.cast(dt), F.lit(0).cast(dt))
-        elif op == "add":
-            elem = c.cast(dt.elementType)
             expr = F.when(
-                c.isNotNull(), F.concat(cur, F.array(elem))
+                c.isNotNull(),
+                F.coalesce(cur, F.lit(0).cast(dt)) + c.cast(dt),
             ).otherwise(cur)
-        elif op == "add_distinct":
+        else:
             elem = c.cast(dt.elementType)
-            expr = F.when(
-                c.isNotNull(), F.array_union(cur, F.array(elem))
-            ).otherwise(cur)
-        else:  # remove
-            elem = c.cast(dt.elementType)
-            expr = F.when(
-                c.isNotNull(), F.array_remove(cur, elem)
-            ).otherwise(cur)
+            empty = F.array().cast(dt)
+            if op == "add":
+                applied = F.concat(F.coalesce(cur, empty), F.array(elem))
+            elif op == "add_distinct":
+                applied = F.array_union(
+                    F.coalesce(cur, empty), F.array(elem)
+                )
+            else:  # remove: from a missing field it is a no-op
+                applied = F.array_remove(cur, elem)
+            expr = F.when(c.isNotNull(), applied).otherwise(cur)
         out = out.withColumn(fld, expr)
     return out.select(*fields.keys())

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import bm25, smallfloat
+from ..functions import bm25
 from ..functions.editdist import damerau_levenshtein
 
 __all__ = ["fuzzy_scored"]
@@ -82,9 +82,11 @@ def fuzzy_scored(
             np.log(1.0 + (np.float64(n) - df_blend + 0.5) / (df_blend + 0.5))
         )
         weights = [(t, bst * idf) for t, _, bst in expanded]
-        avgdl = np.float64(tables.sum_total_term_freq) / np.float64(n)
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl)
+        from .scoring import double_norm_cache
+
+        cache = double_norm_cache(
+            tables.sum_total_term_freq, tables.doc_count, k1, b
+        )
     else:
         idf32 = bm25.idf(df_blend, n)
         weights = [

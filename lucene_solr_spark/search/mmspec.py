@@ -42,8 +42,12 @@ def _simple(n_optional: int, spec: str) -> int:
 def calculate_min_should_match(n_optional: int, spec: str) -> int:
     """Resolve an mm spec to the effective minimumNumberShouldMatch for
     a query with ``n_optional`` optional (SHOULD) clauses."""
+    import re
+
     result = n_optional
-    spec = spec.strip()
+    # Solr normalizes all whitespace before splitting conditionals
+    # (spaceAroundLessThanPattern + replaceAll("\\s+", " "))
+    spec = re.sub(r"\s+", " ", spec.strip())
     if "<" in spec:
         # conditional spec(s): "upperBound<innerSpec", space-separated.
         # Solr iterates left to right, re-assigning on every clause whose

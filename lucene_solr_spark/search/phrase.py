@@ -317,14 +317,12 @@ def search_phrase(
     # idf, as Lucene sums per-clause termStats for MultiPhraseQuery)
     raw_w_sum = sum(float(weights[t]) for alts in slot_terms for t in alts)
     if precision == "double":
-        from ..functions import smallfloat
+        from .scoring import double_norm_cache
 
         w_sum = np.float64(raw_w_sum)
-        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
-            max(index.doc_count, 1)
+        cache = double_norm_cache(
+            index.sum_total_term_freq, index.doc_count, k1, b
         )
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
     else:
         w_sum = np.float32(raw_w_sum)
         avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
@@ -401,13 +399,11 @@ def span_first(
     )
     w = float(weights[term])
     if precision == "double":
-        from ..functions import smallfloat
+        from .scoring import double_norm_cache
 
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
-            max(index.doc_count, 1)
+        cache = double_norm_cache(
+            index.sum_total_term_freq, index.doc_count, k1, b
         )
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
     else:
         avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
         cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
@@ -459,13 +455,11 @@ def _span_env(index, df_by_term, idf_terms, boost, k1, b, precision):
         )
     )
     if precision == "double":
-        from ..functions import smallfloat
+        from .scoring import double_norm_cache
 
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
-            max(index.doc_count, 1)
+        cache = double_norm_cache(
+            index.sum_total_term_freq, index.doc_count, k1, b
         )
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
         return np.float64(raw), cache
     avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
     return np.float32(raw), bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))
@@ -819,13 +813,11 @@ def span_not(
     )
     w = float(weights[include])
     if precision == "double":
-        from ..functions import smallfloat
+        from .scoring import double_norm_cache
 
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        avgdl64 = np.float64(index.sum_total_term_freq) / np.float64(
-            max(index.doc_count, 1)
+        cache = double_norm_cache(
+            index.sum_total_term_freq, index.doc_count, k1, b
         )
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl64)
     else:
         avgdl = bm25.avgdl(index.sum_total_term_freq, max(index.doc_count, 1))
         cache = bm25.norm_cache(avgdl, np.float32(k1), np.float32(b))

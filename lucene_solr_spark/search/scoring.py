@@ -17,7 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import bm25, smallfloat
 
-__all__ = ["term_weights", "score_components"]
+__all__ = ["term_weights", "score_components", "double_norm_cache"]
+
+
+def double_norm_cache(sum_ttf: int, doc_count: int, k1, b) -> np.ndarray:
+    """256-entry DOUBLE-precision norm cache ``k1*(1-b+b*qdl/avgdl)``
+    over SmallFloat-quantized lengths — the ANSI-SQL-reproducible twin
+    of bm25.norm_cache (single definition: every double-path scorer
+    indexes this array by norm byte)."""
+    qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
+    avgdl = np.float64(sum_ttf) / np.float64(max(doc_count, 1))
+    return float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl)
 
 
 def term_weights(
@@ -83,11 +93,9 @@ def score_components(
     )
 
     if precision == "double":
-        avgdl = np.float64(tables.sum_total_term_freq) / np.float64(
-            max(tables.doc_count, 1)
+        cache = double_norm_cache(
+            tables.sum_total_term_freq, tables.doc_count, k1, b
         )
-        qdl = smallfloat.byte4_to_int(np.arange(256)).astype(np.float64)
-        cache = float(k1) * (1.0 - float(b) + float(b) * qdl / avgdl)
         num_type = "double"
     else:
         avgdl32 = bm25.avgdl(tables.sum_total_term_freq, max(tables.doc_count, 1))

@@ -119,11 +119,23 @@ class Searcher:
                     self.tables,
                     [t for t, _ in p.should],
                     mode="disjunctive",
-                    k=k,
+                    k=None if p.must_not else k,
                     boost={t: b for t, b in p.should},
                     precision=precision,
                     min_should_match=msm,
                 )
+                if p.must_not:
+                    # MUST_NOT still excludes under mm (ReqExclScorer):
+                    # anti-join the prohibited terms' doc set, then
+                    # re-apply the top-k cut
+                    excl = self.tables.postings.filter(
+                        self.tables.postings.term.isin(list(p.must_not))
+                    ).select("doc_id")
+                    hits = hits.join(excl, "doc_id", "left_anti").orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    )
+                    if k is not None:
+                        hits = hits.limit(k)
                 if with_stored:
                     hits = hits.join(self.stored, "doc_id").orderBy(
                         F.desc("score"), F.asc("doc_id")
@@ -131,7 +143,8 @@ class Searcher:
                 return hits
             raise ValueError(
                 "mm applies to all-SHOULD term queries (the dismax q= "
-                "shape); this query has required/phrase/field clauses"
+                "shape, optionally with -prohibited terms); this query "
+                "has required/phrase/field clauses"
             )
         hits = execute_parsed(
             q,

@@ -43,12 +43,24 @@ def dedup_stream(
     delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming exact-dedup: keep the first arrival of each signature
-    within the watermark horizon. Works on a streaming OR batch
-    DataFrame (batch falls back to dropDuplicates — the same semantics
-    with an infinite horizon)."""
+    within the watermark horizon. A batch DataFrame gets the same
+    semantics with an infinite horizon: the EARLIEST ``ts_col`` row per
+    signature wins (ties broken by the remaining columns so the result
+    is deterministic under any partitioning — plain dropDuplicates
+    keeps a partition-order-dependent arbitrary row)."""
     sig = with_signature(stream, text_col)
     if not stream.isStreaming:
-        return sig.dropDuplicates(["sig"])
+        from pyspark.sql import Window as W
+
+        order = [F.asc_nulls_last(ts_col)] + [
+            F.asc(c) for c in sig.columns if c not in ("sig", ts_col)
+        ]
+        w = W.partitionBy("sig").orderBy(*order)
+        return (
+            sig.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return sig.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["sig"]
     )

@@ -278,3 +278,19 @@ def test_polygon_contains(spark):
         ).collect()
     ]
     assert got == [True, True, False, False]  # center, vertex, out, out
+
+
+def test_delimited_payloads_custom_delimiter(spark):
+    """Regex-metachar delimiters are treated literally."""
+    from lucene_solr_spark.analysis.payloads import (
+        delimited_payload_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "boost.2.5 plain")], "doc_id long, text string"
+    )
+    p = delimited_payload_postings(docs, delimiter=".").collect()
+    rows = {(r["doc_id"], r["pos"]): (r["term"], r["payload"]) for r in p}
+    # first '.' splits term; the float decoder reads the LAST segment
+    assert rows[(0, 0)][0] == "boost" and rows[(0, 0)][1] == 5.0
+    assert rows[(0, 1)] == ("plain", 0.0)

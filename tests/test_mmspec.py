@@ -61,3 +61,9 @@ def test_whitespace_and_invalid():
     assert mm(5, "  3  ") == 3
     with pytest.raises(ValueError):
         mm(5, "abc")
+
+
+def test_whitespace_normalization():
+    """Solr normalizes all whitespace before splitting conditionals."""
+    assert mm(5, "2<-25%\t9<-3") == 4
+    assert mm(10, "2<-25%   9<-3") == 7

@@ -382,3 +382,24 @@ def test_streaming_signature_dedup(spark, tmp_path):
         r["text"] for r in dedup_stream(batch).collect()
     )
     assert len(got) == 2
+
+
+def test_batch_dedup_keeps_earliest_ts(spark):
+    """Batch fallback keeps the earliest-ts row per signature,
+    deterministically under any partitioning."""
+    import pandas as pd
+
+    from lucene_solr_spark.streaming.dedup import dedup_stream
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["same text", "SAME   text", "other"],
+            "ts": pd.to_datetime(
+                ["2026-01-02", "2026-01-01", "2026-01-01"]
+            ),
+        }
+    )
+    batch = spark.createDataFrame(pdf).repartition(4)
+    got = {r["doc_id"] for r in dedup_stream(batch).collect()}
+    assert got == {1, 2}  # doc1 is the earlier arrival of the dup pair

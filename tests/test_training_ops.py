@@ -543,3 +543,33 @@ def test_atomic_updates(spark):
                 "doc_id long, field string, op string, value string",
             ),
         )
+
+
+def test_atomic_updates_create_missing_fields(spark):
+    """Modifiers against a NULL stored value CREATE the field (inc from
+    0, array ops from []); remove-from-missing stays missing."""
+    from lucene_solr_spark.operators.atomic import apply_atomic_updates
+
+    base = spark.createDataFrame(
+        [(0, None, None), (1, 5, ["x"])],
+        "doc_id long, n int, tags array<string>",
+    )
+    updates = spark.createDataFrame(
+        [(0, "n", "inc", "7"), (0, "tags", "add", "a"),
+         (1, "tags", "remove", "zzz")],
+        "doc_id long, field string, op string, value string",
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["tags"])
+        for r in apply_atomic_updates(base, updates).collect()
+    }
+    assert got[0] == (7, ["a"])
+    assert got[1] == (5, ["x"])
+    # remove against a missing array is a no-op (stays missing)
+    upd2 = spark.createDataFrame(
+        [(0, "tags", "remove", "a")],
+        "doc_id long, field string, op string, value string",
+    )
+    got2 = {r["doc_id"]: r["tags"]
+            for r in apply_atomic_updates(base, upd2).collect()}
+    assert got2[0] is None

@@ -652,6 +652,93 @@ def fn_query_boost(spark, sf_dir):
 
 
 @gate(
+    "fts_classic_tfidf",
+    f"""WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         power(1 + ln((s.doc_count + 1.0) / (d.df + 1.0)), 2)
+           * sqrt(tf.freq) / sqrt(qd.qdl) AS ts
+  FROM tf JOIN dfs d USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id CROSS JOIN stats s)
+SELECT doc_id, round(sum(ts), 4) AS score FROM scored GROUP BY doc_id
+ORDER BY round(sum(ts), 4) DESC, doc_id ASC LIMIT 20""",
+)
+def fts_classic_tfidf(spark, sf_dir):
+    """Pluggable Similarity: the SAME index tables scored by
+    ClassicSimilarity (TF-IDF: idf² · √tf / √dl over the unified
+    one-byte norm) instead of BM25 — the per-search Similarity swap of
+    the reference (search/classic.py; lucene/core/.../similarities/
+    ClassicSimilarity.java, TFIDFSimilarity.java:380-430)."""
+    from .search.classic import search_classic
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        search_classic(tables, ["spark", "merge"], k=None)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@gate(
+    "fn_additive_boost",
+    f"""WITH {bm25_scored_cte(["spark", "merge"])},
+mn AS (SELECT doc_id, sum(term_score) AS score FROM scored
+       WHERE term = 'spark' GROUP BY doc_id),
+bq AS (SELECT doc_id, sum(term_score) AS bscore FROM scored
+       WHERE term = 'merge' GROUP BY doc_id)
+SELECT m.doc_id,
+       round(m.score + 0.4 * coalesce(b.bscore, 0.0)
+             + 0.05 * ln(1 + d.n_chars), 4) AS score
+FROM mn m LEFT JOIN bq b USING (doc_id)
+JOIN documents d USING (doc_id)
+ORDER BY round(m.score + 0.4 * coalesce(b.bscore, 0.0)
+               + 0.05 * ln(1 + d.n_chars), 4) DESC, m.doc_id ASC
+LIMIT 20""",
+)
+def fn_additive_boost(spark, sf_dir):
+    """eDisMax additive boosts: bq (boost query 'merge'^0.4 ADDED to
+    the main score for matching docs) and bf (boost function
+    0.05·ln(1+n_chars) added for every hit) — additive, unlike the
+    multiplicative boost= param (reference solr/core/.../search/
+    DisMaxQParser.java:200-230 getBoostQueries/getBoostFunctions;
+    ExtendedDismaxQParser addShouldClauses)."""
+    tables = docs_index(spark, sf_dir)
+    main = search_bruteforce(
+        tables, ["spark"], "disjunctive", k=None, precision="double"
+    )
+    bq = search_bruteforce(
+        tables, ["merge"], "disjunctive", k=None, precision="double"
+    ).select("doc_id", F.col("score").alias("bscore"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fin = (
+        main.join(bq, "doc_id", "left")
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                + 0.4 * F.coalesce(F.col("bscore"), F.lit(0.0))
+                + 0.05 * F.log1p(F.col("n_chars").cast("double"))
+            ).alias("fscore"),
+        )
+    )
+    return (
+        fin.select("doc_id", F.round("fscore", 4).alias("score"))
+        .orderBy(F.desc(F.round("fscore", 4)), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@gate(
     "fts_rerank_query",
     f"""WITH {bm25_scored_cte(["spark", "merge"])},
 mn AS (SELECT doc_id, sum(term_score) AS score FROM scored

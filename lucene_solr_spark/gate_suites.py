@@ -317,6 +317,8 @@ _suite("fts_score_shaping", [
     ("fuzzy_scored", "fts_fuzzy_scored", ("doc_id",), ("score",)),
     ("payload", "fts_payload_score",
      ("doc_id",), ("n_occ", "pay_sum", "pay_max", "pay_avg")),
+    ("classic_tfidf", "fts_classic_tfidf", ("doc_id",), ("score",)),
+    ("additive_boost", "fn_additive_boost", ("doc_id",), ("score",)),
     ("elevate", "fts_query_elevation",
      ("doc_id",), ("score", "elev_pos", "rank")),
 ])

@@ -239,6 +239,41 @@ def fts_spellcheck(spark, sf_dir):
 
 
 @gate(
+    "fts_suggest_context",
+    """WITH s AS (
+  SELECT array_to_string(
+           list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 4),
+           ' ') AS surface,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+         lang
+  FROM documents),
+g AS (SELECT surface, max(dl) AS weight,
+             list_sort(list_distinct(list(lang))) AS ctxs
+      FROM s WHERE surface <> '' GROUP BY surface)
+SELECT surface AS key, CAST(weight AS BIGINT) AS weight,
+       array_to_string(ctxs, ',') AS ctx_s
+FROM g
+WHERE surface LIKE 's%'
+  AND (list_contains(ctxs, 'en') OR list_contains(ctxs, 'fr'))
+ORDER BY weight DESC, key ASC LIMIT 10""",
+)
+def fts_suggest_context(spark, sf_dir):
+    """ContextQuery: analyzing-suggester completions of 's' filtered to
+    suggestions whose context set intersects {en, fr} (search/
+    suggest.py context_suggest; reference lucene/suggest/.../document/
+    ContextQuery.java, ContextSuggestField.java)."""
+    from .search.suggest import build_suggestions_with_contexts, context_suggest
+
+    docs = load(spark, sf_dir, "documents")
+    sugg = build_suggestions_with_contexts(docs, "text", "lang")
+    return context_suggest(sugg, "s", ["en", "fr"], k=10).select(
+        "key",
+        F.col("weight").cast("long").alias("weight"),
+        F.array_join("contexts", ",").alias("ctx_s"),
+    )
+
+
+@gate(
     "fts_spell_collation",
     f"""WITH toks AS ({_TOKS}),
 dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),

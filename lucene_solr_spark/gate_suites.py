@@ -366,6 +366,7 @@ _suite("fts_suggest_spell", [
      ("input", "lft"), ("df_left", "df_right", "freq_sum")),
     ("collation", "fts_spell_collation",
      ("collated",), ("n_terms", "n_hits")),
+    ("context", "fts_suggest_context", ("key", "ctx_s"), ("weight",)),
 ])
 
 # 18-19: percolator + explain

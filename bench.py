@@ -192,10 +192,17 @@ def run_scaling(
     run-to-run noise comparable to the efficiency margin itself
     (round-1/2 measurements spanned 0.82-1.06 for the same code), so
     each parallelism level runs n_rounds times — interleaved N, 4N, N,
-    4N, … so slow host phases hit both levels — and the headline
-    efficiency uses the per-level best (the noise-robust estimator the
-    per-build best-of-2 already uses); the full per-round spread is
-    reported alongside.
+    4N, … so slow host phases hit both levels. The headline efficiency
+    is the MEDIAN of the per-round (paired) efficiencies: each round
+    compares two adjacent-in-time runs under the same machine state,
+    which is the paired design the N-vs-4N question calls for. A
+    cross-round best-of-per-level estimator is also reported
+    (value_best_of) but can pair different machine states — observed:
+    host warmup drift over a ~35-min session made the 4N leg rise
+    monotonically while the N leg cooled, so best-of paired round-1's
+    N with round-3's 4N and scored an engine whose steady-state round
+    measured 1.01 as 0.77. The full per-round spread is always
+    reported.
 
     CPU pinning: each measurement process is pinned to exactly its
     core budget (``taskset -c 0-{N-1}``). Without this, "local[2]" on
@@ -228,9 +235,13 @@ def run_scaling(
         round((tps[4 * n_cores][i] / tps[n_cores][i]) / 4.0, 3)
         for i in range(n_rounds)
     ]
+    import statistics
+
+    median_eff = round(statistics.median(per_round_eff), 3)
     return {
         "metric": f"index_build_scaling_efficiency_{n_cores}_to_{4 * n_cores}_cores",
-        "value": round((tps_4n / tps_n) / 4.0, 3),
+        "value": median_eff,
+        "value_best_of": round((tps_4n / tps_n) / 4.0, 3),
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "turns": n_turns,

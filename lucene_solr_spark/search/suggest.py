@@ -288,6 +288,8 @@ def context_suggest(
     boosted/filtered by contexts'; the filter form). Context overlap is
     arrays_overlap — a codegen predicate on the (small) suggestion
     table."""
+    if not contexts:
+        raise ValueError("ContextQuery needs at least one context value")
     q = analyze_key(query)
     want = F.array(*[F.lit(c) for c in contexts])
     return (

@@ -214,3 +214,36 @@ def test_word_breaks_and_combinations(spark):
     assert word_combinations(
         idx, ["data", "base"], max_combine_length=6
     ).count() == 0  # length cap
+
+
+def test_context_suggest(spark):
+    """ContextQuery: completions filtered by context membership."""
+    import pytest
+
+    from lucene_solr_spark.search.suggest import (
+        build_suggestions_with_contexts, context_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "solar panel kit", "en"), (1, "solar power bank", "fr"),
+         (2, "solar power bank", "de"), (3, "sofa bed", "en")],
+        "doc_id long, text string, lang string",
+    )
+    sugg = build_suggestions_with_contexts(docs, "text", "lang")
+    got = {
+        r["surface"]: r["contexts"]
+        for r in context_suggest(sugg, "so", ["en"], k=10).collect()
+    }
+    assert set(got) == {"solar panel kit", "sofa bed"}
+    fr_de = {
+        r["surface"]
+        for r in context_suggest(sugg, "solar", ["fr", "de"], k=10).collect()
+    }
+    assert fr_de == {"solar power bank"}
+    # contexts of a shared surface accumulate as a set
+    assert sorted(
+        r["contexts"]
+        for r in context_suggest(sugg, "solar", ["de"], k=10).collect()
+    ) == [["de", "fr"]]
+    with pytest.raises(ValueError):
+        context_suggest(sugg, "so", [], k=10)

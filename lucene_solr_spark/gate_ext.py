@@ -689,6 +689,32 @@ def fts_classic_tfidf(spark, sf_dir):
 
 
 @gate(
+    "fts_boolean_sim",
+    f"""WITH toks AS ({_TOKS}),
+m AS (SELECT doc_id, count(DISTINCT term) AS n FROM toks
+      WHERE term IN ('spark', 'merge', 'vector') GROUP BY doc_id)
+SELECT doc_id, CAST(n * 2.0 AS DOUBLE) AS score FROM m
+WHERE n = 3 ORDER BY doc_id""",
+)
+def fts_boolean_sim(spark, sf_dir):
+    """BooleanSimilarity (the third pluggable Similarity): every
+    matching clause contributes exactly its boost (2.0 here) — no tf,
+    no norms (search/classic.py search_boolean_sim; reference
+    lucene/core/.../similarities/BooleanSimilarity.java). Emitting the
+    full-match tier keeps the top-k cut deterministic."""
+    from .search.classic import search_boolean_sim
+
+    tables = docs_index(spark, sf_dir)
+    return (
+        search_boolean_sim(
+            tables, ["spark", "merge", "vector"], k=None, boost=2.0
+        )
+        .filter(F.col("score") == 6.0)
+        .orderBy("doc_id")
+    )
+
+
+@gate(
     "fn_additive_boost",
     f"""WITH {bm25_scored_cte(["spark", "merge"])},
 mn AS (SELECT doc_id, sum(term_score) AS score FROM scored

@@ -318,6 +318,7 @@ _suite("fts_score_shaping", [
     ("payload", "fts_payload_score",
      ("doc_id",), ("n_occ", "pay_sum", "pay_max", "pay_avg")),
     ("classic_tfidf", "fts_classic_tfidf", ("doc_id",), ("score",)),
+    ("boolean_sim", "fts_boolean_sim", ("doc_id",), ("score",)),
     ("additive_boost", "fn_additive_boost", ("doc_id",), ("score",)),
     ("elevate", "fts_query_elevation",
      ("doc_id",), ("score", "elev_pos", "rank")),

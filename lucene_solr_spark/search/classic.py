@@ -88,3 +88,32 @@ def search_classic(
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return out.limit(k) if k is not None else out
+
+
+def search_boolean_sim(
+    tables,
+    terms,
+    k: int | None = 10,
+    boost: float = 1.0,
+) -> DataFrame:
+    """BooleanSimilarity: score = Σ boost over matching clauses —
+    frequency- and length-independent (reference lucene/core/.../
+    similarities/BooleanSimilarity.java: "simple similarity that gives
+    terms a score equal to their query boost"). The third pluggable
+    Similarity over the unchanged tables: one distinct-count agg per
+    doc, no norms read at all.
+
+    → DataFrame(doc_id long, score double) ordered by
+    (score desc, doc_id asc)."""
+    uniq = list(dict.fromkeys(terms))
+    out = (
+        tables.postings.filter(F.col("term").isin(uniq))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") * F.lit(float(boost))).cast("double").alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return out.limit(k) if k is not None else out

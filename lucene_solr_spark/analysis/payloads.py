@@ -46,9 +46,12 @@ def delimited_payload_postings(
         F.posexplode(toks).alias("pos", "raw"),
     ).filter(F.col("raw") != "")
     before = F.substring_index(F.col("raw"), d, 1)
+    # DelimitedPayloadTokenFilter splits at the FIRST delimiter and
+    # encodes the entire remainder (DelimitedPayloadTokenFilter.java:
+    # 58-62) — 'boost.2.5' with delimiter '.' carries payload 2.5.
     after = F.when(
         F.col("raw").contains(d),
-        F.element_at(F.split(F.col("raw"), d_rx), -1),
+        F.element_at(F.split(F.col("raw"), d_rx, 2), 2),
     )
     return exploded.select(
         "doc_id",

@@ -491,7 +491,7 @@ bst AS (SELECT term, df,
                1.0 - ed / CAST(least(length(term), 4) AS DOUBLE) AS boost
         FROM exp WHERE ed < least(length(term), 4)),
 kept AS (SELECT term, df, boost,
-                row_number() OVER (ORDER BY boost DESC, df DESC, term ASC)
+                row_number() OVER (ORDER BY boost DESC, term ASC)
                   AS rk
          FROM bst QUALIFY rk <= 50),
 blend AS (SELECT max(df) AS dfb FROM kept),
@@ -513,7 +513,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 20""",
 def fts_fuzzy_scored(spark, sf_dir):
     """FuzzyQuery 'jion'~2 under the DEFAULT scoring rewrite
     (TopTermsBlendedFreqScoringRewrite): per-term similarity boost
-    1 - ed/min(|q|,|t|), top-50 expansions by (boost, df), df blended
+    1 - ed/min(|q|,|t|), top-50 expansions by (boost desc, term asc —
+    TopTermsRewrite.java:116-118 breaks boost ties by term bytes only,
+    never docFreq), df blended
     to the max, SHOULD-sum scoring (search/fuzzyq.py; reference
     search/FuzzyQuery.java:60-75, MultiTermQuery.java:180-196,
     BlendedTermQuery.java:268-287)."""
@@ -966,11 +968,17 @@ def fts_span_or(spark, sf_dir):
     )
 
 
+# NearSpansOrdered shortest-match: each 'spark' occurrence pairs with
+# the NEAREST following 'merge' only; the pair survives iff that
+# shortest window fits in slop+1=7 (NearSpansOrdered.java
+# shrinkToAfterShortestMatch — mirrors search/phrase.py _ordered_pairs).
 _PAIRS_CTE = """pairs AS (
-  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
-  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
-  WHERE a.term = 'spark' AND b.term = 'merge'
-    AND b.pos - a.pos BETWEEN 1 AND 7)"""
+  SELECT a.doc_id, a.pos AS pa, min(b.pos) AS pb
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.term = 'merge'
+  WHERE a.term = 'spark'
+  GROUP BY a.doc_id, a.pos
+  HAVING min(b.pos) - a.pos <= 7)"""
 
 
 @gate(

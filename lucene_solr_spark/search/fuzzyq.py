@@ -71,8 +71,10 @@ def fuzzy_scored(
             expanded.append((r["term"], int(r["df"]), boost))
     if not expanded:
         return empty
-    # TopTermsRewrite keep-order: boost desc, then df desc, term asc
-    expanded.sort(key=lambda t: (-t[2], -t[1], t[0]))
+    # TopTermsRewrite queue order: boost desc, boost ties broken by
+    # term bytes ONLY — the lexicographically smaller term wins, never
+    # by docFreq (TopTermsRewrite.java:116-118)
+    expanded.sort(key=lambda t: (-t[2], t[0]))
     expanded = expanded[:max_expansions]
     df_blend = max(df for _, df, _ in expanded)
 

@@ -45,8 +45,10 @@ def calculate_min_should_match(n_optional: int, spec: str) -> int:
     import re
 
     result = n_optional
-    # Solr normalizes all whitespace before splitting conditionals
-    # (spaceAroundLessThanPattern + replaceAll("\\s+", " "))
+    # Solr strips spaces around '<' BEFORE collapsing whitespace
+    # (SolrPluginUtils spaceAroundLessThanPattern
+    # "(\\s+<\\s*)|(\\s*<\\s+)" → "<"), so "2 < -25%" is one clause
+    spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
     spec = re.sub(r"\s+", " ", spec.strip())
     if "<" in spec:
         # conditional spec(s): "upperBound<innerSpec", space-separated.

@@ -31,22 +31,39 @@ def multi_reader(shards) -> IndexTables:
     """Compose per-shard IndexTables into one logical index.
 
     Doc ids are offset by each shard's docBase = Σ max_doc of prior
-    shards (BaseCompositeReader starts[]); max_doc per shard is taken
-    as max(doc_id)+1 of its norms table when not set explicitly."""
+    shards (BaseCompositeReader starts[]). A shard's declared max_doc
+    (row count for dense 0-based builds) is only a safe increment when
+    every doc_id actually fits below it, so each shard is validated
+    against its true id range (min >= 0, max < increment) and the
+    increment is max(declared, max(doc_id)+1) — sparse or non-dense ids
+    can never silently collide two source docs into one composite id."""
     if not shards:
         raise ValueError("multi_reader needs at least one shard")
     bases = []
     base = 0
-    for sh in shards:
+    for i, sh in enumerate(shards):
         bases.append(base)
         try:
-            mx = sh.max_doc
+            declared = sh.max_doc
         except AttributeError:
-            mx = None
-        if mx is None:
-            mx = sh.norms.agg(F.max("doc_id")).collect()[0][0]
-            mx = int(mx) + 1 if mx is not None else 0
-        base += int(mx)
+            declared = None
+        row = sh.norms.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        lo = int(row["lo"]) if row["lo"] is not None else 0
+        actual = int(row["hi"]) + 1 if row["hi"] is not None else 0
+        if lo < 0:
+            raise ValueError(
+                f"multi_reader shard {i}: negative doc_id {lo} would "
+                "collide with the previous shard's id range"
+            )
+        if declared is not None and actual > int(declared):
+            raise ValueError(
+                f"multi_reader shard {i}: max(doc_id)+1={actual} exceeds "
+                f"declared max_doc={declared}; doc ids are not dense "
+                "0-based, refusing to compose overlapping id ranges"
+            )
+        base += max(int(declared or 0), actual)
 
     def offset(df, b):
         return df.withColumn(

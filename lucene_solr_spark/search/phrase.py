@@ -591,10 +591,14 @@ def span_or(
 
 
 def _ordered_pairs(pts, first: str, second: str, slop: int):
-    """All ordered occurrence pairs (first at pa, second at pb) with
-    0 < pb - pa <= slop + 1, per doc, as packed (doc*SHIFT + pos) keys
-    → (pair_start_keys, deltas). Positions are unique per doc, so each
-    (pa, delta) names at most one pair."""
+    """Ordered big spans per NearSpansOrdered shortest-match semantics:
+    for each occurrence of ``first`` (at pa), the NEAREST following
+    occurrence of ``second`` (at pb) — a match only when that shortest
+    window satisfies 0 < pb - pa <= slop + 1 (reference lucene/core/
+    .../search/spans/NearSpansOrdered.java stretchToOrder +
+    shrinkToAfterShortestMatch: with a@0, b@{1,2}, slop>=1 exactly one
+    span (0..1) is emitted, never (0..2)). Returns packed
+    (doc*SHIFT + pa) keys → (pair_start_keys, deltas)."""
     a, b_ = pts[first], pts[second]
     cand = np.intersect1d(np.unique(a.all_docs()), np.unique(b_.all_docs()))
     if not len(cand):
@@ -604,20 +608,18 @@ def _ordered_pairs(pts, first: str, second: str, slop: int):
     db, pb = b_.occurrences(cand)
     ka = da * _POS_SHIFT + pa
     kb = np.sort(db * _POS_SHIFT + pb)
-    starts, deltas = [], []
-    for delta in range(1, slop + 2):
-        probe = ka + np.int64(delta)
-        idx = np.searchsorted(kb, probe)
-        ok = idx < len(kb)
-        hit = np.zeros(len(probe), dtype=bool)
-        hit[ok] = kb[idx[ok]] == probe[ok]
-        if hit.any():
-            starts.append(ka[hit])
-            deltas.append(np.full(int(hit.sum()), delta, dtype=np.int64))
-    if not starts:
+    # first kb strictly greater than each ka = nearest following second;
+    # positions are unique per doc and _POS_SHIFT >> slop, so a delta
+    # within slop+1 can only come from the same doc.
+    idx = np.searchsorted(kb, ka, side="right")
+    ok = idx < len(kb)
+    delta = np.full(len(ka), np.int64(_POS_SHIFT), dtype=np.int64)
+    delta[ok] = kb[idx[ok]] - ka[ok]
+    hit = delta <= np.int64(slop + 1)
+    if not hit.any():
         z = np.empty(0, np.int64)
         return z, z
-    return np.concatenate(starts), np.concatenate(deltas)
+    return ka[hit], delta[hit]
 
 
 def span_within(

@@ -291,6 +291,7 @@ def test_delimited_payloads_custom_delimiter(spark):
     )
     p = delimited_payload_postings(docs, delimiter=".").collect()
     rows = {(r["doc_id"], r["pos"]): (r["term"], r["payload"]) for r in p}
-    # first '.' splits term; the float decoder reads the LAST segment
-    assert rows[(0, 0)][0] == "boost" and rows[(0, 0)][1] == 5.0
+    # first '.' splits term; the entire remainder is the payload
+    # (DelimitedPayloadTokenFilter.java:58-62 → 'boost.2.5' carries 2.5)
+    assert rows[(0, 0)][0] == "boost" and rows[(0, 0)][1] == 2.5
     assert rows[(0, 1)] == ("plain", 0.0)

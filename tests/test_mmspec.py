@@ -67,3 +67,12 @@ def test_whitespace_normalization():
     """Solr normalizes all whitespace before splitting conditionals."""
     assert mm(5, "2<-25%\t9<-3") == 4
     assert mm(10, "2<-25%   9<-3") == 7
+
+
+def test_space_around_less_than():
+    """Solr's spaceAroundLessThanPattern strips spaces around '<'
+    BEFORE whitespace-splitting conditionals, so "2 < -25%" is one
+    clause (SolrPluginUtils.java calculateMinShouldMatch)."""
+    assert mm(5, "2 < -25%") == mm(5, "2<-25%")
+    assert mm(9, "2 <-25% 9< -3") == mm(9, "2<-25% 9<-3")
+    assert mm(3, " 2 < 2 ") == 2

@@ -493,12 +493,15 @@ def test_span_family_randomized_vs_brute(spark, tmp_path_factory):
         return [p for p, w in enumerate(toks[d]) if w == t]
 
     def pairs(d, slop):
-        return [
-            (pa, pb)
-            for pa in occs(d, "aa")
-            for pb in occs(d, "bb")
-            if 1 <= pb - pa <= slop + 1
-        ]
+        # NearSpansOrdered shortest-match: per aa occurrence, only the
+        # nearest following bb; match iff that window fits in slop+1.
+        bs = occs(d, "bb")
+        out = []
+        for pa in occs(d, "aa"):
+            nxt = [pb for pb in bs if pb > pa]
+            if nxt and min(nxt) - pa <= slop + 1:
+                out.append((pa, min(nxt)))
+        return out
 
     got_or = {
         r["doc_id"]: r["span_freq"]

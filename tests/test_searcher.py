@@ -198,3 +198,36 @@ def test_edismax_min_should_match(spark):
     any_ = {r["doc_id"] for r in edismax(
         fields, ["alpha", "beta"], qf={}).collect()}
     assert any_ == {0, 1, 2}
+
+
+def test_multireader_rejects_sparse_ids(spark):
+    """A shard whose declared max_doc (row count) is smaller than
+    max(doc_id)+1 would silently collide composite ids — multi_reader
+    must raise instead of composing overlapping id ranges."""
+    import pytest
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.search.multireader import multi_reader
+
+    sparse = build_index(
+        spark.createDataFrame(
+            [(0, "alpha"), (7, "beta")], "doc_id long, text string"
+        ),
+        analyzer="simple", id_col="doc_id",
+    )
+    dense = build_index(
+        spark.createDataFrame(
+            [(0, "gap"), (1, "alpha")], "doc_id long, text string"
+        ),
+        analyzer="simple", id_col="doc_id",
+    )
+    with pytest.raises(ValueError, match="not dense"):
+        multi_reader([sparse, dense])
+    with pytest.raises(ValueError, match="negative"):
+        neg = build_index(
+            spark.createDataFrame(
+                [(-1, "alpha"), (0, "beta")], "doc_id long, text string"
+            ),
+            analyzer="simple", id_col="doc_id",
+        )
+        multi_reader([dense, neg])

@@ -425,9 +425,27 @@ def td_ann_lsh_topk(spark, sf_dir):
 
 _IVF_K, _IVF_NPROBE = 8, 2
 
+# Frozen PRODUCTION k-means centroids (train_ivf_centroids output,
+# scripts/make_ivf_fixture.py — the porter_stems.parquet pattern): both
+# engines read the SAME at-rest centroid table, so the driver hash
+# verifies the trained coarse-quantizer path, not a first_k stand-in.
+# Corpus key = (count(*), floor(vec0[1]*1e9)): distinct testdata corpora
+# share row counts but never the leading component of vector 0.
+_IVF_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "ivf_centroids.parquet",
+)
+
+_IVF_CENT_CTE = f"""cent AS (
+  SELECT centroid_id AS c, centroid AS ce FROM read_parquet('{_IVF_FIXTURE}')
+  WHERE n_vecs = (SELECT count(*) FROM embeddings)
+    AND key0 = (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e9) AS BIGINT)
+                FROM embeddings WHERE vec_id = 0))"""
+
 
 def _ivf_sql() -> str:
-    return f"""WITH cent AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}),
+    return f"""WITH {_IVF_CENT_CTE},
 idx AS (SELECT unnest(range(1, 65)) AS i),
 cn AS (SELECT c, sqrt(CAST(sum(CAST(round(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE), 9)
                                    AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
@@ -462,25 +480,55 @@ def _ivf_index_dir(spark, sf_dir: str) -> str:
     key = (sf_dir, _IVF_K)
     if key not in _IVF_INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="lss_ivfidx_")
-        # first_k centroid source: exactly reproducible in the DuckDB
-        # oracle's SQL; the production "trained" k-means source is
-        # recall-tested in tests/test_training_ops.py
         sim.build_ivf_index(
             load(spark, sf_dir, "embeddings"), d, n_centroids=_IVF_K,
-            centroids="first_k",
+            centroids=_ivf_fixture_centroids(spark, sf_dir),
         )
         _IVF_INDEX_CACHE[key] = d
     return _IVF_INDEX_CACHE[key]
 
 
+def _ivf_fixture_centroids(spark, sf_dir: str):
+    """Load this corpus's frozen trained centroids from the fixture —
+    the same rows the oracle's cent CTE reads. Raises if the corpus has
+    no frozen centroids (regenerate with scripts/make_ivf_fixture.py)
+    rather than silently falling back to an unverified source."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    key0 = int(math.floor(float(v0[0]) * 1e9))
+    pdf = pd.read_parquet(_IVF_FIXTURE)
+    pdf = pdf[(pdf["n_vecs"] == n_vecs) & (pdf["key0"] == key0)]
+    if len(pdf) != _IVF_K:
+        raise ValueError(
+            f"ivf_centroids.parquet has {len(pdf)} rows for corpus "
+            f"(n_vecs={n_vecs}, key0={key0}); expected {_IVF_K} — "
+            "regenerate with scripts/make_ivf_fixture.py"
+        )
+    return [
+        (int(r.centroid_id), np.asarray(r.centroid, dtype=np.float64),
+         float(r.exact_norm))
+        for r in pdf.itertuples()
+    ]
+
+
 @gate("td_ann_ivf_topk", _ivf_sql())
 def td_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN over the AT-REST centroid-partitioned index: coarse
-    quantizer assigns each vector once at build time (exact-DECIMAL
-    argmax, SQL-reproducible), probe = top-nprobe centroid partitions
+    """IVF ANN over the AT-REST centroid-partitioned index built from
+    the PRODUCTION trained k-means centroids (train_ivf_centroids,
+    frozen as ivf_centroids.parquet by scripts/make_ivf_fixture.py):
+    coarse quantizer assigns each vector once at build time
+    (exact-DECIMAL argmax), probe = top-nprobe centroid partitions
     resolved driver-side (PartitionFilters pruning), exact cosine
-    rerank over candidates only. The oracle recomputes assignment,
-    probe and rerank from raw embeddings."""
+    rerank over candidates only. The oracle reads the same frozen
+    centroid table and recomputes assignment, probe and rerank from
+    raw embeddings; recall@10 >= 0.9 vs brute force is pinned by
+    tests/test_training_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     idx_dir = _ivf_index_dir(spark, sf_dir)

@@ -573,3 +573,73 @@ def test_atomic_updates_create_missing_fields(spark):
     got2 = {r["doc_id"]: r["tags"]
             for r in apply_atomic_updates(base, upd2).collect()}
     assert got2[0] is None
+
+
+def test_ivf_trained_recall_at_10_vs_brute(spark, emb, tmp_path):
+    """Recall@10 of the TRAINED-centroid IVF index (the production
+    path the driver gate now verifies) vs exact brute-force cosine
+    (KnnStream coarse-quantize-then-rerank contract). The synthetic
+    embeddings are near-uniform on the sphere — no cluster structure —
+    so recall grows with the probed fraction: it must be monotone
+    non-decreasing in nprobe, >= 0.9 by nprobe=6 of 8 cells, and
+    EXACTLY 1.0 at nprobe=8 (probing every cell ≡ brute force; on
+    clustered real embeddings the same curve saturates much earlier,
+    cf. test_ivf_near_dup_recall's planted near-dups at nprobe=3)."""
+    idx = str(tmp_path / "ivf_recall")
+    sim.build_ivf_index(emb, idx, n_centroids=8)  # centroids="trained"
+    qids = [int(q) for q in range(0, 200, 10)]
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    exact = {
+        q: [r["vec_id"] for r in sim.cosine_topk(emb, vecs[q], k=10).collect()]
+        for q in qids
+    }
+
+    def recall(n_probes):
+        tot = 0.0
+        for q in qids:
+            got = [
+                r["vec_id"]
+                for r in sim.ivf_index_topk(
+                    spark, idx, vecs[q], k=10, n_probes=n_probes
+                ).collect()
+            ]
+            tot += len(set(exact[q]) & set(got)) / 10.0
+        return tot / len(qids)
+
+    curve = [recall(n) for n in (2, 4, 6, 8)]
+    assert all(a <= b + 1e-9 for a, b in zip(curve, curve[1:])), curve
+    assert curve[2] >= 0.9, curve
+    assert curve[3] == 1.0, curve
+
+
+def test_ivf_fixture_matches_trained_centroids(spark, emb):
+    """The frozen ivf_centroids.parquet fixture (what both the Spark
+    gate and the DuckDB oracle consume) must be exactly the
+    train_ivf_centroids output for its corpus — a stale fixture would
+    silently verify yesterday's quantizer."""
+    import math
+    import os
+
+    import lucene_solr_spark as pkg
+
+    fixture = os.path.join(
+        os.path.dirname(pkg.__file__), "fixtures_data", "ivf_centroids.parquet"
+    )
+    pdf = pd.read_parquet(fixture)
+    n_vecs = emb.count()
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    key0 = int(math.floor(float(v0[0]) * 1e9))
+    rows = pdf[(pdf["n_vecs"] == n_vecs) & (pdf["key0"] == key0)]
+    assert len(rows) == 8
+    trained = sim.train_ivf_centroids(emb, n_centroids=8)
+    frozen = {
+        int(r.centroid_id): (np.asarray(r.centroid), float(r.exact_norm))
+        for r in rows.itertuples()
+    }
+    for cid, vec, nrm in trained:
+        fvec, fnrm = frozen[cid]
+        assert np.array_equal(np.asarray(vec, dtype=np.float64), fvec)
+        assert nrm == fnrm

@@ -364,6 +364,81 @@ def fts_parsed_mixed(spark, sf_dir):
 
 
 @gate(
+    "fts_parsed_escaped",
+    f"""WITH {bm25_scored_cte(["spark", "vector"])},
+req AS (SELECT doc_id, sum(term_score) AS s FROM scored
+        WHERE term = 'spark' GROUP BY doc_id),
+opt AS (SELECT doc_id, sum(term_score) AS s FROM scored
+        WHERE term = 'vector' GROUP BY doc_id)
+SELECT r.doc_id, round(r.s + coalesce(o.s, 0), 4) AS score
+FROM req r LEFT JOIN opt o USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_parsed_escaped(spark, sf_dir):
+    r"""Escaping end-to-end: '+spark s\* merge\~1 vector' — the escaped
+    tokens are the LITERAL terms 's*' and 'merge~1' (absent from the
+    corpus, zero contribution), NEVER a prefix expansion of 's' or a
+    fuzzy of 'merge' (either would change every score). Reference
+    queryparser/.../classic/QueryParser.jj <_ESCAPED_CHAR>,
+    QueryParserBase.escape (search/queryparser.py _encode_escapes)."""
+    return _run_parsed(spark, sf_dir, r"+spark s\* merge\~1 vector")
+
+
+@gate(
+    "fts_complex_phrase",
+    f"""WITH toks AS ({_TOKS}),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+s1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term IN ('slow', 'fast') GROUP BY term),
+s2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       WHERE term LIKE 's%' GROUP BY term ORDER BY term LIMIT 50),
+widf AS (SELECT
+  (SELECT sum(ln(1 + (s.doc_count - df + 0.5) / (df + 0.5)))
+   FROM s1 CROSS JOIN stats s)
+  + (SELECT sum(ln(1 + (s.doc_count - df + 0.5) / (df + 0.5)))
+     FROM s2 CROSS JOIN stats s) AS w),
+ph AS (SELECT a.doc_id, count(DISTINCT b.pos) AS pf
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       WHERE a.term IN (SELECT term FROM s1)
+         AND b.term IN (SELECT term FROM s2)
+       GROUP BY a.doc_id)
+SELECT ph.doc_id, CAST(ph.pf AS BIGINT) AS phrase_freq,
+       round(w.w * (ph.pf / (ph.pf
+         + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))),
+         4) AS score
+FROM ph JOIN qd USING (doc_id) CROSS JOIN stats s CROSS JOIN widf w
+ORDER BY doc_id ASC""",
+)
+def fts_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser: '"(slow fast) s*"~1' — slot 1 is a
+    disjunction group, slot 2 a prefix expanded against the dictionary
+    (term-asc cut at 50), matched as a MultiPhraseQuery with slop=1 and
+    scored with idf summed over every alternative (reference
+    queryparser/.../complexPhrase/ComplexPhraseQueryParser.java;
+    search/complexphrase.py)."""
+    from .gate import docs_pos_index
+    from .search.complexphrase import complex_phrase
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        complex_phrase(index, '"(slow fast) s*"~1', k=None,
+                       precision="double")
+        .select("doc_id", "phrase_freq",
+                F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+@gate(
     "fts_parsed_group_range",
     f"""WITH {bm25_scored_cte(["spark", "merge", "window"])},
 req AS (SELECT doc_id, sum(term_score) AS s,

@@ -299,7 +299,7 @@ _passthrough(
     "fts_docfreq_stats", "fts_index_invariants", "fts_significant_terms"
 )
 
-# 11: classic QueryParser grammar end-to-end (6 constructs)
+# 11: classic QueryParser grammar end-to-end (8 constructs)
 _suite("fts_parsed_suite", [
     ("and_not", "fts_parsed_query", ("doc_id",), ("score",)),
     ("mixed_req_opt", "fts_parsed_mixed", ("doc_id",), ("score",)),
@@ -307,6 +307,9 @@ _suite("fts_parsed_suite", [
     ("phrase_opt", "fts_parsed_phrase", ("doc_id",), ("score",)),
     ("expand", "fts_parsed_expand", ("doc_id",), ("score",)),
     ("fieldgroup", "fts_parsed_fieldgroup", ("doc_id",), ("score",)),
+    ("escaped", "fts_parsed_escaped", ("doc_id",), ("score",)),
+    ("complex_phrase", "fts_complex_phrase",
+     ("doc_id",), ("phrase_freq", "score")),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

@@ -68,9 +68,53 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-__all__ = ["ParsedQuery", "parse_query", "DEFAULT_FIELD"]
+__all__ = [
+    "ParsedQuery", "parse_query", "parse_complex_phrase", "DEFAULT_FIELD",
+]
 
 DEFAULT_FIELD = "text"
+
+# ``\X`` escaping (classic QueryParser.jj <_ESCAPED_CHAR>; inverse of
+# QueryParserBase.escape): any backslash-escaped character is literal
+# text, never syntax. Implemented by rewriting ``\X`` to a private-use
+# sentinel codepoint BEFORE tokenization — the tokenizer and every
+# syntax regex then see an ordinary non-special character (an escaped
+# space stays inside its term, an escaped '*' never becomes a wildcard)
+# — and decoding sentinels back at each leaf-value site.
+_ESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
+_SENT_BASE = 0xE000  # U+E000..U+E0FF shadow Latin-1
+_SENT_RANGE = re.compile("[\ue000-\ue0ff]")
+_SENT_WILD = {chr(_SENT_BASE + ord("*")), chr(_SENT_BASE + ord("?"))}
+
+
+def _encode_escapes(q: str) -> str:
+    def repl(m):
+        c = m.group(1)
+        return chr(_SENT_BASE + ord(c)) if ord(c) < 0x100 else c
+
+    enc = _ESCAPE_RE.sub(repl, q)
+    if "\\" in enc:
+        raise ValueError(
+            "trailing escape character '\\' in query string "
+            "(QueryParser.jj: a '\\' must be followed by the escaped char)"
+        )
+    return enc
+
+
+def _unescape(s: str) -> str:
+    return _SENT_RANGE.sub(lambda m: chr(ord(m.group(0)) - _SENT_BASE), s)
+
+
+def _unescape_pattern(s: str, what: str) -> str:
+    """Decode escapes inside a multi-term pattern that still carries
+    live wildcard metacharacters — a decoded literal '*'/'?' would be
+    indistinguishable from syntax, so that one mix is rejected."""
+    if any(c in _SENT_WILD for c in s):
+        raise ValueError(
+            f"unsupported query: escaped wildcard inside a live {what} "
+            "pattern — escape every wildcard or none"
+        )
+    return _unescape(s)
 
 _TOKEN = re.compile(
     r"""[+-]?/[^/]*/(?:\^\d+(?:\.\d+)?)?       # /regexp/ (may contain parens)
@@ -138,12 +182,14 @@ class ParsedQuery:
 
 
 def _analyze(term: str, analyzer) -> list:
+    term = _unescape(term)
     return analyzer(term) if analyzer else [term.lower()]
 
 
 def _range_bound(raw: str):
     if raw == "*":
         return None
+    raw = _unescape(raw)
     try:
         return float(raw)
     except ValueError:
@@ -360,7 +406,7 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
             if sub is not None:
                 _merge_group(out, sub, occur)
             elif vals:
-                spec = ("in", fieldname, vals)
+                spec = ("in", fieldname, [_unescape(v) for v in vals])
                 (out.neg_filters if occur == "must_not" else out.filters
                  ).append(spec)
             last_unit = "required"
@@ -416,7 +462,9 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
 
         rx = _REGEXP_TERM.match(raw)
         if rx:
-            out.expansions.append((occur, "regexp", rx.group(1), None, boost))
+            out.expansions.append(
+                (occur, "regexp", _unescape(rx.group(1)), None, boost)
+            )
             last_unit = (
                 ("expansion", len(out.expansions) - 1)
                 if occur == "should" else "required"
@@ -450,9 +498,9 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
                     "supports fuzzy expansion"
                 )
             if "*" in val or "?" in val:
-                spec = ("like", fm.group(1), val)
+                spec = ("like", fm.group(1), _unescape_pattern(val, "LIKE"))
             else:
-                spec = ("eq", fm.group(1), val)
+                spec = ("eq", fm.group(1), _unescape(val))
             (out.neg_filters if occur == "must_not" else out.filters).append(spec)
             last_unit = "required"
             continue
@@ -471,9 +519,14 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
             # pure trailing star → PrefixQuery fast path (startswith);
             # anything else → WildcardQuery LIKE-pattern expansion
             if pat.endswith("*") and not any(c in "*?" for c in pat[:-1]):
-                out.expansions.append((occur, "prefix", pat[:-1], None, boost))
+                out.expansions.append(
+                    (occur, "prefix", _unescape(pat[:-1]), None, boost)
+                )
             else:
-                out.expansions.append((occur, "wildcard", pat, None, boost))
+                out.expansions.append(
+                    (occur, "wildcard", _unescape_pattern(pat, "wildcard"),
+                     None, boost)
+                )
             last_unit = (
                 ("expansion", len(out.expansions) - 1)
                 if occur == "should" else "required"
@@ -485,7 +538,7 @@ def _parse(tokens: list, i: int, analyzer, depth: int) -> tuple:
             # .MAXIMUM_SUPPORTED_DISTANCE; FuzzyQuery.java:68-88)
             edits = min(int(fz.group(2) or 2), 2)
             out.expansions.append(
-                (occur, "fuzzy", fz.group(1).lower(), edits, boost)
+                (occur, "fuzzy", _unescape(fz.group(1)).lower(), edits, boost)
             )
             last_unit = (
                 ("expansion", len(out.expansions) - 1)
@@ -508,8 +561,88 @@ def parse_query(q: str, analyzer=None) -> ParsedQuery:
     """Parse a classic query string into a ParsedQuery spec.
 
     ``analyzer``: optional callable(str) -> [token]; defaults to
-    lowercasing (terms are assumed pre-tokenized words).
-    """
-    tokens = _TOKEN.findall(q or "")
+    lowercasing (terms are assumed pre-tokenized words). ``\\X``
+    escapes any character into literal text (``liter\\*al`` is the
+    term 'liter*al', never a wildcard — QueryParser.jj
+    <_ESCAPED_CHAR>)."""
+    tokens = _TOKEN.findall(_encode_escapes(q or ""))
     out, _ = _parse(tokens, 0, analyzer, 0)
     return out
+
+
+_COMPLEX_UNIT = re.compile(r"\(|\)|[^\s()]+")
+_COMPLEX_PHRASE = re.compile(r'^\s*"(.*)"\s*(?:~(\d+))?\s*$', re.DOTALL)
+
+
+def parse_complex_phrase(q: str, analyzer=None) -> tuple:
+    """ComplexPhraseQueryParser: a quoted phrase whose WORDS may be
+    multi-term subqueries — ``"(john jon jonath*) peters*"~2`` matches
+    docs where any expansion of slot 1 is followed (within slop) by any
+    expansion of slot 2 (reference queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java — phrase-embedded wildcard/fuzzy/
+    group clauses rewritten into a SpanNear over per-slot unions; this
+    engine executes the expansion as MultiPhraseQuery slot alternatives,
+    search/phrase.py search_phrase).
+
+    → (slots, slop): slots is one list per phrase position of
+    ('term', t) | ('prefix', p) | ('wildcard', pat) |
+    ('fuzzy', t, max_edits) units; slop is the trailing ``~N`` (0
+    default). ``\\X`` escaping applies as in parse_query."""
+    m = _COMPLEX_PHRASE.match(_encode_escapes(q or ""))
+    if not m:
+        raise ValueError(
+            'a complex phrase is a quoted string with optional slop: '
+            '"(a b) c*"~2'
+        )
+    body, slop = m.group(1), int(m.group(2) or 0)
+
+    def classify(u: str):
+        if "*" in u or "?" in u:
+            p = u.lower()
+            if set(p) <= {"*", "?"}:
+                raise ValueError(
+                    "unsupported complex phrase: bare wildcard slot"
+                )
+            if p.endswith("*") and not any(c in "*?" for c in p[:-1]):
+                return ("prefix", _unescape(p[:-1]))
+            return ("wildcard", _unescape_pattern(p, "wildcard"))
+        fz = _FUZZY_TERM.match(u)
+        if fz:
+            return ("fuzzy", _unescape(fz.group(1)).lower(),
+                    min(int(fz.group(2) or 2), 2))
+        toks = _analyze(u, analyzer)
+        if len(toks) != 1:
+            raise ValueError(
+                f"complex-phrase word {u!r} analyzed to {len(toks)} tokens; "
+                "each slot unit must stay a single token"
+            )
+        return ("term", toks[0])
+
+    slots, i = [], 0
+    units = _COMPLEX_UNIT.findall(body)
+    while i < len(units):
+        u = units[i]
+        i += 1
+        if u == ")":
+            raise ValueError("unbalanced ')' in complex phrase")
+        if u == "(":
+            group = []
+            while i < len(units) and units[i] != ")":
+                if units[i] == "(":
+                    raise ValueError(
+                        "nested groups are not part of the complex-phrase "
+                        "grammar (one group = one phrase slot)"
+                    )
+                group.append(classify(units[i]))
+                i += 1
+            if i >= len(units):
+                raise ValueError("unbalanced '(' in complex phrase")
+            i += 1  # consume ')'
+            if not group:
+                raise ValueError("empty () slot in complex phrase")
+            slots.append(group)
+        else:
+            slots.append([classify(u)])
+    if len(slots) < 2:
+        raise ValueError("a complex phrase needs >= 2 slots")
+    return slots, slop

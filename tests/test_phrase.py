@@ -567,3 +567,37 @@ def test_span_family_randomized_vs_brute(spark, tmp_path_factory):
             if n:
                 want_i[d] = n
         assert got_i == want_i, f"interval width={width}"
+
+
+def test_complex_phrase_execution(spark, tmp_path):
+    """ComplexPhraseQueryParser end-to-end: group + prefix slots expand
+    against the dictionary and match as a slop'd MultiPhraseQuery; a
+    slot with zero expansions matches nothing."""
+    from lucene_solr_spark.index.segments import build_segmented_index
+    from lucene_solr_spark.search.complexphrase import complex_phrase
+
+    docs = spark.createDataFrame(
+        [
+            ("c0", 0, "slow query runs"),       # slot1=slow, quer* adj
+            ("c0", 1, "slowest queue runs"),    # no slot1 alternative
+            ("c0", 2, "fast gap query runs"),   # gap: needs slop>=1
+            ("c0", 3, "query slow runs"),       # wrong order
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    idx = build_segmented_index(
+        docs, str(tmp_path / "cpidx"), analyzer="simple",
+        index_positions=True,
+    )
+    got0 = {r["doc_id"] for r in
+            complex_phrase(idx, '"(slow fast) que*"').collect()}
+    assert got0 == {0}
+    got1 = {r["doc_id"] for r in
+            complex_phrase(idx, '"(slow fast) que*"~1').collect()}
+    assert got1 == {0, 2}
+    assert complex_phrase(idx, '"(zzz yyy) que*"').count() == 0
+    # max_expansions cut is deterministic (term asc): with cap 1 the
+    # que* slot keeps only 'query' (< 'queue')
+    got_cap = {r["doc_id"] for r in
+               complex_phrase(idx, '"slo* que*"', max_expansions=1).collect()}
+    assert got_cap == {0}

@@ -302,3 +302,63 @@ def test_detached_boost_raises():
 
     with pytest.raises(ValueError):
         parse_query("spark ^2")
+
+
+def test_escaped_specials_are_literal_terms():
+    r"""\X makes any special char literal text (QueryParser.jj
+    <_ESCAPED_CHAR>): escaped wildcard/fuzzy/colon/paren syntax must
+    parse as plain terms, never expansions or field clauses."""
+    p = parse_query(r"+spark liter\*al merge\~1 a\:b \(x\)")
+    assert p.must == [("spark", 1.0)]
+    assert p.should == [
+        ("liter*al", 1.0), ("merge~1", 1.0), ("a:b", 1.0), ("(x)", 1.0)
+    ]
+    assert p.expansions == [] and p.filters == []
+
+
+def test_escaped_space_stays_in_term():
+    p = parse_query(r"new\ york hotel")
+    assert ("new york", 1.0) in p.should and ("hotel", 1.0) in p.should
+
+
+def test_escapes_in_field_values_and_ranges():
+    p = parse_query(r"role:us\*r lang:(en\ us fr)")
+    assert ("eq", "role", "us*r") in p.filters
+    assert ("in", "lang", ["en us", "fr"]) in p.filters
+
+
+def test_escaped_wildcard_inside_live_pattern_rejected():
+    import pytest
+
+    # prefix of the literal 'te*st' is fine (no live wildcard left of *)
+    p = parse_query(r"te\*st*")
+    assert p.expansions == [("should", "prefix", "te*st", None, 1.0)]
+    # but a LIVE wildcard pattern with an escaped one inside is ambiguous
+    with pytest.raises(ValueError):
+        parse_query(r"te\*s?t")
+
+
+def test_trailing_backslash_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_query("bad\\")
+
+
+def test_parse_complex_phrase_grammar():
+    from lucene_solr_spark.search.queryparser import parse_complex_phrase
+    import pytest
+
+    slots, slop = parse_complex_phrase('"(john jon jonath*) peters~1 s?m"~2')
+    assert slop == 2
+    assert slots[0] == [
+        ("term", "john"), ("term", "jon"), ("prefix", "jonath")
+    ]
+    assert slots[1] == [("fuzzy", "peters", 1)]
+    assert slots[2] == [("wildcard", "s?m")]
+    # escaped wildcard inside a complex phrase is a literal term
+    s2, _ = parse_complex_phrase(r'"a\* b"')
+    assert s2[0] == [("term", "a*")]
+    for bad in ('no quotes', '"one"', '"(a (b)) c"', '"() c"', '"(a c"'):
+        with pytest.raises(ValueError):
+            parse_complex_phrase(bad)

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .gate import _TOKS, bm25_scored_cte, docs_index, gate, load
+from .gate_ext import _span_score_sql
 
 # ------------------------------------------------------------ highlighter
 
@@ -2079,3 +2080,161 @@ def fts_percolate(spark, sf_dir):
     qt, qr = register_queries(spark, _PERC_QUERIES)
     postings = tables.postings.filter(F.col("doc_id") < 100)
     return percolate(postings, qt, qr).orderBy("query_id", "doc_id")
+
+
+# ---------------------------------------------- intervals module (full API)
+
+def _iv(spark, sf_dir, expr):
+    from .gate import docs_pos_index
+    from .search.intervals import interval_query
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        interval_query(index, expr, k=None, precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+def _ordered_minimal_cte(a: str, b: str) -> str:
+    """Minimal ordered intervals of (a, b): for each b occurrence the
+    last preceding a, kept only when no other b lies strictly inside —
+    the same CTE shape the fts_interval_ordered oracle pins."""
+    return f"""bp AS (SELECT doc_id, pos AS pb FROM tok WHERE term = '{b}'),
+pr AS (SELECT x.doc_id, x.pb,
+              (SELECT max(a.pos) FROM tok a
+               WHERE a.doc_id = x.doc_id AND a.term = '{a}'
+                 AND a.pos < x.pb) AS pa
+       FROM bp x),
+minimal AS (SELECT doc_id, pa, pb FROM pr
+            WHERE pa IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM tok c
+                              WHERE c.doc_id = pr.doc_id
+                                AND c.term = '{b}'
+                                AND c.pos > pr.pa AND c.pos < pr.pb))"""
+
+
+@gate(
+    "fts_interval_unordered",
+    _span_score_sql(
+        ["spark", "merge"],
+        """cand AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS lo, greatest(a.pos, b.pos) AS hi
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+  WHERE a.term = 'spark' AND b.term = 'merge'),
+mins AS (SELECT DISTINCT doc_id, lo, hi FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM cand d
+               WHERE d.doc_id = c.doc_id AND d.lo >= c.lo AND d.hi <= c.hi
+                 AND (d.lo > c.lo OR d.hi < c.hi))),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM mins
+       WHERE hi - lo + 1 <= 6 GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_unordered(spark, sf_dir):
+    """Intervals.maxwidth(6, Intervals.unordered(spark, merge)): minimal
+    windows holding both terms in either order, width-filtered AFTER
+    minimalization (reference lucene/queries/.../intervals/
+    UnorderedIntervalsSource.java, FilteredIntervalsSource MAXWIDTH;
+    search/intervals.py _unordered_sweep)."""
+    from .search.intervals import maxwidth, unordered
+
+    return _iv(spark, sf_dir, maxwidth(6, unordered("spark", "merge")))
+
+
+@gate(
+    "fts_interval_maxgaps",
+    _span_score_sql(
+        ["slow", "query"],
+        _ordered_minimal_cte("slow", "query") + """,
+sf AS (SELECT doc_id, count(*) AS span_freq FROM minimal
+       WHERE pb - pa - 1 <= 1 GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_maxgaps(spark, sf_dir):
+    """Intervals.maxgaps(1, Intervals.ordered(slow, query)): minimal
+    ordered intervals whose internal gap (width - covered leaf
+    positions) is <= 1 (reference Intervals.java maxgaps,
+    FilteredIntervalsSource.java; search/intervals.py)."""
+    from .search.intervals import maxgaps, ordered
+
+    return _iv(spark, sf_dir, maxgaps(1, ordered("slow", "query")))
+
+
+@gate(
+    "fts_interval_containing",
+    _span_score_sql(
+        ["join", "hash", "big"],
+        _ordered_minimal_cte("join", "hash") + """,
+sf AS (SELECT doc_id, count(*) AS span_freq FROM minimal m
+       WHERE m.pb - m.pa + 1 <= 8
+         AND EXISTS (SELECT 1 FROM tok t
+                     WHERE t.doc_id = m.doc_id AND t.term = 'big'
+                       AND t.pos BETWEEN m.pa AND m.pb)
+       GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_containing(spark, sf_dir):
+    """Intervals.containing(maxwidth(8, ordered(join, hash)), big):
+    minimal ordered join..hash intervals (width <= 8) that hold a 'big'
+    occurrence (reference ContainingIntervalsSource.java;
+    search/intervals.py)."""
+    from .search.intervals import containing, maxwidth, ordered
+
+    return _iv(
+        spark, sf_dir,
+        containing(maxwidth(8, ordered("join", "hash")), "big"),
+    )
+
+
+@gate(
+    "fts_interval_not_containing",
+    _span_score_sql(
+        ["join", "hash"],
+        _ordered_minimal_cte("join", "hash") + """,
+sf AS (SELECT doc_id, count(*) AS span_freq FROM minimal m
+       WHERE m.pb - m.pa + 1 <= 8
+         AND NOT EXISTS (SELECT 1 FROM tok t
+                         WHERE t.doc_id = m.doc_id AND t.term = 'big'
+                           AND t.pos BETWEEN m.pa AND m.pb)
+       GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_not_containing(spark, sf_dir):
+    """Intervals.notContaining(maxwidth(8, ordered(join, hash)), big):
+    the complement filter — qualifying intervals holding NO 'big'
+    (reference NotContainingIntervalsSource.java; the small side is NOT
+    required, so docs without 'big' still match). Note the idf set is
+    {join, hash} only: 'big' never contributes a scoring term."""
+    from .search.intervals import maxwidth, not_containing, ordered
+
+    return _iv(
+        spark, sf_dir,
+        not_containing(maxwidth(8, ordered("join", "hash")), "big"),
+    )
+
+
+@gate(
+    "fts_interval_or",
+    _span_score_sql(
+        ["slow", "query", "fast"],
+        _ordered_minimal_cte("slow", "query") + """,
+u AS (SELECT doc_id, pa AS lo, pb AS hi FROM minimal
+      UNION ALL
+      SELECT doc_id, pos, pos FROM tok WHERE term = 'fast'),
+mins AS (SELECT DISTINCT doc_id, lo, hi FROM u c
+         WHERE NOT EXISTS (SELECT 1 FROM u d
+               WHERE d.doc_id = c.doc_id AND d.lo >= c.lo AND d.hi <= c.hi
+                 AND (d.lo > c.lo OR d.hi < c.hi))),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM mins GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_or(spark, sf_dir):
+    """Intervals.or(ordered(slow, query), fast): the minimalized union —
+    a slow..query interval DISAPPEARS when a 'fast' occurrence lies
+    inside it (the width-1 interval is contained, so the wider one is
+    no longer minimal). Reference DisjunctionIntervalsSource.java;
+    docs holding only 'fast' still match (no term is required by every
+    branch)."""
+    from .search.intervals import any_of, ordered
+
+    return _iv(spark, sf_dir, any_of(ordered("slow", "query"), "fast"))

@@ -292,6 +292,16 @@ _suite("fts_phrase_family", [
      ("doc_id",), ("span_freq", "score")),
     ("interval", "fts_interval_ordered",
      ("doc_id",), ("span_freq", "score")),
+    ("interval_unordered", "fts_interval_unordered",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_maxgaps", "fts_interval_maxgaps",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_containing", "fts_interval_containing",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_not_containing", "fts_interval_not_containing",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_or", "fts_interval_or",
+     ("doc_id",), ("span_freq", "score")),
 ])
 
 # 8-10: index statistics + significant terms

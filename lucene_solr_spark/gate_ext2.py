@@ -2238,3 +2238,45 @@ def fts_interval_or(spark, sf_dir):
     from .search.intervals import any_of, ordered
 
     return _iv(spark, sf_dir, any_of(ordered("slow", "query"), "fast"))
+
+
+_PIVOT_SRC = """
+  SELECT r.r_name AS f1, n.n_name AS f2, c.c_mktsegment AS f3
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey"""
+
+
+@gate(
+    "rel_facet_pivot",
+    f"""WITH src AS ({_PIVOT_SRC})
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS level, f1 AS path,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY f1
+  UNION ALL
+  SELECT 2, f1 || '/' || f2, count(*) FROM src GROUP BY f1, f2
+  UNION ALL
+  SELECT 3, f1 || '/' || f2 || '/' || f3, count(*)
+  FROM src GROUP BY f1, f2, f3
+) ORDER BY level, path""",
+)
+def rel_facet_pivot(spark, sf_dir):
+    """facet.pivot=region,nation,mktsegment — the 3-level pivot value
+    tree (reference solr/core/.../handler/component/
+    PivotFacetProcessor.java:53) computed in ONE rollup shuffle with
+    grouping_id level extraction (operators/facet.py pivot_facets);
+    the oracle recomputes each level as an independent GROUP BY."""
+    from .operators.facet import pivot_facets
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    src = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("f1"), F.col("n_name").alias("f2"),
+            F.col("c_mktsegment").alias("f3"),
+        )
+    )
+    return pivot_facets(src, ["f1", "f2", "f3"]).orderBy("level", "path")

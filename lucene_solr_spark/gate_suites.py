@@ -499,6 +499,7 @@ _suite("rel_facet_nested", [
      ("n_name", "c_mktsegment"), ("nation_cnt", "cnt")),
     ("taxonomy", "rel_facet_taxonomy", ("path",), ("depth", "cnt")),
     ("drilldown", "rel_facet_drilldown", ("child",), ("cnt",)),
+    ("pivot", "rel_facet_pivot", ("level", "path"), ("cnt",)),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["path_col", "taxonomy_counts", "drill_down"]
+__all__ = ["path_col", "taxonomy_counts", "drill_down", "pivot_facets"]
 
 
 def path_col(*parts) -> Column:
@@ -70,3 +70,86 @@ def drill_down(
         .groupBy("child")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def pivot_facets(
+    df: DataFrame,
+    fields,
+    mincount: int = 1,
+    limit: int | None = None,
+    delim: str = "/",
+) -> DataFrame:
+    """Solr ``facet.pivot=f1,f2,...`` — the N-level value tree of
+    counts (reference solr/core/.../handler/component/
+    PivotFacetProcessor.java:53: per f1 value, its count plus the
+    pivot of the remaining fields within it, recursively).
+
+    Distributed shape: the whole tree in ONE shuffle via
+    ``df.rollup(*fields)`` — every prefix grouping set is a partial
+    aggregation of the same map-side combine, where Solr's processor
+    recurses a per-value DocSet intersection (fine on one node, a
+    per-value job at 10^12 rows). ``grouping_id`` keeps only the
+    suffix-aggregated sets (the rollup prefixes), so NULL field values
+    in the data cannot masquerade as aggregation levels.
+
+    ``mincount`` drops nodes below the threshold (facet.mincount);
+    ``limit`` keeps the top-``limit`` children per parent by
+    (cnt desc, value asc) — facet.limit's default sort — via one
+    window, applied level by level so a dropped parent drops its
+    subtree (children of pruned parents can't appear in pivot output).
+
+    → (level BIGINT 1-based, path '<v1>/<v2>/...', cnt BIGINT), one
+    row per tree node."""
+    from pyspark.sql import Window
+
+    fields = list(fields)
+    n = len(fields)
+    if n < 1:
+        raise ValueError("pivot_facets needs >= 1 field")
+    agg = df.rollup(*fields).agg(
+        F.count("*").alias("cnt"), F.grouping_id().alias("gid")
+    )
+    # suffix-aggregated grouping ids: level l (1..n) <-> gid = 2^(n-l)-1
+    gid_of = {l: (1 << (n - l)) - 1 for l in range(1, n + 1)}
+    agg = agg.filter(F.col("gid").isin(list(gid_of.values())))
+    level = F.lit(None).cast("long")
+    path = F.lit(None).cast("string")
+    for l in range(1, n + 1):
+        hit = F.col("gid") == gid_of[l]
+        level = F.when(hit, F.lit(l).cast("long")).otherwise(level)
+        path = F.when(hit, F.concat_ws(delim, *fields[:l])).otherwise(path)
+    out = agg.select(
+        level.alias("level"), path.alias("path"),
+        F.element_at(F.split(path, delim), -1).alias("value"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    if mincount:
+        out = out.filter(F.col("cnt") >= mincount)
+    if limit is not None:
+        parent = F.when(
+            F.col("level") > 1,
+            F.expr("substring(path, 1, length(path) - length(value) - 1)"),
+        ).otherwise(F.lit(""))
+        w = Window.partitionBy("level", parent).orderBy(
+            F.desc("cnt"), F.asc("value")
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= limit)
+            .drop("_rk")
+        )
+        # subtree pruning: a node survives only if its exact parent did
+        # (a level-l path has l components, so prefix-matching a
+        # surviving level-(l-1) path + delim IS the exact-parent test);
+        # n-1 tiny broadcast semi-joins
+        for l in range(2, n + 1):
+            parents = out.filter(F.col("level") == l - 1).select(
+                F.col("path").alias("_pp")
+            )
+            lvl_rows = out.filter(F.col("level") == l).join(
+                F.broadcast(parents),
+                F.col("path").startswith(F.concat("_pp", F.lit(delim))),
+                "leftsemi",
+            )
+            out = out.filter(F.col("level") != l).unionByName(lvl_rows)
+    return out.select("level", "path", "cnt")

@@ -29,18 +29,42 @@ __all__ = ["bfs_depths", "gather_nodes", "shortest_path_length"]
 def bfs_depths(
     edges: DataFrame,
     roots,
-    max_depth: int,
+    max_depth: int | None,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_interval: int = 4,
+    stop_node: int | None = None,
 ) -> DataFrame:
     """(node, depth) — minimum hop count from any root, BFS bounded by
-    ``max_depth``. ``roots``: list of node ids."""
+    ``max_depth`` (None = walk until the frontier drains — terminates
+    on any finite graph since ``visited`` grows monotonically).
+    ``roots``: list of node ids.
+
+    Every ``checkpoint_interval`` hops the frontier and visited sets
+    are eagerly localCheckpoint'ed: iterative plan composition
+    otherwise grows the lineage quadratically with depth (the
+    ShortestPathStream loop re-plans every prior hop), and the
+    materialization point doubles as the termination probe —
+    empty frontier, or ``stop_node`` reached (shortestPath's early
+    exit; overshoot is < one interval and cannot corrupt depths: the
+    anti-join keeps first-visit minima)."""
+    import itertools
+
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(int(r), 0) for r in roots], "node long, depth int"
     )
     frontier = visited.select("node")
-    for d in range(1, max_depth + 1):
+    if max_depth is None and checkpoint_interval < 1:
+        raise ValueError(
+            "unbounded BFS needs checkpoint_interval >= 1 to probe "
+            "frontier drain"
+        )
+    hops = (
+        range(1, max_depth + 1) if max_depth is not None
+        else itertools.count(1)
+    )
+    for d in hops:
         nxt = (
             frontier.join(edges, frontier.node == F.col(src_col))
             .select(F.col(dst_col).cast("long").alias("node"))
@@ -51,6 +75,15 @@ def bfs_depths(
             nxt.withColumn("depth", F.lit(d).cast("int"))
         )
         frontier = nxt
+        if checkpoint_interval and d % checkpoint_interval == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+            visited = visited.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            if stop_node is not None and frontier.filter(
+                F.col("node") == int(stop_node)
+            ).limit(1).count():
+                break
     return visited
 
 
@@ -70,14 +103,19 @@ def shortest_path_length(
     edges: DataFrame,
     src: int,
     dst: int,
-    max_depth: int = 6,
+    max_depth: int | None = 6,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
     """ShortestPathStream analog (hop count): one row
     (src, dst, depth) when ``dst`` is reachable within ``max_depth``,
-    empty otherwise."""
-    depths = bfs_depths(edges, [src], max_depth, src_col, dst_col)
+    empty otherwise. ``max_depth=None`` walks until the target is
+    found or the component drains (ShortestPathStream's own loop runs
+    to maxDepth OR until the BFS finds the target — the early-exit,
+    reference solr/solrj/.../io/graph/ShortestPathStream.java)."""
+    depths = bfs_depths(
+        edges, [src], max_depth, src_col, dst_col, stop_node=dst
+    )
     return depths.filter(F.col("node") == dst).select(
         F.lit(int(src)).alias("src"),
         F.col("node").alias("dst"),

@@ -114,16 +114,25 @@ def train_text_logit(
                 )
             ).persist()
             try:
+                # ONE action per iteration: the bias gradient rides the
+                # same hash-agg as the term gradients via a synthetic
+                # '__bias__' row per doc (Σ err over all docs), instead
+                # of a second full scan of the scored frame; the DECIMAL
+                # sum is order-independent so the fold is bit-identical
                 grad_rows = (
                     x.join(scored.select("doc_id", "err"), "doc_id")
+                    .select("term", "err")
+                    .unionByName(
+                        scored.select(
+                            F.lit("__bias__").alias("term"), "err"
+                        )
+                    )
                     .groupBy("term")
                     .agg(F.sum("err").cast("double").alias("g"))
                     .collect()
                 )
                 grad = {r.term: r.g for r in grad_rows}
-                bias_grad = float(
-                    scored.agg(F.sum("err").cast("double")).collect()[0][0]
-                )
+                bias_grad = float(grad.pop("__bias__", 0.0))
             finally:
                 scored.unpersist()
             for t in terms:

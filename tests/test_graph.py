@@ -65,3 +65,41 @@ def test_score_nodes(spark):
     assert s9 == pytest.approx(2 * math.log(6 / 4))
     assert s5 == pytest.approx(1 * math.log(6 / 1))
     assert s5 > s9  # rarity outranks the hub despite half the count
+
+
+def test_bfs_lineage_bounded_over_30_hops(spark):
+    """Deep BFS must not grow its plan quadratically: with periodic
+    localCheckpoint the analyzed-plan size at hop 30 stays bounded (a
+    few checkpoint leaves), and the depths are still exact."""
+    from lucene_solr_spark.operators.graph import bfs_depths
+
+    # a 40-node chain: 0 -> 1 -> ... -> 39
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long"
+    )
+    out = bfs_depths(edges, [0], max_depth=30, checkpoint_interval=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, len(plan)  # unchecked growth is ~100x this
+    got = {r["node"]: r["depth"] for r in out.collect()}
+    assert got == {i: i for i in range(31)}
+
+
+def test_bfs_unbounded_drains_and_stops(spark):
+    """max_depth=None walks the whole component and terminates on a
+    CYCLIC graph (frontier drains once visited covers the cycle)."""
+    from lucene_solr_spark.operators.graph import (
+        bfs_depths, shortest_path_length,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)] + [(3, 50), (50, 51)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["depth"]
+           for r in bfs_depths(edges, [0], max_depth=None).collect()}
+    assert got[9] == 9 and got[50] == 4 and got[51] == 5 and len(got) == 12
+
+    # unbounded shortest path early-exits when the target appears
+    row = shortest_path_length(edges, 0, 51, max_depth=None).collect()
+    assert [(r["src"], r["dst"], r["depth"]) for r in row] == [(0, 51, 5)]
+    assert shortest_path_length(edges, 0, 999, max_depth=None).count() == 0

@@ -118,24 +118,28 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
                 shutil.rmtree(scratch_dir, ignore_errors=True)
         build_sec = min(build_runs)
         timings["index_build"] = round(build_sec, 3)
+        build_sec_median = round(statistics.median(build_runs), 3)
 
         # cache the merged blocks as a real deployment would (hot index)
         index.blocks = index.blocks.persist()
         index.blocks.count()
 
-        # per-query latency: 3 runs, report min of runs 2-3 (steady-state
-        # serving latency — plan + partition pruning cached, as a resident
-        # searcher would be); cold first-run p50 reported alongside.
-        q_secs, q_cold = {}, {}
+        # per-query latency: 4 runs — cold first run, then 3 warm runs
+        # reported BOTH as min (steady-state serving latency — plan +
+        # partition pruning cached, as a resident searcher would be) and
+        # as median (queries_median), so a single noisy warm run can't
+        # masquerade as a plan regression across rounds.
+        q_secs, q_cold, q_median = {}, {}, {}
         for name, (mode, ranks, msm) in BENCH_QUERIES.items():
             terms = [synth_term(r) for r in ranks]
             runs = []
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.time()
                 search_wand(index, terms, mode, k=10, min_should_match=msm).collect()
                 runs.append(time.time() - t0)
             q_cold[name] = round(runs[0], 3)
             q_secs[name] = round(min(runs[1:]), 3)
+            q_median[name] = round(statistics.median(runs[1:]), 3)
         timings.update(q_secs)
 
         # relational headliners over the sf-dir tables (gate shapes)
@@ -144,11 +148,12 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         qs = entrymod.queries()
         for name in ("rel_rollup_pricing", "rel_join_top_customers"):
             runs = []
-            for _ in range(3):
+            for _ in range(4):
                 t0 = time.time()
                 qs[name](spark, sf_dir).collect()
                 runs.append(time.time() - t0)
             timings[name] = round(min(runs[1:]), 3)
+            q_median[name] = round(statistics.median(runs[1:]), 3)
 
         p50 = statistics.median(q_secs.values())
         return {
@@ -156,11 +161,20 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "queries_median": q_median,
+            "build_runs": [round(r, 3) for r in build_runs],
+            "build_sec_median": build_sec_median,
             "sf": _sf_of(sf_dir),
             "turns": n_turns,
             "cores": cores,
             "turns_per_sec": round(n_turns / build_sec, 1),
+            "turns_per_sec_median": round(n_turns / build_sec_median, 1),
             "query_p50_sec": p50,
+            "query_p50_median_sec": round(
+                statistics.median(
+                    q_median[n] for n in BENCH_QUERIES
+                ), 3
+            ),
             "query_p50_cold_sec": statistics.median(q_cold.values()),
             "corpus_synth_sec": synth_sec,
             "index_doc_count": index.doc_count,

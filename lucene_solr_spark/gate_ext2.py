@@ -2280,3 +2280,93 @@ def rel_facet_pivot(spark, sf_dir):
         )
     )
     return pivot_facets(src, ["f1", "f2", "f3"]).orderBy("level", "path")
+
+
+# Non-convex L-shape (lat, lon) — integer vertices, point lattice is at
+# +0.5 offsets so no point ever lies on an edge (PNPOLY boundary
+# asymmetry cannot fire)
+_POLY_L = [
+    (0.0, -80.0), (40.0, -80.0), (40.0, -40.0),
+    (20.0, -40.0), (20.0, -60.0), (0.0, -60.0),
+]
+
+
+def _raycast_sql(vertices, lat="lat", lon="lon") -> str:
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - {x1}) * ({lat} - {y1}) / ({y2} - {y1}) + {x1}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@gate(
+    "fn_geo_polygon_general",
+    f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey, lat, lon FROM pts
+WHERE {_raycast_sql(_POLY_L)}
+ORDER BY c_custkey""",
+)
+def fn_geo_polygon_general(spark, sf_dir):
+    """NON-CONVEX polygon containment (an L-shape) via even-odd ray
+    casting as one flat Column parity sum — the general-polygon query
+    surface of LatLonShape/Tessellator (reference lucene/sandbox/.../
+    document/LatLonShape.java; operators/spatial.py
+    polygon_contains_general_col). The oracle recomputes the identical
+    crossing parity per point."""
+    from .operators.spatial import polygon_contains_general_col
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5)
+        .cast("double").alias("lon"),
+    )
+    return pts.filter(
+        polygon_contains_general_col(F.col("lat"), F.col("lon"), _POLY_L)
+    ).orderBy("c_custkey")
+
+
+@gate(
+    "fn_geo_heatmap",
+    """
+WITH pts AS (
+  SELECT CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT least(CAST(floor((lat - 10.0) / 10.0) AS BIGINT), 3) AS grid_row,
+       least(CAST(floor((lon - -80.0) / 10.0) AS BIGINT), 5) AS grid_col,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pts
+WHERE lat BETWEEN 10.0 AND 50.0 AND lon BETWEEN -80.0 AND -20.0
+GROUP BY grid_row, grid_col ORDER BY grid_row, grid_col""",
+)
+def fn_geo_heatmap(spark, sf_dir):
+    """Heatmap facet (FacetHeatmap.java analog): 4x6 grid counts over
+    the box [10,50]x[-80,-20], answered from the AT-REST cell index —
+    the box probe is partition-pruned (the fn_geo_cells plan), then one
+    hash-agg on integer cell coordinates (operators/spatial.py
+    heatmap_facet)."""
+    from .operators.spatial import heatmap_facet
+
+    idx_dir = _geo_index_dir(spark, sf_dir)
+    from .operators.spatial import box_query
+
+    pts = box_query(spark, idx_dir, 10.0, 50.0, -80.0, -20.0)
+    return heatmap_facet(
+        pts, 10.0, 50.0, -80.0, -20.0, grid_rows=4, grid_cols=6
+    ).orderBy("grid_row", "grid_col")

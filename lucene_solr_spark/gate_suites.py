@@ -539,6 +539,9 @@ _suite("fn_geo", [
     ("cell_index", "fn_geo_cells",
      ("c_custkey", "geo_cell"), ("lat", "lon")),
     ("polygon", "fn_geo_polygon", ("c_custkey",), ("lat", "lon")),
+    ("polygon_general", "fn_geo_polygon_general",
+     ("c_custkey",), ("lat", "lon")),
+    ("heatmap", "fn_geo_heatmap", ("grid_row", "grid_col"), ("cnt",)),
 ])
 
 # 42: Solr SQL surface

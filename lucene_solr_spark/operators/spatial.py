@@ -24,7 +24,9 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["geo_cell_col", "geo_cells_for_box", "build_geo_index", "box_query"]
+__all__ = ["geo_cell_col", "geo_cells_for_box", "build_geo_index",
+           "box_query", "polygon_contains_col",
+           "polygon_contains_general_col", "heatmap_facet"]
 
 DEFAULT_CELL_DEG = 5.0
 
@@ -139,3 +141,77 @@ def polygon_contains_col(lat_col, lon_col, vertices):
         )
         pred = pred & (cross >= 0)
     return pred
+
+
+def polygon_contains_general_col(lat_col, lon_col, vertices):
+    """ARBITRARY (non-convex, any winding) polygon containment as a
+    pure Column expression: even-odd ray casting — count edges whose
+    segment straddles the point's latitude and whose crossing with the
+    eastward ray lies east of the point; odd parity = inside (the
+    PNPOLY test; reference lucene/sandbox/.../document/LatLonShape.java
+    + lucene/core/.../geo/Tessellator.java, which answer the same
+    general-polygon predicate via triangulation — a tessellation is
+    unnecessary here because the parity sum is already one flat codegen
+    expression per edge). Horizontal edges never straddle and are
+    skipped. Boundary semantics follow PNPOLY's half-open asymmetry,
+    not Polygon2D's boundary-is-inside — callers with on-edge points
+    should use the convex same-side test (polygon_contains_col)."""
+    n = len(vertices)
+    cnt = F.lit(0)
+    for i in range(n):
+        y1, x1 = (float(v) for v in vertices[i])
+        y2, x2 = (float(v) for v in vertices[(i + 1) % n])
+        if y1 == y2:
+            continue
+        straddle = (F.lit(y1) > lat_col) != (F.lit(y2) > lat_col)
+        xint = (
+            F.lit(x2 - x1) * (lat_col - F.lit(y1)) / F.lit(y2 - y1)
+            + F.lit(x1)
+        )
+        cnt = cnt + F.when(straddle & (lon_col < xint), 1).otherwise(0)
+    return cnt % 2 == 1
+
+
+def heatmap_facet(
+    pts: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    grid_rows: int,
+    grid_cols: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Heatmap facet (reference solr/core/.../search/facet/
+    FacetHeatmap.java): 2D grid counts over a bounding box — Solr walks
+    a prefix-tree spatial field per cell; the distributed shape is one
+    box filter + one hash-agg on integer cell coordinates (pure
+    Column arithmetic, exactly reproducible in SQL).
+
+    → (grid_row, grid_col, cnt); rows index south→north, cols
+    west→east; points on the max edge clamp into the last cell
+    (FacetHeatmap includes the box boundary)."""
+    if grid_rows < 1 or grid_cols < 1 or lat_max <= lat_min or lon_max <= lon_min:
+        raise ValueError("heatmap needs a positive grid over a real box")
+    lat_span = (lat_max - lat_min) / grid_rows
+    lon_span = (lon_max - lon_min) / grid_cols
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    return (
+        pts.filter(
+            lat.between(lat_min, lat_max) & lon.between(lon_min, lon_max)
+        )
+        .select(
+            F.least(
+                F.floor((lat - F.lit(lat_min)) / F.lit(lat_span)),
+                F.lit(grid_rows - 1),
+            ).cast("long").alias("grid_row"),
+            F.least(
+                F.floor((lon - F.lit(lon_min)) / F.lit(lon_span)),
+                F.lit(grid_cols - 1),
+            ).cast("long").alias("grid_col"),
+        )
+        .groupBy("grid_row", "grid_col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -942,3 +942,51 @@ def td_binary_extract(spark, sf_dir):
     return ex.select(
         "doc_id", "text", ct_code.alias("ct_code"), "n_chars", "is_stub"
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------- CJK segmentation
+
+_CJK_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "cjk_segments.parquet",
+)
+
+
+def _cjk_n_phrases() -> int:
+    from .analysis.cjk import CJK_PHRASES
+
+    return len(CJK_PHRASES)
+
+
+@gate(
+    "td_cjk_tokens",
+    f"""SELECT d.doc_id,
+       CAST(f.n_tokens AS BIGINT) AS cjk_n_tokens,
+       f.tokens_s AS cjk_tokens_s
+FROM documents d
+JOIN read_parquet('{_CJK_FIXTURE}') f
+  ON f.phrase_id = d.doc_id % {_cjk_n_phrases()}
+ORDER BY d.doc_id""",
+)
+def td_cjk_tokens(spark, sf_dir):
+    """CJK dictionary segmentation (kuromoji/nori analog, analysis/
+    cjk.py): each doc carries a pinned ja/ko phrase (doc_id-derived),
+    segmented LIVE by the Arrow-batched longest-match UDF; the oracle
+    joins the golden fixture (scripts/make_cjk_fixture.py) — the Porter
+    pattern, so the hash verifies the distributed segmentation
+    pipeline against the frozen contract. Reference
+    lucene/analysis/kuromoji/.../JapaneseTokenizer.java,
+    lucene/analysis/nori/.../KoreanTokenizer.java."""
+    from .analysis.cjk import CJK_PHRASES, cjk_tokens_udf
+
+    docs = load(spark, sf_dir, "documents")
+    phrases = F.array(*[F.lit(p) for p in CJK_PHRASES])
+    toks = cjk_tokens_udf(
+        F.element_at(phrases, (F.col("doc_id") % len(CJK_PHRASES) + 1).cast("int"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("cjk_n_tokens"),
+        F.concat_ws("|", toks).alias("cjk_tokens_s"),
+    ).orderBy("doc_id")

@@ -1782,3 +1782,58 @@ def fts_term_range(spark, sf_dir):
         .select("term", "df")
         .orderBy(F.asc("term"))
     )
+
+
+@gate(
+    "fts_parsed_simple",
+    f"""WITH {bm25_scored_cte(["spark", "merge", "vector"])},
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dfs2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('fast', 'query') GROUP BY term),
+phidf AS (SELECT sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))) AS widf
+          FROM dfs2 d CROSS JOIN stats s),
+ph AS (SELECT a.doc_id, count(DISTINCT b.pos) AS pf
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       WHERE a.term = 'fast' AND b.term = 'query' GROUP BY a.doc_id),
+phs AS (SELECT ph.doc_id,
+               p.widf * (ph.pf / (ph.pf
+                 + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+                 AS ph_score
+        FROM ph JOIN qd USING (doc_id) CROSS JOIN stats s CROSS JOIN phidf p),
+req AS (SELECT doc_id, sum(term_score) AS s,
+               count(DISTINCT CASE WHEN term = 'spark' THEN term END) AS n_must,
+               max(CASE WHEN term IN ('merge', 'vector') THEN 1 ELSE 0 END) AS g0
+        FROM scored GROUP BY doc_id)
+SELECT r.doc_id, round(r.s + p.ph_score, 4) AS score
+FROM req r JOIN phs p USING (doc_id)
+WHERE r.n_must = 1 AND r.g0 = 1
+  AND r.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_parsed_simple(spark, sf_dir):
+    """SimpleQueryParser syntax end-to-end:
+    'spark + merge | vector -slow "fast query"~1' — '+' conjunction,
+    '|' disjunction group, '-' prohibition, slop'd phrase, all through
+    the shared full-grammar executor (search/simpleparser.py; reference
+    lucene/queryparser/.../simple/SimpleQueryParser.java — the
+    never-throws end-user syntax)."""
+    from .gate import docs_index, docs_pos_index
+    from .search.simpleparser import execute_simple
+
+    res = execute_simple(
+        'spark + merge | vector -slow "fast query"~1',
+        docs_index(spark, sf_dir),
+        pos_index=docs_pos_index(spark, sf_dir),
+        k=None,
+        precision="double",
+    )
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

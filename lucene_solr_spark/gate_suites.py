@@ -320,6 +320,7 @@ _suite("fts_parsed_suite", [
     ("escaped", "fts_parsed_escaped", ("doc_id",), ("score",)),
     ("complex_phrase", "fts_complex_phrase",
      ("doc_id",), ("phrase_freq", "score")),
+    ("simple_syntax", "fts_parsed_simple", ("doc_id",), ("score",)),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

@@ -1837,3 +1837,84 @@ def fts_parsed_simple(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_RTG_CACHE: dict = {}
+
+
+def _rtg_store(spark, sf_dir: str) -> str:
+    """Docstore + uncommitted tlog fixture: documents (doc_id < 300)
+    committed at gen-0; then three UNCOMMITTED op batches — rev-A
+    upserts (%13), rev-B upserts (%26, newer, must win), deletes
+    (%19)."""
+    import tempfile
+
+    if sf_dir not in _RTG_CACHE:
+        from .index.realtime import docstore_init, tlog_add
+
+        d = tempfile.mkdtemp(prefix="lss_rtg_")
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 300
+        ).select("doc_id", "text")
+        docstore_init(docs, d)
+        reva = docs.filter(F.col("doc_id") % 13 == 0).select(
+            "doc_id",
+            F.concat(F.lit("rtg rev A "), F.col("doc_id").cast("string"))
+            .alias("text"),
+            F.lit("add").alias("op"),
+        )
+        revb = docs.filter(F.col("doc_id") % 26 == 0).select(
+            "doc_id",
+            F.concat(F.lit("rtg rev B "), F.col("doc_id").cast("string"))
+            .alias("text"),
+            F.lit("add").alias("op"),
+        )
+        dels = docs.filter(F.col("doc_id") % 19 == 0).select(
+            "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("delete").alias("op"),
+        )
+        tlog_add(reva, d)
+        tlog_add(revb, d)
+        tlog_add(dels, d)
+        _RTG_CACHE[sf_dir] = d
+    return _RTG_CACHE[sf_dir]
+
+
+@gate(
+    "mut_realtime_get",
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+reva AS (SELECT doc_id, concat('rtg rev A ', CAST(doc_id AS VARCHAR)) AS text
+         FROM base WHERE doc_id % 13 = 0),
+revb AS (SELECT doc_id, concat('rtg rev B ', CAST(doc_id AS VARCHAR)) AS text
+         FROM base WHERE doc_id % 26 = 0),
+live AS (
+  SELECT b.doc_id,
+         coalesce(rb.text, ra.text, b.text) AS text,
+         (rb.doc_id IS NOT NULL OR ra.doc_id IS NOT NULL) AS from_tlog
+  FROM base b
+  LEFT JOIN reva ra USING (doc_id)
+  LEFT JOIN revb rb USING (doc_id)
+  WHERE b.doc_id % 19 <> 0)
+SELECT doc_id, from_tlog, CAST(length(text) AS BIGINT) AS rtg_text_len
+FROM live ORDER BY doc_id""",
+)
+def mut_realtime_get(spark, sf_dir):
+    """RealTimeGet: /get spans the UNCOMMITTED update log — newest tlog
+    add per id wins over older adds and the committed doc, tlog deletes
+    hide ids, everything else falls back to the committed generation;
+    search keeps reading committed-only (pytest pins that divergence
+    and the commit fold). Reference solr/core/.../handler/component/
+    RealTimeGetComponent.java:101, update/UpdateLog.java
+    (index/realtime.py)."""
+    from .index.realtime import realtime_get
+
+    store = _rtg_store(spark, sf_dir)
+    return (
+        realtime_get(spark, store)
+        .select(
+            "doc_id",
+            F.col("_from_tlog").alias("from_tlog"),
+            F.length("text").cast("long").alias("rtg_text_len"),
+        )
+        .orderBy("doc_id")
+    )

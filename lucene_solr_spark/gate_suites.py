@@ -394,6 +394,8 @@ _suite("mut_suite", [
      ("doc_id", "is_updated"), ("text_len",)),
     ("atomic", "mut_atomic_update",
      ("doc_id", "state"), ("n_chars", "n_tags")),
+    ("realtime_get", "mut_realtime_get",
+     ("doc_id", "from_tlog"), ("rtg_text_len",)),
 ])
 
 # 21-22: source loaders (§2.1 wire formats)

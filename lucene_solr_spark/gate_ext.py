@@ -1918,3 +1918,74 @@ def mut_realtime_get(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@gate(
+    "fts_parsed_surround",
+    f"""WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term = 'spark' OR term LIKE 'sor%' GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.freq / (tf.freq
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+           AS term_score
+  FROM tf JOIN dfs USING (term) JOIN qd ON qd.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dfs2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('fast', 'query', 'merge') GROUP BY term),
+phidf AS (SELECT sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))) AS widf
+          FROM dfs2 d CROSS JOIN stats s),
+ph AS (SELECT b.doc_id, count(DISTINCT b.pos) AS pf
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+       WHERE a.term = 'fast' AND b.term IN ('query', 'merge')
+       GROUP BY b.doc_id),
+phs AS (SELECT ph.doc_id,
+               2.0 * p.widf * (ph.pf / (ph.pf
+                 + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+                 AS ph_score
+        FROM ph JOIN qd USING (doc_id) CROSS JOIN stats s CROSS JOIN phidf p),
+spk AS (SELECT doc_id, term_score AS s FROM scored WHERE term = 'spark'),
+srt AS (SELECT doc_id, sum(term_score) AS s FROM scored
+        WHERE term LIKE 'sor%' GROUP BY doc_id)
+SELECT p.doc_id, round(p.ph_score + k.s + r.s, 4) AS score
+FROM phs p JOIN spk k USING (doc_id) JOIN srt r USING (doc_id)
+WHERE p.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fts_parsed_surround(spark, sf_dir):
+    """Surround query language end-to-end:
+    '(3W(fast, OR(query, merge)))^2 AND spark AND sor* NOT slow' —
+    ordered distance with SpanOr slot alternatives (slop = 3-1), '^'
+    weight, infix AND summing subscores, scored prefix truncation,
+    NOT exclusion (binds tighter than AND, so it guards the sor*
+    branch). search/surround.py; reference lucene/queryparser/.../
+    surround/parser/QueryParser.jj, surround/query/DistanceQuery.java:97
+    (slop = opDistance - 1)."""
+    from .gate import docs_index, docs_pos_index
+    from .search.surround import execute_surround
+
+    res = execute_surround(
+        "(3W(fast, OR(query, merge)))^2 AND spark AND sor* NOT slow",
+        docs_index(spark, sf_dir),
+        pos_index=docs_pos_index(spark, sf_dir),
+        k=None,
+        precision="double",
+    )
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -321,6 +321,7 @@ _suite("fts_parsed_suite", [
     ("complex_phrase", "fts_complex_phrase",
      ("doc_id",), ("phrase_freq", "score")),
     ("simple_syntax", "fts_parsed_simple", ("doc_id",), ("score",)),
+    ("surround_syntax", "fts_parsed_surround", ("doc_id",), ("score",)),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

@@ -1989,3 +1989,98 @@ def fts_parsed_surround(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@gate(
+    "fts_parsed_xml",
+    f"""WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ('spark', 'vector') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.doc_count - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (tf.freq / (tf.freq
+              + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+           AS term_score
+  FROM tf JOIN dfs USING (term) JOIN qd ON qd.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+dmx AS (
+  SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s
+  FROM (SELECT doc_id,
+               CASE WHEN term = 'vector' THEN 2 * term_score
+                    ELSE term_score END AS s
+        FROM scored)
+  GROUP BY doc_id),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dfs2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         WHERE term IN ('fast', 'query', 'merge') GROUP BY term),
+phidf AS (SELECT sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))) AS widf
+          FROM dfs2 d CROSS JOIN stats s),
+ph AS (SELECT b.doc_id, count(DISTINCT b.pos) AS pf
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+       WHERE a.term = 'fast' AND b.term IN ('query', 'merge')
+       GROUP BY b.doc_id),
+phs AS (SELECT ph.doc_id,
+               p.widf * (ph.pf / (ph.pf
+                 + 1.2 * (1.0 - 0.75 + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count))))
+                 AS ph_score
+        FROM ph JOIN qd USING (doc_id) CROSS JOIN stats s CROSS JOIN phidf p)
+SELECT d.doc_id, round(d.s + coalesce(p.ph_score, 0), 4) AS score
+FROM dmx d
+JOIN documents doc ON doc.doc_id = d.doc_id AND doc.n_chars >= 60
+LEFT JOIN phs p ON p.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow')
+ORDER BY score DESC, d.doc_id ASC LIMIT 10""",
+)
+def fts_parsed_xml(spark, sf_dir):
+    """XML query parser (CoreParser) end-to-end: a BooleanQuery whose
+    MUST clause is a DisjunctionMaxQuery (tie=0.3, boosted child),
+    SHOULD clause a SpanNear(slop=2, inOrder) with SpanOrTerms slot
+    alternatives, FILTER clause a PointRangeQuery on the stored
+    n_chars field (restricts, contributes 0 score), MUST_NOT a term —
+    all through search/xmlparser.py. Reference lucene/queryparser/.../
+    xml/CoreParser.java:77-117 and xml/builders/*."""
+    from .gate import docs_index, docs_pos_index
+    from .search.xmlparser import execute_xml
+
+    q = """<BooleanQuery>
+      <Clause occurs="must">
+        <DisjunctionMaxQuery tieBreaker="0.3">
+          <TermQuery>spark</TermQuery>
+          <TermQuery boost="2">vector</TermQuery>
+        </DisjunctionMaxQuery>
+      </Clause>
+      <Clause occurs="should">
+        <SpanNear slop="2" inOrder="true">
+          <SpanTerm>fast</SpanTerm>
+          <SpanOrTerms>query merge</SpanOrTerms>
+        </SpanNear>
+      </Clause>
+      <Clause occurs="filter">
+        <PointRangeQuery fieldName="n_chars" lowerTerm="60"/>
+      </Clause>
+      <Clause occurs="mustNot"><TermQuery>slow</TermQuery></Clause>
+    </BooleanQuery>"""
+    res = execute_xml(
+        q,
+        docs_index(spark, sf_dir),
+        pos_index=docs_pos_index(spark, sf_dir),
+        stored=load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        k=None,
+        precision="double",
+    )
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

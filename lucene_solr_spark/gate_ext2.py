@@ -2370,3 +2370,41 @@ def fn_geo_heatmap(spark, sf_dir):
     return heatmap_facet(
         pts, 10.0, 50.0, -80.0, -20.0, grid_rows=4, grid_cols=6
     ).orderBy("grid_row", "grid_col")
+
+
+_LIGHTSTEM_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "light_stems.parquet",
+)
+
+_LIGHTSTEM_SQL = f"""
+SELECT lang || ':' || term AS lang_term, stem
+FROM read_parquet('{_LIGHTSTEM_FIXTURE}')
+ORDER BY lang_term"""
+
+
+@gate("fts_light_stemmers", _LIGHTSTEM_SQL)
+def fts_light_stemmers(spark, sf_dir):
+    """Non-English light stemmers: German/French/Spanish UniNE light
+    stems + the English-minimal s-stemmer, applied LIVE in the Arrow
+    UDF over the golden vocabulary sample; the oracle reads the frozen
+    reference-implementation stems (the full 35k/28k/20k vocabularies
+    verified mismatch-free at fixture build, scripts/
+    make_lightstem_fixture.py). Reference lucene/analysis/common/.../
+    de/GermanLightStemmer.java, fr/FrenchLightStemmer.java,
+    es/SpanishLightStemmer.java, en/EnglishMinimalStemmer.java
+    (analysis/lightstem.py)."""
+    from functools import reduce
+
+    from .analysis.lightstem import STEMMERS, light_stem_col
+
+    fix = spark.read.parquet(_LIGHTSTEM_FIXTURE).select("lang", "term")
+    parts = [
+        fix.filter(F.col("lang") == lang).select(
+            F.concat_ws(":", "lang", "term").alias("lang_term"),
+            light_stem_col(F.col("term"), lang).alias("stem"),
+        )
+        for lang in sorted(STEMMERS)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("lang_term")

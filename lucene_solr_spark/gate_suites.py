@@ -349,6 +349,7 @@ _suite("fts_analysis_suite", [
     ("pattern_trim", "fts_pattern_trim", ("tok",), ("cnt",)),
     ("stem_override", "fts_stem_override", ("stem",), ("cnt",)),
     ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
+    ("light_stem", "fts_light_stemmers", ("lang_term", "stem"), ()),
 ])
 _passthrough("fts_porter_stemmed_terms")
 

@@ -1,0 +1,86 @@
+"""Generate the light-stemmer golden fixture parquet.
+
+Writes lucene_solr_spark/fixtures_data/light_stems.parquet with rows
+(lang, term, stem): a deterministic every-Nth sample of the reference
+implementation's published test vocabularies (Savoy's UniNE reference
+data, shipped by the reference repo as
+lucene/analysis/common/src/test/.../{de,es,fr}/*lighttestdata.zip —
+word<TAB>stem pairs produced by the ORIGINAL algorithm authors'
+implementation), plus the English-minimal vectors from
+TestEnglishMinimalStemFilter.java.
+
+The repo's own stemmers (analysis/lightstem.py) were verified against
+the FULL vocabularies (35,033 de + 28,377 es + 20,403 fr pairs, zero
+mismatches) before sampling; tests/test_lightstem.py re-verifies the
+sampled fixture on every run, and the driver gate stems the fixture's
+terms LIVE in the Arrow UDF while the DuckDB oracle reads the frozen
+stems — the Porter/CJK fixture pattern.
+
+Usage: python scripts/make_lightstem_fixture.py
+"""
+
+import os
+import sys
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+
+REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "lucene_solr_spark",
+    "fixtures_data",
+    "light_stems.parquet",
+)
+STRIDE = 80  # every-Nth pair per language — deterministic sample
+
+EN_MINIMAL = [  # TestEnglishMinimalStemFilter.java:54-62
+    ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+    ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+    ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+    ("serious", "serious"),
+]
+
+
+def pairs(zpath: str, txt: str):
+    with zipfile.ZipFile(zpath) as z:
+        lines = z.read(txt).decode("utf-8").splitlines()
+    for ln in lines:
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split("\t") if "\t" in ln else ln.split()
+        if len(parts) == 2:
+            yield parts[0], parts[1]
+
+
+def main():
+    from lucene_solr_spark.analysis.lightstem import STEMMERS
+
+    rows = []
+    for lang, zf, txt in (
+        ("de", "de/delighttestdata.zip", "delight.txt"),
+        ("es", "es/eslighttestdata.zip", "eslight.txt"),
+        ("fr", "fr/frlighttestdata.zip", "frlight.txt"),
+    ):
+        all_pairs = list(pairs(f"{REF}/{zf}", txt))
+        fn = STEMMERS[lang]
+        bad = [
+            (w, want, fn(w)) for w, want in all_pairs if fn(w) != want
+        ]
+        assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:3]}"
+        sample = all_pairs[::STRIDE]
+        rows.extend({"lang": lang, "term": w, "stem": s} for w, s in sample)
+        print(f"{lang}: verified {len(all_pairs)} pairs, sampled {len(sample)}")
+    fn = STEMMERS["en_minimal"]
+    for w, want in EN_MINIMAL:
+        assert fn(w) == want, (w, want, fn(w))
+        rows.append({"lang": "en_minimal", "term": w, "stem": want})
+    pd.DataFrame(rows).to_parquet(OUT, index=False)
+    print(f"wrote {len(rows)} rows -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()

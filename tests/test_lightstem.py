@@ -1,0 +1,106 @@
+"""Light stemmers (de/fr/es UniNE + English minimal): golden fixture.
+
+The fixture parquet (lucene_solr_spark/fixtures_data/light_stems.parquet)
+is a deterministic every-80th sample of the reference's published test
+vocabularies (lucene/analysis/common/src/test/.../{de,es,fr}/
+*lighttestdata.zip, word<TAB>stem pairs from the original algorithm
+authors) plus the EnglishMinimalStemFilter test vectors; the FULL
+vocabularies (35k de + 28k es + 20k fr) were verified mismatch-free at
+fixture build (scripts/make_lightstem_fixture.py). These tests re-run
+the live stemmers — pure-Python and the Arrow filter stage — against
+every sampled pair.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.lightstem import (
+    STEMMERS,
+    english_minimal_stem,
+    french_light_stem,
+    german_light_stem,
+    light_stem_col,
+    light_stem_filter,
+    spanish_light_stem,
+)
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "lucene_solr_spark",
+    "fixtures_data",
+    "light_stems.parquet",
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return pd.read_parquet(FIXTURE)
+
+
+@pytest.mark.parametrize("lang", ["de", "es", "fr", "en_minimal"])
+def test_golden_pairs(golden, lang):
+    sub = golden[golden.lang == lang]
+    assert len(sub) > 0
+    fn = STEMMERS[lang]
+    bad = [
+        (w, want, fn(w))
+        for w, want in zip(sub.term, sub.stem)
+        if fn(w) != want
+    ]
+    assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:5]}"
+
+
+def test_stemmers_registry_complete():
+    assert set(STEMMERS) == {"de", "es", "fr", "en_minimal"}
+    assert STEMMERS["de"] is german_light_stem
+    assert STEMMERS["es"] is spanish_light_stem
+    assert STEMMERS["fr"] is french_light_stem
+    assert STEMMERS["en_minimal"] is english_minimal_stem
+
+
+def test_english_minimal_vectors():
+    # TestEnglishMinimalStemFilter.java:54-62
+    for w, want in [
+        ("queries", "query"), ("phrases", "phrase"), ("corpus", "corpus"),
+        ("stress", "stress"), ("kings", "king"), ("panels", "panel"),
+        ("aerodynamics", "aerodynamic"), ("congress", "congress"),
+        ("serious", "serious"),
+    ]:
+        assert english_minimal_stem(w) == want, w
+    # guards: too short / not plural untouched
+    assert english_minimal_stem("as") == "as"
+    assert english_minimal_stem("king") == "king"
+
+
+def test_arrow_filter_stage(spark, golden):
+    """light_stem_filter (array stage) and light_stem_col (scalar stage)
+    agree with the pure-Python stemmers on the golden vocabulary."""
+    sub = golden[golden.lang == "fr"].head(50)
+    df = spark.createDataFrame(sub[["term", "stem"]])
+    out = df.select(
+        "stem",
+        light_stem_col(F.col("term"), "fr").alias("got"),
+        light_stem_filter(F.array(F.col("term")), "fr").alias("got_arr"),
+    ).collect()
+    for r in out:
+        assert r.got == r.stem
+        assert r.got_arr == [r.stem]
+
+
+def test_filter_null_passthrough(spark):
+    df = spark.createDataFrame(
+        [(None,), (["häuser"],)], "toks: array<string>"
+    )
+    got = df.select(light_stem_filter(F.col("toks"), "de").alias("s")).collect()
+    assert got[0].s is None
+    assert got[1].s == [german_light_stem("häuser")]
+
+
+def test_unknown_lang_raises():
+    with pytest.raises(ValueError, match="unknown light stemmer"):
+        light_stem_col(F.lit("x"), "xx")
+    with pytest.raises(ValueError, match="unknown light stemmer"):
+        light_stem_filter(F.lit("x"), "xx")

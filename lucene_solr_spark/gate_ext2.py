@@ -2408,3 +2408,206 @@ def fts_light_stemmers(spark, sf_dir):
         for lang in sorted(STEMMERS)
     ]
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("lang_term")
+
+
+# ---------------------------------------- update-processor chain (mut_*)
+
+_UPCHAIN_NOW = "2026-01-01 00:00:00"
+_UPCHAIN_ASOF = "2026-01-15 00:00:00"
+
+_UPCHAIN_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '' ELSE lang END AS lang_in,
+         text
+  FROM documents WHERE doc_id < 400),
+mutated AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN lang_in = '' THEN NULL ELSE lang_in END,
+                  'und') AS lang,
+         substr(trim(regexp_replace(text, '[0-9]+', '#', 'g')),
+                1, 80) AS text,
+         TIMESTAMP '{_UPCHAIN_NOW}'
+           + to_days(CAST(doc_id % 30 + 1 AS INTEGER)) AS _expire_at_
+  FROM base),
+toks AS (
+  SELECT m.*, regexp_extract_all(lower(m.text), '[a-z]+') AS tok
+  FROM mutated m)
+SELECT doc_id,
+       concat(lang, ':', coalesce(tok[1], ''), ':',
+              coalesce(tok[-1], ''), ':', coalesce(list_max(tok), '')
+       ) AS ktags,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(list_distinct(tok)) AS BIGINT) AS n_uniq,
+       CAST(length(array_to_string(tok, ', ')) AS BIGINT) AS cat_len,
+       CAST(_expire_at_ <= TIMESTAMP '{_UPCHAIN_ASOF}' AS INT
+       ) AS is_expired
+FROM toks
+ORDER BY doc_id"""
+
+
+@gate("mut_update_chain", _UPCHAIN_SQL)
+def mut_update_chain(spark, sf_dir):
+    """UpdateRequestProcessorChain: an ordered chain of field-mutating
+    ingest processors — clone, remove-blank, default-value,
+    regex-replace, trim, truncate, field-length, uniq/count/first/last/
+    max over multivalues, concat, pinned-timestamp, and
+    DocExpiration's _expire_at_ = NOW + _ttl_ with the reaper predicate
+    — run over the incoming frame as pure fused Column stages.
+    Reference solr/core/.../update/processor/
+    UpdateRequestProcessorChain.java + the factory files cited in
+    operators/updatechain.py."""
+    from .operators.updatechain import (
+        apply_chain, clone_field, concat_field, count_field_values,
+        default_value, doc_expiration, expired_filter, field_length,
+        first_value, last_value, max_value, regex_replace, remove_blank,
+        timestamp_field, trim_field, truncate_field, uniq_values,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("doc_id") < 400)
+        # incoming-doc shape: every 7th doc arrives with a blank lang
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, "").otherwise(F.col("lang")),
+        )
+        .withColumn("_ttl_days_", (F.col("doc_id") % 30 + 1).cast("int"))
+    )
+    out = apply_chain(docs, [
+        clone_field("lang", "lang_orig"),
+        remove_blank("lang"),
+        default_value("lang", "und"),
+        regex_replace("text", "[0-9]+", "#"),
+        trim_field("text"),
+        truncate_field("text", 80),
+        field_length("text", "text_len"),
+        timestamp_field("ingest_ts", _UPCHAIN_NOW),
+        doc_expiration("_ttl_days_", _UPCHAIN_NOW),
+    ])
+    out = out.withColumn(
+        "tok", F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    )
+    out = apply_chain(out, [
+        first_value("tok", "first_tok"),
+        last_value("tok", "last_tok"),
+        max_value("tok", "max_tok"),
+        concat_field("tok", "tok_cat"),
+        uniq_values("tok"),
+        count_field_values("tok", "n_uniq"),
+    ])
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ":",
+            F.col("lang"),
+            F.coalesce("first_tok", F.lit("")),
+            F.coalesce("last_tok", F.lit("")),
+            F.coalesce("max_tok", F.lit("")),
+        ).alias("ktags"),
+        F.col("text_len").cast("long").alias("text_len"),
+        F.col("n_uniq").cast("long").alias("n_uniq"),
+        F.length("tok_cat").cast("long").alias("cat_len"),
+        expired_filter(_UPCHAIN_ASOF).cast("int").alias("is_expired"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------- classic facet params (SimpleFacets)
+
+@gate(
+    "fts_facet_params",
+    f"""WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, df FROM (
+  SELECT term, CAST(df AS BIGINT) AS df FROM dict
+  WHERE term LIKE 's%' AND df >= 3
+  ORDER BY df DESC, term LIMIT 15 OFFSET 5)
+ORDER BY df DESC, term""",
+)
+def fts_facet_params(spark, sf_dir):
+    """Classic facet params facet.prefix + facet.mincount + facet.sort=
+    count + facet.offset/limit over the term dictionary (reference
+    solr/core/.../request/SimpleFacets.java:507-560 getFacetTermEnumCounts
+    / getListedTermCounts — prefix seeks the term enum, mincount drops
+    sparse buckets, count sort is df desc with index tie-break, offset/
+    limit window the bucket list). Pure dictionary scan: no postings
+    touched, partition-prunable on the term prefix."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(
+            F.col("term").startswith("s") & (F.col("df") >= 3)
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .offset(5)
+        .limit(15)
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+@gate(
+    "fts_facet_contains",
+    f"""WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df FROM dict
+WHERE term LIKE '%ing%' AND df >= 2
+ORDER BY term LIMIT 15""",
+)
+def fts_facet_contains(spark, sf_dir):
+    """facet.contains + facet.sort=index (term-order buckets,
+    SimpleFacets.java contains/ignoreCase filtering + index sort)."""
+    tables = docs_index(spark, sf_dir)
+    return (
+        tables.dictionary.filter(
+            F.col("term").contains("ing") & (F.col("df") >= 2)
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("term"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------- ChildDocTransformer (rel_*)
+
+@gate(
+    "rel_childdoc_transform",
+    """SELECT o_orderkey, l_linenumber, l_quantity FROM (
+  SELECT o.o_orderkey, l.l_linenumber,
+         CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+         row_number() OVER (
+           PARTITION BY o.o_orderkey ORDER BY l.l_linenumber) AS rk
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_totalprice > 400000 AND l.l_quantity >= 40)
+WHERE rk <= 3
+ORDER BY o_orderkey, l_linenumber""",
+)
+def rel_childdoc_transform(spark, sf_dir):
+    """ChildDocTransformer: matching parent docs return their child
+    docs nested, with a childFilter and a per-parent limit (reference
+    solr/core/.../response/transform/ChildDocTransformer.java +
+    ChildDocTransformerFactory.java: childFilter=, limit= params).
+    Relational shape: parent-filtered semi side joins children,
+    childFilter as a plain predicate, limit = per-parent row_number
+    window — the block-join family's fetch direction with a bounded
+    child window."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    parents = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey"
+    )
+    kids = (
+        lineitem.filter(F.col("l_quantity") >= 40)
+        .join(parents, lineitem.l_orderkey == parents.o_orderkey)
+        .select(
+            "o_orderkey", "l_linenumber",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
+    w = W.partitionBy("o_orderkey").orderBy("l_linenumber")
+    return (
+        kids.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("o_orderkey", "l_linenumber")
+    )

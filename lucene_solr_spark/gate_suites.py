@@ -264,6 +264,8 @@ _suite("fts_term_stats", [
      ("termfreq", "tf_classic", "idf", "dl")),
     ("term_vectors", "fts_term_vectors",
      ("doc_id", "term"), ("tf", "df", "tfidf")),
+    ("facet_params", "fts_facet_params", ("term",), ("df",)),
+    ("facet_contains", "fts_facet_contains", ("term",), ("df",)),
 ])
 
 # 6: multi-term expansion — Prefix/Wildcard/Fuzzy/Regexp
@@ -399,6 +401,8 @@ _suite("mut_suite", [
      ("doc_id", "state"), ("n_chars", "n_tags")),
     ("realtime_get", "mut_realtime_get",
      ("doc_id", "from_tlog"), ("rtg_text_len",)),
+    ("update_chain", "mut_update_chain",
+     ("doc_id", "ktags"), ("text_len", "n_uniq", "cat_len", "is_expired")),
 ])
 
 # 21-22: source loaders (§2.1 wire formats)
@@ -485,6 +489,8 @@ _suite("rel_join_specials", [
     ("scored_join", "fts_join_scores",
      ("source", "n_matching"),
      ("score_max", "score_min", "score_total", "score_avg")),
+    ("child_docs", "rel_childdoc_transform",
+     ("o_orderkey", "l_linenumber"), ("l_quantity",)),
 ])
 
 # 36: percentile + HLL approx aggregates

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .gate import _TOKS, bm25_scored_cte, docs_index, gate, load
+from .gate import _TOKS, bm25_scored_cte, doc_tokens, docs_index, gate, load
 from .gate_ext import _span_score_sql
 
 # ------------------------------------------------------------ highlighter
@@ -2611,3 +2611,101 @@ def rel_childdoc_transform(spark, sf_dir):
         .drop("rk")
         .orderBy("o_orderkey", "l_linenumber")
     )
+
+
+# ------------------------------------ relatedness() facet agg (SKG)
+
+def _relatedness_sql() -> str:
+    """The computeRelatedness formula as SQL text — the same IEEE
+    expression tree relatedness_col builds as Columns."""
+    sigs = " + ".join(
+        f"((z + {off}) / ({scale} + abs(z + {off})))"
+        for off, scale in ((-80, 50), (-30, 30), (0, 30), (30, 30), (80, 50))
+    )
+    return f"floor(0.2 * ({sigs}) * 1e5 + 0.5) / 1e5"
+
+
+_RELATEDNESS_SQL = f"""
+WITH toks AS (SELECT DISTINCT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+fg_docs AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+sizes AS (
+  SELECT (SELECT count(*) FROM fg_docs) AS fg_size,
+         (SELECT count(DISTINCT doc_id) FROM toks) AS bg_size),
+counts AS (
+  SELECT t.term,
+         count(DISTINCT CASE WHEN f.doc_id IS NOT NULL
+                             THEN t.doc_id END) AS fg_count,
+         count(DISTINCT t.doc_id) AS bg_count
+  FROM toks t LEFT JOIN fg_docs f USING (doc_id)
+  GROUP BY t.term),
+scored AS (
+  SELECT term, fg_count, bg_count, fg_size, bg_size,
+         (CAST(bg_count AS DOUBLE) / bg_size) AS bg_prob
+  FROM counts, sizes
+  WHERE fg_count >= 1),
+zed AS (
+  SELECT term, fg_count, bg_count, fg_size, bg_size, bg_prob,
+         (fg_count - fg_size * bg_prob) /
+         (CASE WHEN sqrt(fg_size * bg_prob * (1 - bg_prob)) = 0
+               THEN 1e-10
+               ELSE sqrt(fg_size * bg_prob * (1 - bg_prob)) END) AS z
+  FROM scored)
+SELECT term,
+       {_relatedness_sql()} AS relatedness,
+       floor(CAST(fg_count AS DOUBLE) / bg_size * 1e5 + 0.5) / 1e5
+         AS fg_pop,
+       floor(CAST(bg_count AS DOUBLE) / bg_size * 1e5 + 0.5) / 1e5
+         AS bg_pop,
+       CAST(fg_count AS BIGINT) AS fg_count
+FROM zed
+ORDER BY relatedness DESC, term LIMIT 15"""
+
+
+@gate("rel_relatedness_skg", _RELATEDNESS_SQL)
+def rel_relatedness_skg(spark, sf_dir):
+    """JSON facet relatedness() — the Semantic Knowledge Graph agg
+    (reference solr/core/.../search/facet/RelatednessAgg.java:
+    computeRelatedness z-score + 5-sigmoid blend, fg/bg popularity as
+    roundTo5Digits(count/bg_size); foreground = docs matching the
+    query, background = the whole collection). Two hash-aggs over the
+    token relation + a broadcast of the two scalar set sizes — no
+    per-term subqueries, scales with the token table."""
+    from .operators.facet import relatedness_col, round5
+
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    fg_docs = toks.filter(F.col("term") == "spark").select("doc_id").distinct()
+    sizes = fg_docs.agg(F.count("*").alias("fg_size")).crossJoin(
+        toks.agg(F.countDistinct("doc_id").alias("bg_size"))
+    )
+    counts = (
+        toks.join(
+            fg_docs.withColumn("_fg", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("term")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_fg").isNotNull(), F.col("doc_id"))
+            ).alias("fg_count"),
+            F.countDistinct("doc_id").alias("bg_count"),
+        )
+        .filter(F.col("fg_count") >= 1)
+    )
+    out = counts.crossJoin(F.broadcast(sizes))
+    return out.select(
+        "term",
+        relatedness_col(
+            F.col("fg_count").cast("double"),
+            F.col("fg_size").cast("double"),
+            F.col("bg_count").cast("double"),
+            F.col("bg_size").cast("double"),
+        ).alias("relatedness"),
+        round5(F.col("fg_count").cast("double") / F.col("bg_size")).alias(
+            "fg_pop"
+        ),
+        round5(F.col("bg_count").cast("double") / F.col("bg_size")).alias(
+            "bg_pop"
+        ),
+        F.col("fg_count").cast("long").alias("fg_count"),
+    ).orderBy(F.desc("relatedness"), F.asc("term")).limit(15)

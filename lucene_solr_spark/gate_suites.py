@@ -499,6 +499,8 @@ _suite("rel_agg_approx", [
      ("o_orderpriority",), ("p50", "p90")),
     ("hll", "rel_hll_user_count",
      ("event_type", "hll_ok"), ("exact_users",)),
+    ("relatedness", "rel_relatedness_skg",
+     ("term",), ("relatedness", "fg_pop", "bg_pop", "fg_count")),
 ])
 
 # 37: FetchStream

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["path_col", "taxonomy_counts", "drill_down", "pivot_facets"]
+__all__ = [
+    "path_col", "taxonomy_counts", "drill_down", "pivot_facets",
+    "relatedness_col", "round5",
+]
 
 
 def path_col(*parts) -> Column:
@@ -153,3 +156,32 @@ def pivot_facets(
             )
             out = out.filter(F.col("level") != l).unionByName(lvl_rows)
     return out.select("level", "path", "cnt")
+
+
+def relatedness_col(
+    fg_count: Column, fg_size: Column, bg_count: Column, bg_size: Column
+) -> Column:
+    """RelatednessAgg.computeRelatedness (solr/core/.../search/facet/
+    RelatednessAgg.java:computeRelatedness): the "semantic knowledge
+    graph" z-score of a bucket's foreground popularity against its
+    background probability, squashed through the fixed 5-sigmoid blend
+    and truncated to 5 digits (roundTo5Digits = floor(x*1e5+0.5)/1e5).
+    Pure Column arithmetic — identical IEEE ops on any engine."""
+    bg_prob = bg_count / bg_size
+    num = fg_count - fg_size * bg_prob
+    raw_denom = F.sqrt(fg_size * bg_prob * (F.lit(1.0) - bg_prob))
+    denom = F.when(raw_denom == 0.0, F.lit(1e-10)).otherwise(raw_denom)
+    z = num / denom
+
+    def sig(off: float, scale: float) -> Column:
+        return (z + off) / (scale + F.abs(z + off))
+
+    raw = F.lit(0.2) * (
+        sig(-80, 50) + sig(-30, 30) + sig(0, 30) + sig(30, 30) + sig(80, 50)
+    )
+    return F.floor(raw * 1e5 + F.lit(0.5)) / 1e5
+
+
+def round5(x: Column) -> Column:
+    """RelatednessAgg.roundTo5Digits (Math.round(v*1e5)/1e5)."""
+    return F.floor(x * 1e5 + F.lit(0.5)) / 1e5

@@ -2709,3 +2709,84 @@ def rel_relatedness_skg(spark, sf_dir):
         ),
         F.col("fg_count").cast("long").alias("fg_count"),
     ).orderBy(F.desc("relatedness"), F.asc("term")).limit(15)
+
+
+# ---------------------------------------- FreeTextSuggester (stupid backoff)
+
+def _freetext_sql(ctx_toks, frag, grams=3, num=10) -> str:
+    """Mirror of search/freetext.py freetext_lookup for a fixed key:
+    same n-gram tables, per-order top-num, backoff literals (exact
+    repeated-multiplication doubles), seen-dedup window, final sort."""
+    from .search.freetext import _backoffs
+
+    boffs = _backoffs(grams)
+    t = len(ctx_toks)
+    top = min(t, grams - 1)
+    orders = []
+    for g in range(top, -1, -1):
+        if g == 0 and frag == "":
+            continue
+        ctx = " ".join(ctx_toks[t - g:])
+        backoff = repr(boffs[top - g])
+        if g == 0:
+            denom = "(SELECT CAST(sum(cnt) AS DOUBLE) FROM g1)"
+            comp = "last"
+            src = "g1"
+            where = f"last LIKE '{frag}%'"
+        else:
+            head = " ".join(ctx_toks[t - g: t - 1]) if g > 1 else ""
+            tail = ctx_toks[-1]
+            denom = (
+                f"(SELECT CAST(cnt AS DOUBLE) FROM g{g} "
+                f"WHERE context = '{head}' AND last = '{tail}')"
+            )
+            comp = f"concat('{ctx} ', last)"
+            src = f"g{g + 1}"
+            where = f"context = '{ctx}' AND last LIKE '{frag}%'"
+        orders.append(
+            f"""(SELECT {g} AS g, last, {comp} AS completion,
+       round({backoff} * cnt / {denom}, 9) AS score, cnt
+FROM {src} WHERE {where}
+ORDER BY cnt DESC, last LIMIT {num})"""
+        )
+    union = "\nUNION ALL\n".join(orders)
+    return f"""
+WITH tl AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+            FROM documents),
+idx AS (SELECT l, unnest(range(1, len(l) + 1)) AS i FROM tl),
+g1 AS (SELECT '' AS context, l[i] AS last, count(*) AS cnt
+       FROM idx GROUP BY 1, 2),
+g2 AS (SELECT l[i] AS context, l[i+1] AS last, count(*) AS cnt
+       FROM idx WHERE i + 1 <= len(l) GROUP BY 1, 2),
+g3 AS (SELECT concat(l[i], ' ', l[i+1]) AS context, l[i+2] AS last,
+              count(*) AS cnt
+       FROM idx WHERE i + 2 <= len(l) GROUP BY 1, 2),
+uni AS (
+{union}),
+dedup AS (SELECT *, row_number() OVER (
+            PARTITION BY last ORDER BY g DESC) AS rk FROM uni)
+SELECT completion, score FROM dedup WHERE rk = 1
+ORDER BY score DESC, completion LIMIT {num}"""
+
+
+_FREETEXT_KEY = "stream column s"
+
+
+@gate(
+    "fts_freetext_suggest",
+    _freetext_sql(["stream", "column"], "s"),
+)
+def fts_freetext_suggest(spark, sf_dir):
+    """FreeTextSuggester: stupid-backoff n-gram LM completion of the
+    partially-typed last token 'stream column s|' — trigram model
+    first, then bigram at ALPHA, then unigram at ALPHA², completions
+    deduped by last token from the highest order that saw them
+    (reference lucene/suggest/.../analyzing/FreeTextSuggester.java:133,
+    506-683; raw backed-off probability emitted instead of the
+    Long.MAX_VALUE-scaled long — ordering identical)."""
+    from .search.freetext import build_freetext_model, freetext_lookup
+
+    model = build_freetext_model(
+        load(spark, sf_dir, "documents").select("text")
+    )
+    return freetext_lookup(model, _FREETEXT_KEY, grams=3, num=10)

@@ -387,6 +387,7 @@ _suite("fts_suggest_spell", [
     ("collation", "fts_spell_collation",
      ("collated",), ("n_terms", "n_hits")),
     ("context", "fts_suggest_context", ("key", "ctx_s"), ("weight",)),
+    ("freetext", "fts_freetext_suggest", ("completion",), ("score",)),
 ])
 
 # 18-19: percolator + explain

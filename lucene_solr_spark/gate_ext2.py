@@ -2790,3 +2790,97 @@ def fts_freetext_suggest(spark, sf_dir):
         load(spark, sf_dir, "documents").select("text")
     )
     return freetext_lookup(model, _FREETEXT_KEY, grams=3, num=10)
+
+
+# -------------------------------------------- group.query (Grouping module)
+
+_GROUP_QUERY_SQL = """
+WITH buckets AS (
+  SELECT 'urgent' AS grp, o_orderkey, CAST(o_totalprice AS DOUBLE)
+    AS o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'big' AS grp, o_orderkey, CAST(o_totalprice AS DOUBLE)
+    AS o_totalprice FROM orders WHERE o_totalprice > 350000
+  UNION ALL
+  SELECT 'finished' AS grp, o_orderkey, CAST(o_totalprice AS DOUBLE)
+    AS o_totalprice FROM orders WHERE o_orderstatus = 'F'),
+ranked AS (
+  SELECT grp, o_orderkey, o_totalprice, row_number() OVER (
+      PARTITION BY grp ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM buckets)
+SELECT grp, o_orderkey, o_totalprice, rnk FROM ranked WHERE rnk <= 3
+ORDER BY grp, rnk"""
+
+
+@gate("rel_group_query", _GROUP_QUERY_SQL)
+def rel_group_query(spark, sf_dir):
+    """group.query: groups DEFINED BY QUERIES (possibly overlapping),
+    each returning its own top-k docs — reference solr/core/.../search/
+    Grouping.java (Grouping.CommandQuery: one grouped command per
+    group.query=... param, each collecting its own TopDocs window).
+    Union of per-query ranked windows; each predicate pushes to the
+    scan independently."""
+    orders = load(spark, sf_dir, "orders")
+    defs = [
+        ("urgent", F.col("o_orderpriority") == "1-URGENT"),
+        ("big", F.col("o_totalprice") > 350000),
+        ("finished", F.col("o_orderstatus") == "F"),
+    ]
+    from functools import reduce
+
+    parts = [
+        orders.filter(pred).select(
+            F.lit(name).alias("grp"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        for name, pred in defs
+    ]
+    buckets = reduce(lambda a, b: a.unionByName(b), parts)
+    w = W.partitionBy("grp").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        buckets.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("grp", "rnk")
+    )
+
+
+# ----------------------------------------- uniqueBlock() (block-join facet)
+
+_UNIQUE_BLOCK_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_parents,
+       CAST(count(*) AS BIGINT) AS n_children
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 300000 AND l.l_quantity >= 30
+GROUP BY l_returnflag
+ORDER BY flag"""
+
+
+@gate("rel_unique_block", _UNIQUE_BLOCK_SQL)
+def rel_unique_block(spark, sf_dir):
+    """uniqueBlock(_root_) — the block-join facet agg: facet child docs
+    but count each PARENT block once per bucket (reference solr/core/
+    .../search/facet/UniqueBlockAgg.java: collectOrdToSlot keyed by the
+    block's parent ordinal; BlockJoinFacetComponent's child-facet
+    dedup). DataFrame shape: child facet groupBy with
+    count(DISTINCT parent_key) beside the raw child count — one
+    hash-agg, parent ids never leave their partition pre-combine."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    parents = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey"
+    )
+    kids = lineitem.filter(F.col("l_quantity") >= 30).join(
+        parents, lineitem.l_orderkey == parents.o_orderkey
+    )
+    return (
+        kids.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n_parents"),
+            F.count("*").cast("long").alias("n_children"),
+        )
+        .orderBy("flag")
+    )

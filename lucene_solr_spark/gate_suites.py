@@ -430,6 +430,8 @@ _suite("rel_graph", [
 _suite("rel_topk_groups", [
     ("top2", "rel_window_top2_orders",
      ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
+    ("group_query", "rel_group_query",
+     ("grp", "o_orderkey"), ("o_totalprice", "rnk")),
     ("collapse", "rel_collapse_best_order",
      ("o_custkey", "o_orderkey"), ("o_totalprice",)),
     ("expand", "rel_expand_groups",
@@ -515,6 +517,8 @@ _suite("rel_facet_nested", [
     ("taxonomy", "rel_facet_taxonomy", ("path",), ("depth", "cnt")),
     ("drilldown", "rel_facet_drilldown", ("child",), ("cnt",)),
     ("pivot", "rel_facet_pivot", ("level", "path"), ("cnt",)),
+    ("unique_block", "rel_unique_block",
+     ("flag",), ("n_parents", "n_children")),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the

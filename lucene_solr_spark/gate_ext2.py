@@ -2884,3 +2884,80 @@ def rel_unique_block(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------- {!frange} FunctionRangeQuery
+
+_FRANGE_SQL = """
+SELECT o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE) /
+             (1.0 + date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE))), 6) AS fval
+FROM orders
+WHERE CAST(o_totalprice AS DOUBLE) /
+      (1.0 + date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE))) BETWEEN 500 AND 600
+ORDER BY o_orderkey"""
+
+
+@gate("rel_frange_query", _FRANGE_SQL)
+def rel_frange_query(spark, sf_dir):
+    """{!frange l=500 u=600} over a computed ValueSource — Solr's
+    FunctionRangeQuery filters docs by a FUNCTION of their fields, not
+    a stored column (reference solr/core/.../search/
+    FunctionRangeQuery.java + FunctionQParser 'frange'; here the
+    function is price / (1 + days-since-epoch'95), a recip/div
+    composition). Catalyst evaluates the expression inside the scan
+    filter — no materialization, full pushdown of the referenced
+    columns only."""
+    orders = load(spark, sf_dir, "orders")
+    fval = F.col("o_totalprice").cast("double") / (
+        F.lit(1.0)
+        + F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+    )
+    return (
+        orders.filter(fval.between(500, 600))
+        .select("o_orderkey", F.round(fval, 6).alias("fval"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ------------------------------------- JSON facet: stats inside buckets
+
+_BUCKET_STATS_SQL = """
+SELECT o_orderpriority AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY bucket"""
+
+
+@gate("rel_facet_bucket_stats", _BUCKET_STATS_SQL)
+def rel_facet_bucket_stats(spark, sf_dir):
+    """JSON facet sub-aggregations: stat facets nested INSIDE term
+    buckets — facet={prio:{terms:{field:o_orderpriority, facet:{
+    avg_price:'avg(...)', n_cust:'unique(...)'}}}} (reference
+    solr/core/.../search/facet/FacetField.java bucket processing +
+    the Agg classes; per-bucket aggs accumulate into the bucket's
+    slot). One partial+final hash-agg computes every bucket's stat
+    set — Solr's per-slot accumulators are exactly Spark's partial
+    aggregation buffers."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("avg_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        )
+        .orderBy("bucket")
+    )

@@ -469,6 +469,7 @@ _suite("rel_point_filters", [
     ("range", "rel_range_query_events", ("event_type",), ("n",)),
     ("in_set", "rel_point_in_set",
      ("l_linenumber",), ("n_items", "sum_price")),
+    ("frange", "rel_frange_query", ("o_orderkey",), ("fval",)),
 ])
 
 # 34: searchAfter paging + ExportStream full sort
@@ -519,6 +520,8 @@ _suite("rel_facet_nested", [
     ("pivot", "rel_facet_pivot", ("level", "path"), ("cnt",)),
     ("unique_block", "rel_unique_block",
      ("flag",), ("n_parents", "n_children")),
+    ("bucket_stats", "rel_facet_bucket_stats",
+     ("bucket",), ("cnt", "avg_price", "min_key", "n_cust")),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the

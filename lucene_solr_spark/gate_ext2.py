@@ -11,7 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .gate import _TOKS, bm25_scored_cte, doc_tokens, docs_index, gate, load
+from .gate import (_NORM_VALUES, _TOKS, bm25_scored_cte, doc_tokens,
+                   docs_index, docs_title_index, gate, load)
 from .gate_ext import _span_score_sql
 
 # ------------------------------------------------------------ highlighter
@@ -2961,3 +2962,71 @@ def rel_facet_bucket_stats(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------ flexible StandardQueryParser (multi-field)
+
+_FLEX_SQL = """WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dlb AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+dlt AS (SELECT doc_id, least(count(*), 8) AS dl FROM tokp GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {NORM_VALUES}),
+qdb AS (SELECT d.doc_id, nt.qdl FROM dlb d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+qdt AS (SELECT d.doc_id, nt.qdl FROM dlt d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+sb AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dlb),
+st AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dlt),
+tfb AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+tft AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') AND pos <= 8
+        GROUP BY doc_id, term),
+dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY term),
+dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+scb AS (SELECT t.doc_id, t.term,
+               1.0 * ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                 * (t.freq / (t.freq + 1.2 * (0.25
+                    + 0.75 * q.qdl / (s.sum_ttf / s.doc_count)))) AS s
+        FROM tfb t JOIN dfb d USING (term)
+        JOIN qdb q ON q.doc_id = t.doc_id CROSS JOIN sb s),
+sct AS (SELECT t.doc_id, t.term,
+               1.0 * ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+                 * (t.freq / (t.freq + 1.2 * (0.25
+                    + 0.75 * q.qdl / (s.sum_ttf / s.doc_count)))) AS s
+        FROM tft t JOIN dft d USING (term)
+        JOIN qdt q ON q.doc_id = t.doc_id CROSS JOIN st s),
+u AS (SELECT * FROM scb UNION ALL SELECT * FROM sct),
+comb AS (SELECT doc_id, term, sum(s) AS ts
+         FROM u GROUP BY doc_id, term)
+SELECT doc_id, round(sum(ts), 4) AS score
+FROM comb GROUP BY doc_id HAVING count(*) = 2
+ORDER BY doc_id""".replace("{NORM_VALUES}", _NORM_VALUES)
+
+
+@gate("fts_parsed_flexible", _FLEX_SQL)
+def fts_parsed_flexible(spark, sf_dir):
+    """Flexible StandardQueryParser with setMultiFields([body, title])
+    and default operator AND on 'spark merge': every unfielded term
+    expands to a SHOULD group over both fields
+    (MultiFieldQueryNodeProcessor.java — scores SUM across fields,
+    i.e. the tie=1.0 dismax degenerate), and AND requires each term
+    matched in at least one field (reference lucene/queryparser/.../
+    flexible/standard/StandardQueryParser.java,
+    processors/MultiFieldQueryNodeProcessor.java)."""
+    from .search.flexparser import standard_multifield_search
+
+    out = standard_multifield_search(
+        {
+            "body": docs_index(spark, sf_dir),
+            "title": docs_title_index(spark, sf_dir),
+        },
+        "spark merge",
+        default_operator="and",
+        k=None,
+        precision="double",
+    )
+    return out.withColumn("score", F.round("score", 4)).orderBy("doc_id")

@@ -325,6 +325,7 @@ _suite("fts_parsed_suite", [
     ("simple_syntax", "fts_parsed_simple", ("doc_id",), ("score",)),
     ("surround_syntax", "fts_parsed_surround", ("doc_id",), ("score",)),
     ("xml_syntax", "fts_parsed_xml", ("doc_id",), ("score",)),
+    ("flexible_multifield", "fts_parsed_flexible", ("doc_id",), ("score",)),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

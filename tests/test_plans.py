@@ -232,3 +232,65 @@ def test_atomic_updates_single_broadcast_merge(spark):
     )
     df = apply_atomic_updates(base, updates)
     assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_pivot_facets_single_shuffle(spark):
+    """pivot_facets computes every pivot level in ONE rollup shuffle —
+    a per-level loop would be N Exchanges over the same scan."""
+    from lucene_solr_spark.operators.facet import pivot_facets
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = pivot_facets(li, ["l_returnflag", "l_linestatus", "l_linenumber"])
+    plan = formatted_plan(df)
+    # one Exchange for the rollup agg, plus at most the final sort
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan}"
+    assert "Expand" in plan or "rollup" in plan.lower(), plan
+
+
+def test_realtime_overlay_broadcasts_tlog(spark, tmp_path):
+    """The RealTimeGet overlay joins the (small) tlog side as
+    broadcasts — the committed store never shuffles."""
+    from lucene_solr_spark.index.realtime import (
+        docstore_init, realtime_get, tlog_add,
+    )
+
+    store = str(tmp_path / "rtg")
+    base = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    docstore_init(base, store)
+    ops = spark.createDataFrame(
+        [(5, "changed", "add"), (7, None, "delete")],
+        "doc_id long, text string, op string",
+    )
+    tlog_add(ops, store)
+    df = realtime_get(spark, store)
+    strategies = set(join_strategies(df))
+    assert strategies <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, (
+        strategies
+    )
+
+
+def test_unique_block_partial_aggregation(spark):
+    """uniqueBlock's count(DISTINCT parent) still plans map-side
+    partial aggregation before the exchange."""
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["rel_unique_block"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower(), plan
+
+
+def test_frange_expression_reaches_filter(spark):
+    """{!frange}: the function-range predicate evaluates inside the
+    scan-side Filter (no materialization step)."""
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["rel_frange_query"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Filter" in plan
+    # only the three referenced columns are read
+    schemas = " ".join(read_schemas(df))
+    assert "o_totalprice" in schemas and "o_orderdate" in schemas
+    assert "o_custkey" not in schemas, schemas

@@ -3030,3 +3030,229 @@ def fts_parsed_flexible(spark, sf_dir):
         precision="double",
     )
     return out.withColumn("score", F.round("score", 4)).orderBy("doc_id")
+
+
+# --------------------------- hypothesis-test / empirical-dist evaluators
+
+_EVAL_TESTS_SQL = """
+WITH q AS (SELECT l_linestatus, CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_quantity AS DECIMAL(18,2)) AS xd,
+                  l_returnflag
+           FROM lineitem),
+m AS (
+  SELECT l_linestatus,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(xd) AS DOUBLE) AS sx,
+         CAST(sum(xd * xd) AS DOUBLE) AS sxx
+  FROM q GROUP BY l_linestatus),
+mv AS (
+  SELECT l_linestatus, n, sx / n AS mean,
+         (sxx - sx * sx / n) / (n - 1) AS var
+  FROM m),
+tt AS (
+  SELECT a.mean - b.mean AS dmean,
+         a.var / a.n AS se_a, b.var / b.n AS se_b,
+         a.n AS na, b.n AS nb
+  FROM mv a, mv b WHERE a.l_linestatus = 'F' AND b.l_linestatus = 'O'),
+ttest AS (
+  SELECT 'ttest' AS stat,
+         round(dmean / sqrt(se_a + se_b), 6) AS v1,
+         round(pow(se_a + se_b, 2) /
+               (pow(se_a, 2) / (na - 1) + pow(se_b, 2) / (nb - 1)), 4)
+           AS v2
+  FROM tt),
+obs AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS o FROM q
+        GROUP BY l_returnflag),
+chi AS (
+  SELECT 'chi2' AS stat,
+         round(sum(pow(o - tot / k, 2) / (tot / k)), 6) AS v1,
+         CAST(k AS DOUBLE) AS v2
+  FROM obs, (SELECT CAST(sum(o) AS DOUBLE) AS tot,
+                    CAST(count(*) AS DOUBLE) AS k FROM obs)
+  GROUP BY k),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk,
+             count(*) OVER () AS n
+      FROM q),
+pc AS (
+  SELECT 'pctl_legacy' AS stat,
+         round(max(CASE WHEN p = 0.5 THEN val END), 6) AS v1,
+         round(max(CASE WHEN p = 0.9 THEN val END), 6) AS v2
+  FROM (
+    SELECT p.p,
+           CASE WHEN floor(p.p * (r1.n + 1)) < 1 THEN lo.minx
+                WHEN floor(p.p * (r1.n + 1)) >= r1.n THEN hi.maxx
+                ELSE kx.x + (p.p * (r1.n + 1)
+                             - floor(p.p * (r1.n + 1))) * (k1x.x - kx.x)
+           END AS val
+    FROM (SELECT DISTINCT n FROM r) r1
+    CROSS JOIN (SELECT 0.5 AS p UNION ALL SELECT 0.9) p
+    CROSS JOIN (SELECT min(x) AS minx FROM r) lo
+    CROSS JOIN (SELECT max(x) AS maxx FROM r) hi
+    LEFT JOIN r kx ON kx.rk = CAST(floor(p.p * (r1.n + 1)) AS BIGINT)
+    LEFT JOIN r k1x ON k1x.rk = CAST(floor(p.p * (r1.n + 1)) AS BIGINT) + 1
+  ) GROUP BY stat),
+rng AS (SELECT min(x) AS lo, max(x) AS hi FROM q),
+hist AS (
+  SELECT concat('hist_b', CAST(b AS VARCHAR)) AS stat,
+         CAST(count(*) AS DOUBLE) AS v1,
+         round(min(lo + b * (hi - lo) / 5.0), 6) AS v2
+  FROM (SELECT least(CAST(floor((x - lo) / ((hi - lo) / 5.0)) AS BIGINT),
+                     4) AS b, lo, hi
+        FROM q, rng)
+  GROUP BY b)
+SELECT stat, v1, v2 FROM ttest
+UNION ALL SELECT stat, v1, v2 FROM chi
+UNION ALL SELECT stat, v1, v2 FROM pc
+UNION ALL SELECT stat, v1, v2 FROM hist
+ORDER BY stat"""
+
+
+@gate("fn_eval_tests", _EVAL_TESTS_SQL)
+def fn_eval_tests(spark, sf_dir):
+    """Hypothesis-test + empirical-distribution stream evaluators:
+    Welch two-sample t (reference solr/solrj/.../io/eval/
+    TTestEvaluator.java → commons-math TTest.t: unequal-variance
+    statistic + Welch–Satterthwaite df), chi-square goodness-of-fit
+    (ChiSquareDataSetEvaluator analog, uniform expected), the
+    commons-math LEGACY percentile (PercentileEvaluator.java —
+    pos = p·(n+1) with linear interpolation, NOT Spark/DuckDB's
+    built-in R-7), and EmpiricalDistribution equal-width histogram
+    bins (HistogramEvaluator.java). Moments come from
+    order-independent DECIMAL sums; the exact percentile is the one
+    evaluator that needs a global sort (the reference streams the
+    sample to one node too — scale users take the t-digest
+    rel_percentile path instead)."""
+    from pyspark.sql import Window as Wd
+
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("xd"),
+        "l_returnflag",
+    )
+    # Welch t
+    m = q.groupBy("l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+    ).select(
+        "l_linestatus", "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("l_linestatus") == "F").select(
+        F.col("mean").alias("ma"), (F.col("var") / F.col("n")).alias("se_a"),
+        F.col("n").alias("na"))
+    b = m.filter(F.col("l_linestatus") == "O").select(
+        F.col("mean").alias("mb"), (F.col("var") / F.col("n")).alias("se_b"),
+        F.col("n").alias("nb"))
+    tt = a.crossJoin(b).select(
+        F.lit("ttest").alias("stat"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("se_a") + F.col("se_b")), 6
+        ).alias("v1"),
+        F.round(
+            F.pow(F.col("se_a") + F.col("se_b"), 2)
+            / (F.pow(F.col("se_a"), 2) / (F.col("na") - 1)
+               + F.pow(F.col("se_b"), 2) / (F.col("nb") - 1)), 4
+        ).alias("v2"),
+    )
+    # chi-square GoF vs uniform
+    obs = q.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    tot = obs.agg(
+        F.sum("o").alias("tot"), F.count("*").cast("double").alias("k")
+    )
+    chi = (
+        obs.crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(F.col("o") - F.col("tot") / F.col("k"), 2)
+                    / (F.col("tot") / F.col("k"))
+                ), 6
+            ).alias("v1")
+        )
+        .select(
+            F.lit("chi2").alias("stat"), "v1",
+            F.col("k").cast("double").alias("v2"),
+        )
+    )
+    # commons-math LEGACY percentile: pos = p(n+1), linear interp
+    r = q.select("x").withColumn(
+        "rk", F.row_number().over(Wd.orderBy("x"))
+    )
+    n_row = q.agg(
+        F.count("*").cast("double").alias("n"),
+        F.min("x").alias("minx"), F.max("x").alias("maxx"))
+
+    def _pctl(p: float):
+        k = F.floor(F.lit(p) * (F.col("n") + 1))
+        g = F.lit(p) * (F.col("n") + 1) - k
+        # join only the two needed ranks
+        kx = (
+            r.join(n_row.select(F.col("n").alias("nn")), F.col("rk")
+                   == F.floor(F.lit(p) * (F.col("nn") + 1)))
+            .select(F.col("x").alias("kx"))
+        )
+        k1x = (
+            r.join(n_row.select(F.col("n").alias("nn")), F.col("rk")
+                   == F.floor(F.lit(p) * (F.col("nn") + 1)) + 1)
+            .select(F.col("x").alias("k1x"))
+        )
+        return (
+            n_row.crossJoin(F.broadcast(kx)).crossJoin(F.broadcast(k1x))
+            .select(
+                F.when(k < 1, F.col("minx"))
+                .when(k >= F.col("n"), F.col("maxx"))
+                .otherwise(F.col("kx") + g * (F.col("k1x") - F.col("kx")))
+                .alias("val")
+            )
+        )
+
+    pc = (
+        _pctl(0.5).select(F.round("val", 6).alias("p50"))
+        .crossJoin(_pctl(0.9).select(F.round("val", 6).alias("p90")))
+        .select(
+            F.lit("pctl_legacy").alias("stat"),
+            F.col("p50").alias("v1"), F.col("p90").alias("v2"),
+        )
+    )
+    # equal-width histogram, 5 bins
+    rng = q.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    hist = (
+        q.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 5.0)
+                ).cast("long"),
+                F.lit(4).cast("long"),
+            ).alias("b"),
+            "lo", "hi",
+        )
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("double").alias("v1"),
+            F.round(
+                F.min(F.col("lo") + F.col("b") * (F.col("hi") - F.col("lo"))
+                      / 5.0), 6
+            ).alias("v2"),
+        )
+        .select(
+            F.concat(F.lit("hist_b"), F.col("b").cast("string")).alias(
+                "stat"
+            ),
+            "v1", "v2",
+        )
+    )
+    return (
+        tt.unionByName(chi).unionByName(pc).unionByName(hist)
+        .orderBy("stat")
+    )

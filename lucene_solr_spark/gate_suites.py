@@ -552,6 +552,7 @@ _suite("fn_evaluators", [
      ("o_orderpriority", "n_eq"), ("n_gt", "n_lt", "n_gte", "n_lte")),
     ("series", "fn_eval_series",
      ("o_orderkey", "n"), ("ma_first", "ma_last", "diff_sum", "q_max")),
+    ("hyp_tests", "fn_eval_tests", ("stat",), ("v1", "v2")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

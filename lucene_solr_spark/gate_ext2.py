@@ -3256,3 +3256,100 @@ def fn_eval_tests(spark, sf_dir):
         tt.unionByName(chi).unionByName(pc).unionByName(hist)
         .orderBy("stat")
     )
+
+
+# --------------------------------------------------- DrillSideways facets
+
+_DRILL_SIDEWAYS_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status, o_orderkey
+  FROM orders),
+side_prio AS (
+  SELECT 'prio' AS dim, prio AS label, CAST(count(*) AS BIGINT) AS cnt
+  FROM base WHERE status = 'O' GROUP BY prio),
+side_status AS (
+  SELECT 'status' AS dim, status AS label, CAST(count(*) AS BIGINT) AS cnt
+  FROM base WHERE prio = '1-URGENT' GROUP BY status),
+hits AS (
+  SELECT 'hits' AS dim, '' AS label, CAST(count(*) AS BIGINT) AS cnt
+  FROM base WHERE status = 'O' AND prio = '1-URGENT')
+SELECT dim, label, cnt FROM side_prio
+UNION ALL SELECT dim, label, cnt FROM side_status
+UNION ALL SELECT dim, label, cnt FROM hits
+ORDER BY dim, label"""
+
+
+@gate("rel_drill_sideways", _DRILL_SIDEWAYS_SQL)
+def rel_drill_sideways(spark, sf_dir):
+    """DrillSideways: with drill-downs prio='1-URGENT' AND status='O',
+    each dimension's facet counts are computed AS IF ITS OWN filter
+    were removed (near-miss counts), alongside the fully-drilled hit
+    count (reference lucene/facet/.../DrillSideways.java — one facet
+    collection per drill-down dim over the query minus that dim, plus
+    one for the hits). N dims = N+1 aggregations over ONE base scan;
+    Spark reuses the scan via separate filter+agg branches, each
+    pushed down independently."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    side_prio = (
+        base.filter(F.col("status") == "O")
+        .groupBy(F.col("prio").alias("label"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.lit("prio").alias("dim"), "label", "cnt")
+    )
+    side_status = (
+        base.filter(F.col("prio") == "1-URGENT")
+        .groupBy(F.col("status").alias("label"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.lit("status").alias("dim"), "label", "cnt")
+    )
+    hits = (
+        base.filter((F.col("status") == "O") & (F.col("prio") == "1-URGENT"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(F.lit("hits").alias("dim"), F.lit("").alias("label"), "cnt")
+    )
+    return (
+        side_prio.unionByName(side_status).unionByName(hits)
+        .orderBy("dim", "label")
+    )
+
+
+# ----------------------------------- ToParentBlockJoinSortField (childfield)
+
+_CHILDFIELD_SORT_SQL = """
+SELECT o_orderkey, max_child_price FROM (
+  SELECT o.o_orderkey,
+         round(max(CAST(l.l_extendedprice AS DOUBLE)), 2)
+           AS max_child_price
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY o.o_orderkey)
+ORDER BY max_child_price DESC, o_orderkey LIMIT 20"""
+
+
+@gate("rel_childfield_sort", _CHILDFIELD_SORT_SQL)
+def rel_childfield_sort(spark, sf_dir):
+    """childfield(..) / ToParentBlockJoinSortField: sort PARENT docs by
+    a selected function (max) of a CHILD field (reference lucene/join/
+    .../ToParentBlockJoinSortField.java + BlockJoinSelector.java
+    Type.MAX; Solr's childfield() sort syntax). One child-side hash-agg
+    per parent key, then the global top-k — the block structure means
+    the agg is co-located with the join key."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    parents = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    return (
+        li.join(parents, li.l_orderkey == parents.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.max(F.col("l_extendedprice").cast("double")), 2
+            ).alias("max_child_price")
+        )
+        .orderBy(F.desc("max_child_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )

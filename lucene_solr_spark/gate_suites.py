@@ -496,6 +496,8 @@ _suite("rel_join_specials", [
      ("score_max", "score_min", "score_total", "score_avg")),
     ("child_docs", "rel_childdoc_transform",
      ("o_orderkey", "l_linenumber"), ("l_quantity",)),
+    ("childfield_sort", "rel_childfield_sort",
+     ("o_orderkey",), ("max_child_price",)),
 ])
 
 # 36: percentile + HLL approx aggregates
@@ -523,6 +525,7 @@ _suite("rel_facet_nested", [
      ("flag",), ("n_parents", "n_children")),
     ("bucket_stats", "rel_facet_bucket_stats",
      ("bucket",), ("cnt", "avg_price", "min_key", "n_cust")),
+    ("drill_sideways", "rel_drill_sideways", ("dim", "label"), ("cnt",)),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the

@@ -3353,3 +3353,76 @@ def rel_childfield_sort(spark, sf_dir):
         .orderBy(F.desc("max_child_price"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------- BlendedInfixSuggester
+
+@gate(
+    "fts_suggest_blended_infix",
+    f"""
+WITH {_SUGG_SQL},
+inf AS (
+  SELECT key, weight,
+         list_min([i FOR i IN range(1, len(string_split(key, ' ')) + 1)
+                   IF starts_with(string_split(key, ' ')[i], 'agg')]) - 1
+           AS position
+  FROM sugg)
+SELECT key, CAST(weight AS BIGINT) AS weight,
+       CAST(position AS BIGINT) AS position,
+       round((CASE WHEN weight < 10 AND weight > -10
+                   THEN weight * 10.0 ELSE weight END)
+             * (1.0 - 0.10 * position), 6) AS score
+FROM inf WHERE position IS NOT NULL
+ORDER BY score DESC, key LIMIT 10""",
+)
+def fts_suggest_blended_infix(spark, sf_dir):
+    """BlendedInfixSuggester: 'agg' matched ANYWHERE in the suggestion
+    (infix), weight blended by the first matching token position with
+    POSITION_LINEAR 1 − 0.10·pos and the ×1/LINEAR_COEF small-weight
+    pre-scale (reference lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:62,230-231,315-317; raw double score
+    emitted instead of the long truncation — ordering identical)."""
+    from .search.suggest import blended_infix_suggest, build_suggestions
+
+    sugg = build_suggestions(load(spark, sf_dir, "documents"))
+    return blended_infix_suggest(sugg, "agg", 10)
+
+
+# ------------------------------------------ DiversifiedTopDocsCollector
+
+_DIVERSIFIED_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders)
+WHERE rk <= 2
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+
+@gate("rel_diversified_topk", _DIVERSIFIED_SQL)
+def rel_diversified_topk(spark, sf_dir):
+    """DiversifiedTopDocsCollector: global top-k with AT MOST
+    maxHitsPerKey=2 results sharing a key (reference lucene/misc/.../
+    search/DiversifiedTopDocsCollector.java — a priority queue that
+    evicts a key's weakest hit when its per-key cap is reached).
+    DataFrame shape: per-key window rank caps each key, then the
+    global TakeOrdered — both stages partial/partition-local before
+    one exchange each."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey", "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .drop("rk")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

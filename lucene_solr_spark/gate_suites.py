@@ -389,6 +389,8 @@ _suite("fts_suggest_spell", [
      ("collated",), ("n_terms", "n_hits")),
     ("context", "fts_suggest_context", ("key", "ctx_s"), ("weight",)),
     ("freetext", "fts_freetext_suggest", ("completion",), ("score",)),
+    ("blended_infix", "fts_suggest_blended_infix",
+     ("key",), ("weight", "position", "score")),
 ])
 
 # 18-19: percolator + explain
@@ -433,6 +435,8 @@ _suite("rel_topk_groups", [
      ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
     ("group_query", "rel_group_query",
      ("grp", "o_orderkey"), ("o_totalprice", "rnk")),
+    ("diversified", "rel_diversified_topk",
+     ("o_orderkey", "o_orderpriority"), ("o_totalprice",)),
     ("collapse", "rel_collapse_best_order",
      ("o_custkey", "o_orderkey"), ("o_totalprice",)),
     ("expand", "rel_expand_groups",

@@ -300,3 +300,42 @@ def context_suggest(
         .orderBy(F.desc("weight"), F.asc("key"))
         .limit(k)
     )
+
+
+def blended_infix_suggest(
+    suggestions: DataFrame,
+    prefix: str,
+    k: int = 10,
+    linear_coef: float = 0.10,
+) -> DataFrame:
+    """BlendedInfixSuggester (reference lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java): match the typed token ANYWHERE in the
+    suggestion (infix, startsWith on any token), then blend the weight
+    by the FIRST matching token's position — POSITION_LINEAR default:
+    coefficient = 1 − LINEAR_COEF·position (:315-317, LINEAR_COEF=0.10
+    at :62), with small weights pre-scaled ×1/LINEAR_COEF so the blend
+    survives integer truncation (:230-231). Scores are emitted as the
+    raw double (the reference truncates to long — ordering identical).
+
+    → (key, weight, position, score) by score desc, key asc."""
+    if not prefix.isalnum():
+        raise ValueError(f"prefix must be alphanumeric: {prefix!r}")
+    pos = F.expr(
+        "array_min(filter(transform(split(key, ' '), (t, i) -> "
+        f"IF(startswith(t, '{prefix}'), i, cast(null as int))), "
+        "x -> x is not null))"
+    )
+    w = F.col("weight").cast("double")
+    w_scaled = F.when(
+        (w < 1.0 / linear_coef) & (w > -1.0 / linear_coef),
+        w / F.lit(linear_coef),
+    ).otherwise(w)
+    out = suggestions.select(
+        "key",
+        F.col("weight").cast("long").alias("weight"),
+        pos.alias("position"),
+        F.round(
+            w_scaled * (F.lit(1.0) - F.lit(linear_coef) * pos), 6
+        ).alias("score"),
+    ).filter(F.col("position").isNotNull())
+    return out.orderBy(F.desc("score"), F.asc("key")).limit(k)

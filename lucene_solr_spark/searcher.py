@@ -95,16 +95,54 @@ class Searcher:
         precision: str = "float32",
         with_stored: bool = False,
         mm: str | None = None,
+        defType: str = "lucene",
     ) -> DataFrame:
-        """Classic query string → (doc_id, score) top-k, float32
-        Lucene-parity by default. ``with_stored`` joins the stored
-        fields onto the hits (the fl=* response shape).
+        """Query string → (doc_id, score) top-k, float32 Lucene-parity
+        by default. ``with_stored`` joins the stored fields onto the
+        hits (the fl=* response shape).
+
+        defType selects the syntax, Solr's defType= request parameter
+        (search/QParserPlugin registry): 'lucene' (classic, default),
+        'simple' (SimpleQueryParser), 'surround' (W/N distance ops),
+        'xml' (CoreParser XML). All compile to the same score-frame
+        algebra, so every defType gets the identical executor and
+        plans.
 
         mm: Solr minimum-should-match spec ("3", "-2", "75%",
         "2<-25% 9<-3" — search/mmspec.py). As in the reference it
         constrains the OPTIONAL clauses, so it applies to all-SHOULD
-        term queries (the dismax q= shape); other query shapes reject
-        it loudly rather than silently ignoring the parameter."""
+        term queries (the dismax q= shape) under the classic defType;
+        other query shapes reject it loudly rather than silently
+        ignoring the parameter."""
+        if defType != "lucene":
+            if mm is not None:
+                raise ValueError("mm applies to defType='lucene' only")
+            runners = {
+                "simple": "simpleparser.execute_simple",
+                "surround": "surround.execute_surround",
+                "xml": "xmlparser.execute_xml",
+            }
+            if defType not in runners:
+                raise ValueError(
+                    f"unknown defType {defType!r} "
+                    f"(have lucene, {', '.join(sorted(runners))})"
+                )
+            mod_name, fn_name = runners[defType].split(".")
+            import importlib
+
+            mod = importlib.import_module(f".search.{mod_name}", __package__)
+            hits = getattr(mod, fn_name)(
+                q,
+                self.tables,
+                pos_index=self.pos_index,
+                k=k,
+                precision=precision,
+            )
+            if with_stored:
+                hits = hits.join(self.stored, "doc_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            return hits
         if mm is not None:
             from .search.bruteforce import search_bruteforce
             from .search.mmspec import calculate_min_should_match

@@ -231,3 +231,40 @@ def test_multireader_rejects_sparse_ids(spark):
             analyzer="simple", id_col="doc_id",
         )
         multi_reader([dense, neg])
+
+
+def test_deftype_routes_alternate_syntaxes(spark, searcher):
+    """defType= selects the parser (Solr's QParserPlugin registry):
+    every syntax routes through the same executor and agrees with the
+    classic parse of the equivalent query."""
+    classic = {
+        r.doc_id: r.score
+        for r in searcher.search("spark merge", k=None).collect()
+    }
+    simple = {
+        r.doc_id: r.score
+        for r in searcher.search(
+            "spark | merge", k=None, defType="simple"
+        ).collect()
+    }
+    assert classic == simple
+    surround = searcher.search(
+        "spark OR merge", k=None, defType="surround"
+    ).collect()
+    assert {r.doc_id for r in surround} == set(classic)
+    xml = searcher.search(
+        "<BooleanQuery>"
+        '<Clause occurs="should"><TermQuery>spark</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>",
+        k=None,
+        defType="xml",
+    ).collect()
+    assert {r.doc_id: r.score for r in xml} == classic
+
+
+def test_deftype_unknown_and_mm_conflict(searcher):
+    with pytest.raises(ValueError, match="unknown defType"):
+        searcher.search("x", defType="nope")
+    with pytest.raises(ValueError, match="defType='lucene' only"):
+        searcher.search("x y", mm="2", defType="simple")

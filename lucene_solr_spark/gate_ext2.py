@@ -3426,3 +3426,52 @@ def rel_diversified_topk(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+# ------------------------------- remaining named ValueSource analogs
+
+_VS_MISC_SQL = """
+SELECT o_orderkey,
+  CAST(date_diff('millisecond', TIMESTAMP '1995-01-01 00:00:00',
+                 CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE) AS ms_since,
+  round(pow(CAST(o_orderkey % 17 AS DOUBLE) - 8.0, 2)
+        + pow(CAST(o_orderkey % 29 AS DOUBLE) - 14.0, 2), 6) AS sqe,
+  round(sqrt(pow(CAST(o_orderkey % 17 AS DOUBLE) - 8.0, 2)
+             + pow(CAST(o_orderkey % 29 AS DOUBLE) - 14.0, 2)), 6)
+    AS dist2,
+  round(abs(CAST(o_orderkey % 17 AS DOUBLE) - 8.0)
+        + abs(CAST(o_orderkey % 29 AS DOUBLE) - 14.0), 6) AS dist1,
+  CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+       THEN 1 ELSE 0 END AS ex,
+  coalesce(nullif(o_orderpriority, '1-URGENT'), 'none') AS defv
+FROM orders WHERE o_orderkey <= 256
+ORDER BY o_orderkey"""
+
+
+@gate("fn_vs_misc", _VS_MISC_SQL)
+def fn_vs_misc(spark, sf_dir):
+    """The remaining named function-query analogs, driver-verified:
+    ms(date,date) epoch-millis difference, sqedist/dist(p) vector
+    distances, exists()/def() null handling (reference solr/core/.../
+    search/ValueSourceParser.java — the ms/sqedist/dist/exists/def
+    parser registrations). Pure Column expressions
+    (functions/valuesource.py)."""
+    from .functions.valuesource import def_value, dist, exists, ms, sqedist
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 256)
+    xs = [(F.col("o_orderkey") % 17).cast("double"),
+          (F.col("o_orderkey") % 29).cast("double")]
+    ys = [F.lit(8.0), F.lit(14.0)]
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")) \
+        if hasattr(F, "nullif") else F.expr("nullif(o_orderpriority, '1-URGENT')")
+    return o.select(
+        "o_orderkey",
+        ms(F.col("o_orderdate").cast("timestamp"),
+           F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        .cast("double").alias("ms_since"),
+        F.round(sqedist(xs, ys), 6).alias("sqe"),
+        F.round(dist(2, xs, ys), 6).alias("dist2"),
+        F.round(dist(1, xs, ys), 6).alias("dist1"),
+        exists(pri).cast("int").alias("ex"),
+        def_value(pri, F.lit("none")).alias("defv"),
+    ).orderBy("o_orderkey")

@@ -39,6 +39,7 @@ __all__ = [
     "synonym_filter",
     "ascii_fold_filter",
     "length_filter",
+    "keyword_repeat_stems",
 ]
 
 
@@ -196,3 +197,33 @@ def common_grams_filter(
         )
     )
     return F.filter(pairs, lambda x: x.isNotNull())
+
+
+def keyword_repeat_stems(tokens: Column, stem_fn) -> Column:
+    """KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter —
+    the search-both-exact-and-stemmed chain (reference lucene/analysis/
+    common/.../miscellaneous/KeywordRepeatFilter.java: emits every
+    token twice, once KEYWORD-marked so the stemmer skips it;
+    RemoveDuplicatesTokenFilter.java then drops the second copy when
+    the stem equals the original, since both occupy the same
+    position). Output: per input token, an array of its distinct
+    surviving forms [original, stem?] in emission order.
+
+    ``stem_fn``: plain str→str stemmer (e.g. analysis.porter
+    .porter_stem or a lightstem.STEMMERS entry); the whole stage is
+    one Arrow-batched pandas UDF over the token arrays."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    def _stage(arrs):
+        def one(toks):
+            if toks is None:
+                return None
+            out = []
+            for t in toks:
+                s = stem_fn(t)
+                out.append([t] if s == t else [t, s])
+            return out
+
+        return arrs.map(one)
+
+    return F.pandas_udf(_stage, "array<array<string>>")(tokens)

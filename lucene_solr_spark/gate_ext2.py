@@ -3475,3 +3475,45 @@ def fn_vs_misc(spark, sf_dir):
         exists(pri).cast("int").alias("ex"),
         def_value(pri, F.lit("none")).alias("defv"),
     ).orderBy("o_orderkey")
+
+
+# -------------------------- KeywordRepeat + RemoveDuplicates chain
+
+_KWREPEAT_SQL = f"""
+SELECT term,
+       CASE WHEN stem = term THEN term
+            ELSE term || ' ' || stem END AS forms,
+       CASE WHEN stem = term THEN 1 ELSE 2 END AS n_forms
+FROM read_parquet('{_LIGHTSTEM_FIXTURE}')
+WHERE lang = 'de'
+ORDER BY term"""
+
+
+@gate("fts_keyword_repeat", _KWREPEAT_SQL)
+def fts_keyword_repeat(spark, sf_dir):
+    """KeywordRepeatFilter → stemmer → RemoveDuplicatesTokenFilter:
+    each token searched as BOTH its exact and stemmed form, the
+    duplicate dropped when stemming is a no-op (reference
+    lucene/analysis/common/.../miscellaneous/KeywordRepeatFilter.java
+    + RemoveDuplicatesTokenFilter.java). Runs the LIVE German light
+    stemmer inside the Arrow chain stage over the golden vocabulary;
+    the oracle derives the same forms from the frozen fixture stems."""
+    from .analysis.filters import keyword_repeat_stems
+    from .analysis.lightstem import STEMMERS
+
+    fix = (
+        spark.read.parquet(_LIGHTSTEM_FIXTURE)
+        .filter(F.col("lang") == "de")
+        .select("term")
+    )
+    out = fix.select(
+        "term",
+        keyword_repeat_stems(F.array(F.col("term")), STEMMERS["de"]).alias(
+            "kr"
+        ),
+    ).select(
+        "term",
+        F.array_join(F.element_at(F.col("kr"), 1), " ").alias("forms"),
+        F.size(F.element_at(F.col("kr"), 1)).alias("n_forms"),
+    )
+    return out.orderBy("term")

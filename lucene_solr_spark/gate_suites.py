@@ -353,6 +353,8 @@ _suite("fts_analysis_suite", [
     ("stem_override", "fts_stem_override", ("stem",), ("cnt",)),
     ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
     ("light_stem", "fts_light_stemmers", ("lang_term", "stem"), ()),
+    ("keyword_repeat", "fts_keyword_repeat",
+     ("term", "forms"), ("n_forms",)),
 ])
 _passthrough("fts_porter_stemmed_terms")
 

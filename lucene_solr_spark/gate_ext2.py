@@ -3517,3 +3517,59 @@ def fts_keyword_repeat(spark, sf_dir):
         F.size(F.element_at(F.col("kr"), 1)).alias("n_forms"),
     )
     return out.orderBy("term")
+
+
+# ---------------------------------------- distance-ring facets (geodist)
+
+_DIST_RINGS_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer WHERE c_custkey <= 2048),
+d AS (
+  SELECT c_custkey,
+         2.0 * 6371.0087714 * asin(sqrt(
+           sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+           + cos(radians(lat)) * cos(radians(40.0))
+             * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+         )) AS km
+  FROM pts)
+SELECT CAST(least(floor(km / 4000.0), 5) AS BIGINT) AS ring,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(min(km), 3) AS min_km, round(max(km), 3) AS max_km
+FROM d GROUP BY 1 ORDER BY ring"""
+
+
+@gate("fn_geo_dist_rings", _DIST_RINGS_SQL)
+def fn_geo_dist_rings(spark, sf_dir):
+    """Distance-ring faceting: facet.query geodist ranges / the
+    {!geofilt} ring buckets pattern (reference solr/core/.../search/
+    SpatialFilterQParserPlugin.java + facet.query with geodist() —
+    count docs per concentric distance band from a point). One
+    haversine projection + one hash-agg over the computed ring id —
+    no per-ring scans."""
+    from .functions.valuesource import geodist
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2048)
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5).alias("lon"),
+    )
+    km = geodist(F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0))
+    return (
+        pts.select(
+            F.least(F.floor(km / 4000.0), F.lit(5)).cast("long").alias(
+                "ring"
+            ),
+            km.alias("km"),
+        )
+        .groupBy("ring")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(F.min("km"), 3).alias("min_km"),
+            F.round(F.max("km"), 3).alias("max_km"),
+        )
+        .orderBy("ring")
+    )

@@ -575,6 +575,8 @@ _suite("fn_geo", [
     ("polygon_general", "fn_geo_polygon_general",
      ("c_custkey",), ("lat", "lon")),
     ("heatmap", "fn_geo_heatmap", ("grid_row", "grid_col"), ("cnt",)),
+    ("dist_rings", "fn_geo_dist_rings",
+     ("ring",), ("cnt", "min_km", "max_km")),
 ])
 
 # 42: Solr SQL surface

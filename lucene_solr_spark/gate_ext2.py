@@ -3573,3 +3573,48 @@ def fn_geo_dist_rings(spark, sf_dir):
         )
         .orderBy("ring")
     )
+
+
+# ------------------------------------------ SpanPositionRangeQuery
+
+_SPAN_POSRANGE_SQL = """WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge'),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM tok
+       WHERE term = 'merge' AND pos BETWEEN 3 AND 6 GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.span_freq AS BIGINT) AS span_freq,
+  round(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5))
+        * (s.span_freq / (s.span_freq
+           + 1.2 * (1.0 - 0.75
+                    + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))), 4)
+    AS score
+FROM sf s JOIN qd ON qd.doc_id = s.doc_id
+CROSS JOIN stats st CROSS JOIN dfq d
+ORDER BY s.doc_id""".replace("{NORM_VALUES}", _NORM_VALUES)
+
+
+@gate("fts_span_posrange", _SPAN_POSRANGE_SQL)
+def fts_span_posrange(spark, sf_dir):
+    """SpanPositionRangeQuery(merge, start=2, end=6): occurrences with
+    0-based position in [2, 6) — SpanFirst generalized to a position
+    window (reference lucene/core/.../search/spans/
+    SpanPositionRangeQuery.java). Same single-term positional leaf
+    plan as span_first."""
+    from .gate import docs_pos_index
+    from .search.phrase import span_position_range
+
+    index = docs_pos_index(spark, sf_dir)
+    return (
+        span_position_range(index, "merge", 2, 6, k=None,
+                            precision="double")
+        .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )

@@ -287,6 +287,8 @@ _suite("fts_phrase_family", [
     ("multi", "fts_multiphrase", ("doc_id",), ("phrase_freq",)),
     ("span_unordered", "fts_span_near", ("doc_id",), ("phrase_freq",)),
     ("span_first", "fts_span_first", ("doc_id",), ("span_freq", "score")),
+    ("span_posrange", "fts_span_posrange",
+     ("doc_id",), ("span_freq", "score")),
     ("span_not", "fts_span_not", ("doc_id",), ("span_freq", "score")),
     ("span_or", "fts_span_or", ("doc_id",), ("span_freq", "score")),
     ("span_within", "fts_span_within", ("doc_id",), ("span_freq", "score")),

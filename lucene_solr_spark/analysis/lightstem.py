@@ -285,6 +285,19 @@ def _register_more() -> None:
         "de_minimal": german_minimal_stem,
         "fr_minimal": french_minimal_stem,
     })
+    from .rslp import (
+        galician_rslp_minimal_stem,
+        galician_rslp_stem,
+        portuguese_rslp_minimal_stem,
+        portuguese_rslp_stem,
+    )
+
+    STEMMERS.update({
+        "pt_rslp": portuguese_rslp_stem,
+        "pt_rslp_minimal": portuguese_rslp_minimal_stem,
+        "gl_rslp": galician_rslp_stem,
+        "gl_rslp_minimal": galician_rslp_minimal_stem,
+    })
 
 
 def light_stem_filter(tokens_col, lang: str):

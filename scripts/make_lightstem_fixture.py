@@ -72,6 +72,9 @@ def main():
         ("fi", "fi/filighttestdata.zip", "filight.txt"),
         ("de_minimal", "de/deminimaltestdata.zip", "deminimal.txt"),
         ("fr_minimal", "fr/frminimaltestdata.zip", "frminimal.txt"),
+        ("pt_rslp", "pt/ptrslptestdata.zip", "ptrslp.txt"),
+        ("pt_rslp_minimal", "pt/ptminimaltestdata.zip", "ptminimal.txt"),
+        ("gl_rslp", "gl/gltestdata.zip", "gl.txt"),
     ):
         all_pairs = list(pairs(f"{REF}/{zf}", txt))
         fn = STEMMERS[lang]

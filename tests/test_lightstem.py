@@ -43,7 +43,8 @@ def golden():
 @pytest.mark.parametrize(
     "lang",
     ["de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi",
-     "de_minimal", "fr_minimal", "en_minimal"],
+     "de_minimal", "fr_minimal", "en_minimal",
+     "pt_rslp", "pt_rslp_minimal", "gl_rslp"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -61,6 +62,7 @@ def test_stemmers_registry_complete():
     assert set(STEMMERS) == {
         "de", "es", "fr", "ru", "it", "sv", "pt", "hu", "fi",
         "de_minimal", "fr_minimal", "en_minimal",
+        "pt_rslp", "pt_rslp_minimal", "gl_rslp", "gl_rslp_minimal",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem
@@ -111,3 +113,26 @@ def test_unknown_lang_raises():
         light_stem_col(F.lit("x"), "xx")
     with pytest.raises(ValueError, match="unknown light stemmer"):
         light_stem_filter(F.lit("x"), "xx")
+
+
+def test_rslp_paper_examples():
+    """RSLP worked examples from the rule-table comments (Orengo et
+    al.): plural, feminine, adverb, augmentative, noun reductions."""
+    from lucene_solr_spark.analysis.rslp import (
+        galician_rslp_minimal_stem,
+        portuguese_rslp_minimal_stem,
+        portuguese_rslp_stem,
+    )
+
+    # plural step alone (RSLP-S)
+    assert portuguese_rslp_minimal_stem("balões") == "balão"
+    assert portuguese_rslp_minimal_stem("casas") == "casa"
+    assert portuguese_rslp_minimal_stem("normais") == "normal"
+    assert portuguese_rslp_minimal_stem("mais") == "mais"  # exception
+    # full RSLP cascades + accent fold (values confirmed by the
+    # 32k-pair vocabulary verification; the cascade strips past the
+    # single-step forms — professora → professor (feminine) → profes
+    # (noun))
+    assert portuguese_rslp_stem("felizmente") == "feliz"
+    assert portuguese_rslp_stem("professora") == "profes"
+    assert galician_rslp_minimal_stem("caravelas") == "caravela"

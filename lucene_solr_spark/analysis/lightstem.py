@@ -298,6 +298,9 @@ def _register_more() -> None:
         "gl_rslp": galician_rslp_stem,
         "gl_rslp_minimal": galician_rslp_minimal_stem,
     })
+    from .sorani import sorani_normalize_stem
+
+    STEMMERS["ckb"] = sorani_normalize_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -75,6 +75,7 @@ def main():
         ("pt_rslp", "pt/ptrslptestdata.zip", "ptrslp.txt"),
         ("pt_rslp_minimal", "pt/ptminimaltestdata.zip", "ptminimal.txt"),
         ("gl_rslp", "gl/gltestdata.zip", "gl.txt"),
+        ("ckb", "ckb/ckbtestdata.zip", "testdata.txt"),
     ):
         all_pairs = list(pairs(f"{REF}/{zf}", txt))
         fn = STEMMERS[lang]

@@ -301,6 +301,9 @@ def _register_more() -> None:
     from .sorani import sorani_normalize_stem
 
     STEMMERS["ckb"] = sorani_normalize_stem
+    from .porter import porter_stem
+
+    STEMMERS["en_porter"] = porter_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -56,6 +56,27 @@ def pairs(zpath: str, txt: str):
             yield parts[0], parts[1]
 
 
+def voc_output_pairs(zpath: str):
+    """porterTestData-style zips: parallel voc.txt / output.txt."""
+    with zipfile.ZipFile(zpath) as z:
+        voc = z.read("voc.txt").decode("utf-8").splitlines()
+        out = z.read("output.txt").decode("utf-8").splitlines()
+    for w, s in zip(voc, out):
+        w, s = w.strip(), s.strip()
+        if w:
+            yield w, s
+
+
+def _add_lang(rows, STEMMERS, lang, zpath, txt):
+    all_pairs = list(pairs(zpath, txt))
+    fn = STEMMERS[lang]
+    bad = [(w, want, fn(w)) for w, want in all_pairs if fn(w) != want]
+    assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:3]}"
+    sample = all_pairs[::STRIDE]
+    rows.extend({"lang": lang, "term": w, "stem": s} for w, s in sample)
+    print(f"{lang}: verified {len(all_pairs)} pairs, sampled {len(sample)}")
+
+
 def main():
     from lucene_solr_spark.analysis.lightstem import STEMMERS
 
@@ -77,15 +98,21 @@ def main():
         ("gl_rslp", "gl/gltestdata.zip", "gl.txt"),
         ("ckb", "ckb/ckbtestdata.zip", "testdata.txt"),
     ):
-        all_pairs = list(pairs(f"{REF}/{zf}", txt))
-        fn = STEMMERS[lang]
-        bad = [
-            (w, want, fn(w)) for w, want in all_pairs if fn(w) != want
-        ]
-        assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:3]}"
-        sample = all_pairs[::STRIDE]
-        rows.extend({"lang": lang, "term": w, "stem": s} for w, s in sample)
-        print(f"{lang}: verified {len(all_pairs)} pairs, sampled {len(sample)}")
+        _add_lang(rows, STEMMERS, lang, f"{REF}/{zf}", txt)
+    # Porter: the reference's full published vocabulary ships as
+    # parallel voc/output files (en/porterTestData.zip)
+    from lucene_solr_spark.analysis.porter import porter_stem
+
+    all_pairs = list(voc_output_pairs(f"{REF}/en/porterTestData.zip"))
+    bad = [(w, want, porter_stem(w)) for w, want in all_pairs
+           if porter_stem(w) != want]
+    assert not bad, f"en_porter: {len(bad)} mismatches, e.g. {bad[:3]}"
+    sample = all_pairs[::STRIDE]
+    rows.extend(
+        {"lang": "en_porter", "term": w, "stem": s} for w, s in sample
+    )
+    print(f"en_porter: verified {len(all_pairs)} pairs, "
+          f"sampled {len(sample)}")
     fn = STEMMERS["en_minimal"]
     for w, want in EN_MINIMAL:
         assert fn(w) == want, (w, want, fn(w))

@@ -304,6 +304,9 @@ def _register_more() -> None:
     from .porter import porter_stem
 
     STEMMERS["en_porter"] = porter_stem
+    from .porter2 import porter2_stem
+
+    STEMMERS["en_porter2"] = porter2_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -56,11 +56,11 @@ def pairs(zpath: str, txt: str):
             yield parts[0], parts[1]
 
 
-def voc_output_pairs(zpath: str):
+def voc_output_pairs(zpath: str, prefix: str = ""):
     """porterTestData-style zips: parallel voc.txt / output.txt."""
     with zipfile.ZipFile(zpath) as z:
-        voc = z.read("voc.txt").decode("utf-8").splitlines()
-        out = z.read("output.txt").decode("utf-8").splitlines()
+        voc = z.read(f"{prefix}voc.txt").decode("utf-8").splitlines()
+        out = z.read(f"{prefix}output.txt").decode("utf-8").splitlines()
     for w, s in zip(voc, out):
         w, s = w.strip(), s.strip()
         if w:
@@ -113,6 +113,19 @@ def main():
     )
     print(f"en_porter: verified {len(all_pairs)} pairs, "
           f"sampled {len(sample)}")
+    # Snowball English (Porter2): TestSnowballVocabData.zip english/*
+    from lucene_solr_spark.analysis.porter2 import porter2_stem
+
+    sb = list(voc_output_pairs(
+        f"{REF}/snowball/TestSnowballVocabData.zip", "english/"))
+    bad = [(w, want, porter2_stem(w)) for w, want in sb
+           if porter2_stem(w) != want]
+    assert not bad, f"en_porter2: {len(bad)} mismatches, e.g. {bad[:3]}"
+    sample = sb[::STRIDE]
+    rows.extend(
+        {"lang": "en_porter2", "term": w, "stem": s} for w, s in sample
+    )
+    print(f"en_porter2: verified {len(sb)} pairs, sampled {len(sample)}")
     fn = STEMMERS["en_minimal"]
     for w, want in EN_MINIMAL:
         assert fn(w) == want, (w, want, fn(w))

@@ -307,6 +307,13 @@ def _register_more() -> None:
     from .porter2 import porter2_stem
 
     STEMMERS["en_porter2"] = porter2_stem
+    from .snowball_scandi import danish_stem, norwegian_stem, swedish_stem
+
+    STEMMERS.update({
+        "da_snowball": danish_stem,
+        "no_snowball": norwegian_stem,
+        "sv_snowball": swedish_stem,
+    })
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -126,6 +126,20 @@ def main():
         {"lang": "en_porter2", "term": w, "stem": s} for w, s in sample
     )
     print(f"en_porter2: verified {len(sb)} pairs, sampled {len(sample)}")
+    for lang, sb_dir in (
+        ("da_snowball", "danish"), ("no_snowball", "norwegian"),
+        ("sv_snowball", "swedish"),
+    ):
+        sb = list(voc_output_pairs(
+            f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))
+        fn = STEMMERS[lang]
+        bad = [(w, want, fn(w)) for w, want in sb if fn(w) != want]
+        assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:3]}"
+        sample = sb[::STRIDE]
+        rows.extend(
+            {"lang": lang, "term": w, "stem": st} for w, st in sample
+        )
+        print(f"{lang}: verified {len(sb)} pairs, sampled {len(sample)}")
     fn = STEMMERS["en_minimal"]
     for w, want in EN_MINIMAL:
         assert fn(w) == want, (w, want, fn(w))

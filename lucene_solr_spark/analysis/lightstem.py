@@ -314,6 +314,9 @@ def _register_more() -> None:
         "no_snowball": norwegian_stem,
         "sv_snowball": swedish_stem,
     })
+    from .snowball_german import german_snowball_stem
+
+    STEMMERS["de_snowball"] = german_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -128,7 +128,7 @@ def main():
     print(f"en_porter2: verified {len(sb)} pairs, sampled {len(sample)}")
     for lang, sb_dir in (
         ("da_snowball", "danish"), ("no_snowball", "norwegian"),
-        ("sv_snowball", "swedish"),
+        ("sv_snowball", "swedish"), ("de_snowball", "german"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

@@ -317,6 +317,9 @@ def _register_more() -> None:
     from .snowball_german import german_snowball_stem
 
     STEMMERS["de_snowball"] = german_snowball_stem
+    from .snowball_russian import russian_snowball_stem
+
+    STEMMERS["ru_snowball"] = russian_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -320,6 +320,9 @@ def _register_more() -> None:
     from .snowball_russian import russian_snowball_stem
 
     STEMMERS["ru_snowball"] = russian_snowball_stem
+    from .snowball_spanish import spanish_snowball_stem
+
+    STEMMERS["es_snowball"] = spanish_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

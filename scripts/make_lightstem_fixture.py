@@ -129,7 +129,7 @@ def main():
     for lang, sb_dir in (
         ("da_snowball", "danish"), ("no_snowball", "norwegian"),
         ("sv_snowball", "swedish"), ("de_snowball", "german"),
-        ("ru_snowball", "russian"),
+        ("ru_snowball", "russian"), ("es_snowball", "spanish"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

@@ -49,7 +49,10 @@ def extract(java_file: str) -> dict:
 
 
 def main():
-    data = {"russian": extract(f"{REF}/RussianStemmer.java")}
+    data = {
+        "russian": extract(f"{REF}/RussianStemmer.java"),
+        "spanish": extract(f"{REF}/SpanishStemmer.java"),
+    }
     for lang, tabs in data.items():
         print(lang, {k: len(v) for k, v in sorted(tabs.items())})
     with open(OUT, "w", encoding="utf-8") as f:

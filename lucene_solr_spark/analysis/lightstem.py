@@ -323,6 +323,9 @@ def _register_more() -> None:
     from .snowball_spanish import spanish_snowball_stem
 
     STEMMERS["es_snowball"] = spanish_snowball_stem
+    from .snowball_italian import italian_snowball_stem
+
+    STEMMERS["it_snowball"] = italian_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

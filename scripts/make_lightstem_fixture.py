@@ -130,6 +130,7 @@ def main():
         ("da_snowball", "danish"), ("no_snowball", "norwegian"),
         ("sv_snowball", "swedish"), ("de_snowball", "german"),
         ("ru_snowball", "russian"), ("es_snowball", "spanish"),
+        ("it_snowball", "italian"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

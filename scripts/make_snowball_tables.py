@@ -52,6 +52,8 @@ def main():
     data = {
         "russian": extract(f"{REF}/RussianStemmer.java"),
         "spanish": extract(f"{REF}/SpanishStemmer.java"),
+        "italian": extract(f"{REF}/ItalianStemmer.java"),
+        "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():
         print(lang, {k: len(v) for k, v in sorted(tabs.items())})

@@ -326,6 +326,9 @@ def _register_more() -> None:
     from .snowball_italian import italian_snowball_stem
 
     STEMMERS["it_snowball"] = italian_snowball_stem
+    from .snowball_portuguese import portuguese_snowball_stem
+
+    STEMMERS["pt_snowball"] = portuguese_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

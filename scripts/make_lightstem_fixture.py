@@ -130,7 +130,7 @@ def main():
         ("da_snowball", "danish"), ("no_snowball", "norwegian"),
         ("sv_snowball", "swedish"), ("de_snowball", "german"),
         ("ru_snowball", "russian"), ("es_snowball", "spanish"),
-        ("it_snowball", "italian"),
+        ("it_snowball", "italian"), ("pt_snowball", "portuguese"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

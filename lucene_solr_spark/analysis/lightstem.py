@@ -329,6 +329,9 @@ def _register_more() -> None:
     from .snowball_portuguese import portuguese_snowball_stem
 
     STEMMERS["pt_snowball"] = portuguese_snowball_stem
+    from .snowball_french import french_snowball_stem
+
+    STEMMERS["fr_snowball"] = french_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

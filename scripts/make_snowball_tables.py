@@ -53,6 +53,7 @@ def main():
         "russian": extract(f"{REF}/RussianStemmer.java"),
         "spanish": extract(f"{REF}/SpanishStemmer.java"),
         "italian": extract(f"{REF}/ItalianStemmer.java"),
+        "french": extract(f"{REF}/FrenchStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

@@ -332,6 +332,9 @@ def _register_more() -> None:
     from .snowball_french import french_snowball_stem
 
     STEMMERS["fr_snowball"] = french_snowball_stem
+    from .snowball_dutch import dutch_snowball_stem
+
+    STEMMERS["nl_snowball"] = dutch_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

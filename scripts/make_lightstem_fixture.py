@@ -131,7 +131,7 @@ def main():
         ("sv_snowball", "swedish"), ("de_snowball", "german"),
         ("ru_snowball", "russian"), ("es_snowball", "spanish"),
         ("it_snowball", "italian"), ("pt_snowball", "portuguese"),
-        ("fr_snowball", "french"),
+        ("fr_snowball", "french"), ("nl_snowball", "dutch"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

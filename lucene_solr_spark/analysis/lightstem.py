@@ -335,6 +335,9 @@ def _register_more() -> None:
     from .snowball_dutch import dutch_snowball_stem
 
     STEMMERS["nl_snowball"] = dutch_snowball_stem
+    from .snowball_romanian import romanian_snowball_stem
+
+    STEMMERS["ro_snowball"] = romanian_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

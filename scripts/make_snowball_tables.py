@@ -54,6 +54,8 @@ def main():
         "spanish": extract(f"{REF}/SpanishStemmer.java"),
         "italian": extract(f"{REF}/ItalianStemmer.java"),
         "french": extract(f"{REF}/FrenchStemmer.java"),
+        "dutch": extract(f"{REF}/DutchStemmer.java"),
+        "romanian": extract(f"{REF}/RomanianStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

@@ -338,6 +338,9 @@ def _register_more() -> None:
     from .snowball_romanian import romanian_snowball_stem
 
     STEMMERS["ro_snowball"] = romanian_snowball_stem
+    from .snowball_hungarian import hungarian_snowball_stem
+
+    STEMMERS["hu_snowball"] = hungarian_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -132,7 +132,7 @@ def main():
         ("ru_snowball", "russian"), ("es_snowball", "spanish"),
         ("it_snowball", "italian"), ("pt_snowball", "portuguese"),
         ("fr_snowball", "french"), ("nl_snowball", "dutch"),
-        ("ro_snowball", "romanian"),
+        ("ro_snowball", "romanian"), ("hu_snowball", "hungarian"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

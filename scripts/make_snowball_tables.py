@@ -56,6 +56,7 @@ def main():
         "french": extract(f"{REF}/FrenchStemmer.java"),
         "dutch": extract(f"{REF}/DutchStemmer.java"),
         "romanian": extract(f"{REF}/RomanianStemmer.java"),
+        "hungarian": extract(f"{REF}/HungarianStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

@@ -341,6 +341,9 @@ def _register_more() -> None:
     from .snowball_hungarian import hungarian_snowball_stem
 
     STEMMERS["hu_snowball"] = hungarian_snowball_stem
+    from .snowball_german2 import german2_snowball_stem
+
+    STEMMERS["de_snowball2"] = german2_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

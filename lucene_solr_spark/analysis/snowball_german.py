@@ -67,7 +67,13 @@ def _postlude(s: str) -> str:
 
 
 def german_snowball_stem(word: str) -> str:
-    s = _prelude(word)
+    return _core(_prelude(word))
+
+
+def _core(s: str) -> str:
+    """The shared suffix machinery (steps 1-3 + postlude) over an
+    already-preluded string — German2 reuses it with its own prelude
+    (ae/oe/ue folding, snowball_german2.py)."""
     r1, r2 = _regions(s)
 
     def in_r1(k):

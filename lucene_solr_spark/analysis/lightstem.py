@@ -344,6 +344,9 @@ def _register_more() -> None:
     from .snowball_german2 import german2_snowball_stem
 
     STEMMERS["de_snowball2"] = german2_snowball_stem
+    from .snowball_finnish import finnish_snowball_stem
+
+    STEMMERS["fi_snowball"] = finnish_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

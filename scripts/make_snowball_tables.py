@@ -57,6 +57,7 @@ def main():
         "dutch": extract(f"{REF}/DutchStemmer.java"),
         "romanian": extract(f"{REF}/RomanianStemmer.java"),
         "hungarian": extract(f"{REF}/HungarianStemmer.java"),
+        "finnish": extract(f"{REF}/FinnishStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

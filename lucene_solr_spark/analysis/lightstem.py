@@ -347,6 +347,9 @@ def _register_more() -> None:
     from .snowball_finnish import finnish_snowball_stem
 
     STEMMERS["fi_snowball"] = finnish_snowball_stem
+    from .snowball_porter import snowball_porter_stem
+
+    STEMMERS["en_snowball_porter"] = snowball_porter_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

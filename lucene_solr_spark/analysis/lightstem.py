@@ -350,6 +350,9 @@ def _register_more() -> None:
     from .snowball_porter import snowball_porter_stem
 
     STEMMERS["en_snowball_porter"] = snowball_porter_stem
+    from .snowball_lovins import lovins_stem
+
+    STEMMERS["en_lovins"] = lovins_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

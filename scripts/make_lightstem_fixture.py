@@ -133,7 +133,7 @@ def main():
         ("it_snowball", "italian"), ("pt_snowball", "portuguese"),
         ("fr_snowball", "french"), ("nl_snowball", "dutch"),
         ("ro_snowball", "romanian"), ("hu_snowball", "hungarian"),
-        ("de_snowball2", "german2"), ("fi_snowball", "finnish"), ("en_snowball_porter", "porter"),
+        ("de_snowball2", "german2"), ("fi_snowball", "finnish"), ("en_snowball_porter", "porter"), ("en_lovins", "lovins"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

@@ -29,7 +29,7 @@ OUT = os.path.join(
 ARRAY = re.compile(
     r"private final static Among (a_\d+)\[\] = \{(.*?)\};", re.S
 )
-ENTRY = re.compile(r'new Among \( "((?:[^"\\]|\\.)*)", -?\d+, (-?\d+),')
+ENTRY = re.compile(r'new Among \( "((?:[^"\\]|\\.)*)", -?\d+, (-?\d+), "([^"]*)"')
 
 
 def unescape(s: str) -> str:
@@ -38,12 +38,14 @@ def unescape(s: str) -> str:
     )
 
 
-def extract(java_file: str) -> dict:
+def extract(java_file: str, with_conds: bool = False) -> dict:
     src = open(java_file, encoding="utf-8").read()
     tables = {}
     for name, body in ARRAY.findall(src):
         tables[name] = [
-            [unescape(t), int(a)] for t, a in ENTRY.findall(body)
+            [unescape(t), int(a), cond]
+            if (with_conds and cond) else [unescape(t), int(a)]
+            for t, a, cond in ENTRY.findall(body)
         ]
     return tables
 
@@ -58,6 +60,7 @@ def main():
         "romanian": extract(f"{REF}/RomanianStemmer.java"),
         "hungarian": extract(f"{REF}/HungarianStemmer.java"),
         "finnish": extract(f"{REF}/FinnishStemmer.java"),
+        "lovins": extract(f"{REF}/LovinsStemmer.java", with_conds=True),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

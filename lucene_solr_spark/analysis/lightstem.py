@@ -353,6 +353,9 @@ def _register_more() -> None:
     from .snowball_lovins import lovins_stem
 
     STEMMERS["en_lovins"] = lovins_stem
+    from .snowball_arabic import arabic_snowball_stem
+
+    STEMMERS["ar_snowball"] = arabic_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

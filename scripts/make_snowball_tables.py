@@ -29,7 +29,7 @@ OUT = os.path.join(
 ARRAY = re.compile(
     r"private final static Among (a_\d+)\[\] = \{(.*?)\};", re.S
 )
-ENTRY = re.compile(r'new Among \( "((?:[^"\\]|\\.)*)", -?\d+, (-?\d+), "([^"]*)"')
+ENTRY = re.compile(r'new Among\s*\(\s*"((?:[^"\\]|\\.)*)", -?\d+, (-?\d+), "([^"]*)"')
 
 
 def unescape(s: str) -> str:
@@ -61,6 +61,7 @@ def main():
         "hungarian": extract(f"{REF}/HungarianStemmer.java"),
         "finnish": extract(f"{REF}/FinnishStemmer.java"),
         "lovins": extract(f"{REF}/LovinsStemmer.java", with_conds=True),
+        "arabic": extract(f"{REF}/ArabicStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

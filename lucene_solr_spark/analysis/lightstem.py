@@ -356,6 +356,9 @@ def _register_more() -> None:
     from .snowball_arabic import arabic_snowball_stem
 
     STEMMERS["ar_snowball"] = arabic_snowball_stem
+    from .snowball_turkish import turkish_snowball_stem
+
+    STEMMERS["tr_snowball"] = turkish_snowball_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -135,6 +135,7 @@ def main():
         ("ro_snowball", "romanian"), ("hu_snowball", "hungarian"),
         ("de_snowball2", "german2"), ("fi_snowball", "finnish"), ("en_snowball_porter", "porter"), ("en_lovins", "lovins"),
         ("ar_snowball", "arabic"),
+        ("tr_snowball", "turkish"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

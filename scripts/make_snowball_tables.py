@@ -62,6 +62,7 @@ def main():
         "finnish": extract(f"{REF}/FinnishStemmer.java"),
         "lovins": extract(f"{REF}/LovinsStemmer.java", with_conds=True),
         "arabic": extract(f"{REF}/ArabicStemmer.java"),
+        "turkish": extract(f"{REF}/TurkishStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

@@ -359,6 +359,9 @@ def _register_more() -> None:
     from .snowball_turkish import turkish_snowball_stem
 
     STEMMERS["tr_snowball"] = turkish_snowball_stem
+    from .snowball_kp import kp_stem
+
+    STEMMERS["nl_kp"] = kp_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -136,6 +136,7 @@ def main():
         ("de_snowball2", "german2"), ("fi_snowball", "finnish"), ("en_snowball_porter", "porter"), ("en_lovins", "lovins"),
         ("ar_snowball", "arabic"),
         ("tr_snowball", "turkish"),
+        ("nl_kp", "kraaij_pohlmann"),
     ):
         sb = list(voc_output_pairs(
             f"{REF}/snowball/TestSnowballVocabData.zip", f"{sb_dir}/"))

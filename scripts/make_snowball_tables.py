@@ -63,6 +63,7 @@ def main():
         "lovins": extract(f"{REF}/LovinsStemmer.java", with_conds=True),
         "arabic": extract(f"{REF}/ArabicStemmer.java"),
         "turkish": extract(f"{REF}/TurkishStemmer.java"),
+        "kp": extract(f"{REF}/KpStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
     }
     for lang, tabs in data.items():

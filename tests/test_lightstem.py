@@ -48,7 +48,7 @@ def golden():
      "da_snowball", "no_snowball", "sv_snowball", "de_snowball",
      "ru_snowball", "es_snowball", "it_snowball", "pt_snowball", "fr_snowball", "nl_snowball", "ro_snowball", "hu_snowball",
      "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
-     "ar_snowball", "tr_snowball"],
+     "ar_snowball", "tr_snowball", "nl_kp"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -71,7 +71,7 @@ def test_stemmers_registry_complete():
         "da_snowball", "no_snowball", "sv_snowball", "de_snowball",
         "ru_snowball", "es_snowball", "it_snowball", "pt_snowball", "fr_snowball", "nl_snowball", "ro_snowball", "hu_snowball",
         "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
-        "ar_snowball", "tr_snowball",
+        "ar_snowball", "tr_snowball", "nl_kp",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

@@ -362,6 +362,10 @@ def _register_more() -> None:
     from .snowball_kp import kp_stem
 
     STEMMERS["nl_kp"] = kp_stem
+    STEMMERS["nb_light"] = norwegian_bokmaal_light_stem
+    STEMMERS["nn_light"] = norwegian_nynorsk_light_stem
+    STEMMERS["nb_minimal"] = norwegian_bokmaal_minimal_stem
+    STEMMERS["nn_minimal"] = norwegian_nynorsk_minimal_stem
 
 
 def light_stem_filter(tokens_col, lang: str):
@@ -835,6 +839,79 @@ def french_minimal_stem(word: str) -> str:
     if s[n - 1] == s[n - 2]:
         n -= 1
     return "".join(s[:n])
+
+
+# ------------------------------------------- Norwegian (Bokmål/Nynorsk)
+
+def _no_light(word: str, bm: bool, nn: bool) -> str:
+    """NorwegianLightStemmer.stem (no/NorwegianLightStemmer.java:
+    75-137): genitive -s, then the longest matching ending from the
+    dialect-gated cascade (heter/heita … a/e/n)."""
+    s = word
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[:-1]
+        n -= 1
+    if n > 7 and ((bm and s.endswith(("heter", "heten")))
+                  or (nn and s.endswith("heita"))):
+        return s[:n - 5]
+    if n > 8 and nn and s.endswith(("heiter", "leiken", "leikar")):
+        return s[:n - 6]
+    if n > 5 and (s.endswith("dom") or (bm and s.endswith("het"))):
+        return s[:n - 3]
+    if n > 6 and nn and s.endswith(("heit", "semd", "leik")):
+        return s[:n - 4]
+    if n > 7 and s.endswith(("elser", "elsen")):
+        return s[:n - 5]
+    if n > 6 and ((bm and s.endswith(("ende", "este", "eren")))
+                  or (nn and s.endswith(("ande", "aste", "aren")))
+                  or s.endswith("else")):
+        return s[:n - 4]
+    if n > 5 and ((bm and s.endswith(("ere", "est")))
+                  or (nn and s.endswith(("are", "ast", "ane")))
+                  or s.endswith("ene")):
+        return s[:n - 3]
+    if n > 4 and (s.endswith(("er", "en", "et", "te"))
+                  or (nn and s.endswith("ar"))
+                  or (bm and s.endswith("st"))):
+        return s[:n - 2]
+    if n > 3 and s[-1] in "aen":
+        return s[:n - 1]
+    return s
+
+
+def _no_minimal(word: str, bm: bool, nn: bool) -> str:
+    """NorwegianMinimalStemmer.stem (no/NorwegianMinimalStemmer.java:
+    73-102): genitive -s, plural/definite endings, final a/e."""
+    s = word
+    n = len(s)
+    if n > 4 and s[-1] == "s":
+        s = s[:-1]
+        n -= 1
+    if n > 5 and (s.endswith("ene") or (nn and s.endswith("ane"))):
+        return s[:n - 3]
+    if n > 4 and (s.endswith(("er", "en", "et"))
+                  or (nn and s.endswith("ar"))):
+        return s[:n - 2]
+    if n > 3 and s[-1] in "ae":
+        return s[:n - 1]
+    return s
+
+
+def norwegian_bokmaal_light_stem(word: str) -> str:
+    return _no_light(word, True, False)
+
+
+def norwegian_nynorsk_light_stem(word: str) -> str:
+    return _no_light(word, False, True)
+
+
+def norwegian_bokmaal_minimal_stem(word: str) -> str:
+    return _no_minimal(word, True, False)
+
+
+def norwegian_nynorsk_minimal_stem(word: str) -> str:
+    return _no_minimal(word, False, True)
 
 
 _register_more()

@@ -148,6 +148,26 @@ def main():
             {"lang": lang, "term": w, "stem": st} for w, st in sample
         )
         print(f"{lang}: verified {len(sb)} pairs, sampled {len(sample)}")
+    # Norwegian light/minimal: plain-text pair files (no/*.txt)
+    for lang, txt in (
+        ("nb_light", "no/nb_light.txt"), ("nn_light", "no/nn_light.txt"),
+        ("nb_minimal", "no/nb_minimal.txt"),
+        ("nn_minimal", "no/nn_minimal.txt"),
+    ):
+        fn = STEMMERS[lang]
+        all_pairs = []
+        with open(f"{REF}/{txt}", encoding="utf-8") as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    w, st = ln.split("\t")
+                    all_pairs.append((w, st))
+        bad = [(w, want, fn(w)) for w, want in all_pairs if fn(w) != want]
+        assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:3]}"
+        rows.extend(
+            {"lang": lang, "term": w, "stem": st} for w, st in all_pairs
+        )
+        print(f"{lang}: verified {len(all_pairs)} pairs, kept all")
     fn = STEMMERS["en_minimal"]
     for w, want in EN_MINIMAL:
         assert fn(w) == want, (w, want, fn(w))

@@ -48,7 +48,8 @@ def golden():
      "da_snowball", "no_snowball", "sv_snowball", "de_snowball",
      "ru_snowball", "es_snowball", "it_snowball", "pt_snowball", "fr_snowball", "nl_snowball", "ro_snowball", "hu_snowball",
      "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
-     "ar_snowball", "tr_snowball", "nl_kp"],
+     "ar_snowball", "tr_snowball", "nl_kp",
+     "nb_light", "nn_light", "nb_minimal", "nn_minimal"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -72,6 +73,7 @@ def test_stemmers_registry_complete():
         "ru_snowball", "es_snowball", "it_snowball", "pt_snowball", "fr_snowball", "nl_snowball", "ro_snowball", "hu_snowball",
         "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
         "ar_snowball", "tr_snowball", "nl_kp",
+        "nb_light", "nn_light", "nb_minimal", "nn_minimal",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

@@ -366,6 +366,22 @@ def _register_more() -> None:
     STEMMERS["nn_light"] = norwegian_nynorsk_light_stem
     STEMMERS["nb_minimal"] = norwegian_bokmaal_minimal_stem
     STEMMERS["nn_minimal"] = norwegian_nynorsk_minimal_stem
+    from . import langstem
+
+    STEMMERS["cs"] = langstem.czech_stem
+    STEMMERS["bg"] = langstem.bulgarian_stem
+    STEMMERS["lv"] = langstem.latvian_stem
+    STEMMERS["hi"] = langstem.hindi_stem
+    STEMMERS["hi_norm"] = langstem.hindi_normalize
+    STEMMERS["bn"] = langstem.bengali_stem
+    STEMMERS["bn_norm"] = langstem.bengali_normalize
+    STEMMERS["ar_light"] = langstem.arabic_light_stem
+    STEMMERS["ar_norm"] = langstem.arabic_normalize
+    STEMMERS["fa_norm"] = langstem.persian_normalize
+    STEMMERS["sr_norm"] = langstem.serbian_normalize
+    STEMMERS["ga_lower"] = langstem.irish_lowercase
+    STEMMERS["id"] = langstem.indonesian_stem
+    STEMMERS["id_inflectional"] = langstem.indonesian_inflectional_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -168,6 +168,71 @@ def main():
             {"lang": lang, "term": w, "stem": st} for w, st in all_pairs
         )
         print(f"{lang}: verified {len(all_pairs)} pairs, kept all")
+    # Per-language stemmers/normalizers verified against the
+    # reference's own JUnit pair sets (check/checkOneTerm/
+    # assertAnalyzesTo single-token asserts, extracted mechanically)
+    import re
+
+    TEST = REF  # test tree root
+
+    def junit_pairs(path, var=None):
+        src = open(path, encoding="utf-8").read()
+        pat = (r'(?:check|checkOneTerm)\(\s*(?:(\w+)\s*,\s*)?'
+               r'"([^"]*)"\s*,\s*"([^"]*)"\s*\)'
+               r'|assertAnalyzesTo\(\s*(\w+)\s*,\s*"([^"]*)"\s*,\s*'
+               r'new String\[\]\s*\{\s*"([^"]*)"\s*\}\s*\)')
+        out = []
+        for m in re.finditer(pat, src):
+            if m.group(2) is not None:
+                v, w, st = m.group(1), m.group(2), m.group(3)
+            else:
+                v, w, st = m.group(4), m.group(5), m.group(6)
+            if var is None or v == var:
+                # decode Java \\uXXXX escapes; the reference test
+                # tokenizes on whitespace first
+                w = re.sub(r"\\u([0-9a-fA-F]{4})",
+                           lambda m: chr(int(m.group(1), 16)), w)
+                st = re.sub(r"\\u([0-9a-fA-F]{4})",
+                            lambda m: chr(int(m.group(1), 16)), st)
+                out.append((w.strip(), st.strip()))
+        return out
+
+    for lang, path, var in (
+        # cs/bg pairs run through the full analyzer in the reference
+        # test, which lowercases first — fold the input here
+        ("cs", "cz/TestCzechStemmer.java", "LOWER"),
+        ("bg", "bg/TestBulgarianStemmer.java", "LOWER"),
+        ("lv", "lv/TestLatvianStemmer.java", None),
+        ("hi", "hi/TestHindiStemmer.java", None),
+        ("hi_norm", "hi/TestHindiNormalizer.java", None),
+        ("bn", "bn/TestBengaliStemmer.java", None),
+        ("bn_norm", "bn/TestBengaliNormalizer.java", None),
+        ("ar_light", "ar/TestArabicStemFilter.java", None),
+        ("ar_norm", "ar/TestArabicNormalizationFilter.java", None),
+        ("fa_norm", "fa/TestPersianNormalizationFilter.java", None),
+        ("sr_norm", "sr/TestSerbianNormalizationFilter.java", None),
+        ("ga_lower", "ga/TestIrishLowerCaseFilter.java", None),
+        ("id", "id/TestIndonesianStemmer.java", "a"),
+        ("id_inflectional", "id/TestIndonesianStemmer.java", "b"),
+    ):
+        lower = var == "LOWER"
+        all_pairs = junit_pairs(f"{TEST}/{path}", None if lower else var)
+        if lower:
+            all_pairs = [(w.lower(), st) for w, st in all_pairs]
+        assert all_pairs, f"{lang}: no pairs extracted from {path}"
+        fn = STEMMERS[lang]
+        bad = [(w, want, fn(w)) for w, want in all_pairs if fn(w) != want]
+        assert not bad, f"{lang}: {len(bad)} mismatches, e.g. {bad[:5]}"
+        rows.extend(
+            {"lang": lang, "term": w, "stem": st} for w, st in all_pairs
+        )
+        print(f"{lang}: verified {len(all_pairs)} junit pairs, kept all")
+    # TestIrishLowerCaseFilter.testIrishLowerCaseFilter:36-40
+    fn = STEMMERS["ga_lower"]
+    for w, want in (("nAthair", "n-athair"), ("tUISCE", "t-uisce"),
+                    ("hARD", "hard")):
+        assert fn(w) == want, (w, want, fn(w))
+        rows.append({"lang": "ga_lower", "term": w, "stem": want})
     fn = STEMMERS["en_minimal"]
     for w, want in EN_MINIMAL:
         assert fn(w) == want, (w, want, fn(w))

@@ -49,7 +49,10 @@ def golden():
      "ru_snowball", "es_snowball", "it_snowball", "pt_snowball", "fr_snowball", "nl_snowball", "ro_snowball", "hu_snowball",
      "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
      "ar_snowball", "tr_snowball", "nl_kp",
-     "nb_light", "nn_light", "nb_minimal", "nn_minimal"],
+     "nb_light", "nn_light", "nb_minimal", "nn_minimal",
+     "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
+     "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
+     "id", "id_inflectional"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -74,6 +77,9 @@ def test_stemmers_registry_complete():
         "de_snowball2", "fi_snowball", "en_snowball_porter", "en_lovins",
         "ar_snowball", "tr_snowball", "nl_kp",
         "nb_light", "nn_light", "nb_minimal", "nn_minimal",
+        "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
+        "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
+        "id", "id_inflectional",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

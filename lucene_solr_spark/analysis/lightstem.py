@@ -382,6 +382,10 @@ def _register_more() -> None:
     STEMMERS["ga_lower"] = langstem.irish_lowercase
     STEMMERS["id"] = langstem.indonesian_stem
     STEMMERS["id_inflectional"] = langstem.indonesian_inflectional_stem
+    from .greek import greek_lowercase, greek_stem
+
+    STEMMERS["el_lower"] = greek_lowercase
+    STEMMERS["el"] = lambda w: greek_stem(greek_lowercase(w))
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -214,6 +214,9 @@ def main():
         ("ga_lower", "ga/TestIrishLowerCaseFilter.java", None),
         ("id", "id/TestIndonesianStemmer.java", "a"),
         ("id_inflectional", "id/TestIndonesianStemmer.java", "b"),
+        # el pairs run through GreekAnalyzer = GreekLowerCaseFilter +
+        # GreekStemFilter; the registered "el" composes both
+        ("el", "el/TestGreekStemmer.java", None),
     ):
         lower = var == "LOWER"
         all_pairs = junit_pairs(f"{TEST}/{path}", None if lower else var)

@@ -386,6 +386,9 @@ def _register_more() -> None:
 
     STEMMERS["el_lower"] = greek_lowercase
     STEMMERS["el"] = lambda w: greek_stem(greek_lowercase(w))
+    from .kstem import kstem_stem
+
+    STEMMERS["en_kstem"] = kstem_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

@@ -2411,6 +2411,41 @@ def fts_light_stemmers(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("lang_term")
 
 
+_PHONETIC_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "phonetic_codes.parquet",
+)
+
+_PHONETIC_SQL = f"""
+SELECT encoder || ':' || term AS enc_term, code
+FROM read_parquet('{_PHONETIC_FIXTURE}')
+ORDER BY enc_term, code"""
+
+
+@gate("fts_phonetic_encoders", _PHONETIC_SQL)
+def fts_phonetic_encoders(spark, sf_dir):
+    """The PhoneticFilterFactory encoder registry beyond Soundex:
+    Metaphone, DoubleMetaphone (primary + alternate), RefinedSoundex,
+    Caverphone 2.0, ColognePhonetic, Nysiis, Daitch-Mokotoff
+    (|-joined branch set), applied LIVE in the Arrow UDF over the
+    golden vocabulary sample; the oracle reads codes frozen from the
+    REAL commons-codec library running in PySpark's JVM (the library
+    the reference's filters wrap), verified mismatch-free over the full
+    27.9k-word vocabulary at fixture build
+    (scripts/make_phonetic_fixture.py). Reference lucene/analysis/
+    phonetic/src/java/.../PhoneticFilterFactory.java registry,
+    DoubleMetaphoneFilter.java, DaitchMokotoffSoundexFilter.java
+    (analysis/encoders.py, analysis/phonetic.py)."""
+    from .analysis.phonetic import phonetic_code_col
+
+    fix = spark.read.parquet(_PHONETIC_FIXTURE).select("encoder", "term")
+    return fix.select(
+        F.concat_ws(":", "encoder", "term").alias("enc_term"),
+        phonetic_code_col(F.col("encoder"), F.col("term")).alias("code"),
+    ).orderBy("enc_term", "code")
+
+
 # ---------------------------------------- update-processor chain (mut_*)
 
 _UPCHAIN_NOW = "2026-01-01 00:00:00"

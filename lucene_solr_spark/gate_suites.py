@@ -355,6 +355,7 @@ _suite("fts_analysis_suite", [
     ("stem_override", "fts_stem_override", ("stem",), ("cnt",)),
     ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
     ("light_stem", "fts_light_stemmers", ("lang_term", "stem"), ()),
+    ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("keyword_repeat", "fts_keyword_repeat",
      ("term", "forms"), ("n_forms",)),
 ])

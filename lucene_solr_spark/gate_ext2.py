@@ -2446,6 +2446,62 @@ def fts_phonetic_encoders(spark, sf_dir):
     ).orderBy("enc_term", "code")
 
 
+_HUNSPELL_CASES = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "hunspell_cases.parquet",
+)
+
+_HUNSPELL_SQL = f"""
+SELECT suite || ':' || word AS suite_word, stems
+FROM read_parquet('{_HUNSPELL_CASES}')
+ORDER BY suite_word, stems"""
+
+
+@gate("fts_hunspell", _HUNSPELL_SQL)
+def fts_hunspell(spark, sf_dir):
+    """Hunspell affix-rule stemming: every assertStemsTo vector from
+    the reference's 30 hunspell unit suites (34 micro .aff/.dic
+    dictionaries — circumfix, complex prefixes, twofold suffixes,
+    keepcase/needaffix/onlyincompound, flag long/num, AF/AM aliases,
+    ICONV/OCONV, IGNORE, fullstrip, escapes, morph st: exceptions),
+    stemmed LIVE in the Arrow UDF from the frozen .aff/.dic texts;
+    the oracle reads the reference-pinned expected stem multisets
+    (scripts/make_hunspell_fixture.py). Reference
+    lucene/analysis/common/src/java/.../hunspell/{{Dictionary,
+    Stemmer}}.java (analysis/hunspell.py)."""
+    import pandas as pd
+
+    fix = spark.read.parquet(_HUNSPELL_CASES).select("suite", "word")
+
+    def _stems(suite_col, word_col):
+        import gzip as _gz
+        import json as _js
+        import os as _os
+
+        from .analysis.hunspell import HunspellDictionary
+
+        path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "fixtures_data", "hunspell_tests.json.gz")
+        with _gz.open(path, "rt", encoding="utf-8") as f:
+            suites = _js.load(f)
+        cache: dict = {}
+        out = []
+        for s, w in zip(suite_col, word_col):
+            if s not in cache:
+                cfg = suites[s]
+                cache[s] = HunspellDictionary(
+                    cfg["aff"], cfg["dics"], cfg["ignore_case"])
+            out.append("|".join(sorted(cache[s].stem(w))))
+        return pd.Series(out)
+
+    stems_udf = F.pandas_udf(_stems, "string")
+    return fix.select(
+        F.concat_ws(":", "suite", "word").alias("suite_word"),
+        stems_udf(F.col("suite"), F.col("word")).alias("stems"),
+    ).orderBy("suite_word", "stems")
+
+
 # ---------------------------------------- update-processor chain (mut_*)
 
 _UPCHAIN_NOW = "2026-01-01 00:00:00"

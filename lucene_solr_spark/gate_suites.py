@@ -356,6 +356,7 @@ _suite("fts_analysis_suite", [
     ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
     ("light_stem", "fts_light_stemmers", ("lang_term", "stem"), ()),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
+    ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),
     ("keyword_repeat", "fts_keyword_repeat",
      ("term", "forms"), ("n_forms",)),
 ])

@@ -389,6 +389,9 @@ def _register_more() -> None:
     from .kstem import kstem_stem
 
     STEMMERS["en_kstem"] = kstem_stem
+    from .stempel import stempel_polish_stem
+
+    STEMMERS["pl"] = stempel_polish_stem
 
 
 def light_stem_filter(tokens_col, lang: str):

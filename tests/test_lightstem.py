@@ -52,7 +52,7 @@ def golden():
      "nb_light", "nn_light", "nb_minimal", "nn_minimal",
      "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
      "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
-     "id", "id_inflectional", "el", "en_kstem"],
+     "id", "id_inflectional", "el", "en_kstem", "pl"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -79,7 +79,7 @@ def test_stemmers_registry_complete():
         "nb_light", "nn_light", "nb_minimal", "nn_minimal",
         "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
         "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
-        "id", "id_inflectional", "el", "el_lower", "en_kstem",
+        "id", "id_inflectional", "el", "el_lower", "en_kstem", "pl",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

@@ -630,7 +630,7 @@ _suite("td_ann", [
 _join_suite(
     "td_text_metrics",
     ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint",
-     "td_redaction", "td_cjk_tokens"],
+     "td_redaction", "td_cjk_tokens", "td_zh_tokens"],
     "doc_id",
 )
 

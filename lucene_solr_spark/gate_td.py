@@ -990,3 +990,51 @@ def td_cjk_tokens(spark, sf_dir):
         F.size(toks).cast("long").alias("cjk_n_tokens"),
         F.concat_ws("|", toks).alias("cjk_tokens_s"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- smartcn HHMM segmentation
+
+_ZH_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "smartcn_segments.parquet",
+)
+
+
+def _zh_n_phrases() -> int:
+    from .analysis.smartcn import ZH_PHRASES
+
+    return len(ZH_PHRASES)
+
+
+@gate(
+    "td_zh_tokens",
+    f"""SELECT d.doc_id,
+       CAST(f.n_tokens AS BIGINT) AS zh_n_tokens,
+       f.tokens_s AS zh_tokens_s
+FROM documents d
+JOIN read_parquet('{_ZH_FIXTURE}') f
+  ON f.phrase_id = d.doc_id % {_zh_n_phrases()}
+ORDER BY d.doc_id""",
+)
+def td_zh_tokens(spark, sf_dir):
+    """Chinese HHMM word segmentation (smartcn rebuild, analysis/
+    smartcn.py): each doc carries a pinned zh phrase (doc_id-derived),
+    segmented LIVE by the Arrow-batched HHMM Viterbi UDF over the
+    reference's own shipped coredict; the oracle joins the frozen JVM
+    output (scripts/make_smartcn_fixture.py — the reference
+    WordSegmenter compiled as a test oracle, 60k-sentence exact).
+    Reference lucene/analysis/smartcn/.../hhmm/HHMMSegmenter.java,
+    BiSegGraph.java, SegTokenFilter.java."""
+    from .analysis.smartcn import ZH_PHRASES, smartcn_tokens_udf
+
+    docs = load(spark, sf_dir, "documents")
+    phrases = F.array(*[F.lit(p) for p in ZH_PHRASES])
+    toks = smartcn_tokens_udf(
+        F.element_at(phrases, (F.col("doc_id") % len(ZH_PHRASES) + 1).cast("int"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("zh_n_tokens"),
+        F.concat_ws("|", toks).alias("zh_tokens_s"),
+    ).orderBy("doc_id")

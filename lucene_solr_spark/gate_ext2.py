@@ -3709,3 +3709,35 @@ def fts_span_posrange(spark, sf_dir):
         .select("doc_id", "span_freq", F.round("score", 4).alias("score"))
         .orderBy("doc_id")
     )
+
+
+_ICU_FOLDS_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "icu_folds.parquet",
+)
+
+_ICU_FOLD_SQL = f"""
+SELECT word, folded
+FROM read_parquet('{_ICU_FOLDS_FIXTURE}')
+ORDER BY word"""
+
+
+@gate("fts_icu_folding", _ICU_FOLD_SQL)
+def fts_icu_folding(spark, sf_dir):
+    """ICUFoldingFilter (utr30 Normalizer2, COMPOSE mode): folding
+    applied LIVE by the Arrow UDF over the golden vocabulary; the
+    oracle reads the frozen fold outputs (scripts/make_icu_fixture.py —
+    tables parsed from the reference's own shipped gennorm2 source
+    data lucene/analysis/icu/src/data/utr30/*.txt, the exact inputs
+    its build compiles into utr30.nrm; all TestICUFoldingFilter JUnit
+    vectors reproduced, engine validated per-codepoint vs unicodedata
+    NFC/NFKC in tests/test_icunorm.py). Reference lucene/analysis/icu/
+    .../ICUFoldingFilter.java (analysis/icunorm.py)."""
+    from .analysis.icunorm import icu_fold_udf
+
+    fix = spark.read.parquet(_ICU_FOLDS_FIXTURE).select("word")
+    return fix.select(
+        "word",
+        icu_fold_udf(F.col("word")).alias("folded"),
+    ).orderBy("word")

@@ -355,6 +355,7 @@ _suite("fts_analysis_suite", [
     ("stem_override", "fts_stem_override", ("stem",), ("cnt",)),
     ("common_grams", "fts_common_grams", ("gram",), ("cnt",)),
     ("light_stem", "fts_light_stemmers", ("lang_term", "stem"), ()),
+    ("icu_fold", "fts_icu_folding", ("word", "folded"), ()),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),
     ("keyword_repeat", "fts_keyword_repeat",

@@ -111,7 +111,6 @@ def test_viterbi_prefers_dictionary_phrase():
     assert segment_smartcn("中华人民共和国") == ["中华人民共和国"]
 
 
-@pytest.mark.spark
 def test_udf_batch(spark):
     from pyspark.sql import functions as F
 

@@ -94,3 +94,246 @@ def ts_diff(arr, lag: int = 1) -> Column:
 def sum_v(arr) -> Column:
     """AddEvaluator over a list / SumSqEvaluator building block."""
     return F.aggregate(_c(arr), F.lit(0.0), lambda acc, v: acc + v)
+
+
+# ---------------------------------------------------------------------
+# Scalar math evaluator family (solr/solrj/.../io/eval/): each name
+# maps 1:1 to a reference evaluator file; all are native Column exprs
+# (whole-stage-codegen'd, no UDF).
+#   AbsoluteValue, Ceiling, Floor, Round, SquareRoot, CubedRoot, Power,
+#   NaturalLog (log), Log10, Natural (e^x), Sine, Cosine, Tangent,
+#   ArcSine, ArcCosine, ArcTangent, HyperbolicSine, HyperbolicCosine,
+#   HyperbolicTangent, Modulo, Factorial, BinomialCoefficient,
+#   Precision Evaluator.java
+# ---------------------------------------------------------------------
+
+def binomial_coefficient(n, k) -> Column:
+    """BinomialCoefficientEvaluator: C(n, k) via factorial ratio
+    (exact for the small-int domain the evaluator targets)."""
+    n, k = _c(n), _c(k)
+    return (F.factorial(n) / (F.factorial(k) * F.factorial(n - k)))
+
+
+def precision_v(x, digits) -> Column:
+    """PrecisionEvaluator: round to the given number of decimal
+    places (reference delegates to Apache commons Precision.round)."""
+    return F.round(_c(x), digits)
+
+
+SCALAR_EVALUATORS = {
+    # name -> Column builder (reference file: <Name>Evaluator.java)
+    "abs": F.abs,                       # AbsoluteValueEvaluator
+    "ceil": F.ceil,                     # CeilingEvaluator
+    "floor": F.floor,                   # FloorEvaluator
+    "round": F.round,                   # RoundEvaluator
+    "sqrt": F.sqrt,                     # SquareRootEvaluator
+    "cbrt": F.cbrt,                     # CubedRootEvaluator
+    "pow": F.pow,                       # PowerEvaluator
+    "log": F.log,                       # NaturalLogEvaluator
+    "log10": F.log10,                   # Log10Evaluator
+    "natural": F.exp,                   # NaturalEvaluator (e^x)
+    "sin": F.sin,                       # SineEvaluator
+    "cos": F.cos,                       # CosineEvaluator
+    "tan": F.tan,                       # TangentEvaluator
+    "asin": F.asin,                     # ArcSineEvaluator
+    "acos": F.acos,                     # ArcCosineEvaluator
+    "atan": F.atan,                     # ArcTangentEvaluator
+    "sinh": F.sinh,                     # HyperbolicSineEvaluator
+    "cosh": F.cosh,                     # HyperbolicCosineEvaluator
+    "tanh": F.tanh,                     # HyperbolicTangentEvaluator
+    "mod": lambda a, b: _c(a) % _c(b),  # ModuloEvaluator
+    "factorial": F.factorial,           # FactorialEvaluator
+    "binomialCoefficient": binomial_coefficient,
+    "precision": precision_v,           # PrecisionEvaluator
+}
+
+
+# ---------------------------------------------------------------------
+# Array / vector evaluator family — higher-order Column exprs.
+# ---------------------------------------------------------------------
+
+def append_v(arr, x) -> Column:
+    """AppendEvaluator: arr with x appended."""
+    return F.concat(_c(arr), F.array(_c(x)))
+
+
+def copy_of(arr, length) -> Column:
+    """CopyOfEvaluator: first ``length`` elements (padding semantics
+    not needed for numeric streams — reference truncates likewise when
+    shorter)."""
+    return F.slice(_c(arr), 1, length)
+
+
+def copy_of_range(arr, start, end) -> Column:
+    """CopyOfRangeEvaluator: elements [start, end) — 0-based like the
+    reference (java.util.Arrays.copyOfRange)."""
+    return F.slice(_c(arr), int(start) + 1, int(end) - int(start))
+
+
+def left_shift(arr, n) -> Column:
+    """LeftShiftEvaluator: drop the first n values."""
+    a = _c(arr)
+    return F.slice(a, int(n) + 1, F.size(a) - int(n))
+
+
+def right_shift(arr, n) -> Column:
+    """RightShiftEvaluator: drop the last n values."""
+    a = _c(arr)
+    return F.slice(a, 1, F.size(a) - int(n))
+
+
+def repeat_v(x, n) -> Column:
+    """RepeatEvaluator: n copies of x."""
+    return F.array_repeat(_c(x), int(n))
+
+
+def zeros_v(n) -> Column:
+    """ZerosEvaluator."""
+    return F.array_repeat(F.lit(0.0), int(n))
+
+
+def ones_v(n) -> Column:
+    """OnesEvaluator."""
+    return F.array_repeat(F.lit(1.0), int(n))
+
+
+def dot_product(a, b) -> Column:
+    """DotProductEvaluator."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l1_norm(arr) -> Column:
+    """L1NormEvaluator: sum of absolute values."""
+    return F.aggregate(_c(arr), F.lit(0.0), lambda acc, v: acc + F.abs(v))
+
+
+def l2_norm(arr) -> Column:
+    """NormEvaluator: Euclidean norm."""
+    return F.sqrt(F.aggregate(
+        _c(arr), F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def linf_norm(arr) -> Column:
+    """LInfNormEvaluator: max absolute value."""
+    return F.array_max(F.transform(_c(arr), F.abs))
+
+
+def cosine_similarity(a, b) -> Column:
+    """CosineSimilarityEvaluator: dot / (|a| |b|)."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def grand_sum(arr) -> Column:
+    """GrandSumEvaluator (vector degenerate of the matrix sum)."""
+    return sum_v(arr)
+
+
+def mean_v(arr) -> Column:
+    """MeanEvaluator."""
+    a = _c(arr)
+    return sum_v(a) / F.size(a)
+
+
+def normalize_v(arr) -> Column:
+    """NormalizeEvaluator: z-score standardization (commons-math
+    StatUtils.normalize — SAMPLE standard deviation, n-1)."""
+    a = _c(arr)
+    mu = mean_v(a)
+    var = F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + (v - mu) * (v - mu)
+    ) / (F.size(a) - 1)
+    sd = F.sqrt(var)
+    return F.transform(a, lambda v: (v - mu) / sd)
+
+
+def min_max_scale(arr, lo=0.0, hi=1.0) -> Column:
+    """MinMaxScaleEvaluator: rescale into [lo, hi]."""
+    a = _c(arr)
+    mn, mx = F.array_min(a), F.array_max(a)
+    return F.transform(
+        a, lambda v: (v - mn) / (mx - mn) * (_c(hi) - _c(lo)) + _c(lo))
+
+
+def unitize(arr) -> Column:
+    """UnitEvaluator: scale to unit L2 norm."""
+    a = _c(arr)
+    n = l2_norm(a)
+    return F.transform(a, lambda v: v / n)
+
+
+def ebe_add(a, b) -> Column:
+    """EBEAddEvaluator (element-by-element)."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x + y)
+
+
+def ebe_subtract(a, b) -> Column:
+    """EBESubtractEvaluator."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x - y)
+
+
+def ebe_multiply(a, b) -> Column:
+    """EBEMultiplyEvaluator."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+
+
+def ebe_divide(a, b) -> Column:
+    """EBEDivideEvaluator."""
+    return F.zip_with(_c(a), _c(b), lambda x, y: x / y)
+
+
+def scalar_add(x, arr) -> Column:
+    """ScalarAddEvaluator."""
+    return F.transform(_c(arr), lambda v: v + _c(x))
+
+
+def scalar_multiply(x, arr) -> Column:
+    """ScalarMultiplyEvaluator."""
+    return F.transform(_c(arr), lambda v: v * _c(x))
+
+
+def rank_v(arr) -> Column:
+    """RankEvaluator: 1-based fractional ranking (commons-math
+    NaturalRanking, ties averaged)."""
+    a = _c(arr)
+    return F.transform(a, lambda v: (
+        F.aggregate(a, F.lit(0.0),
+                    lambda acc, w: acc + F.when(w < v, 1.0).otherwise(0.0))
+        + (F.aggregate(a, F.lit(0.0),
+                       lambda acc, w: acc
+                       + F.when(w == v, 1.0).otherwise(0.0)) + 1.0) / 2.0
+    ))
+
+
+# ---------------------------------------------------------------------
+# Temporal evaluator family (TemporalEvaluator*.java): field extraction
+# from a date/timestamp column. epoch_seconds is TZ-free (days since
+# 1970-01-01 × 86400; the reference's TemporalEvaluatorEpoch returns
+# the same instant in millis).
+# ---------------------------------------------------------------------
+
+def day_of_quarter(d) -> Column:
+    """TemporalEvaluatorDayOfQuarter: 1-based day within the quarter."""
+    d = _c(d)
+    return F.datediff(d, F.trunc(d, "quarter")) + 1
+
+
+def epoch_seconds(d) -> Column:
+    """TemporalEvaluatorEpoch (seconds at UTC midnight for dates)."""
+    return F.datediff(_c(d), F.lit("1970-01-01")).cast("long") * 86400
+
+
+TEMPORAL_EVALUATORS = {
+    "year": F.year,                    # TemporalEvaluatorYear
+    "month": F.month,                  # TemporalEvaluatorMonth
+    "day": F.dayofmonth,               # TemporalEvaluatorDay
+    "dayOfYear": F.dayofyear,          # TemporalEvaluatorDayOfYear
+    "dayOfQuarter": day_of_quarter,    # TemporalEvaluatorDayOfQuarter
+    "hour": F.hour,                    # TemporalEvaluatorHour
+    "minute": F.minute,                # TemporalEvaluatorMinute
+    "second": F.second,                # TemporalEvaluatorSecond
+    "week": F.weekofyear,              # TemporalEvaluatorWeek (ISO)
+    "quarter": F.quarter,              # TemporalEvaluatorQuarter
+    "epoch": epoch_seconds,            # TemporalEvaluatorEpoch
+}

@@ -3741,3 +3741,338 @@ def fts_icu_folding(spark, sf_dir):
         "word",
         icu_fold_udf(F.col("word")).alias("folded"),
     ).orderBy("word")
+
+
+# ----------------------------------------------------- evaluator: math
+
+_QTY_DOMAIN_SQL = """
+  SELECT DISTINCT CAST(l_quantity AS INTEGER) AS x
+  FROM lineitem WHERE l_quantity = floor(l_quantity) AND l_quantity > 0"""
+
+
+@gate(
+    "fn_eval_math_powlog",
+    f"""
+WITH d AS ({_QTY_DOMAIN_SQL})
+SELECT x, round(pow(CAST(x AS DOUBLE), 1.5), 6) AS pw,
+       round(ln(CAST(x AS DOUBLE)), 6) AS ln_x,
+       round(log10(CAST(x AS DOUBLE)), 6) AS log10_x,
+       round(sqrt(CAST(x AS DOUBLE)), 6) AS sqrt_x
+FROM d ORDER BY x""",
+)
+def fn_eval_math_powlog(spark, sf_dir):
+    """Scalar math stream evaluators — Power / NaturalLog / Log10 /
+    SquareRoot (reference solr/solrj/.../io/eval/{Power,NaturalLog,
+    Log10,SquareRoot}Evaluator.java), native Column exprs over the
+    distinct integer quantity domain (functions/evaluators.py
+    SCALAR_EVALUATORS)."""
+    from .functions.evaluators import SCALAR_EVALUATORS as E
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") > 0))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    xd = F.col("x").cast("double")
+    return d.select(
+        "x",
+        F.round(E["pow"](xd, F.lit(1.5)), 6).alias("pw"),
+        F.round(E["log"](xd), 6).alias("ln_x"),
+        F.round(E["log10"](xd), 6).alias("log10_x"),
+        F.round(E["sqrt"](xd), 6).alias("sqrt_x"),
+    ).orderBy("x")
+
+
+@gate(
+    "fn_eval_math_trig",
+    f"""
+WITH d AS ({_QTY_DOMAIN_SQL})
+SELECT x, round(sin(CAST(x AS DOUBLE)), 6) AS sin_x,
+       round(cos(CAST(x AS DOUBLE)), 6) AS cos_x,
+       round(tan(CAST(x AS DOUBLE) / 10), 6) AS tan_x,
+       round(atan(CAST(x AS DOUBLE)), 6) AS atan_x
+FROM d ORDER BY x""",
+)
+def fn_eval_math_trig(spark, sf_dir):
+    """Sine / Cosine / Tangent / ArcTangent evaluators (reference
+    solr/solrj/.../io/eval/{Sine,Cosine,Tangent,ArcTangent}
+    Evaluator.java)."""
+    from .functions.evaluators import SCALAR_EVALUATORS as E
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") > 0))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    xd = F.col("x").cast("double")
+    return d.select(
+        "x",
+        F.round(E["sin"](xd), 6).alias("sin_x"),
+        F.round(E["cos"](xd), 6).alias("cos_x"),
+        F.round(E["tan"](xd / 10), 6).alias("tan_x"),
+        F.round(E["atan"](xd), 6).alias("atan_x"),
+    ).orderBy("x")
+
+
+@gate(
+    "fn_eval_math_trig2",
+    f"""
+WITH d AS ({_QTY_DOMAIN_SQL})
+SELECT x, round(asin(CAST(x AS DOUBLE) / 50), 6) AS asin_x,
+       round(acos(CAST(x AS DOUBLE) / 50), 6) AS acos_x,
+       round((exp(CAST(x AS DOUBLE) / 10) - exp(-CAST(x AS DOUBLE) / 10))
+             / 2, 6) AS sinh_x,
+       round((exp(CAST(x AS DOUBLE) / 10) - exp(-CAST(x AS DOUBLE) / 10))
+             / (exp(CAST(x AS DOUBLE) / 10)
+                + exp(-CAST(x AS DOUBLE) / 10)), 6) AS tanh_x
+FROM d WHERE x <= 50 ORDER BY x""",
+)
+def fn_eval_math_trig2(spark, sf_dir):
+    """ArcSine / ArcCosine / HyperbolicSine / HyperbolicTangent
+    evaluators (reference solr/solrj/.../io/eval/{ArcSine,ArcCosine,
+    HyperbolicSine,HyperbolicTangent}Evaluator.java). The oracle
+    recomputes the hyperbolics from exp() — the defining identity — so
+    the comparison does not assume a shared libm sinh."""
+    from .functions.evaluators import SCALAR_EVALUATORS as E
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") > 0)
+                   & (F.col("l_quantity") <= 50))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    xd = F.col("x").cast("double")
+    return d.select(
+        "x",
+        F.round(E["asin"](xd / 50), 6).alias("asin_x"),
+        F.round(E["acos"](xd / 50), 6).alias("acos_x"),
+        F.round(E["sinh"](xd / 10), 6).alias("sinh_x"),
+        F.round(E["tanh"](xd / 10), 6).alias("tanh_x"),
+    ).orderBy("x")
+
+
+@gate(
+    "fn_eval_math_int",
+    f"""
+WITH d AS ({_QTY_DOMAIN_SQL})
+SELECT x, CAST(factorial(x % 10) AS DOUBLE) AS fact_x,
+       round(CAST(factorial(10) AS DOUBLE)
+             / (factorial(x % 10) * factorial(10 - (x % 10))), 6) AS binom_x,
+       CAST(x % 7 AS DOUBLE) AS mod_x,
+       round(cbrt(CAST(x AS DOUBLE)), 6) AS cbrt_x
+FROM d ORDER BY x""",
+)
+def fn_eval_math_int(spark, sf_dir):
+    """Factorial / BinomialCoefficient / Modulo / CubedRoot evaluators
+    (reference solr/solrj/.../io/eval/{Factorial,BinomialCoefficient,
+    Modulo,CubedRoot}Evaluator.java)."""
+    from .functions.evaluators import SCALAR_EVALUATORS as E
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") > 0))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    x = F.col("x")
+    return d.select(
+        "x",
+        E["factorial"](x % 10).cast("double").alias("fact_x"),
+        F.round(E["binomialCoefficient"](F.lit(10), x % 10), 6)
+         .alias("binom_x"),
+        E["mod"](x, F.lit(7)).cast("double").alias("mod_x"),
+        F.round(E["cbrt"](x.cast("double")), 6).alias("cbrt_x"),
+    ).orderBy("x")
+
+
+# --------------------------------------------------- evaluator: arrays
+
+_EMB_PAIR_SQL = """
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 64"""
+
+
+@gate(
+    "fn_eval_arrays_norms",
+    f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+p AS ({_EMB_PAIR_SQL}),
+t AS (SELECT vec_a, vec_b, CAST(ea[i] AS DOUBLE) AS xa,
+             CAST(eb[i] AS DOUBLE) AS xb
+      FROM p, idx)
+SELECT vec_a, vec_b,
+  round(sum(xa * xb), 6) AS dot_ab,
+  round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 6)
+    AS cos_sim,
+  round(sum(abs(xa)), 6) AS l1_a,
+  round(max(abs(xa)), 6) AS linf_a
+FROM t GROUP BY vec_a, vec_b ORDER BY vec_a""",
+)
+def fn_eval_arrays_norms(spark, sf_dir):
+    """DotProduct / CosineSimilarity / L1Norm / LInfNorm evaluators
+    (reference solr/solrj/.../io/eval/{DotProduct,CosineSimilarity,
+    L1Norm,LInfNorm}Evaluator.java) as zip_with/aggregate Column exprs
+    (functions/evaluators.py)."""
+    from .functions.evaluators import (
+        cosine_similarity, dot_product, l1_norm, linf_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea_raw")) \
+        .filter(F.col("vec_a") < 64)
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb_raw"))
+    j = a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+    ea = F.transform(F.col("ea_raw"), lambda v: v.cast("double"))
+    eb = F.transform(F.col("eb_raw"), lambda v: v.cast("double"))
+    return j.select(
+        "vec_a", "vec_b",
+        F.round(dot_product(ea, eb), 6).alias("dot_ab"),
+        F.round(cosine_similarity(ea, eb), 6).alias("cos_sim"),
+        F.round(l1_norm(ea), 6).alias("l1_a"),
+        F.round(linf_norm(ea), 6).alias("linf_a"),
+    ).orderBy("vec_a")
+
+
+@gate(
+    "fn_eval_arrays_scale",
+    """
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+t AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, idx WHERE vec_id < 64),
+s AS (SELECT vec_id, avg(x) AS mu,
+             count(*) AS n, min(x) AS mn, max(x) AS mx,
+             sqrt(sum(x * x)) AS l2, sum(x) AS gs
+      FROM t GROUP BY vec_id),
+sd AS (SELECT t.vec_id,
+              sqrt(sum((t.x - s.mu) * (t.x - s.mu)) / (s.n - 1)) AS sdev
+       FROM t JOIN s USING (vec_id) GROUP BY t.vec_id, s.n),
+f AS (SELECT vec_id, x FROM t WHERE i = 1)
+SELECT f.vec_id,
+  round((f.x - s.mu) / sd.sdev, 6) AS z_first,
+  round((f.x - s.mn) / (s.mx - s.mn), 6) AS mm_first,
+  round(f.x / s.l2, 6) AS unit_first,
+  round(s.gs, 6) AS grand_sum
+FROM f JOIN s USING (vec_id) JOIN sd USING (vec_id)
+ORDER BY f.vec_id""",
+)
+def fn_eval_arrays_scale(spark, sf_dir):
+    """Normalize (z-score, sample sd) / MinMaxScale / Unit / GrandSum
+    evaluators (reference solr/solrj/.../io/eval/{Normalize,MinMaxScale,
+    Unit,GrandSum}Evaluator.java), probed at the first element so the
+    hash pins the whole transform chain."""
+    from .functions.evaluators import (
+        grand_sum, min_max_scale, normalize_v, unitize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    arr = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(normalize_v(arr), 1), 6).alias("z_first"),
+        F.round(F.element_at(min_max_scale(arr), 1), 6).alias("mm_first"),
+        F.round(F.element_at(unitize(arr), 1), 6).alias("unit_first"),
+        F.round(grand_sum(arr), 6).alias("grand_sum"),
+    ).orderBy("vec_id")
+
+
+@gate(
+    "fn_eval_arrays_ops",
+    f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+p AS ({_EMB_PAIR_SQL}),
+t AS (SELECT vec_a, vec_b, i, CAST(ea[i] AS DOUBLE) AS xa,
+             CAST(eb[i] AS DOUBLE) AS xb
+      FROM p, idx)
+SELECT vec_a, vec_b,
+  round(sum(xa + xb), 6) AS ebe_add_sum,
+  round(sum(xa * xb), 6) AS ebe_mul_sum,
+  round(sum(xa + 2.5), 6) AS scalar_add_sum,
+  round(sum(CASE WHEN i > 8 THEN xa ELSE 0 END), 6) AS lshift_sum
+FROM t GROUP BY vec_a, vec_b ORDER BY vec_a""",
+)
+def fn_eval_arrays_ops(spark, sf_dir):
+    """EBEAdd / EBEMultiply / ScalarAdd / LeftShift evaluators
+    (reference solr/solrj/.../io/eval/{EBEAdd,EBEMultiply,ScalarAdd,
+    LeftShift}Evaluator.java), hashed through their sums."""
+    from .functions.evaluators import (
+        ebe_add, ebe_multiply, left_shift, scalar_add, sum_v,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea_raw")) \
+        .filter(F.col("vec_a") < 64)
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb_raw"))
+    j = a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+    ea = F.transform(F.col("ea_raw"), lambda v: v.cast("double"))
+    eb = F.transform(F.col("eb_raw"), lambda v: v.cast("double"))
+    return j.select(
+        "vec_a", "vec_b",
+        F.round(sum_v(ebe_add(ea, eb)), 6).alias("ebe_add_sum"),
+        F.round(sum_v(ebe_multiply(ea, eb)), 6).alias("ebe_mul_sum"),
+        F.round(sum_v(scalar_add(2.5, ea)), 6).alias("scalar_add_sum"),
+        F.round(sum_v(left_shift(ea, 8)), 6).alias("lshift_sum"),
+    ).orderBy("vec_a")
+
+
+# ------------------------------------------------- evaluator: temporal
+
+@gate(
+    "fn_eval_temporal_a",
+    """
+WITH d AS (SELECT DISTINCT o_orderdate FROM orders WHERE o_orderkey <= 8192)
+SELECT CAST(o_orderdate AS VARCHAR) AS d,
+  CAST(year(o_orderdate) AS DOUBLE) AS yr,
+  CAST(month(o_orderdate) AS DOUBLE) AS mo,
+  CAST(day(o_orderdate) AS DOUBLE) AS dy,
+  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) * 86400
+       AS DOUBLE) AS ep
+FROM d ORDER BY d""",
+)
+def fn_eval_temporal_a(spark, sf_dir):
+    """Temporal evaluators year / month / day / epoch (reference
+    solr/solrj/.../io/eval/TemporalEvaluator{Year,Month,Day,Epoch}
+    .java; epoch is seconds at UTC midnight, TZ-free — the reference
+    returns the same instant in millis)."""
+    from .functions.evaluators import TEMPORAL_EVALUATORS as T
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 8192)
+    d = o.select("o_orderdate").distinct()
+    dt = F.col("o_orderdate")
+    return d.select(
+        dt.cast("string").alias("d"),
+        T["year"](dt).cast("double").alias("yr"),
+        T["month"](dt).cast("double").alias("mo"),
+        T["day"](dt).cast("double").alias("dy"),
+        T["epoch"](dt).cast("double").alias("ep"),
+    ).orderBy("d")
+
+
+@gate(
+    "fn_eval_temporal_b",
+    """
+WITH d AS (SELECT DISTINCT o_orderdate FROM orders WHERE o_orderkey <= 8192)
+SELECT CAST(o_orderdate AS VARCHAR) AS d,
+  CAST(quarter(o_orderdate) AS DOUBLE) AS qtr,
+  CAST(weekofyear(o_orderdate) AS DOUBLE) AS wk,
+  CAST(dayofyear(o_orderdate) AS DOUBLE) AS doy,
+  CAST(date_diff('day', date_trunc('quarter', o_orderdate), o_orderdate)
+       + 1 AS DOUBLE) AS doq
+FROM d ORDER BY d""",
+)
+def fn_eval_temporal_b(spark, sf_dir):
+    """Temporal evaluators quarter / week (ISO) / dayOfYear /
+    dayOfQuarter (reference solr/solrj/.../io/eval/TemporalEvaluator
+    {Quarter,Week,DayOfYear,DayOfQuarter}.java)."""
+    from .functions.evaluators import TEMPORAL_EVALUATORS as T
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 8192)
+    d = o.select("o_orderdate").distinct()
+    dt = F.col("o_orderdate")
+    return d.select(
+        dt.cast("string").alias("d"),
+        T["quarter"](dt).cast("double").alias("qtr"),
+        T["week"](dt).cast("double").alias("wk"),
+        T["dayOfYear"](dt).cast("double").alias("doy"),
+        T["dayOfQuarter"](dt).cast("double").alias("doq"),
+    ).orderBy("d")

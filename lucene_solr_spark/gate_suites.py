@@ -567,6 +567,24 @@ _suite("fn_evaluators", [
     ("series", "fn_eval_series",
      ("o_orderkey", "n"), ("ma_first", "ma_last", "diff_sum", "q_max")),
     ("hyp_tests", "fn_eval_tests", ("stat",), ("v1", "v2")),
+    ("math_powlog", "fn_eval_math_powlog",
+     ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
+    ("math_trig", "fn_eval_math_trig",
+     ("x",), ("sin_x", "cos_x", "tan_x", "atan_x")),
+    ("math_trig2", "fn_eval_math_trig2",
+     ("x",), ("asin_x", "acos_x", "sinh_x", "tanh_x")),
+    ("math_int", "fn_eval_math_int",
+     ("x",), ("fact_x", "binom_x", "mod_x", "cbrt_x")),
+    ("arr_norms", "fn_eval_arrays_norms",
+     ("vec_a", "vec_b"), ("dot_ab", "cos_sim", "l1_a", "linf_a")),
+    ("arr_scale", "fn_eval_arrays_scale",
+     ("vec_id",), ("z_first", "mm_first", "unit_first", "grand_sum")),
+    ("arr_ops", "fn_eval_arrays_ops",
+     ("vec_a", "vec_b"), ("ebe_add_sum", "ebe_mul_sum", "scalar_add_sum",
+                          "lshift_sum")),
+    ("temporal_a", "fn_eval_temporal_a", ("d",), ("yr", "mo", "dy", "ep")),
+    ("temporal_b", "fn_eval_temporal_b",
+     ("d",), ("qtr", "wk", "doy", "doq")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

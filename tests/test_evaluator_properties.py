@@ -84,3 +84,111 @@ def test_distance_evaluators_match_numpy(spark, xs, ys):
     terms = np.where(den == 0, 0.0, d / np.where(den == 0, 1.0, den))
     assert math.isclose(row["ca"], float(np.sum(terms)), rel_tol=1e-9,
                         abs_tol=1e-12)
+
+
+def test_array_evaluator_family_matches_numpy(spark):
+    """New array/vector evaluator family vs numpy on one fixed batch."""
+    from lucene_solr_spark.functions.evaluators import (
+        append_v, copy_of, copy_of_range, cosine_similarity, dot_product,
+        ebe_add, ebe_divide, ebe_multiply, ebe_subtract, grand_sum,
+        l1_norm, l2_norm, left_shift, linf_norm, mean_v, min_max_scale,
+        normalize_v, ones_v, rank_v, repeat_v, right_shift, scalar_add,
+        scalar_multiply, unitize, zeros_v,
+    )
+
+    xs = [3.0, -1.5, 4.25, 0.5, 2.0, -7.0]
+    ys = [1.0, 2.0, -3.0, 0.25, 5.0, 1.5]
+    a, b = np.array(xs), np.array(ys)
+    row = (
+        spark.createDataFrame([(xs, ys)], "a array<double>, b array<double>")
+        .select(
+            dot_product(F.col("a"), F.col("b")).alias("dot"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+            l1_norm(F.col("a")).alias("l1"),
+            l2_norm(F.col("a")).alias("l2"),
+            linf_norm(F.col("a")).alias("linf"),
+            grand_sum(F.col("a")).alias("gs"),
+            mean_v(F.col("a")).alias("mu"),
+            normalize_v(F.col("a")).alias("z"),
+            min_max_scale(F.col("a")).alias("mm"),
+            unitize(F.col("a")).alias("unit"),
+            ebe_add(F.col("a"), F.col("b")).alias("eadd"),
+            ebe_subtract(F.col("a"), F.col("b")).alias("esub"),
+            ebe_multiply(F.col("a"), F.col("b")).alias("emul"),
+            ebe_divide(F.col("a"), F.col("b")).alias("ediv"),
+            scalar_add(2.5, F.col("a")).alias("sadd"),
+            scalar_multiply(-2.0, F.col("a")).alias("smul"),
+            append_v(F.col("a"), 9.0).alias("app"),
+            copy_of(F.col("a"), 3).alias("cof"),
+            copy_of_range(F.col("a"), 1, 4).alias("cofr"),
+            left_shift(F.col("a"), 2).alias("lsh"),
+            right_shift(F.col("a"), 2).alias("rsh"),
+            repeat_v(1.25, 4).alias("rep"),
+            zeros_v(3).alias("z3"),
+            ones_v(2).alias("o2"),
+            rank_v(F.col("a")).alias("rk"),
+        )
+        .collect()[0]
+    )
+    assert math.isclose(row.dot, float(a @ b))
+    assert math.isclose(
+        row.cos, float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+    assert math.isclose(row.l1, float(np.abs(a).sum()))
+    assert math.isclose(row.l2, float(np.linalg.norm(a)))
+    assert math.isclose(row.linf, float(np.abs(a).max()))
+    assert math.isclose(row.gs, float(a.sum()))
+    assert math.isclose(row.mu, float(a.mean()))
+    np.testing.assert_allclose(
+        row.z, (a - a.mean()) / a.std(ddof=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        row.mm, (a - a.min()) / (a.max() - a.min()), rtol=1e-12)
+    np.testing.assert_allclose(row.unit, a / np.linalg.norm(a), rtol=1e-12)
+    np.testing.assert_allclose(row.eadd, a + b, rtol=1e-12)
+    np.testing.assert_allclose(row.esub, a - b, rtol=1e-12)
+    np.testing.assert_allclose(row.emul, a * b, rtol=1e-12)
+    np.testing.assert_allclose(row.ediv, a / b, rtol=1e-12)
+    np.testing.assert_allclose(row.sadd, a + 2.5, rtol=1e-12)
+    np.testing.assert_allclose(row.smul, a * -2.0, rtol=1e-12)
+    assert row.app == xs + [9.0]
+    assert row.cof == xs[:3]
+    assert row.cofr == xs[1:4]
+    assert row.lsh == xs[2:]
+    assert row.rsh == xs[:-2]
+    assert row.rep == [1.25] * 4
+    assert row.z3 == [0.0] * 3 and row.o2 == [1.0] * 2
+    # fractional ranking with no ties == scipy-style natural ranking
+    order = a.argsort().argsort() + 1
+    np.testing.assert_allclose(row.rk, order.astype(float))
+
+
+def test_scalar_and_temporal_registries(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        SCALAR_EVALUATORS, TEMPORAL_EVALUATORS, binomial_coefficient,
+        day_of_quarter, epoch_seconds,
+    )
+
+    assert len(SCALAR_EVALUATORS) == 23
+    assert len(TEMPORAL_EVALUATORS) == 11
+    row = (
+        spark.createDataFrame([("1996-05-17",)], "d string")
+        .select(
+            F.to_date("d").alias("d"))
+        .select(
+            day_of_quarter(F.col("d")).alias("doq"),
+            epoch_seconds(F.col("d")).alias("ep"),
+            binomial_coefficient(F.lit(10), F.lit(3)).alias("c103"),
+            SCALAR_EVALUATORS["factorial"](F.lit(6)).alias("f6"),
+            TEMPORAL_EVALUATORS["quarter"](F.col("d")).alias("q"),
+            TEMPORAL_EVALUATORS["week"](F.col("d")).alias("w"),
+        )
+        .collect()[0]
+    )
+    import datetime
+    assert row.doq == (datetime.date(1996, 5, 17)
+                       - datetime.date(1996, 4, 1)).days + 1
+    assert row.ep == (datetime.date(1996, 5, 17)
+                      - datetime.date(1970, 1, 1)).days * 86400
+    assert row.c103 == 120.0
+    assert row.f6 == 720
+    assert row.q == 2
+    assert row.w == datetime.date(1996, 5, 17).isocalendar()[1]

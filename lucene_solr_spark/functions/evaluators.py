@@ -337,3 +337,61 @@ TEMPORAL_EVALUATORS = {
     "quarter": F.quarter,              # TemporalEvaluatorQuarter
     "epoch": epoch_seconds,            # TemporalEvaluatorEpoch
 }
+
+
+# ---------------------------------------------------------------------
+# Matrix evaluator family (Matrix.java + {Matrix,Transpose,MatrixMultiply,
+# SumRows,SumColumns,RowAt,ColumnAt,RowCount,ColumnCount}Evaluator.java):
+# a matrix is an array<array<double>> Column; every op is a nested
+# higher-order-function expression — JVM-side, no UDF, no explode.
+# ---------------------------------------------------------------------
+
+def row_count(m) -> Column:
+    """RowCountEvaluator."""
+    return F.size(_c(m))
+
+
+def column_count(m) -> Column:
+    """ColumnCountEvaluator."""
+    return F.size(F.element_at(_c(m), 1))
+
+
+def row_at(m, i) -> Column:
+    """RowAtEvaluator (0-based, like the reference)."""
+    return F.element_at(_c(m), int(i) + 1)
+
+
+def column_at(m, j) -> Column:
+    """ColumnAtEvaluator (0-based)."""
+    return F.transform(_c(m), lambda row: F.element_at(row, int(j) + 1))
+
+
+def transpose_m(m) -> Column:
+    """TransposeEvaluator."""
+    m = _c(m)
+    return F.transform(
+        F.sequence(F.lit(1), column_count(m)),
+        lambda j: F.transform(m, lambda row: F.element_at(row, j)),
+    )
+
+
+def sum_rows(m) -> Column:
+    """SumRowsEvaluator: per-row sums."""
+    return F.transform(_c(m), sum_v)
+
+
+def sum_columns(m) -> Column:
+    """SumColumnsEvaluator: per-column sums."""
+    return sum_rows(transpose_m(m))
+
+
+def grand_sum_m(m) -> Column:
+    """GrandSumEvaluator over a matrix."""
+    return sum_v(sum_rows(m))
+
+
+def matrix_mult(a, b) -> Column:
+    """MatrixMultiplyEvaluator: result[i][k] = Σ_j a[i][j]·b[j][k]."""
+    bt = transpose_m(b)
+    return F.transform(
+        _c(a), lambda row: F.transform(bt, lambda col: dot_product(row, col)))

@@ -4076,3 +4076,69 @@ def fn_eval_temporal_b(spark, sf_dir):
         T["dayOfYear"](dt).cast("double").alias("doy"),
         T["dayOfQuarter"](dt).cast("double").alias("doq"),
     ).orderBy("d")
+
+
+@gate(
+    "fn_eval_matrix",
+    """
+WITH t AS (
+  SELECT CAST(vec_id // 4 AS BIGINT) AS mid, vec_id % 4 AS r, i,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  WHERE vec_id < 64),
+agg AS (
+  SELECT mid,
+    round(sum(x * x), 6) AS gram_trace,
+    round(sum(CASE WHEN r = 0 THEN x END), 6) AS row0_sum,
+    round(sum(CASE WHEN i = 1 THEN x END), 6) AS col0_sum
+  FROM t GROUP BY mid),
+mm AS (
+  SELECT a.mid, round(sum(a.x * b.x), 6) AS mm_01
+  FROM t a JOIN t b ON a.mid = b.mid AND a.i = b.i
+       AND a.r = 0 AND b.r = 1
+  GROUP BY a.mid)
+SELECT agg.mid, gram_trace, row0_sum, col0_sum, mm_01
+FROM agg JOIN mm ON agg.mid = mm.mid ORDER BY agg.mid""",
+)
+def fn_eval_matrix(spark, sf_dir):
+    """Matrix evaluator family — Matrix / Transpose / MatrixMultiply /
+    SumRows / SumColumns / RowAt / RowCount / ColumnCount (reference
+    solr/solrj/.../io/eval/{Matrix,Transpose,MatrixMultiply,SumRows,
+    SumColumns,RowAt,RowCount,ColumnCount}Evaluator.java): each
+    4×64 matrix is assembled from 4 consecutive embeddings and probed
+    through the nested-HOF ops — the Gram-matrix trace (Σ diag of
+    M·Mᵀ), sumRows[0], sumColumns[0], and M·Mᵀ[0][1] (row0·row1, which
+    exercises transpose+multiply end-to-end). All values recomputed by
+    the oracle from the raw elements."""
+    from .functions.evaluators import (
+        matrix_mult, row_at, sum_columns, sum_rows, sum_v, transpose_m,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    m_df = (
+        emb.groupBy((F.col("vec_id") / 4).cast("long").alias("mid"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("vec_id").alias("r"),
+                        F.col("embedding").alias("e"),
+                    ))
+                ),
+                lambda s: F.transform(s.e, lambda v: v.cast("double")),
+            ).alias("m")
+        )
+    )
+    m = F.col("m")
+    gram = matrix_mult(m, transpose_m(m))
+    trace = sum_v(F.transform(
+        F.sequence(F.lit(1), F.size(gram)),
+        lambda i: F.element_at(F.element_at(gram, i), i),
+    ))
+    return m_df.select(
+        "mid",
+        F.round(trace, 6).alias("gram_trace"),
+        F.round(F.element_at(sum_rows(m), 1), 6).alias("row0_sum"),
+        F.round(F.element_at(sum_columns(m), 1), 6).alias("col0_sum"),
+        F.round(F.element_at(row_at(gram, 0), 2), 6).alias("mm_01"),
+    ).orderBy("mid")

@@ -585,6 +585,8 @@ _suite("fn_evaluators", [
     ("temporal_a", "fn_eval_temporal_a", ("d",), ("yr", "mo", "dy", "ep")),
     ("temporal_b", "fn_eval_temporal_b",
      ("d",), ("qtr", "wk", "doy", "doq")),
+    ("matrix", "fn_eval_matrix",
+     ("mid",), ("gram_trace", "row0_sum", "col0_sum", "mm_01")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

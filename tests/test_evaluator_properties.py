@@ -192,3 +192,36 @@ def test_scalar_and_temporal_registries(spark):
     assert row.f6 == 720
     assert row.q == 2
     assert row.w == datetime.date(1996, 5, 17).isocalendar()[1]
+
+
+def test_matrix_evaluators_match_numpy(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        column_at, column_count, grand_sum_m, matrix_mult, row_at,
+        row_count, sum_columns, sum_rows, transpose_m,
+    )
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    m = np.array(rows)
+    out = (
+        spark.createDataFrame([(rows,)], "m array<array<double>>")
+        .select(
+            row_count(F.col("m")).alias("rc"),
+            column_count(F.col("m")).alias("cc"),
+            row_at(F.col("m"), 1).alias("r1"),
+            column_at(F.col("m"), 2).alias("c2"),
+            transpose_m(F.col("m")).alias("t"),
+            sum_rows(F.col("m")).alias("sr"),
+            sum_columns(F.col("m")).alias("sc"),
+            grand_sum_m(F.col("m")).alias("gs"),
+            matrix_mult(F.col("m"), transpose_m(F.col("m"))).alias("mmT"),
+        )
+        .collect()[0]
+    )
+    assert out.rc == 2 and out.cc == 3
+    assert out.r1 == rows[1]
+    assert out.c2 == [3.0, 6.0]
+    assert out.t == m.T.tolist()
+    np.testing.assert_allclose(out.sr, m.sum(axis=1))
+    np.testing.assert_allclose(out.sc, m.sum(axis=0))
+    assert math.isclose(out.gs, float(m.sum()))
+    np.testing.assert_allclose(out.mmT, m @ m.T)

@@ -395,3 +395,73 @@ def matrix_mult(a, b) -> Column:
     bt = transpose_m(b)
     return F.transform(
         _c(a), lambda row: F.transform(bt, lambda col: dot_product(row, col)))
+
+
+# ---------------------------------------------------------------------
+# Signal / frequency evaluator family.
+# ---------------------------------------------------------------------
+
+def convolve_v(a, b) -> Column:
+    """ConvolutionEvaluator (commons-math MathArrays.convolve): full
+    convolution, output length n+m-1; out[k] = Σ_i a[i]·b[k-i]."""
+    a, b = _c(a), _c(b)
+    n, m = F.size(a), F.size(b)
+    return F.transform(
+        F.sequence(F.lit(1), n + m - 1),
+        lambda k: F.aggregate(
+            F.sequence(F.greatest(F.lit(1), k - m + 1), F.least(n, k)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(a, i)
+            * F.element_at(b, (k - i + 1).cast("int")),
+        ),
+    )
+
+
+def find_delay(a, b) -> Column:
+    """FindDelayEvaluator: convolve a with reverse(b), take the FIRST
+    index of max |value| (strict > scan), return (idx+1) - len(b)."""
+    b = _c(b)
+    conv = convolve_v(a, F.reverse(b))
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.size(conv)),
+        F.struct(F.lit(0).alias("i"), F.lit(float("-inf")).alias("v")),
+        lambda acc, k: F.when(
+            F.abs(F.element_at(conv, k)) > acc.v,
+            F.struct(k.alias("i"),
+                     F.abs(F.element_at(conv, k)).alias("v")),
+        ).otherwise(acc),
+    )
+    return (best.i - F.size(b)).cast("double")
+
+
+def mode_v(arr) -> Column:
+    """ModeEvaluator (commons-math StatUtils.mode): every value whose
+    frequency equals the max frequency, ascending."""
+    a = _c(arr)
+
+    def cnt(v):
+        return F.aggregate(
+            a, F.lit(0),
+            lambda acc, w: acc + F.when(w == v, 1).otherwise(0))
+
+    maxc = F.array_max(F.transform(a, cnt))
+    return F.array_sort(
+        F.array_distinct(F.filter(a, lambda v: cnt(v) == maxc)))
+
+
+def freq_table_count(arr, v) -> Column:
+    """FrequencyTableEvaluator probe: occurrence count of one value."""
+    return F.aggregate(
+        _c(arr), F.lit(0),
+        lambda acc, w: acc + F.when(w == _c(v), 1).otherwise(0))
+
+
+def pair_sort(x, y) -> Column:
+    """PairSortEvaluator: sort (x,y) pairs by x then y ascending;
+    returns the 2×n matrix [sorted-x, sorted-y] (PairComp semantics)."""
+    pairs = F.array_sort(F.zip_with(
+        _c(x), _c(y), lambda a, b: F.struct(a.alias("x"), b.alias("y"))))
+    return F.array(
+        F.transform(pairs, lambda p: p.x),
+        F.transform(pairs, lambda p: p.y),
+    )

@@ -4142,3 +4142,93 @@ def fn_eval_matrix(spark, sf_dir):
         F.round(F.element_at(sum_columns(m), 1), 6).alias("col0_sum"),
         F.round(F.element_at(row_at(gram, 0), 2), 6).alias("mm_01"),
     ).orderBy("mid")
+
+
+@gate(
+    "fn_eval_signal",
+    """
+WITH it AS (
+  SELECT l_orderkey AS o, CAST(l_quantity AS DOUBLE) AS q,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS i,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem WHERE l_orderkey <= 2048),
+ok AS (SELECT DISTINCT o, n FROM it WHERE n >= 4),
+kr AS (SELECT unnest(range(1, 4)) AS j),
+-- kernel b = [3,1,2]; find_delay convolves with reverse(b) = [2,1,3]
+conv AS (
+  SELECT it.o, it.i + kr.j - 1 AS k,
+         sum(it.q * CASE kr.j WHEN 1 THEN 2.0 WHEN 2 THEN 1.0
+                              ELSE 3.0 END) AS cv
+  FROM it JOIN ok USING (o), kr
+  GROUP BY it.o, it.i + kr.j - 1),
+best AS (
+  SELECT o, k FROM (
+    SELECT o, k, row_number() OVER (PARTITION BY o
+                                    ORDER BY abs(cv) DESC, k) AS rn
+    FROM conv) WHERE rn = 1),
+sconv AS (
+  SELECT it.o, it.i + kr.j - 1 AS k,
+         sum(it.q * CASE kr.j WHEN 1 THEN 0.25 WHEN 2 THEN 0.5
+                              ELSE 0.25 END) AS cv
+  FROM it JOIN ok USING (o), kr
+  GROUP BY it.o, it.i + kr.j - 1),
+modes AS (
+  SELECT o, v, count(*) AS c
+  FROM (SELECT o, round(q) AS v FROM it JOIN ok USING (o)) GROUP BY o, v),
+mode1 AS (
+  SELECT m.o, min(m.v) AS mv
+  FROM modes m JOIN (SELECT o, max(c) AS mc FROM modes GROUP BY o) x
+    ON m.o = x.o AND m.c = x.mc
+  GROUP BY m.o)
+SELECT ok.o AS o_orderkey, CAST(ok.n AS BIGINT) AS n,
+  round((SELECT cv FROM sconv WHERE sconv.o = ok.o AND k = 3), 6) AS conv3,
+  round((SELECT sum(cv) FROM sconv WHERE sconv.o = ok.o), 6) AS conv_sum,
+  CAST(best.k - 3 AS DOUBLE) AS delay,
+  round(mode1.mv, 6) AS mode_first
+FROM ok JOIN best ON best.o = ok.o JOIN mode1 ON mode1.o = ok.o
+ORDER BY o_orderkey""",
+)
+def fn_eval_signal(spark, sf_dir):
+    """Signal/frequency evaluator family — Convolution / FindDelay /
+    Mode (reference solr/solrj/.../io/eval/{Convolution,FindDelay,Mode}
+    Evaluator.java): per-order quantity series convolved with a
+    smoothing kernel (probe at k=3 + total mass), cross-correlation
+    delay vs the non-palindromic kernel [3,1,2] (first-max-wins exactly
+    as the reference's strict-> scan), and the ascending multi-mode's
+    first value. All nested-HOF Column exprs
+    (functions/evaluators.py convolve_v/find_delay/mode_v)."""
+    from .functions.evaluators import (
+        convolve_v, find_delay, mode_v, sum_v,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2048)
+    arr_df = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("double").alias("q"),
+                    ))
+                ),
+                lambda s: s.q,
+            ).alias("qty")
+        )
+        .filter(F.size("qty") >= 4)
+    )
+    qty = F.col("qty")
+    smooth = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.25))
+    kernel = F.array(F.lit(3.0), F.lit(1.0), F.lit(2.0))
+    sc = convolve_v(qty, smooth)
+    return arr_df.select(
+        "o_orderkey",
+        F.size(qty).cast("long").alias("n"),
+        F.round(F.element_at(sc, 3), 6).alias("conv3"),
+        F.round(sum_v(sc), 6).alias("conv_sum"),
+        find_delay(qty, kernel).alias("delay"),
+        F.round(F.element_at(
+            mode_v(F.transform(qty, lambda v: F.round(v))), 1), 6)
+         .alias("mode_first"),
+    ).orderBy("o_orderkey")

@@ -587,6 +587,8 @@ _suite("fn_evaluators", [
      ("d",), ("qtr", "wk", "doy", "doq")),
     ("matrix", "fn_eval_matrix",
      ("mid",), ("gram_trace", "row0_sum", "col0_sum", "mm_01")),
+    ("signal", "fn_eval_signal",
+     ("o_orderkey", "n"), ("conv3", "conv_sum", "delay", "mode_first")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

@@ -225,3 +225,33 @@ def test_matrix_evaluators_match_numpy(spark):
     np.testing.assert_allclose(out.sc, m.sum(axis=0))
     assert math.isclose(out.gs, float(m.sum()))
     np.testing.assert_allclose(out.mmT, m @ m.T)
+
+
+def test_signal_evaluators_match_numpy(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        convolve_v, find_delay, freq_table_count, mode_v, pair_sort,
+    )
+
+    xs = [1.0, 4.0, 2.0, 4.0, 3.0]
+    ker = [3.0, 1.0, 2.0]
+    out = (
+        spark.createDataFrame([(xs, ker)], "a array<double>, k array<double>")
+        .select(
+            convolve_v(F.col("a"), F.col("k")).alias("conv"),
+            find_delay(F.col("a"), F.col("k")).alias("delay"),
+            mode_v(F.col("a")).alias("modes"),
+            freq_table_count(F.col("a"), 4.0).alias("c4"),
+            pair_sort(F.col("a"), F.col("k") if False else F.col("a")).alias("_unused"),
+            pair_sort(F.array(*[F.lit(v) for v in [2.0, 1.0, 2.0]]),
+                      F.array(*[F.lit(v) for v in [9.0, 8.0, 7.0]])).alias("ps"),
+        )
+        .collect()[0]
+    )
+    np.testing.assert_allclose(out.conv, np.convolve(xs, ker))
+    # reference FindDelay: conv(a, reverse(k)), first argmax |.|, +1-len(k)
+    conv2 = np.convolve(xs, ker[::-1])
+    expect_delay = float(int(np.argmax(np.abs(conv2))) + 1 - len(ker))
+    assert out.delay == expect_delay
+    assert out.modes == [4.0]
+    assert out.c4 == 2
+    assert out.ps == [[1.0, 2.0, 2.0], [8.0, 7.0, 9.0]]

@@ -26,6 +26,7 @@ Semantics pinned to the reference implementations:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -465,3 +466,77 @@ def pair_sort(x, y) -> Column:
         F.transform(pairs, lambda p: p.x),
         F.transform(pairs, lambda p: p.y),
     )
+
+
+# ---------------------------------------------------------------------
+# Distribution evaluator family ({Normal,Binomial,Poisson,Geometric,
+# UniformReal}DistributionEvaluator + CumulativeProbabilityEvaluator /
+# ProbabilityEvaluator — all delegating to commons-math3). pmf/cdf
+# formulas are native Column exprs; the normal CDF needs erf, which has
+# no JVM SQL builtin — Arrow-batched math.erf (matches commons-math's
+# Erf at double precision; the gate compares at 6dp).
+# ---------------------------------------------------------------------
+
+_erf_udf_cache = None
+
+
+def _erf_udf():
+    """Lazily-built Arrow erf UDF (pandas_udf parses its DDL return
+    type against the ACTIVE session, so it cannot be built at import)."""
+    global _erf_udf_cache
+    if _erf_udf_cache is None:
+        @F.pandas_udf("double")
+        def _erf(z: pd.Series) -> pd.Series:
+            import math
+
+            return z.map(math.erf)
+
+        _erf_udf_cache = _erf
+    return _erf_udf_cache
+
+
+def normal_cdf(x, mu, sd) -> Column:
+    """NormalDistribution(mu, sd).cumulativeProbability(x)."""
+    import math as _math
+
+    z = (_c(x) - _c(mu)) / (_c(sd) * _math.sqrt(2.0))
+    return 0.5 * (F.lit(1.0) + _erf_udf()(z))
+
+
+def choose_double(n, k) -> Column:
+    """C(n, k) as a double product Π_{i=1..k} (n-k+i)/i — overflow-free
+    far beyond factorial's long range (n=50 needs ~2^46)."""
+    n, k = _c(n), _c(k)
+    prod = F.aggregate(
+        F.sequence(F.lit(1), k), F.lit(1.0),
+        lambda acc, i: acc * (n - k + i).cast("double") / i.cast("double"))
+    return F.when(k == 0, F.lit(1.0)).otherwise(prod)
+
+
+def binomial_pmf(n, p, k) -> Column:
+    """BinomialDistribution(n, p).probability(k)."""
+    n, p, k = _c(n), _c(p), _c(k)
+    return (choose_double(n, k)
+            * F.pow(p, k.cast("double"))
+            * F.pow(F.lit(1.0) - p, (n - k).cast("double")))
+
+
+def poisson_pmf(lam, k) -> Column:
+    """PoissonDistribution(lam).probability(k)."""
+    lam, k = _c(lam), _c(k)
+    return (F.exp(-lam) * F.pow(lam, k.cast("double"))
+            / F.factorial(k))
+
+
+def geometric_cdf(p, k) -> Column:
+    """GeometricDistribution(p).cumulativeProbability(k):
+    1 - (1-p)^(k+1) (failures-before-first-success parameterization)."""
+    p, k = _c(p), _c(k)
+    return F.lit(1.0) - F.pow(F.lit(1.0) - p, (k + 1).cast("double"))
+
+
+def uniform_cdf(lo, hi, x) -> Column:
+    """UniformRealDistribution(lo, hi).cumulativeProbability(x)."""
+    lo, hi, x = _c(lo), _c(hi), _c(x)
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                          (x - lo) / (hi - lo)))

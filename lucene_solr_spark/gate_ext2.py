@@ -4232,3 +4232,54 @@ def fn_eval_signal(spark, sf_dir):
             mode_v(F.transform(qty, lambda v: F.round(v))), 1), 6)
          .alias("mode_first"),
     ).orderBy("o_orderkey")
+
+
+_DISTRIB_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "distrib_probs.parquet",
+)
+
+
+@gate(
+    "fn_eval_distrib",
+    f"""
+WITH d AS (SELECT DISTINCT CAST(l_quantity AS INTEGER) AS x
+           FROM lineitem
+           WHERE l_quantity = floor(l_quantity)
+             AND l_quantity BETWEEN 1 AND 50)
+SELECT d.x, round(f.norm_cdf, 6) AS norm_cdf,
+       round(f.binom_pmf, 6) AS binom_pmf,
+       round(f.poisson_pmf, 6) AS poisson_pmf,
+       round(f.geom_cdf, 6) AS geom_cdf
+FROM d JOIN read_parquet('{_DISTRIB_FIXTURE}') f ON f.x = d.x
+ORDER BY d.x""",
+)
+def fn_eval_distrib(spark, sf_dir):
+    """Distribution evaluator family — normalDistribution /
+    binomialDistribution / poissonDistribution / geometricDistribution
+    + cumulativeProbability/probability (reference solr/solrj/.../io/
+    eval/{Normal,Binomial,Poisson,Geometric}DistributionEvaluator.java,
+    CumulativeProbabilityEvaluator.java, ProbabilityEvaluator.java —
+    thin wrappers over commons-math3): computed LIVE by the rebuild's
+    Column/Arrow implementations; the oracle reads values frozen from
+    the REAL commons-math3 library running in Spark's own JVM
+    (scripts/make_distrib_fixture.py) — non-circular, compared at 6dp."""
+    from .functions.evaluators import (
+        binomial_pmf, geometric_cdf, normal_cdf, poisson_pmf,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") >= 1)
+                   & (F.col("l_quantity") <= 50))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    x = F.col("x")
+    return d.select(
+        "x",
+        F.round(normal_cdf(x.cast("double"), 25.0, 10.0), 6)
+         .alias("norm_cdf"),
+        F.round(binomial_pmf(F.lit(50), 0.3, x), 6).alias("binom_pmf"),
+        F.round(poisson_pmf(4.0, x % 15), 6).alias("poisson_pmf"),
+        F.round(geometric_cdf(0.25, x % 12), 6).alias("geom_cdf"),
+    ).orderBy("x")

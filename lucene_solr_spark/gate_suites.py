@@ -589,6 +589,8 @@ _suite("fn_evaluators", [
      ("mid",), ("gram_trace", "row0_sum", "col0_sum", "mm_01")),
     ("signal", "fn_eval_signal",
      ("o_orderkey", "n"), ("conv3", "conv_sum", "delay", "mode_first")),
+    ("distrib", "fn_eval_distrib",
+     ("x",), ("norm_cdf", "binom_pmf", "poisson_pmf", "geom_cdf")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

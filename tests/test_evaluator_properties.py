@@ -255,3 +255,38 @@ def test_signal_evaluators_match_numpy(spark):
     assert out.modes == [4.0]
     assert out.c4 == 2
     assert out.ps == [[1.0, 2.0, 2.0], [8.0, 7.0, 9.0]]
+
+
+def test_distribution_evaluators_match_commons_math_fixture(spark):
+    """LIVE distribution implementations vs the frozen commons-math3
+    values (the exact library the reference evaluators delegate to)."""
+    import os
+
+    from lucene_solr_spark.functions.evaluators import (
+        binomial_pmf, choose_double, geometric_cdf, normal_cdf,
+        poisson_pmf, uniform_cdf,
+    )
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "distrib_probs.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame([(int(x),) for x in ref["x"]], "x int")
+    x = F.col("x")
+    got = df.select(
+        "x",
+        normal_cdf(x.cast("double"), 25.0, 10.0).alias("norm_cdf"),
+        binomial_pmf(F.lit(50), 0.3, x).alias("binom_pmf"),
+        poisson_pmf(4.0, x % 15).alias("poisson_pmf"),
+        geometric_cdf(0.25, x % 12).alias("geom_cdf"),
+        uniform_cdf(0.0, 50.0, x.cast("double")).alias("unif_cdf"),
+        choose_double(F.lit(50), x).alias("c50"),
+    ).orderBy("x").toPandas()
+    m = got.merge(ref, on="x", suffixes=("_got", "_ref"))
+    for c in ["norm_cdf", "binom_pmf", "poisson_pmf", "geom_cdf"]:
+        np.testing.assert_allclose(
+            m[c + "_got"], m[c + "_ref"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(m["unif_cdf"], m["x"] / 50.0, rtol=1e-12)
+    from math import comb
+    np.testing.assert_allclose(
+        m["c50"], [float(comb(50, int(v))) for v in m["x"]], rtol=1e-10)

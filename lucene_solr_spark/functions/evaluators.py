@@ -540,3 +540,71 @@ def uniform_cdf(lo, hi, x) -> Column:
     lo, hi, x = _c(lo), _c(hi), _c(x)
     return F.least(F.lit(1.0), F.greatest(F.lit(0.0),
                                           (x - lo) / (hi - lo)))
+
+
+# ---------------------------------------------------------------------
+# Sliding-window evaluator family (DescriptiveStatistics slider).
+# ---------------------------------------------------------------------
+
+def _windows(arr, w: int) -> Column:
+    """Full sliding windows of width w (the DescriptiveStatistics
+    slider state at each emit point)."""
+    a = _c(arr)
+    return F.transform(
+        F.sequence(F.lit(int(w)), F.size(a)),
+        lambda k: F.slice(a, k - int(w) + 1, int(w)))
+
+
+def moving_median(arr, w: int) -> Column:
+    """MovingMedianEvaluator: commons-math Percentile(50) per full
+    window — the LEGACY estimate pos = 0.5·(n+1), which for n=w is
+    linear interpolation between the two middle order statistics."""
+    def med(win):
+        s = F.array_sort(win)
+        n = int(w)
+        pos = 0.5 * (n + 1)
+        lo = int(pos)
+        frac = pos - lo
+        if frac == 0.0:
+            return F.element_at(s, lo)
+        return (F.element_at(s, lo)
+                + (F.element_at(s, lo + 1) - F.element_at(s, lo)) * frac)
+
+    return F.transform(_windows(arr, w), med)
+
+
+def moving_mad(arr, w: int) -> Column:
+    """MovingMADEvaluator: mean absolute deviation from the window
+    mean, per full window."""
+    def mad(win):
+        mu = sum_v(win) / F.lit(float(w))
+        return F.aggregate(
+            win, F.lit(0.0), lambda acc, v: acc + F.abs(v - mu)
+        ) / F.lit(float(w))
+
+    return F.transform(_windows(arr, w), mad)
+
+
+def exp_moving_avg(arr, w: int, alpha: float | None = None) -> Column:
+    """ExponentialMovingAverageEvaluator: seed with the mean of the
+    first w values, then e ← α(x − e) + e for each later observation
+    (default α = 2/(w+1)); emits the seed plus one value per
+    post-window observation."""
+    a = _c(arr)
+    if alpha is None:
+        alpha = 2.0 / (float(w) + 1.0)
+    al = F.lit(float(alpha))
+    e0 = sum_v(F.slice(a, 1, int(w))) / F.lit(float(w))
+    n = F.size(a)
+    stepped = F.aggregate(
+        F.sequence(F.lit(int(w) + 1), n),
+        F.struct(F.array(e0).alias("seq"), e0.alias("last")),
+        lambda acc, i: F.struct(
+            F.concat(
+                acc.seq,
+                F.array(al * (F.element_at(a, i) - acc.last) + acc.last),
+            ).alias("seq"),
+            (al * (F.element_at(a, i) - acc.last) + acc.last).alias("last"),
+        ),
+    ).seq
+    return F.when(n > int(w), stepped).otherwise(F.array(e0))

@@ -4283,3 +4283,83 @@ def fn_eval_distrib(spark, sf_dir):
         F.round(poisson_pmf(4.0, x % 15), 6).alias("poisson_pmf"),
         F.round(geometric_cdf(0.25, x % 12), 6).alias("geom_cdf"),
     ).orderBy("x")
+
+
+@gate(
+    "fn_eval_sliding",
+    """
+WITH it AS (
+  SELECT l_orderkey AS o, CAST(l_quantity AS DOUBLE) AS q,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS i,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem WHERE l_orderkey <= 2048),
+ok AS (SELECT DISTINCT o, n FROM it WHERE n >= 4),
+-- EMA, window 3, default alpha = 2/(3+1) = 0.5 (exact binary):
+-- seed e0 = mean(first 3); e_last = 0.5^(n-3)·e0 + Σ_{i>3} 0.5^(n-i+1)·q_i
+e0 AS (SELECT o, avg(q) AS seed FROM it WHERE i <= 3 GROUP BY o),
+ema AS (
+  SELECT it.o,
+         sum(it.q * power(0.5, it.n - it.i + 1)) AS tail_part
+  FROM it JOIN ok USING (o) WHERE it.i > 3 GROUP BY it.o),
+last3 AS (
+  SELECT it.o, it.q FROM it JOIN ok USING (o) WHERE it.i > it.n - 3),
+l3 AS (
+  SELECT o, sum(q) AS s, min(q) AS mn, max(q) AS mx, avg(q) AS mu
+  FROM last3 GROUP BY o),
+mad AS (
+  SELECT last3.o, avg(abs(last3.q - l3.mu)) AS v FROM last3
+  JOIN l3 ON l3.o = last3.o GROUP BY last3.o)
+SELECT ok.o AS o_orderkey, CAST(ok.n AS BIGINT) AS n,
+  round(power(0.5, ok.n - 3) * e0.seed + coalesce(ema.tail_part, 0), 6)
+    AS ema_last,
+  round(e0.seed, 6) AS ema_first,
+  round(l3.s - l3.mn - l3.mx, 6) AS movmed_last,
+  round(mad.v, 6) AS movmad_last
+FROM ok JOIN e0 ON e0.o = ok.o
+LEFT JOIN ema ON ema.o = ok.o
+JOIN l3 ON l3.o = ok.o JOIN mad ON mad.o = ok.o
+ORDER BY o_orderkey""",
+)
+def fn_eval_sliding(spark, sf_dir):
+    """Sliding-window evaluator family — exponential moving average /
+    moving median / moving MAD (reference solr/solrj/.../io/eval/
+    {ExponentialMovingAverage,MovingMedian,MovingMAD}Evaluator.java):
+    window 3 over per-order quantity series; EMA uses the reference's
+    default α = 2/(w+1) = 0.5 (exact in binary, so the oracle's
+    closed-form power expansion matches the recurrence bit-for-bit at
+    6dp), moving median is the commons-math LEGACY percentile (for w=3
+    the middle value = sum−min−max in the oracle), moving MAD is mean
+    absolute deviation from the window mean."""
+    from .functions.evaluators import (
+        exp_moving_avg, moving_mad, moving_median,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2048)
+    arr_df = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("double").alias("q"),
+                    ))
+                ),
+                lambda s: s.q,
+            ).alias("qty")
+        )
+        .filter(F.size("qty") >= 4)
+    )
+    qty = F.col("qty")
+    ema = exp_moving_avg(qty, 3)
+    return arr_df.select(
+        "o_orderkey",
+        F.size(qty).cast("long").alias("n"),
+        F.round(F.element_at(ema, -1), 6).alias("ema_last"),
+        F.round(F.element_at(ema, 1), 6).alias("ema_first"),
+        F.round(F.element_at(moving_median(qty, 3), -1), 6)
+         .alias("movmed_last"),
+        F.round(F.element_at(moving_mad(qty, 3), -1), 6)
+         .alias("movmad_last"),
+    ).orderBy("o_orderkey")

@@ -591,6 +591,9 @@ _suite("fn_evaluators", [
      ("o_orderkey", "n"), ("conv3", "conv_sum", "delay", "mode_first")),
     ("distrib", "fn_eval_distrib",
      ("x",), ("norm_cdf", "binom_pmf", "poisson_pmf", "geom_cdf")),
+    ("sliding", "fn_eval_sliding",
+     ("o_orderkey", "n"), ("ema_last", "ema_first", "movmed_last",
+                           "movmad_last")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

@@ -290,3 +290,39 @@ def test_distribution_evaluators_match_commons_math_fixture(spark):
     from math import comb
     np.testing.assert_allclose(
         m["c50"], [float(comb(50, int(v))) for v in m["x"]], rtol=1e-10)
+
+
+def test_sliding_evaluators_match_numpy(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        exp_moving_avg, moving_mad, moving_median,
+    )
+
+    xs = [5.0, 1.0, 4.0, 8.0, 2.0, 9.0, 3.0]
+    w = 3
+    row = (
+        spark.createDataFrame([(xs,)], "a array<double>")
+        .select(
+            exp_moving_avg(F.col("a"), w).alias("ema"),
+            moving_median(F.col("a"), w).alias("mm"),
+            moving_mad(F.col("a"), w).alias("mad"),
+            exp_moving_avg(F.col("a"), 7).alias("ema_eq"),
+        )
+        .collect()[0]
+    )
+    # reference recurrence: seed = mean(first w); e <- a(x-e)+e, a=0.5
+    a = 2.0 / (w + 1)
+    e = np.mean(xs[:w])
+    expect = [e]
+    for x in xs[w:]:
+        e = a * (x - e) + e
+        expect.append(e)
+    np.testing.assert_allclose(row.ema, expect, rtol=1e-12)
+    # window medians / MADs
+    wins = [xs[i:i + w] for i in range(len(xs) - w + 1)]
+    np.testing.assert_allclose(row.mm, [float(np.median(win)) for win in wins])
+    np.testing.assert_allclose(
+        row.mad,
+        [float(np.mean(np.abs(np.array(win) - np.mean(win)))) for win in wins],
+        rtol=1e-12)
+    # window == length: just the seed mean
+    np.testing.assert_allclose(row.ema_eq, [np.mean(xs)], rtol=1e-12)

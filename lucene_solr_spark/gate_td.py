@@ -1038,3 +1038,51 @@ def td_zh_tokens(spark, sf_dir):
         F.size(toks).cast("long").alias("zh_n_tokens"),
         F.concat_ws("|", toks).alias("zh_tokens_s"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------- bigram-LM perplexity score
+
+@gate(
+    "td_ngram_ppl",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+uc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+v AS (SELECT count(*) AS vocab FROM
+      (SELECT DISTINCT w FROM
+       (SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs))),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * v.vocab)), 12)
+              AS DECIMAL(28,12)) AS logp
+  FROM pairs p JOIN bc USING (w1, w2) JOIN uc USING (w1), v),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(exp(-CAST(sum(logp) AS DOUBLE) / count(*)), 6) AS ppl
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       coalesce(agg.ppl, 0.0) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id""",
+)
+def td_ngram_ppl(spark, sf_dir):
+    """Bigram-LM perplexity quality score (the KenLM-style corpus-LM
+    filter of CCNet/Gopher-class training-data pipelines;
+    operators/textqual.py ngram_lm_perplexity): add-0.5-smoothed word
+    bigram LM trained on the corpus itself, per-doc
+    exp(−mean log P(w2|w1)) with DECIMAL order-independent log sums.
+    Scale: two hash-agg shuffles for the counts, broadcast joins back,
+    map-side-combined per-doc agg."""
+    from .operators.textqual import ngram_lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_lm_perplexity(docs).orderBy("doc_id")

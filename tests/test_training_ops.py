@@ -643,3 +643,31 @@ def test_ivf_fixture_matches_trained_centroids(spark, emb):
         fvec, fnrm = frozen[cid]
         assert np.array_equal(np.asarray(vec, dtype=np.float64), fvec)
         assert nrm == fnrm
+
+
+def test_ngram_lm_perplexity(spark):
+    """Bigram-LM perplexity: hand-computed oracle on a 3-doc corpus."""
+    import math
+
+    from lucene_solr_spark.operators.textqual import ngram_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "zz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_lm_perplexity(docs).collect()}
+    # corpus bigrams: (the,cat)x2 (cat,sat) (cat,ran); vocab={the,cat,sat,ran}
+    V, k = 4, 0.5
+    c1 = {"the": 2, "cat": 2}
+    c12 = {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+
+    def p(w1, w2):
+        return (c12[(w1, w2)] + k) / (c1[w1] + k * V)
+
+    def ppl(bgs):
+        logs = [round(math.log(p(*b)), 12) for b in bgs]
+        return round(math.exp(-sum(logs) / len(logs)), 6)
+
+    assert out[0].n_bigrams == 2
+    assert out[0].ppl == ppl([("the", "cat"), ("cat", "sat")])
+    assert out[1].ppl == ppl([("the", "cat"), ("cat", "ran")])
+    assert out[2].n_bigrams == 0 and out[2].ppl == 0.0

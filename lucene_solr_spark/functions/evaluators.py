@@ -608,3 +608,38 @@ def exp_moving_avg(arr, w: int, alpha: float | None = None) -> Column:
         ),
     ).seq
     return F.when(n > int(w), stepped).otherwise(F.array(e0))
+
+
+def weibull_cdf(shape, scale, x) -> Column:
+    """WeibullDistribution(shape, scale).cumulativeProbability(x):
+    1 − exp(−(x/scale)^shape)."""
+    shape, scale, x = _c(shape), _c(scale), _c(x)
+    return F.lit(1.0) - F.exp(-F.pow(x / scale, shape))
+
+
+def lognormal_cdf(mu, sigma, x) -> Column:
+    """LogNormalDistribution(mu, sigma).cumulativeProbability(x):
+    Φ((ln x − mu)/sigma)."""
+    return normal_cdf(F.log(_c(x)), mu, sigma)
+
+
+def zipf_pmf(n: int, s: float, k) -> Column:
+    """ZipfDistribution(n, s).probability(k): k^-s / H(n, s). The
+    generalized harmonic H is a Python-side constant folded into the
+    expression (commons-math sums it n→1 descending; replicated)."""
+    h = 0.0
+    for i in range(int(n), 0, -1):
+        h += 1.0 / (float(i) ** float(s))
+    return F.pow(_c(k).cast("double"), F.lit(-float(s))) / F.lit(h)
+
+
+def triangular_cdf(lo, mode, hi, x) -> Column:
+    """TriangularDistribution(lo, mode, hi).cumulativeProbability(x)."""
+    lo, mode, hi, x = _c(lo), _c(mode), _c(hi), _c(x)
+    return (
+        F.when(x <= lo, F.lit(0.0))
+        .when(x < mode, (x - lo) * (x - lo) / ((hi - lo) * (mode - lo)))
+        .when(x < hi, F.lit(1.0)
+              - (hi - x) * (hi - x) / ((hi - lo) * (hi - mode)))
+        .otherwise(F.lit(1.0))
+    )

@@ -4363,3 +4363,43 @@ def fn_eval_sliding(spark, sf_dir):
         F.round(F.element_at(moving_mad(qty, 3), -1), 6)
          .alias("movmad_last"),
     ).orderBy("o_orderkey")
+
+
+@gate(
+    "fn_eval_distrib2",
+    f"""
+WITH d AS (SELECT DISTINCT CAST(l_quantity AS INTEGER) AS x
+           FROM lineitem
+           WHERE l_quantity = floor(l_quantity)
+             AND l_quantity BETWEEN 1 AND 50)
+SELECT d.x, round(f.weibull_cdf, 6) AS weibull_cdf,
+       round(f.lognorm_cdf, 6) AS lognorm_cdf,
+       round(f.zipf_pmf, 6) AS zipf_pmf,
+       round(f.tri_cdf, 6) AS tri_cdf
+FROM d JOIN read_parquet('{_DISTRIB_FIXTURE}') f ON f.x = d.x
+ORDER BY d.x""",
+)
+def fn_eval_distrib2(spark, sf_dir):
+    """Distribution evaluator family, part 2 — weibullDistribution /
+    logNormalDistribution / zipFDistribution / triangularDistribution
+    (reference solr/solrj/.../io/eval/{Weibull,LogNormal,ZipF,
+    Triangular}DistributionEvaluator.java): LIVE closed-form Column
+    exprs (Φ via the Arrow erf UDF for lognormal) vs values frozen from
+    commons-math3 in Spark's own JVM, at 6dp."""
+    from .functions.evaluators import (
+        lognormal_cdf, triangular_cdf, weibull_cdf, zipf_pmf,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") >= 1)
+                   & (F.col("l_quantity") <= 50))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    x = F.col("x").cast("double")
+    return d.select(
+        "x",
+        F.round(weibull_cdf(1.5, 20.0, x), 6).alias("weibull_cdf"),
+        F.round(lognormal_cdf(3.0, 0.5, x), 6).alias("lognorm_cdf"),
+        F.round(zipf_pmf(50, 1.2, F.col("x")), 6).alias("zipf_pmf"),
+        F.round(triangular_cdf(0.0, 20.0, 55.0, x), 6).alias("tri_cdf"),
+    ).orderBy("x")

@@ -591,6 +591,8 @@ _suite("fn_evaluators", [
      ("o_orderkey", "n"), ("conv3", "conv_sum", "delay", "mode_first")),
     ("distrib", "fn_eval_distrib",
      ("x",), ("norm_cdf", "binom_pmf", "poisson_pmf", "geom_cdf")),
+    ("distrib2", "fn_eval_distrib2",
+     ("x",), ("weibull_cdf", "lognorm_cdf", "zipf_pmf", "tri_cdf")),
     ("sliding", "fn_eval_sliding",
      ("o_orderkey", "n"), ("ema_last", "ema_first", "movmed_last",
                            "movmad_last")),

@@ -37,6 +37,10 @@ def main():
     binom = jvm.BinomialDistribution(50, 0.3)
     pois = jvm.PoissonDistribution(4.0)
     geom = jvm.GeometricDistribution(0.25)
+    weib = jvm.WeibullDistribution(1.5, 20.0)
+    logn = jvm.LogNormalDistribution(3.0, 0.5)
+    zipf = jvm.ZipfDistribution(50, 1.2)
+    tri = jvm.TriangularDistribution(0.0, 20.0, 55.0)
     rows = []
     for x in range(1, 51):
         rows.append((
@@ -45,10 +49,15 @@ def main():
             binom.probability(x),
             pois.probability(x % 15),
             geom.cumulativeProbability(x % 12),
+            weib.cumulativeProbability(float(x)),
+            logn.cumulativeProbability(float(x)),
+            zipf.probability(x),
+            tri.cumulativeProbability(float(x)),
         ))
     spark.stop()
     pd.DataFrame(rows, columns=[
         "x", "norm_cdf", "binom_pmf", "poisson_pmf", "geom_cdf",
+        "weibull_cdf", "lognorm_cdf", "zipf_pmf", "tri_cdf",
     ]).to_parquet(OUT, index=False)
     print(f"froze {len(rows)} commons-math3 rows -> {OUT}")
 

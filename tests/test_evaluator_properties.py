@@ -326,3 +326,29 @@ def test_sliding_evaluators_match_numpy(spark):
         rtol=1e-12)
     # window == length: just the seed mean
     np.testing.assert_allclose(row.ema_eq, [np.mean(xs)], rtol=1e-12)
+
+
+def test_distribution2_matches_commons_math_fixture(spark):
+    import os
+
+    from lucene_solr_spark.functions.evaluators import (
+        lognormal_cdf, triangular_cdf, weibull_cdf, zipf_pmf,
+    )
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "distrib_probs.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame([(int(x),) for x in ref["x"]], "x int")
+    x = F.col("x").cast("double")
+    got = df.select(
+        "x",
+        weibull_cdf(1.5, 20.0, x).alias("weibull_cdf"),
+        lognormal_cdf(3.0, 0.5, x).alias("lognorm_cdf"),
+        zipf_pmf(50, 1.2, F.col("x")).alias("zipf_pmf"),
+        triangular_cdf(0.0, 20.0, 55.0, x).alias("tri_cdf"),
+    ).orderBy("x").toPandas()
+    m = got.merge(ref, on="x", suffixes=("_got", "_ref"))
+    for c in ["weibull_cdf", "lognorm_cdf", "zipf_pmf", "tri_cdf"]:
+        np.testing.assert_allclose(
+            m[c + "_got"], m[c + "_ref"], rtol=1e-9, atol=1e-12)

@@ -4403,3 +4403,43 @@ def fn_eval_distrib2(spark, sf_dir):
         F.round(zipf_pmf(50, 1.2, F.col("x")), 6).alias("zipf_pmf"),
         F.round(triangular_cdf(0.0, 20.0, 55.0, x), 6).alias("tri_cdf"),
     ).orderBy("x")
+
+
+_MORE_FILTERS_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "more_filters.parquet",
+)
+
+_MORE_FILTERS_SQL = f"""
+SELECT filter || ':' || input_s AS filt_input, output_s
+FROM read_parquet('{_MORE_FILTERS_FIXTURE}')
+ORDER BY filt_input"""
+
+
+@gate("fts_more_filters", _MORE_FILTERS_SQL)
+def fts_more_filters(spark, sf_dir):
+    """TokenFilter family completion — Elision / Apostrophe /
+    TurkishLowerCase / ScandinavianNormalization / ScandinavianFolding
+    / CJKWidth / DecimalDigit / Capitalization / Fingerprint /
+    HyphenatedWords / Truncate / ReverseString / UpperCase applied LIVE
+    by the Arrow dispatcher over the golden vocabulary; the oracle
+    reads the frozen outputs (scripts/make_morefilters_fixture.py).
+    Semantics pinned by the reference JUnit vectors
+    (tests/test_morefilters.py). Reference lucene/analysis/common/.../
+    {{util/ElisionFilter, tr/{{Apostrophe,TurkishLowerCase}}Filter,
+    miscellaneous/{{ScandinavianNormalization,ScandinavianFolding,
+    Capitalization,Fingerprint,HyphenatedWords,TruncateToken}}Filter,
+    cjk/CJKWidthFilter, core/{{DecimalDigit,UpperCase}}Filter,
+    reverse/ReverseStringFilter}}.java (analysis/morefilters.py)."""
+    from .analysis.morefilters import more_filter_udf
+
+    fix = spark.read.parquet(_MORE_FILTERS_FIXTURE).select(
+        "filter", "input_s")
+    toks = F.split(F.col("input_s"), "\x1f")
+    return fix.select(
+        F.concat_ws(":", "filter", "input_s").alias("filt_input"),
+        F.concat_ws(
+            "\x1f", more_filter_udf(F.col("filter"), toks)
+        ).alias("output_s"),
+    ).orderBy("filt_input")

@@ -473,3 +473,72 @@ def _more_filter_pd(names: pd.Series, tokens: pd.Series) -> pd.Series:
 def more_filter_udf(name_col, tokens_col) -> Column:
     """Arrow-batched dispatcher: apply MORE_FILTERS[name] per row."""
     return _more_filter_pd(name_col, tokens_col)
+
+
+# ------------------------------------------------------------ cjk bigram
+
+def _cjk_class(tok: str) -> Optional[str]:
+    # kana/hangul checked before han: the broad ideographic span the
+    # tokenizer uses overlaps the kana blocks
+    if not tok:
+        return None
+    if all("぀" <= c <= "ゟ" for c in tok):
+        return "hiragana"
+    if all("゠" <= c <= "ヿ" for c in tok):
+        return "katakana"
+    if all("가" <= c <= "힯" for c in tok):
+        return "hangul"
+    if all(("一" <= c <= "鿿") or ("㐀" <= c <= "䶿") for c in tok):
+        return "han"
+    return None
+
+
+def cjk_bigram(tokens: Sequence[str], han: bool = True,
+               hiragana: bool = True, katakana: bool = True,
+               hangul: bool = True, output_unigrams: bool = False
+               ) -> List[str]:
+    """CJKBigramFilter (cjk/CJKBigramFilter.java): characters of
+    consecutive CJK-typed tokens accumulate in one buffer and emit as
+    overlapping character bigrams (cross-script when both scripts are
+    enabled, exactly like the reference's shared buffer); a lone
+    eligible character flushes as a <SINGLE> unigram. With
+    ``output_unigrams`` each character also emits before its bigram
+    (uni, bi, uni, bi... ordering as in the reference unigram tests).
+    Token types derive from character classes — identical to
+    StandardTokenizer's per-script type rules."""
+    enabled = {"han": han, "hiragana": hiragana, "katakana": katakana,
+               "hangul": hangul}
+    out: List[str] = []
+    buf: List[str] = []
+
+    def flush():
+        if not buf:
+            return
+        if len(buf) == 1:
+            out.append(buf[0])
+        elif output_unigrams:
+            for i in range(len(buf)):
+                out.append(buf[i])
+                if i < len(buf) - 1:
+                    out.append(buf[i] + buf[i + 1])
+        else:
+            for i in range(len(buf) - 1):
+                out.append(buf[i] + buf[i + 1])
+        buf.clear()
+
+    for t in tokens:
+        cls = _cjk_class(t)
+        if cls is not None and enabled[cls]:
+            buf.extend(t)
+        else:
+            flush()
+            out.append(t)
+    flush()
+    return out
+
+
+MORE_FILTERS["cjk_bigram"] = cjk_bigram
+MORE_FILTERS["cjk_bigram_han"] = lambda ts: cjk_bigram(
+    ts, hiragana=False, katakana=False, hangul=False)
+MORE_FILTERS["cjk_bigram_uni"] = lambda ts: cjk_bigram(
+    ts, output_unigrams=True)

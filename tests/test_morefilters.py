@@ -179,3 +179,27 @@ def test_udf_dispatch(spark):
     assert out["scandinavian_folding"] == ["raksmorgas"]
     assert out["turkish_lowercase"] == ["istanbul"]
     assert out["fingerprint"] == ["A B E"]
+
+
+# TestCJKBigramFilter (tokens produced by the StandardTokenizer rules:
+# han/hiragana per char)
+def test_cjk_bigram_junit():
+    from lucene_solr_spark.analysis.morefilters import cjk_bigram
+
+    toks = list("多くの学生が試験に落ちた")  # per-char han/hiragana tokens
+    assert cjk_bigram(toks) == [
+        "多く", "くの", "の学", "学生", "生が", "が試", "試験", "験に",
+        "に落", "落ち", "ちた"]
+    # HAN only: hiragana passes through, han pairs/singles
+    assert cjk_bigram(toks, hiragana=False, katakana=False,
+                      hangul=False) == [
+        "多", "く", "の", "学生", "が", "試験", "に", "落", "ち", "た"]
+    # unigrams + bigrams, HAN only
+    assert cjk_bigram(toks, hiragana=False, katakana=False, hangul=False,
+                      output_unigrams=True) == [
+        "多", "く", "の", "学", "学生", "生", "が", "試", "試験", "験",
+        "に", "落", "ち", "た"]
+    # katakana runs bigram across the run's characters
+    assert cjk_bigram(["カタカナ"]) == ["カタ", "タカ", "カナ"]
+    # non-CJK tokens flush the buffer and pass through
+    assert cjk_bigram(["学", "abc", "生"]) == ["学", "abc", "生"]

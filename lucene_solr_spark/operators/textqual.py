@@ -220,6 +220,7 @@ def ngram_lm_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Bigram language-model perplexity — the classic training-data
     quality filter (KenLM-style LM scoring, as used by CCNet/Gopher
@@ -262,13 +263,18 @@ def ngram_lm_perplexity(
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     big_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if min_count > 1:
+        # 100 TB knob: drop rare bigrams before the broadcast so the
+        # count table stays vocabulary-bounded (misses smooth to add_k)
+        big_counts = big_counts.filter(F.col("c12") >= min_count)
     uni_counts = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = pairs.select(F.col("w2").alias("w")).union(
         pairs.select("w1")).distinct().count()
 
     k = float(add_k)
     scored = (
-        pairs.join(F.broadcast(big_counts), ["w1", "w2"])
+        pairs.join(F.broadcast(big_counts), ["w1", "w2"],
+                   "left").fillna({"c12": 0})
         .join(F.broadcast(uni_counts), ["w1"])
         .withColumn(
             "logp",

@@ -671,3 +671,18 @@ def test_ngram_lm_perplexity(spark):
     assert out[0].ppl == ppl([("the", "cat"), ("cat", "sat")])
     assert out[1].ppl == ppl([("the", "cat"), ("cat", "ran")])
     assert out[2].n_bigrams == 0 and out[2].ppl == 0.0
+
+
+def test_ngram_lm_perplexity_min_count(spark):
+    from lucene_solr_spark.operators.textqual import ngram_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b x y")], "doc_id long, text string")
+    full = {r.doc_id: r.ppl
+            for r in ngram_lm_perplexity(docs).collect()}
+    pruned = {r.doc_id: r.ppl
+              for r in ngram_lm_perplexity(docs, min_count=2).collect()}
+    # pruning can only remove probability mass -> ppl never decreases,
+    # and doc 1 (two rare bigrams smoothed to add_k) strictly increases
+    assert pruned[0] >= full[0]
+    assert pruned[1] > full[1]

@@ -643,3 +643,93 @@ def triangular_cdf(lo, mode, hi, x) -> Column:
               - (hi - x) * (hi - x) / ((hi - lo) * (hi - mode)))
         .otherwise(F.lit(1.0))
     )
+
+
+# ------------------------------------------------- two-sample inference
+
+def mann_whitney_u(a, b) -> Column:
+    """MannWhitneyUEvaluator (commons-math MannWhitneyUTest): the U
+    statistic max(U1, U2) from tie-averaged natural ranks of the
+    combined sample."""
+    a, b = _c(a), _c(b)
+    combined = F.concat(a, b)
+    ranks = rank_v(combined)
+    n1 = F.size(a).cast("double")
+    n2 = F.size(b).cast("double")
+    r1 = sum_v(F.slice(ranks, 1, F.size(a)))
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    u2 = n1 * n2 - u1
+    return F.greatest(u1, u2)
+
+
+def mann_whitney_p(a, b) -> Column:
+    """MannWhitneyUTest.mannWhitneyUTest asymptotic p:
+    z = (min(U1,U2) − n1n2/2) / sqrt(n1n2(n1+n2+1)/12), p = 2·Φ(z)."""
+    a, b = _c(a), _c(b)
+    combined = F.concat(a, b)
+    ranks = rank_v(combined)
+    n1 = F.size(a).cast("double")
+    n2 = F.size(b).cast("double")
+    r1 = sum_v(F.slice(ranks, 1, F.size(a)))
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    u2 = n1 * n2 - u1
+    umin = F.least(u1, u2)
+    z = (umin - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+    return 2.0 * normal_cdf(z, 0.0, 1.0)
+
+
+def ks_statistic(a, b) -> Column:
+    """KolmogorovSmirnovEvaluator D statistic (commons-math
+    kolmogorovSmirnovStatistic): max |ECDF_a − ECDF_b| over the
+    combined sample points."""
+    a, b = _c(a), _c(b)
+    n1 = F.size(a).cast("double")
+    n2 = F.size(b).cast("double")
+
+    def diff_at(v):
+        ca = F.aggregate(a, F.lit(0.0),
+                         lambda acc, w: acc + F.when(w <= v, 1.0)
+                         .otherwise(0.0))
+        cb = F.aggregate(b, F.lit(0.0),
+                         lambda acc, w: acc + F.when(w <= v, 1.0)
+                         .otherwise(0.0))
+        return F.abs(ca / n1 - cb / n2)
+
+    return F.array_max(F.transform(F.concat(a, b), diff_at))
+
+
+_mwp_udf_cache = None
+
+
+def mann_whitney_p_udf():
+    """Arrow-batched mannWhitneyUTest asymptotic p over plain (xs, ys)
+    array columns — the same formula as mann_whitney_p, packaged as a
+    single UDF so suite plans never embed erf inside a nested
+    higher-order sort expression (Spark cannot extract a Python UDF
+    whose argument tree is a large HOF expression)."""
+    global _mwp_udf_cache
+    if _mwp_udf_cache is None:
+        @F.pandas_udf("double")
+        def _mwp(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            import math
+
+            def one(a, b):
+                comb = list(a) + list(b)
+                n1, n2 = float(len(a)), float(len(b))
+                ranks = []
+                for v in comb:
+                    lt = sum(1.0 for w in comb if w < v)
+                    eq = sum(1.0 for w in comb if w == v)
+                    ranks.append(lt + (eq + 1.0) / 2.0)
+                r1 = sum(ranks[: len(a)])
+                u1 = r1 - n1 * (n1 + 1.0) / 2.0
+                u2 = n1 * n2 - u1
+                umin = min(u1, u2)
+                z = (umin - n1 * n2 / 2.0) / math.sqrt(
+                    n1 * n2 * (n1 + n2 + 1.0) / 12.0)
+                return 2.0 * 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+            return pd.Series([one(a, b) for a, b in zip(xs, ys)])
+
+        _mwp_udf_cache = _mwp
+    return _mwp_udf_cache

@@ -4443,3 +4443,41 @@ def fts_more_filters(spark, sf_dir):
             "\x1f", more_filter_udf(F.col("filter"), toks)
         ).alias("output_s"),
     ).orderBy("filt_input")
+
+
+_HYP2_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "hyp_tests2.parquet",
+)
+
+
+@gate(
+    "fn_eval_tests2",
+    f"""
+SELECT pair_id, round(mw_u, 6) AS mw_u, round(mw_p, 6) AS mw_p,
+       round(ks_d, 6) AS ks_d
+FROM read_parquet('{_HYP2_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_tests2(spark, sf_dir):
+    """Two-sample inference evaluators — mannWhitney (U statistic +
+    asymptotic p via tie-averaged natural ranks and the normal
+    approximation) and kolmogorovSmirnov D (reference solr/solrj/.../
+    io/eval/{{MannWhitneyU,KolmogorovSmirnov}}Evaluator.java, thin
+    wrappers over commons-math3): computed LIVE as higher-order Column
+    exprs over the fixture's sample pairs; the oracle reads values
+    frozen from the REAL commons-math3 in Spark's JVM
+    (scripts/make_hyptests_fixture.py), at 6dp."""
+    from .functions.evaluators import (
+        ks_statistic, mann_whitney_p_udf, mann_whitney_u,
+    )
+
+    fix = spark.read.parquet(_HYP2_FIXTURE).select("pair_id", "xs", "ys")
+    a, b = F.col("xs"), F.col("ys")
+    return fix.select(
+        "pair_id",
+        F.round(mann_whitney_u(a, b), 6).alias("mw_u"),
+        F.round(mann_whitney_p_udf()(a, b), 6).alias("mw_p"),
+        F.round(ks_statistic(a, b), 6).alias("ks_d"),
+    ).orderBy("pair_id")

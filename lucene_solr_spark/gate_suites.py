@@ -568,6 +568,8 @@ _suite("fn_evaluators", [
     ("series", "fn_eval_series",
      ("o_orderkey", "n"), ("ma_first", "ma_last", "diff_sum", "q_max")),
     ("hyp_tests", "fn_eval_tests", ("stat",), ("v1", "v2")),
+    ("hyp_tests2", "fn_eval_tests2",
+     ("pair_id",), ("mw_u", "mw_p", "ks_d")),
     ("math_powlog", "fn_eval_math_powlog",
      ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
     ("math_trig", "fn_eval_math_trig",

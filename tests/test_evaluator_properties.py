@@ -352,3 +352,32 @@ def test_distribution2_matches_commons_math_fixture(spark):
     for c in ["weibull_cdf", "lognorm_cdf", "zipf_pmf", "tri_cdf"]:
         np.testing.assert_allclose(
             m[c + "_got"], m[c + "_ref"], rtol=1e-9, atol=1e-12)
+
+
+def test_two_sample_inference_matches_commons_math_fixture(spark):
+    import os
+
+    from lucene_solr_spark.functions.evaluators import (
+        ks_statistic, mann_whitney_p, mann_whitney_u,
+    )
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "hyp_tests2.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame(
+        [(int(r.pair_id), [float(v) for v in r.xs],
+          [float(v) for v in r.ys]) for r in ref.itertuples()],
+        "pair_id int, xs array<double>, ys array<double>")
+    got = df.select(
+        "pair_id",
+        mann_whitney_u(F.col("xs"), F.col("ys")).alias("mw_u"),
+        mann_whitney_p(F.col("xs"), F.col("ys")).alias("mw_p"),
+        ks_statistic(F.col("xs"), F.col("ys")).alias("ks_d"),
+    ).orderBy("pair_id").toPandas()
+    m = got.merge(ref, on="pair_id", suffixes=("_got", "_ref"))
+    np.testing.assert_allclose(m["mw_u_got"], m["mw_u_ref"], rtol=0)
+    np.testing.assert_allclose(m["mw_p_got"], m["mw_p_ref"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(m["ks_d_got"], m["ks_d_ref"],
+                               rtol=1e-9, atol=1e-12)

@@ -27,6 +27,7 @@ Semantics pinned to the reference implementations:
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import types as _T
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -733,3 +734,29 @@ def mann_whitney_p_udf():
 
         _mwp_udf_cache = _mwp
     return _mwp_udf_cache
+
+
+_polyfit_udf_cache = None
+
+
+def polyfit_udf(degree: int = 3):
+    """PolyFitEvaluator (commons-math PolynomialCurveFitter): fitted
+    predictions at x = 0..n−1 — Arrow-batched numpy least squares,
+    which solves the same normal equations as the reference's LM fit
+    on this linear-in-parameters model (agreement < 1e-13, asserted at
+    fixture build)."""
+    global _polyfit_udf_cache
+    if _polyfit_udf_cache is None:
+        import numpy as np
+
+        @F.pandas_udf(_T.ArrayType(_T.DoubleType()))
+        def _pf(ys: pd.Series) -> pd.Series:
+            def one(y):
+                y = np.asarray(y, dtype="float64")
+                x = np.arange(len(y), dtype="float64")
+                return list(np.polyval(np.polyfit(x, y, 3), x))
+
+            return ys.map(one)
+
+        _polyfit_udf_cache = _pf
+    return _polyfit_udf_cache

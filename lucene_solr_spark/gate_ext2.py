@@ -4481,3 +4481,46 @@ def fn_eval_tests2(spark, sf_dir):
         F.round(mann_whitney_p_udf()(a, b), 6).alias("mw_p"),
         F.round(ks_statistic(a, b), 6).alias("ks_d"),
     ).orderBy("pair_id")
+
+
+_POLYFIT_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "polyfit.parquet",
+)
+
+
+@gate(
+    "fn_eval_polyfit",
+    f"""
+SELECT pair_id,
+  round(preds[1], 6) AS p_first,
+  round(preds[len(preds)], 6) AS p_last,
+  round(list_aggregate(list_transform(preds, v -> round(v, 9)),
+                       'sum'), 6) AS p_sum,
+  CAST(len(preds) AS DOUBLE) AS n
+FROM read_parquet('{_POLYFIT_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_polyfit(spark, sf_dir):
+    """Curve-fitting evaluator — polyfit (reference solr/solrj/.../io/
+    eval/PolyFitEvaluator.java → commons-math PolynomialCurveFitter,
+    degree 3, x = 0..n−1, returns the fitted predictions): computed
+    LIVE by the Arrow numpy-lstsq UDF over the fixture's series; the
+    oracle reads predictions frozen from the REAL commons-math3 fitter
+    in Spark's JVM (scripts/make_polyfit_fixture.py; the two solvers
+    agree < 1e-13, asserted at fixture build). Sum compared over
+    9dp-rounded elements so the order of addition cannot bite."""
+    from .functions.evaluators import polyfit_udf
+
+    fix = spark.read.parquet(_POLYFIT_FIXTURE).select("pair_id", "ys")
+    preds = polyfit_udf()(F.col("ys"))
+    rounded = F.transform(preds, lambda v: F.round(v, 9))
+    return fix.select(
+        "pair_id",
+        F.round(F.element_at(preds, 1), 6).alias("p_first"),
+        F.round(F.element_at(preds, -1), 6).alias("p_last"),
+        F.round(F.aggregate(rounded, F.lit(0.0), lambda a, v: a + v), 6)
+         .alias("p_sum"),
+        F.size(preds).cast("double").alias("n"),
+    ).orderBy("pair_id")

@@ -570,6 +570,8 @@ _suite("fn_evaluators", [
     ("hyp_tests", "fn_eval_tests", ("stat",), ("v1", "v2")),
     ("hyp_tests2", "fn_eval_tests2",
      ("pair_id",), ("mw_u", "mw_p", "ks_d")),
+    ("polyfit", "fn_eval_polyfit",
+     ("pair_id",), ("p_first", "p_last", "p_sum", "n")),
     ("math_powlog", "fn_eval_math_powlog",
      ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
     ("math_trig", "fn_eval_math_trig",

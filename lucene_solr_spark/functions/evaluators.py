@@ -760,3 +760,71 @@ def polyfit_udf(degree: int = 3):
 
         _polyfit_udf_cache = _pf
     return _polyfit_udf_cache
+
+
+def _natural_cubic_spline(ys):
+    """commons-math SplineInterpolator (natural cubic) coefficients for
+    knots x = 0..n−1: per-interval (a, b, c, d) with
+    S_i(t) = a + b·t + c·t² + d·t³, t = x − i."""
+    import numpy as np
+
+    y = np.asarray(ys, dtype="float64")
+    n = len(y) - 1
+    # tridiagonal system for second-derivative terms (natural: c0=cn=0)
+    c = np.zeros(n + 1)
+    if n > 1:
+        al = np.zeros(n + 1)
+        l = np.ones(n + 1)
+        mu = np.zeros(n + 1)
+        z = np.zeros(n + 1)
+        for i in range(1, n):
+            al[i] = 3.0 * (y[i + 1] - y[i]) - 3.0 * (y[i] - y[i - 1])
+        for i in range(1, n):
+            l[i] = 4.0 - mu[i - 1]
+            mu[i] = 1.0 / l[i]
+            z[i] = (al[i] - z[i - 1]) / l[i]
+        for i in range(n - 1, 0, -1):
+            c[i] = z[i] - mu[i] * c[i + 1]
+    a = y[:-1]
+    b = np.array([(y[i + 1] - y[i]) - (2.0 * c[i] + c[i + 1]) / 3.0
+                  for i in range(n)])
+    d = np.array([(c[i + 1] - c[i]) / 3.0 for i in range(n)])
+    return a, b, c[:-1], d
+
+
+_spline_udf_cache = None
+
+
+def spline_chain_udf():
+    """spline/derivative/integrate evaluator chain (reference
+    solr/solrj/.../io/eval/{Spline,Derivative,Integrate}Evaluator.java
+    → commons-math SplineInterpolator natural cubic +
+    PolynomialSplineFunction derivative + RombergIntegrator): returns
+    struct(mid: spline values at knot midpoints, deriv: S'(x) at the
+    knots, integral over [0, n−1] — analytic per-piece, which Romberg
+    converges to; agreement asserted at fixture build)."""
+    global _spline_udf_cache
+    if _spline_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("mid", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("deriv", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("integral", _T.DoubleType()),
+        ]))
+        def _sp(ys: pd.Series) -> pd.DataFrame:
+            rows = []
+            for y in ys:
+                a, b, c, d = _natural_cubic_spline(list(y))
+                n = len(a)
+                mid = [float(a[i] + b[i] * 0.5 + c[i] * 0.25 + d[i] * 0.125)
+                       for i in range(n)]
+                deriv = [float(b[i]) for i in range(n)]
+                # right endpoint derivative from the last piece at t=1
+                deriv.append(float(b[-1] + 2.0 * c[-1] + 3.0 * d[-1]))
+                integral = float(sum(
+                    a[i] + b[i] / 2.0 + c[i] / 3.0 + d[i] / 4.0
+                    for i in range(n)))
+                rows.append((mid, deriv, integral))
+            return pd.DataFrame(rows, columns=["mid", "deriv", "integral"])
+
+        _spline_udf_cache = _sp
+    return _spline_udf_cache

@@ -4524,3 +4524,45 @@ def fn_eval_polyfit(spark, sf_dir):
          .alias("p_sum"),
         F.size(preds).cast("double").alias("n"),
     ).orderBy("pair_id")
+
+
+_SPLINE_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "spline_chain.parquet",
+)
+
+
+@gate(
+    "fn_eval_spline",
+    f"""
+SELECT pair_id,
+  round(mids[1], 6) AS mid_first,
+  round(derivs[1], 6) AS d_first,
+  round(derivs[len(derivs)], 6) AS d_last,
+  round(integral, 6) AS integral
+FROM read_parquet('{_SPLINE_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_spline(spark, sf_dir):
+    """Spline evaluator chain — spline / derivative / integrate
+    (reference solr/solrj/.../io/eval/{{Spline,Derivative,Integrate}}
+    Evaluator.java → commons-math SplineInterpolator natural cubic +
+    spline derivative + RombergIntegrator): the rebuild's numpy
+    natural-cubic solve runs LIVE in the Arrow UDF; the oracle reads
+    values frozen from the REAL commons-math3 (tight-tolerance Romberg
+    — the reference's default integrator only guarantees 1e-6 RELATIVE
+    accuracy around this converged value; spline+derivative agree to
+    1e-11, asserted by scripts/make_spline_fixture.py)."""
+    from .functions.evaluators import spline_chain_udf
+
+    fix = spark.read.parquet(_SPLINE_FIXTURE).select("pair_id", "ys")
+    out = spline_chain_udf()(F.col("ys")).alias("s")
+    base = fix.select("pair_id", out)
+    return base.select(
+        "pair_id",
+        F.round(F.element_at(F.col("s.mid"), 1), 6).alias("mid_first"),
+        F.round(F.element_at(F.col("s.deriv"), 1), 6).alias("d_first"),
+        F.round(F.element_at(F.col("s.deriv"), -1), 6).alias("d_last"),
+        F.round(F.col("s.integral"), 6).alias("integral"),
+    ).orderBy("pair_id")

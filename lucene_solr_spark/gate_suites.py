@@ -572,6 +572,8 @@ _suite("fn_evaluators", [
      ("pair_id",), ("mw_u", "mw_p", "ks_d")),
     ("polyfit", "fn_eval_polyfit",
      ("pair_id",), ("p_first", "p_last", "p_sum", "n")),
+    ("spline", "fn_eval_spline",
+     ("pair_id",), ("mid_first", "d_first", "d_last", "integral")),
     ("math_powlog", "fn_eval_math_powlog",
      ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
     ("math_trig", "fn_eval_math_trig",

@@ -381,3 +381,24 @@ def test_two_sample_inference_matches_commons_math_fixture(spark):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(m["ks_d_got"], m["ks_d_ref"],
                                rtol=1e-9, atol=1e-12)
+
+
+def test_spline_chain_matches_commons_math_fixture(spark):
+    import os
+
+    from lucene_solr_spark.functions.evaluators import spline_chain_udf
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "spline_chain.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame(
+        [(int(r.pair_id), [float(v) for v in r.ys])
+         for r in ref.itertuples()],
+        "pair_id int, ys array<double>")
+    got = df.select("pair_id", spline_chain_udf()(F.col("ys")).alias("s")) \
+        .orderBy("pair_id").collect()
+    for row, r in zip(got, ref.itertuples()):
+        np.testing.assert_allclose(row.s.mid, list(r.mids), atol=1e-9)
+        np.testing.assert_allclose(row.s.deriv, list(r.derivs), atol=1e-9)
+        assert abs(row.s.integral - r.integral) < 1e-7

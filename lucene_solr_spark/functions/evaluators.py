@@ -828,3 +828,91 @@ def spline_chain_udf():
 
         _spline_udf_cache = _sp
     return _spline_udf_cache
+
+
+def _tricube(t: float) -> float:
+    a = abs(t)
+    if a >= 1.0:
+        return 0.0
+    tmp = 1.0 - a * a * a
+    return tmp * tmp * tmp
+
+
+def loess_smooth(ys, bandwidth: float = 0.25, robustness_iters: int = 2,
+                 accuracy: float = 1e-12):
+    """LoessEvaluator (commons-math LoessInterpolator.smooth over
+    x = 0..n−1): tricube-weighted local linear regression over the
+    sliding bandwidth window, with biweight robustness reweighting —
+    verified to ~1e-13 against the real library at fixture build
+    (scripts/make_loess_fixture.py). Defaults match the evaluator
+    (bandwidth 0.25, robustIterations 2)."""
+    import numpy as np
+
+    y = np.asarray(ys, dtype="float64")
+    n = len(y)
+    x = np.arange(n, dtype="float64")
+    if n <= 2:
+        return [float(v) for v in y]
+    bw = int(bandwidth * n)
+    if bw < 2:
+        bw = 2
+    res = np.zeros(n)
+    robustness = np.ones(n)
+    for it in range(robustness_iters + 1):
+        interval = [0, bw - 1]
+        for i in range(n):
+            xi = x[i]
+            if i > 0:
+                left, right = interval
+                if right < n - 1 and (x[right + 1] - xi) < (xi - x[left]):
+                    interval[0] = left + 1
+                    interval[1] = right + 1
+            ileft, iright = interval
+            edge = ileft if (xi - x[ileft]) > (x[iright] - xi) else iright
+            sumw = sumx = sumxs = sumy = sumxy = 0.0
+            denom = abs(1.0 / (x[edge] - xi))
+            for k in range(ileft, iright + 1):
+                xk = x[k]
+                yk = y[k]
+                dist = (xk - xi) if k >= i else (xi - xk)
+                w = _tricube(dist * denom) * robustness[k]
+                xkw = xk * w
+                sumw += w
+                sumx += xkw
+                sumxs += xk * xkw
+                sumy += yk * w
+                sumxy += yk * xkw
+            mx = sumx / sumw
+            my = sumy / sumw
+            mxy = sumxy / sumw
+            mxs = sumxs / sumw
+            if (abs(mxs - mx * mx)) ** 0.5 < accuracy:
+                beta = 0.0
+            else:
+                beta = (mxy - mx * my) / (mxs - mx * mx)
+            res[i] = beta * xi + (my - beta * mx)
+        if it == robustness_iters:
+            break
+        residuals = np.abs(y - res)
+        median = np.sort(residuals)[n // 2]
+        if abs(median) < accuracy:
+            break
+        for i in range(n):
+            arg = residuals[i] / (6.0 * median)
+            robustness[i] = 0.0 if arg >= 1.0 else (1.0 - arg * arg) ** 2
+    return [float(v) for v in res]
+
+
+_loess_udf_cache = None
+
+
+def loess_udf():
+    """Arrow-batched loess over an array<double> column."""
+    global _loess_udf_cache
+    if _loess_udf_cache is None:
+        @F.pandas_udf(_T.ArrayType(_T.DoubleType()))
+        def _lo(ys: pd.Series) -> pd.Series:
+            return ys.map(lambda y: loess_smooth(list(y)))
+
+        _loess_udf_cache = _lo
+    return _loess_udf_cache

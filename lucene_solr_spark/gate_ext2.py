@@ -4566,3 +4566,44 @@ def fn_eval_spline(spark, sf_dir):
         F.round(F.element_at(F.col("s.deriv"), -1), 6).alias("d_last"),
         F.round(F.col("s.integral"), 6).alias("integral"),
     ).orderBy("pair_id")
+
+
+_LOESS_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "loess.parquet",
+)
+
+
+@gate(
+    "fn_eval_loess",
+    f"""
+SELECT pair_id,
+  round(smoothed[1], 6) AS s_first,
+  round(smoothed[len(smoothed)], 6) AS s_last,
+  round(list_aggregate(list_transform(smoothed, v -> round(v, 9)),
+                       'sum'), 6) AS s_sum,
+  CAST(len(smoothed) AS DOUBLE) AS n
+FROM read_parquet('{_LOESS_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_loess(spark, sf_dir):
+    """LOESS smoother evaluator (reference solr/solrj/.../io/eval/
+    LoessEvaluator.java → commons-math LoessInterpolator, bandwidth
+    0.25, robustIterations 2): the rebuild's tricube local-linear +
+    biweight-robustness loop runs LIVE in the Arrow UDF; the oracle
+    reads the REAL library's output frozen from Spark's JVM
+    (scripts/make_loess_fixture.py, agreement ~1e-13)."""
+    from .functions.evaluators import loess_udf
+
+    fix = spark.read.parquet(_LOESS_FIXTURE).select("pair_id", "ys")
+    sm = loess_udf()(F.col("ys"))
+    rounded = F.transform(sm, lambda v: F.round(v, 9))
+    return fix.select(
+        "pair_id",
+        F.round(F.element_at(sm, 1), 6).alias("s_first"),
+        F.round(F.element_at(sm, -1), 6).alias("s_last"),
+        F.round(F.aggregate(rounded, F.lit(0.0), lambda a, v: a + v), 6)
+         .alias("s_sum"),
+        F.size(sm).cast("double").alias("n"),
+    ).orderBy("pair_id")

@@ -574,6 +574,8 @@ _suite("fn_evaluators", [
      ("pair_id",), ("p_first", "p_last", "p_sum", "n")),
     ("spline", "fn_eval_spline",
      ("pair_id",), ("mid_first", "d_first", "d_last", "integral")),
+    ("loess", "fn_eval_loess",
+     ("pair_id",), ("s_first", "s_last", "s_sum", "n")),
     ("math_powlog", "fn_eval_math_powlog",
      ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
     ("math_trig", "fn_eval_math_trig",

@@ -916,3 +916,100 @@ def loess_udf():
 
         _loess_udf_cache = _lo
     return _loess_udf_cache
+
+
+_fft_udf_cache = None
+
+
+def fft_udf():
+    """FFTEvaluator / IFFTEvaluator (commons-math
+    FastFourierTransformer, STANDARD normalization): forward FFT of a
+    real series as struct(re, im) — Arrow-batched numpy.fft, which
+    matches the reference transform to machine epsilon (asserted at
+    fixture build). Series must be radix-2 length, as in the
+    reference."""
+    global _fft_udf_cache
+    if _fft_udf_cache is None:
+        import numpy as np
+
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("re", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("im", _T.ArrayType(_T.DoubleType())),
+        ]))
+        def _fft(ys: pd.Series) -> pd.DataFrame:
+            rows = []
+            for y in ys:
+                z = np.fft.fft(np.asarray(y, dtype="float64"))
+                rows.append((list(z.real), list(z.imag)))
+            return pd.DataFrame(rows, columns=["re", "im"])
+
+        _fft_udf_cache = _fft
+    return _fft_udf_cache
+
+
+def akima_smooth(ys, probes):
+    """AkimaEvaluator (commons-math AkimaSplineInterpolator over
+    x = 0..n−1, n ≥ 5): spline values at the probe points — Akima
+    weighted-slope derivatives with three-point parabolic end
+    derivatives, evaluated as a cubic Hermite (the exact commons-math
+    construction, verified against the real library at fixture build).
+    """
+    import numpy as np
+
+    y = np.asarray(ys, dtype="float64")
+    n = len(y)
+    if n < 5:
+        raise ValueError("Akima needs at least 5 points")
+    d = np.diff(y)  # slopes (h = 1)
+    w = np.empty(n - 1)
+    w[0] = 0.0
+    for i in range(1, n - 1):
+        w[i] = abs(d[i] - d[i - 1])
+    fd = np.empty(n)
+
+    def three_point(i, s0):
+        # parabola through (s0, s0+1, s0+2), derivative at x=i
+        t = float(i - s0)
+        a = (y[s0 + 2] - y[s0] - 2.0 * (y[s0 + 1] - y[s0])) / 2.0
+        b = (y[s0 + 1] - y[s0] - a)
+        return 2.0 * a * t + b
+
+    fd[0] = three_point(0, 0)
+    fd[1] = three_point(1, 0)
+    for i in range(2, n - 2):
+        wp = w[i + 1]
+        wm = w[i - 1]
+        if wp + wm == 0.0:
+            fd[i] = 0.5 * (d[i - 1] + d[i])
+        else:
+            fd[i] = (wp * d[i - 1] + wm * d[i]) / (wp + wm)
+    fd[n - 2] = three_point(n - 2, n - 3)
+    fd[n - 1] = three_point(n - 1, n - 3)
+
+    out = []
+    for p in probes:
+        i = min(int(p), n - 2)
+        t = p - i
+        h00 = (1.0 + 2.0 * t) * (1.0 - t) * (1.0 - t)
+        h10 = t * (1.0 - t) * (1.0 - t)
+        h01 = t * t * (3.0 - 2.0 * t)
+        h11 = t * t * (t - 1.0)
+        out.append(float(h00 * y[i] + h10 * fd[i]
+                         + h01 * y[i + 1] + h11 * fd[i + 1]))
+    return out
+
+
+_akima_udf_cache = None
+
+
+def akima_udf():
+    """Arrow-batched Akima spline values at knot midpoints."""
+    global _akima_udf_cache
+    if _akima_udf_cache is None:
+        @F.pandas_udf(_T.ArrayType(_T.DoubleType()))
+        def _ak(ys: pd.Series) -> pd.Series:
+            return ys.map(lambda y: akima_smooth(
+                list(y), [i + 0.5 for i in range(len(y) - 1)]))
+
+        _akima_udf_cache = _ak
+    return _akima_udf_cache

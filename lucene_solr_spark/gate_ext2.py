@@ -4607,3 +4607,46 @@ def fn_eval_loess(spark, sf_dir):
          .alias("s_sum"),
         F.size(sm).cast("double").alias("n"),
     ).orderBy("pair_id")
+
+
+_TRANSFORM_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "transform_chain.parquet",
+)
+
+
+@gate(
+    "fn_eval_transform",
+    f"""
+SELECT pair_id,
+  round(fft_re[2], 6) AS re2,
+  round(fft_im[2], 6) AS im2,
+  round(list_aggregate(list_transform(fft_re, v -> round(abs(v), 9)),
+                       'sum'), 6) AS re_mass,
+  round(akima_mid[1], 6) AS ak_first
+FROM read_parquet('{_TRANSFORM_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_transform(spark, sf_dir):
+    """Transform evaluators — fft and akima (reference solr/solrj/.../
+    io/eval/{{FFT,Akima}}Evaluator.java → commons-math
+    FastFourierTransformer STANDARD + AkimaSplineInterpolator):
+    computed LIVE by the Arrow numpy-fft / Akima-Hermite UDFs; the
+    oracle reads the REAL library's outputs frozen from Spark's JVM
+    (scripts/make_transform_fixture.py, agreement < 1e-13)."""
+    from .functions.evaluators import akima_udf, fft_udf
+
+    fix = spark.read.parquet(_TRANSFORM_FIXTURE).select("pair_id", "ys")
+    z = fft_udf()(F.col("ys")).alias("z")
+    base = fix.select("pair_id", z, akima_udf()(F.col("ys")).alias("ak"))
+    re = F.col("z.re")
+    return base.select(
+        "pair_id",
+        F.round(F.element_at(re, 2), 6).alias("re2"),
+        F.round(F.element_at(F.col("z.im"), 2), 6).alias("im2"),
+        F.round(F.aggregate(
+            F.transform(re, lambda v: F.round(F.abs(v), 9)),
+            F.lit(0.0), lambda a, v: a + v), 6).alias("re_mass"),
+        F.round(F.element_at(F.col("ak"), 1), 6).alias("ak_first"),
+    ).orderBy("pair_id")

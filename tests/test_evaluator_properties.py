@@ -402,3 +402,26 @@ def test_spline_chain_matches_commons_math_fixture(spark):
         np.testing.assert_allclose(row.s.mid, list(r.mids), atol=1e-9)
         np.testing.assert_allclose(row.s.deriv, list(r.derivs), atol=1e-9)
         assert abs(row.s.integral - r.integral) < 1e-7
+
+
+def test_fft_akima_match_commons_math_fixture(spark):
+    import os
+
+    from lucene_solr_spark.functions.evaluators import akima_udf, fft_udf
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "transform_chain.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame(
+        [(int(r.pair_id), [float(v) for v in r.ys])
+         for r in ref.itertuples()],
+        "pair_id int, ys array<double>")
+    got = df.select(
+        "pair_id", fft_udf()(F.col("ys")).alias("z"),
+        akima_udf()(F.col("ys")).alias("ak"),
+    ).orderBy("pair_id").collect()
+    for row, r in zip(got, ref.itertuples()):
+        np.testing.assert_allclose(row.z.re, list(r.fft_re), atol=1e-9)
+        np.testing.assert_allclose(row.z.im, list(r.fft_im), atol=1e-9)
+        np.testing.assert_allclose(row.ak, list(r.akima_mid), atol=1e-9)

@@ -665,18 +665,11 @@ def mann_whitney_u(a, b) -> Column:
 
 def mann_whitney_p(a, b) -> Column:
     """MannWhitneyUTest.mannWhitneyUTest asymptotic p:
-    z = (min(U1,U2) − n1n2/2) / sqrt(n1n2(n1+n2+1)/12), p = 2·Φ(z)."""
-    a, b = _c(a), _c(b)
-    combined = F.concat(a, b)
-    ranks = rank_v(combined)
-    n1 = F.size(a).cast("double")
-    n2 = F.size(b).cast("double")
-    r1 = sum_v(F.slice(ranks, 1, F.size(a)))
-    u1 = r1 - n1 * (n1 + 1.0) / 2.0
-    u2 = n1 * n2 - u1
-    umin = F.least(u1, u2)
-    z = (umin - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0)
-    return 2.0 * normal_cdf(z, 0.0, 1.0)
+    z = (min(U1,U2) − n1n2/2) / sqrt(n1n2(n1+n2+1)/12), p = 2·Φ(z).
+    Delegates to the self-contained Arrow UDF: composing the erf UDF
+    into the rank HOF expression trips Spark's common-subexpression
+    proxies (a Python UDF inside an ExpressionProxy cannot evaluate)."""
+    return mann_whitney_p_udf()(_c(a), _c(b))
 
 
 def ks_statistic(a, b) -> Column:
@@ -1013,3 +1006,148 @@ def akima_udf():
 
         _akima_udf_cache = _ak
     return _akima_udf_cache
+
+
+def convex_hull(points):
+    """ConvexHullEvaluator (commons-math MonotoneChain → ConvexHull2D):
+    hull vertices (CCW), region area, and area centroid — all unique
+    properties of the point set, verified against the real library at
+    fixture build. ``points`` = list of (x, y)."""
+    pts = sorted(set((float(x), float(y)) for x, y in points))
+    if len(pts) <= 2:
+        return pts, 0.0, None
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    # shoelace area + area centroid
+    a2 = 0.0
+    cx = cy = 0.0
+    for i in range(len(hull)):
+        x0, y0 = hull[i]
+        x1, y1 = hull[(i + 1) % len(hull)]
+        w = x0 * y1 - x1 * y0
+        a2 += w
+        cx += (x0 + x1) * w
+        cy += (y0 + y1) * w
+    area = a2 / 2.0
+    centroid = (cx / (3.0 * a2), cy / (3.0 * a2))
+    return hull, abs(area), centroid
+
+
+def enclosing_disk(points):
+    """EnclosingDiskEvaluator (commons-math WelzlEncloser +
+    DiskGenerator): the minimum enclosing disk — unique for any point
+    set, so any correct algorithm matches the reference. Returns
+    (center, radius)."""
+    import random as _random
+
+    pts = [(float(x), float(y)) for x, y in points]
+
+    def circle_two(a, b):
+        cx, cy = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        r = ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2) ** 0.5 / 2.0
+        return (cx, cy), r
+
+    def circle_three(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx_, cy_ = c
+        d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        if d == 0.0:
+            return None
+        ux = ((ax * ax + ay * ay) * (by - cy_)
+              + (bx * bx + by * by) * (cy_ - ay)
+              + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx_ - bx)
+              + (bx * bx + by * by) * (ax - cx_)
+              + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+        r = ((ax - ux) ** 2 + (ay - uy) ** 2) ** 0.5
+        return (ux, uy), r
+
+    def inside(c, r, p, eps=1e-10):
+        return ((p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2) ** 0.5 <= r + eps
+
+    def trivial(boundary):
+        if not boundary:
+            return (0.0, 0.0), -1.0
+        if len(boundary) == 1:
+            return boundary[0], 0.0
+        if len(boundary) == 2:
+            return circle_two(*boundary)
+        c = circle_three(*boundary)
+        if c is None:
+            # collinear: widest pair
+            best = None
+            for i in range(3):
+                for j in range(i + 1, 3):
+                    cc, rr = circle_two(boundary[i], boundary[j])
+                    if best is None or rr > best[1]:
+                        best = (cc, rr)
+            return best
+        return c
+
+    def welzl(p, boundary):
+        if not p or len(boundary) == 3:
+            return trivial(boundary)
+        q = p[0]
+        c, r = welzl(p[1:], boundary)
+        if r >= 0 and inside(c, r, q):
+            return c, r
+        return welzl(p[1:], boundary + [q])
+
+    rng = _random.Random(12345)
+    shuffled = list(pts)
+    rng.shuffle(shuffled)
+    import sys as _sys
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(10000)
+    try:
+        c, r = welzl(shuffled, [])
+    finally:
+        _sys.setrecursionlimit(old)
+    return c, r
+
+
+_geometry_udf_cache = None
+
+
+def geometry_udf():
+    """Arrow-batched convexHull + enclosingDisk over (xs, ys) columns:
+    struct(hull_n, hull_area, bary_x, disk_r, disk_cx, disk_cy)."""
+    global _geometry_udf_cache
+    if _geometry_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("hull_n", _T.DoubleType()),
+            _T.StructField("hull_area", _T.DoubleType()),
+            _T.StructField("bary_x", _T.DoubleType()),
+            _T.StructField("disk_r", _T.DoubleType()),
+            _T.StructField("disk_cx", _T.DoubleType()),
+            _T.StructField("disk_cy", _T.DoubleType()),
+        ]))
+        def _geo(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+            rows = []
+            for x, y in zip(xs, ys):
+                pts = list(zip(x, y))
+                hull, area, cen = convex_hull(pts)
+                c, r = enclosing_disk(pts)
+                rows.append((float(len(hull)), area, cen[0], r,
+                             c[0], c[1]))
+            return pd.DataFrame(rows, columns=[
+                "hull_n", "hull_area", "bary_x", "disk_r", "disk_cx",
+                "disk_cy"])
+
+        _geometry_udf_cache = _geo
+    return _geometry_udf_cache

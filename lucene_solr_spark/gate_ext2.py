@@ -4650,3 +4650,48 @@ def fn_eval_transform(spark, sf_dir):
             F.lit(0.0), lambda a, v: a + v), 6).alias("re_mass"),
         F.round(F.element_at(F.col("ak"), 1), 6).alias("ak_first"),
     ).orderBy("pair_id")
+
+
+_GEOMETRY_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "geometry.parquet",
+)
+
+
+@gate(
+    "fn_eval_geometry",
+    f"""
+SELECT pair_id,
+  round(CAST(hull_n AS DOUBLE) + hull_area, 6) AS hull_sig,
+  round(bary_x, 6) AS bary_x,
+  round(disk_r, 6) AS disk_r,
+  round(disk_cx + disk_cy, 6) AS disk_c
+FROM read_parquet('{_GEOMETRY_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_geometry(spark, sf_dir):
+    """Computational-geometry evaluators — convexHull (+ getVertices /
+    getArea / getBaryCenter) and enclosingDisk (+ getCenter /
+    getRadius) (reference solr/solrj/.../io/eval/{{ConvexHull,
+    EnclosingDisk,GetVertices,GetArea,GetBaryCenter,GetCenter,
+    GetRadius}}Evaluator.java → commons-math MonotoneChain /
+    WelzlEncloser): the rebuild's monotone-chain hull + Welzl disk run
+    LIVE in the Arrow UDF; the oracle reads the REAL library's values
+    (unique properties of each point set) frozen from Spark's JVM
+    (scripts/make_geometry_fixture.py, agreement 1e-13)."""
+    from .functions.evaluators import geometry_udf
+
+    fix = spark.read.parquet(_GEOMETRY_FIXTURE).select(
+        "pair_id", "xs", "ys")
+    g = geometry_udf()(F.col("xs"), F.col("ys")).alias("g")
+    base = fix.select("pair_id", g)
+    return base.select(
+        "pair_id",
+        F.round(F.col("g.hull_n") + F.col("g.hull_area"), 6)
+         .alias("hull_sig"),
+        F.round(F.col("g.bary_x"), 6).alias("bary_x"),
+        F.round(F.col("g.disk_r"), 6).alias("disk_r"),
+        F.round(F.col("g.disk_cx") + F.col("g.disk_cy"), 6)
+         .alias("disk_c"),
+    ).orderBy("pair_id")

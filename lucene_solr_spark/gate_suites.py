@@ -578,6 +578,8 @@ _suite("fn_evaluators", [
      ("pair_id",), ("s_first", "s_last", "s_sum", "n")),
     ("transform", "fn_eval_transform",
      ("pair_id",), ("re2", "im2", "re_mass", "ak_first")),
+    ("geometry", "fn_eval_geometry",
+     ("pair_id",), ("hull_sig", "bary_x", "disk_r", "disk_c")),
     ("math_powlog", "fn_eval_math_powlog",
      ("x",), ("pw", "ln_x", "log10_x", "sqrt_x")),
     ("math_trig", "fn_eval_math_trig",

@@ -425,3 +425,27 @@ def test_fft_akima_match_commons_math_fixture(spark):
         np.testing.assert_allclose(row.z.re, list(r.fft_re), atol=1e-9)
         np.testing.assert_allclose(row.z.im, list(r.fft_im), atol=1e-9)
         np.testing.assert_allclose(row.ak, list(r.akima_mid), atol=1e-9)
+
+
+def test_geometry_matches_commons_math_fixture(spark):
+    import os
+
+    from lucene_solr_spark.functions.evaluators import geometry_udf
+
+    fix = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "lucene_solr_spark",
+        "fixtures_data", "geometry.parquet")
+    ref = __import__("pandas").read_parquet(fix)
+    df = spark.createDataFrame(
+        [(int(r.pair_id), [float(v) for v in r.xs],
+          [float(v) for v in r.ys]) for r in ref.itertuples()],
+        "pair_id int, xs array<double>, ys array<double>")
+    got = df.select(
+        "pair_id", geometry_udf()(F.col("xs"), F.col("ys")).alias("g")
+    ).orderBy("pair_id").collect()
+    for row, r in zip(got, ref.itertuples()):
+        assert row.g.hull_n == r.hull_n
+        assert abs(row.g.hull_area - r.hull_area) < 1e-9
+        assert abs(row.g.bary_x - r.bary_x) < 1e-9
+        assert abs(row.g.disk_r - r.disk_r) < 1e-9
+        assert abs(row.g.disk_cx - r.disk_cx) < 1e-9

@@ -184,22 +184,47 @@ def merge_segments(
     merged = grouped.groupBy("term_bucket", "seg_group").applyInArrow(
         _merge_group, schema=MERGED_POSTING_SCHEMA
     )
-    (
-        merged.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/{merged_name}/postings")
-    )
 
-    final = spark.read.parquet(f"{index_dir}/{merged_name}/postings")
-    dictionary = final.groupBy("term").agg(
+    # The dictionary aggregates from the PRE-merge segment blocks: block
+    # re-encoding is a pure re-blocking, so per-term sum(n_docs) and
+    # sum(sum_freq) are invariant under it (asserted by the
+    # fts_index_invariants gate, which cross-checks df/cf against the
+    # merged postings). Sourcing it from `segs` (a) drops a full re-read
+    # of the merged output and (b) makes the dictionary job independent
+    # of the postings write, so both jobs are submitted CONCURRENTLY —
+    # separate DAG branches sharing the executor pool, the Spark analog
+    # of Lucene's merge writing .tim/.doc streams in one pass.
+    dictionary = segs.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_freq").cast("long").alias("cf"),
     ).withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
-    (
-        dictionary.write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{index_dir}/{merged_name}/dictionary")
-    )
+
+    dict_err: list = []
+
+    def _write_dictionary():
+        try:
+            (
+                dictionary.write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(f"{index_dir}/{merged_name}/dictionary")
+            )
+        except BaseException as e:  # propagate into the caller thread
+            dict_err.append(e)
+
+    from pyspark import InheritableThread
+
+    dict_thread = InheritableThread(target=_write_dictionary)
+    dict_thread.start()
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{index_dir}/{merged_name}/postings")
+        )
+    finally:
+        dict_thread.join()
+    if dict_err:
+        raise dict_err[0]
     # norms stay in their per-segment files (disjoint doc ranges — already
     # a valid partitioned table); readers take the file list from the
     # snapshot's segment list

@@ -468,13 +468,36 @@ def build_segmented_index(
     docs, order_cols, ranged = tokenized_docs(
         transcripts, order_cols, text_col, num_segments, analyzer, id_col
     )
-    manifests = build_segments(
-        docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged,
-        index_positions=index_positions,
-    )
     # stored fields: pure-JVM parquet write (no Python, scales linearly);
-    # the tokens column never leaves the JVM for this copy
-    docs.drop("tokens").write.mode("overwrite").parquet(f"{index_dir}/stored")
+    # the tokens column never leaves the JVM for this copy (column
+    # pruning removes the tokenizer UDF from this branch). The write is
+    # independent of segment building — submit it on its own thread so
+    # the two DAG branches share the executor pool concurrently, exactly
+    # as Lucene's stored-fields writer streams alongside the postings
+    # writer within one flush (index/StoredFieldsConsumer.java).
+    from pyspark import InheritableThread
+
+    stored_err: list = []
+
+    def _write_stored():
+        try:
+            docs.drop("tokens").write.mode("overwrite").parquet(
+                f"{index_dir}/stored"
+            )
+        except BaseException as e:
+            stored_err.append(e)
+
+    stored_thread = InheritableThread(target=_write_stored)
+    stored_thread.start()
+    try:
+        manifests = build_segments(
+            docs, index_dir, num_segments, fail_on_seg, already_ranged=ranged,
+            index_positions=index_positions,
+        )
+    finally:
+        stored_thread.join()
+    if stored_err:
+        raise stored_err[0]
 
     stats = {
         "doc_count": int(sum(m["doc_count"] for m in manifests)),

@@ -1151,3 +1151,363 @@ def geometry_udf():
 
         _geometry_udf_cache = _geo
     return _geometry_udf_cache
+
+
+# ------------------- special functions: incomplete gamma / beta (pure
+# Python doubles, the classic series + continued-fraction pair — same
+# numerical route commons-math3's Gamma.regularizedGammaP /
+# Beta.regularizedBeta take, agreement ~1e-13, gates compare at 6dp)
+
+def _gser(a: float, x: float, itmax: int = 400, eps: float = 3e-15) -> float:
+    import math
+
+    ap, s = a, 1.0 / a
+    d = s
+    for _ in range(itmax):
+        ap += 1.0
+        d *= x / ap
+        s += d
+        if abs(d) < abs(s) * eps:
+            break
+    return s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gcf(a: float, x: float, itmax: int = 400, eps: float = 3e-15) -> float:
+    import math
+
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, itmax + 1):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < eps:
+            break
+    return math.exp(-x + a * math.log(x) - math.lgamma(a)) * h
+
+
+def gammainc_p(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x) — the gamma CDF at
+    scale 1 (GammaDistributionEvaluator → commons-math
+    GammaDistribution.cumulativeProbability, which is
+    Gamma.regularizedGammaP(shape, x/scale))."""
+    if x <= 0.0:
+        return 0.0
+    if x < a + 1.0:
+        return _gser(a, x)
+    return 1.0 - _gcf(a, x)
+
+
+def _betacf(a: float, b: float, x: float, itmax: int = 400,
+            eps: float = 3e-15) -> float:
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, itmax + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < eps:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — the beta CDF
+    (BetaDistributionEvaluator → commons-math
+    BetaDistribution.cumulativeProbability =
+    Beta.regularizedBeta(x, alpha, beta))."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    bt = math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def f_sf(f: float, df1: float, df2: float) -> float:
+    """F-distribution survival 1 − CDF via the incomplete beta —
+    what OneWayAnova.anovaPValue computes."""
+    if f <= 0.0:
+        return 1.0
+    return betainc(df2 / 2.0, df1 / 2.0, df2 / (df2 + df1 * f))
+
+
+_gammabeta_udf_cache = None
+
+
+def gamma_beta_cdf_udf():
+    """Arrow-batched (shape, scale, alpha, beta, x) → struct(gamma_cdf,
+    beta_cdf_unit) where beta takes x mapped into (0,1) by the caller.
+    Plain column inputs only (see mann_whitney_p_udf on why UDFs never
+    ride inside big HOF expression trees)."""
+    global _gammabeta_udf_cache
+    if _gammabeta_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("gamma_cdf", _T.DoubleType()),
+            _T.StructField("beta_cdf", _T.DoubleType()),
+        ]))
+        def _gb(shape: pd.Series, scale: pd.Series, al: pd.Series,
+                be: pd.Series, x: pd.Series, xb: pd.Series) -> pd.DataFrame:
+            rows = [
+                (gammainc_p(float(s), float(v) / float(sc)),
+                 betainc(float(a), float(b), float(vb)))
+                for s, sc, a, b, v, vb in zip(shape, scale, al, be, x, xb)
+            ]
+            return pd.DataFrame(rows, columns=["gamma_cdf", "beta_cdf"])
+
+        _gammabeta_udf_cache = _gb
+    return _gammabeta_udf_cache
+
+
+def enumerated_pmf_cdf(values, weights, x):
+    """EnumeratedDistributionEvaluator (commons-math
+    EnumeratedIntegerDistribution): pmf/cdf of a discrete distribution
+    given as literal (value, weight) lists — normalized weights, CDF =
+    sum of pmf over support <= x. Pure Column when-chains (the support
+    is a query-literal, exactly as the Solr expression embeds it)."""
+    total = float(sum(weights))
+    pmf = F.lit(0.0)
+    cdf = F.lit(0.0)
+    for v, w in sorted(zip(values, weights)):
+        p = float(w) / total
+        pmf = F.when(x == F.lit(v), F.lit(p)).otherwise(pmf)
+        cdf = cdf + F.when(x >= F.lit(v), F.lit(p)).otherwise(F.lit(0.0))
+    return pmf, cdf
+
+
+def earth_movers(a, b) -> Column:
+    """EarthMoversEvaluator (commons-math EarthMoversDistance): 1-D EMD
+    over two equal-length distributions — running transport
+    emd_i = a_i + emd_{i-1} − b_i, distance = Σ|emd_i|. One
+    aggregate fold over the zipped difference array."""
+    a, b = _c(a), _c(b)
+    diffs = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(
+        diffs,
+        F.struct(F.lit(0.0).alias("emd"), F.lit(0.0).alias("tot")),
+        lambda s, d: F.struct(
+            (s.emd + d).alias("emd"),
+            (s.tot + F.abs(s.emd + d)).alias("tot"),
+        ),
+        lambda s: s.tot,
+    )
+
+
+def describe_stats(arr):
+    """DescribeEvaluator (commons-math DescriptiveStatistics): the
+    summary tuple (mean, sample stddev, min, max) as Column exprs."""
+    arr = _c(arr)
+    n = F.size(arr).cast("double")
+    mean = sum_v(arr) / n
+    ss = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean)
+    )
+    std = F.sqrt(ss / (n - 1.0))
+    return mean, std, F.array_min(arr), F.array_max(arr)
+
+
+_anova_udf_cache = None
+
+
+def anova_udf():
+    """AnovaEvaluator (commons-math OneWayAnova over 2+ numeric arrays):
+    Arrow-batched (g1, g2, g3) → struct(f_ratio, p_value). F =
+    between-group / within-group mean squares; p = F-survival via the
+    incomplete beta — identical formulas to OneWayAnova.anovaFValue /
+    anovaPValue."""
+    global _anova_udf_cache
+    if _anova_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("f_ratio", _T.DoubleType()),
+            _T.StructField("p_value", _T.DoubleType()),
+        ]))
+        def _anova(g1: pd.Series, g2: pd.Series,
+                   g3: pd.Series) -> pd.DataFrame:
+            rows = []
+            for groups in zip(g1, g2, g3):
+                gs = [list(map(float, g)) for g in groups]
+                n_tot = sum(len(g) for g in gs)
+                k = len(gs)
+                grand = sum(sum(g) for g in gs) / n_tot
+                ssb = sum(
+                    len(g) * (sum(g) / len(g) - grand) ** 2 for g in gs
+                )
+                ssw = sum(
+                    sum((x - sum(g) / len(g)) ** 2 for x in g) for g in gs
+                )
+                df1, df2 = k - 1.0, n_tot - float(k)
+                fv = (ssb / df1) / (ssw / df2)
+                rows.append((fv, f_sf(fv, df1, df2)))
+            return pd.DataFrame(rows, columns=["f_ratio", "p_value"])
+
+        _anova_udf_cache = _anova
+    return _anova_udf_cache
+
+
+_olsreg_udf_cache = None
+
+
+def ols_regress_udf():
+    """OLSRegressionEvaluator (commons-math
+    OLSMultipleLinearRegression, intercept included): Arrow-batched
+    (X rows array<array<double>>, y array<double>) →
+    [b0, b1, …, bk, R²] — numpy least squares solves the same normal
+    equations as the reference's QR decomposition."""
+    global _olsreg_udf_cache
+    if _olsreg_udf_cache is None:
+        import numpy as np
+
+        @F.pandas_udf(_T.ArrayType(_T.DoubleType()))
+        def _ols(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            def one(X, y):
+                X = np.asarray([list(r) for r in X], dtype="float64")
+                y = np.asarray(y, dtype="float64")
+                A = np.column_stack([np.ones(len(y)), X])
+                beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+                resid = y - A @ beta
+                ssr = float(resid @ resid)
+                sst = float(((y - y.mean()) ** 2).sum())
+                return [float(b) for b in beta] + [1.0 - ssr / sst]
+
+            return pd.Series([one(a, b) for a, b in zip(xs, ys)])
+
+        _olsreg_udf_cache = _ols
+    return _olsreg_udf_cache
+
+
+# the literal discrete support the enumeratedDistribution gate and its
+# fixture script share (EnumeratedIntegerDistribution's (values,
+# weights) constructor args)
+ENUM_VALUES = list(range(1, 11))
+ENUM_WEIGHTS = [float(w) for w in (5, 9, 2, 7, 1, 8, 3, 10, 4, 6)]
+
+
+def t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided Student-t p = 2·(1 − CDF(|t|)) via the incomplete
+    beta identity I_{df/(df+t²)}(df/2, 1/2) — the TDistribution route
+    commons-math TTest / PearsonsCorrelation.getCorrelationPValues
+    take."""
+    return betainc(df / 2.0, 0.5, df / (df + t * t))
+
+
+def chi2_sf(x: float, df: float) -> float:
+    """Chi-square survival 1 − CDF = 1 − P(df/2, x/2)."""
+    return 1.0 - gammainc_p(df / 2.0, x / 2.0)
+
+
+def _welch_p(a, b) -> float:
+    import statistics
+
+    n1, n2 = float(len(a)), float(len(b))
+    m1, m2 = statistics.fmean(a), statistics.fmean(b)
+    v1 = sum((x - m1) ** 2 for x in a) / (n1 - 1.0)
+    v2 = sum((x - m2) ** 2 for x in b) / (n2 - 1.0)
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / (se1 + se2) ** 0.5
+    df = (se1 + se2) ** 2 / (se1 ** 2 / (n1 - 1.0) + se2 ** 2 / (n2 - 1.0))
+    return t_sf_two_sided(t, df)
+
+
+def _pearson_p(a, b) -> float:
+    import statistics
+
+    n = float(len(a))
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    num = sum((x - ma) * (y - mb) for x, y in zip(a, b))
+    den = (sum((x - ma) ** 2 for x in a)
+           * sum((y - mb) ** 2 for y in b)) ** 0.5
+    r = num / den
+    t = r * ((n - 2.0) / (1.0 - r * r)) ** 0.5
+    return t_sf_two_sided(abs(t), n - 2.0)
+
+
+def _chi2_datasets_p(c1, c2) -> float:
+    """commons-math ChiSquareTest.chiSquareTestDataSetsComparison over
+    two count vectors: scaled two-sample statistic (weight
+    sqrt(sum1/sum2) when totals differ), df = len − 1, p = chi-square
+    survival. Agreement with the JVM is ASSERTED at fixture build
+    (scripts/make_anova_fixture.py)."""
+    s1, s2 = float(sum(c1)), float(sum(c2))
+    unequal = s1 != s2
+    w = (s1 / s2) ** 0.5 if unequal else 1.0
+    stat = 0.0
+    for o1, o2 in zip(c1, c2):
+        d = (o1 / w - o2 * w) if unequal else (float(o1) - float(o2))
+        stat += d * d / (o1 + o2)
+    return chi2_sf(stat, len(c1) - 1.0)
+
+
+_tests3_udf_cache = None
+
+
+def tests3_udf():
+    """Arrow-batched (g1, g2) → struct(welch_p, corr_p, chi2_p):
+    ttest p (Welch + Welch–Satterthwaite df through the t survival),
+    correlationSignificance p (PearsonsCorrelation.
+    getCorrelationPValues semantics), chiSquareDataSet p over the
+    derived count vectors round(x)+1 (reference solr/solrj/.../io/eval/
+    {TTest,CorrelationSignificance,ChiSquareDataSet}Evaluator.java)."""
+    global _tests3_udf_cache
+    if _tests3_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("welch_p", _T.DoubleType()),
+            _T.StructField("corr_p", _T.DoubleType()),
+            _T.StructField("chi2_p", _T.DoubleType()),
+        ]))
+        def _t3(g1: pd.Series, g2: pd.Series) -> pd.DataFrame:
+            rows = []
+            for a, b in zip(g1, g2):
+                a = [float(x) for x in a]
+                b = [float(x) for x in b]
+                c1 = [int(round(x)) + 1 for x in a]
+                c2 = [int(round(x)) + 1 for x in b]
+                rows.append((
+                    _welch_p(a, b), _pearson_p(a, b),
+                    _chi2_datasets_p(c1, c2),
+                ))
+            return pd.DataFrame(rows, columns=["welch_p", "corr_p",
+                                               "chi2_p"])
+
+        _tests3_udf_cache = _t3
+    return _tests3_udf_cache

@@ -4695,3 +4695,183 @@ def fn_eval_geometry(spark, sf_dir):
         F.round(F.col("g.disk_cx") + F.col("g.disk_cy"), 6)
          .alias("disk_c"),
     ).orderBy("pair_id")
+
+
+_ANOVA_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "anova_ols.parquet",
+)
+
+_DISTRIB3_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "distrib3.parquet",
+)
+
+
+@gate(
+    "fn_eval_anova",
+    f"""
+SELECT pair_id, round(f_ratio, 6) AS f_ratio, round(p_value, 6) AS p_value,
+       round(emd, 6) AS emd
+FROM read_parquet('{_ANOVA_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_anova(spark, sf_dir):
+    """anova + earthMovers evaluators (reference solr/solrj/.../io/eval/
+    {{Anova,EarthMovers}}Evaluator.java, thin wrappers over
+    commons-math3 OneWayAnova / ml.distance.EarthMoversDistance):
+    F-ratio and p computed LIVE by the Arrow anova UDF (p via the
+    incomplete-beta F survival), EMD as one aggregate fold over the
+    zipped difference array; the oracle reads values frozen from the
+    REAL commons-math3 in Spark's JVM
+    (scripts/make_anova_fixture.py)."""
+    from .functions.evaluators import anova_udf, earth_movers
+
+    fix = spark.read.parquet(_ANOVA_FIXTURE).select(
+        "pair_id", "g1", "g2", "g3")
+    a = anova_udf()(F.col("g1"), F.col("g2"), F.col("g3"))
+    return fix.select(
+        "pair_id",
+        F.round(a["f_ratio"], 6).alias("f_ratio"),
+        F.round(a["p_value"], 6).alias("p_value"),
+        F.round(earth_movers(F.col("g1"), F.col("g2")), 6).alias("emd"),
+    ).orderBy("pair_id")
+
+
+@gate(
+    "fn_eval_describe",
+    f"""
+SELECT pair_id,
+       round(avg(v), 6) AS d_mean,
+       round(stddev_samp(v), 6) AS d_std,
+       round(min(v), 6) AS d_min,
+       round(max(v), 6) AS d_max
+FROM (SELECT pair_id, unnest(g1) AS v FROM read_parquet('{_ANOVA_FIXTURE}'))
+GROUP BY pair_id
+ORDER BY pair_id""",
+)
+def fn_eval_describe(spark, sf_dir):
+    """describe evaluator (reference DescribeEvaluator.java →
+    commons-math DescriptiveStatistics): mean / sample stddev / min /
+    max as HOF Column exprs over the fixture arrays; the oracle
+    RECOMPUTES them in SQL over the unnested values — an independent
+    derivation, not frozen numbers."""
+    from .functions.evaluators import describe_stats
+
+    fix = spark.read.parquet(_ANOVA_FIXTURE).select("pair_id", "g1")
+    mean, std, mn, mx = describe_stats(F.col("g1"))
+    return fix.select(
+        "pair_id",
+        F.round(mean, 6).alias("d_mean"),
+        F.round(std, 6).alias("d_std"),
+        F.round(mn, 6).alias("d_min"),
+        F.round(mx, 6).alias("d_max"),
+    ).orderBy("pair_id")
+
+
+@gate(
+    "fn_eval_olsreg",
+    f"""
+SELECT pair_id, round(b0, 6) AS b0, round(b1, 6) AS b1,
+       round(b2, 6) AS b2, round(rsq, 6) AS rsq
+FROM read_parquet('{_ANOVA_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_olsreg(spark, sf_dir):
+    """olsRegress evaluator (reference OLSRegressionEvaluator.java →
+    commons-math OLSMultipleLinearRegression, intercept included):
+    [b0, b1, b2, R²] computed LIVE by the Arrow least-squares UDF vs
+    coefficients frozen from the REAL commons-math3 QR solve."""
+    from .functions.evaluators import ols_regress_udf
+
+    fix = spark.read.parquet(_ANOVA_FIXTURE).select(
+        "pair_id", "xmat", "yvec")
+    coef = ols_regress_udf()(F.col("xmat"), F.col("yvec"))
+    return fix.select(
+        "pair_id",
+        F.round(F.element_at(coef, 1), 6).alias("b0"),
+        F.round(F.element_at(coef, 2), 6).alias("b1"),
+        F.round(F.element_at(coef, 3), 6).alias("b2"),
+        F.round(F.element_at(coef, 4), 6).alias("rsq"),
+    ).orderBy("pair_id")
+
+
+@gate(
+    "fn_eval_distrib3",
+    f"""
+WITH d AS (SELECT DISTINCT CAST(l_quantity AS INTEGER) AS x
+           FROM lineitem
+           WHERE l_quantity = floor(l_quantity)
+             AND l_quantity BETWEEN 1 AND 50)
+SELECT d.x, round(f.gamma_cdf, 6) AS gamma_cdf,
+       round(f.beta_cdf, 6) AS beta_cdf,
+       round(f.enum_pmf, 6) AS enum_pmf,
+       round(f.enum_cdf, 6) AS enum_cdf
+FROM d JOIN read_parquet('{_DISTRIB3_FIXTURE}') f ON f.x = d.x
+ORDER BY d.x""",
+)
+def fn_eval_distrib3(spark, sf_dir):
+    """Distribution evaluator family, part 3 — gammaDistribution /
+    betaDistribution / enumeratedDistribution (reference
+    {{Gamma,Beta}}DistributionEvaluator.java,
+    EnumeratedDistributionEvaluator.java): gamma/beta CDFs LIVE via the
+    incomplete gamma/beta continued fractions in the Arrow UDF,
+    enumerated pmf/cdf as literal when-chains; oracle values frozen
+    from commons-math3 in Spark's JVM (make_anova_fixture.py). Gamma
+    shape=3 scale=5; Beta(2.5, 4) at x/51; enumerated support 1..10
+    with the fixture's weight table."""
+    from .functions.evaluators import (
+        ENUM_VALUES, ENUM_WEIGHTS, enumerated_pmf_cdf, gamma_beta_cdf_udf,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.filter((F.col("l_quantity") == F.floor("l_quantity"))
+                   & (F.col("l_quantity") >= 1)
+                   & (F.col("l_quantity") <= 50))
+         .select(F.col("l_quantity").cast("int").alias("x")).distinct())
+    x = F.col("x").cast("double")
+    gb = gamma_beta_cdf_udf()(
+        F.lit(3.0), F.lit(5.0), F.lit(2.5), F.lit(4.0), x, x / F.lit(51.0)
+    )
+    pmf, cdf = enumerated_pmf_cdf(ENUM_VALUES, ENUM_WEIGHTS, F.col("x"))
+    return d.select(
+        "x",
+        F.round(gb["gamma_cdf"], 6).alias("gamma_cdf"),
+        F.round(gb["beta_cdf"], 6).alias("beta_cdf"),
+        F.round(pmf, 6).alias("enum_pmf"),
+        F.round(cdf, 6).alias("enum_cdf"),
+    ).orderBy("x")
+
+
+@gate(
+    "fn_eval_tests3",
+    f"""
+SELECT pair_id, round(welch_p, 6) AS welch_p, round(corr_p, 6) AS corr_p,
+       round(chi2_p, 6) AS chi2_p
+FROM read_parquet('{_ANOVA_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_tests3(spark, sf_dir):
+    """Inference p-value trio — ttest p (Welch statistic +
+    Welch–Satterthwaite df through the exact Student-t survival via the
+    incomplete beta), correlationSignificance (reference
+    CorrelationSignificanceEvaluator.java →
+    PearsonsCorrelation.getCorrelationPValues), and chiSquareDataSet
+    (ChiSquareDataSetEvaluator.java →
+    ChiSquareTest.chiSquareTestDataSetsComparison over round(x)+1
+    counts). Computed LIVE by the Arrow tests3 UDF; oracle values
+    frozen from the REAL commons-math3 in Spark's JVM with live-vs-JVM
+    agreement asserted at fixture build
+    (scripts/make_anova_fixture.py)."""
+    from .functions.evaluators import tests3_udf
+
+    fix = spark.read.parquet(_ANOVA_FIXTURE).select("pair_id", "g1", "g2")
+    t3 = tests3_udf()(F.col("g1"), F.col("g2"))
+    return fix.select(
+        "pair_id",
+        F.round(t3["welch_p"], 6).alias("welch_p"),
+        F.round(t3["corr_p"], 6).alias("corr_p"),
+        F.round(t3["chi2_p"], 6).alias("chi2_p"),
+    ).orderBy("pair_id")

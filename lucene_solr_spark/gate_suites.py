@@ -609,6 +609,16 @@ _suite("fn_evaluators", [
     ("sliding", "fn_eval_sliding",
      ("o_orderkey", "n"), ("ema_last", "ema_first", "movmed_last",
                            "movmad_last")),
+    ("anova", "fn_eval_anova",
+     ("pair_id",), ("f_ratio", "p_value", "emd")),
+    ("describe", "fn_eval_describe",
+     ("pair_id",), ("d_mean", "d_std", "d_min", "d_max")),
+    ("olsreg", "fn_eval_olsreg",
+     ("pair_id",), ("b0", "b1", "b2", "rsq")),
+    ("distrib3", "fn_eval_distrib3",
+     ("x",), ("gamma_cdf", "beta_cdf", "enum_pmf", "enum_cdf")),
+    ("hyp_tests3", "fn_eval_tests3",
+     ("pair_id",), ("welch_p", "corr_p", "chi2_p")),
 ])
 
 # 41: geodist + spatial bbox + at-rest cell-index box query

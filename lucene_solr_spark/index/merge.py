@@ -189,9 +189,11 @@ def merge_segments(
 
     # The dictionary aggregates from the PRE-merge segment blocks: block
     # re-encoding is a pure re-blocking, so per-term sum(n_docs) and
-    # sum(sum_freq) are invariant under it (asserted by the
-    # fts_index_invariants gate, which cross-checks df/cf against the
-    # merged postings). Sourcing it from `segs` (a) drops a full re-read
+    # sum(sum_freq) are invariant under it (verified end-to-end by the
+    # fts_bm25_* gates — WAND scores take df from this dictionary and
+    # must hash-match the raw-text DuckDB oracle — and by
+    # test_segments_wand's float32 parity). Sourcing it from `segs`
+    # (a) drops a full re-read
     # of the merged output and (b) makes the dictionary job independent
     # of the postings write, so both jobs are submitted CONCURRENTLY —
     # separate DAG branches sharing the executor pool, the Spark analog

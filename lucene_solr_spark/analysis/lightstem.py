@@ -362,6 +362,19 @@ def _register_more() -> None:
     from .snowball_kp import kp_stem
 
     STEMMERS["nl_kp"] = kp_stem
+    from .snowball_armenian import armenian_snowball_stem
+    from .snowball_basque import basque_snowball_stem
+    from .snowball_catalan import catalan_snowball_stem
+    from .snowball_irish import irish_snowball_stem
+    from .snowball_lithuanian import lithuanian_snowball_stem
+
+    STEMMERS.update({
+        "hy_snowball": armenian_snowball_stem,
+        "eu_snowball": basque_snowball_stem,
+        "ca_snowball": catalan_snowball_stem,
+        "ga_snowball": irish_snowball_stem,
+        "lt_snowball": lithuanian_snowball_stem,
+    })
     STEMMERS["nb_light"] = norwegian_bokmaal_light_stem
     STEMMERS["nn_light"] = norwegian_nynorsk_light_stem
     STEMMERS["nb_minimal"] = norwegian_bokmaal_minimal_stem

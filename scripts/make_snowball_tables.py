@@ -65,6 +65,11 @@ def main():
         "turkish": extract(f"{REF}/TurkishStemmer.java"),
         "kp": extract(f"{REF}/KpStemmer.java"),
         "portuguese": extract(f"{REF}/PortugueseStemmer.java"),
+        "armenian": extract(f"{REF}/ArmenianStemmer.java"),
+        "basque": extract(f"{REF}/BasqueStemmer.java"),
+        "catalan": extract(f"{REF}/CatalanStemmer.java"),
+        "irish": extract(f"{REF}/IrishStemmer.java"),
+        "lithuanian": extract(f"{REF}/LithuanianStemmer.java"),
     }
     for lang, tabs in data.items():
         print(lang, {k: len(v) for k, v in sorted(tabs.items())})

@@ -52,7 +52,9 @@ def golden():
      "nb_light", "nn_light", "nb_minimal", "nn_minimal",
      "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
      "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
-     "id", "id_inflectional", "el", "en_kstem", "pl"],
+     "id", "id_inflectional", "el", "en_kstem", "pl",
+     "hy_snowball", "eu_snowball", "ca_snowball", "ga_snowball",
+     "lt_snowball"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -80,6 +82,8 @@ def test_stemmers_registry_complete():
         "cs", "bg", "lv", "hi", "hi_norm", "bn", "bn_norm",
         "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
         "id", "id_inflectional", "el", "el_lower", "en_kstem", "pl",
+        "hy_snowball", "eu_snowball", "ca_snowball", "ga_snowball",
+        "lt_snowball",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

@@ -4875,3 +4875,43 @@ def fn_eval_tests3(spark, sf_dir):
         F.round(t3["corr_p"], 6).alias("corr_p"),
         F.round(t3["chi2_p"], 6).alias("chi2_p"),
     ).orderBy("pair_id")
+
+
+_COMPOUND_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "compound_filters.parquet",
+)
+
+_COMPOUND_SQL = f"""
+SELECT "case" || ':' || input_s AS comp_input, output_s
+FROM read_parquet('{_COMPOUND_FIXTURE}')
+ORDER BY comp_input"""
+
+
+@gate("fts_decompound", _COMPOUND_SQL)
+def fts_decompound(spark, sf_dir):
+    """Compound-word decompounding — DictionaryCompoundWordTokenFilter
+    (plain + onlyLongestMatch) and HyphenationCompoundWordTokenFilter
+    (dictionary-checked, longest-match, and hyphenation-only min/max
+    windows over the frozen Danish TeX pattern table) applied LIVE by
+    the Arrow dispatcher over the golden vocabulary; the oracle reads
+    the frozen outputs (scripts/make_compound_fixture.py). Semantics
+    pinned by the reference JUnit vectors (tests/test_compound.py) and
+    the Liang hyphenator verified 0-mismatch vs the reference's own
+    compiled engine over 30k words
+    (scripts/verify_hyphenation_jvm.py). Reference
+    lucene/analysis/common/.../compound/{{CompoundWordTokenFilterBase,
+    DictionaryCompoundWordTokenFilter,
+    HyphenationCompoundWordTokenFilter,
+    hyphenation/HyphenationTree}}.java (analysis/compound.py)."""
+    from .analysis.compound import compound_udf
+
+    fix = spark.read.parquet(_COMPOUND_FIXTURE).select("case", "input_s")
+    toks = F.split(F.col("input_s"), "\x1f")
+    return fix.select(
+        F.concat_ws(":", "case", "input_s").alias("comp_input"),
+        F.concat_ws(
+            "\x1f", compound_udf(F.col("case"), toks)
+        ).alias("output_s"),
+    ).orderBy("comp_input")

@@ -4915,3 +4915,38 @@ def fts_decompound(spark, sf_dir):
             "\x1f", compound_udf(F.col("case"), toks)
         ).alias("output_s"),
     ).orderBy("comp_input")
+
+
+_CHARFILTER_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "charfilter_cases.parquet",
+)
+
+_CHARFILTER_SQL = f"""
+SELECT "case" || ':' || md5(input_s) AS cf_input, output_s
+FROM read_parquet('{_CHARFILTER_FIXTURE}')
+ORDER BY cf_input"""
+
+
+@gate("fts_charfilter", _CHARFILTER_SQL)
+def fts_charfilter(spark, sf_dir):
+    """CharFilters — HTMLStripCharFilter (three escaped-tags configs)
+    and MappingCharFilter applied LIVE by the Arrow dispatcher over the
+    golden corpus; the oracle reads the frozen outputs
+    (scripts/make_charfilter_fixture.py — HTML vectors verified
+    0-mismatch against the reference's own JFlex scanner compiled as a
+    JVM oracle over 16.7k doc/config pairs incl. the reference
+    test-tree HTML files; mapping pinned by TestMappingCharFilter
+    JUnit vectors in tests/test_charfilter.py). Inputs are keyed by
+    md5 in the compare because raw HTML contains every delimiter.
+    Reference lucene/analysis/common/.../charfilter/
+    {{HTMLStripCharFilter.jflex,MappingCharFilter.java}}
+    (analysis/charfilter.py)."""
+    from .analysis.charfilter import charfilter_udf
+
+    fix = spark.read.parquet(_CHARFILTER_FIXTURE).select("case", "input_s")
+    return fix.select(
+        F.concat_ws(":", "case", F.md5("input_s")).alias("cf_input"),
+        charfilter_udf(F.col("case"), F.col("input_s")).alias("output_s"),
+    ).orderBy("cf_input")

@@ -4950,3 +4950,74 @@ def fts_charfilter(spark, sf_dir):
         F.concat_ws(":", "case", F.md5("input_s")).alias("cf_input"),
         charfilter_udf(F.col("case"), F.col("input_s")).alias("output_s"),
     ).orderBy("cf_input")
+
+
+# deterministic synthetic path per document, identical in both engines:
+# leading-slash / trailing-slash / doubled-delimiter variants by doc_id
+_PATH_EXPR_SQL = """
+CASE WHEN doc_id % 4 = 1 THEN '' ELSE '/' END
+|| source
+|| CASE WHEN doc_id % 7 = 0 THEN '//' ELSE '/' END
+|| lang || '/doc' || CAST(doc_id AS VARCHAR)
+|| CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"""
+
+_PATHHIER_SQL = f"""
+WITH p AS (
+  SELECT doc_id, ({_PATH_EXPR_SQL}) AS path
+  FROM documents WHERE doc_id % 5 < 2
+), f AS (
+  SELECT doc_id, path,
+    [array_to_string(parts[1:i], '/')
+     FOR i IN range(CASE WHEN parts[1] = '' THEN 2 ELSE 1 END,
+                    len(parts) + 1)] AS fwd,
+    [array_to_string(parts[i:], '/')
+     FOR i IN range(1, len(parts) + CASE WHEN parts[-1] = '' THEN 0
+                                         ELSE 1 END)] AS rev
+  FROM (SELECT doc_id, path, string_split(path, '/') AS parts FROM p)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'fwd:' || fwd[u.pos] AS tok, CAST(u.pos AS INT) AS pos
+FROM f, unnest(range(1, len(fwd) + 1)) AS u(pos)
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'rev:' || rev[u.pos] AS tok, CAST(u.pos AS INT) AS pos
+FROM f, unnest(range(1, len(rev) + 1)) AS u(pos)
+ORDER BY doc_id, tok, pos"""
+
+
+@gate("fts_pathhier", _PATHHIER_SQL)
+def fts_pathhier(spark, sf_dir):
+    """Path-hierarchy tokenizers — PathHierarchyTokenizer (cumulative
+    prefixes) and ReversePathHierarchyTokenizer (cumulative suffixes)
+    run LIVE by the Arrow dispatcher over deterministic synthetic
+    paths (leading/trailing/doubled-delimiter variants); the DuckDB
+    oracle derives the same token sets independently as split-prefix /
+    split-suffix joins — an algebraic identity of the skip=0 paths
+    (skip>0 pinned by the JUnit vectors in tests/test_pathhier.py).
+    Reference lucene/analysis/common/.../path/
+    {{PathHierarchyTokenizer,ReversePathHierarchyTokenizer}}.java
+    (analysis/pathhier.py)."""
+    from .analysis.pathhier import (
+        path_hierarchy_udf, reverse_path_hierarchy_udf,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 < 2)
+    path = F.concat(
+        F.when(F.col("doc_id") % 4 == 1, F.lit("")).otherwise(F.lit("/")),
+        F.col("source"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("//")).otherwise(F.lit("/")),
+        F.col("lang"), F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", path.alias("path"))
+    fwd = base.select(
+        "doc_id", F.posexplode(path_hierarchy_udf(F.col("path"))).alias("p0", "t"),
+    ).select("doc_id", F.concat(F.lit("fwd:"), "t").alias("tok"),
+             (F.col("p0") + 1).cast("int").alias("pos"))
+    rev = base.select(
+        "doc_id", F.posexplode(reverse_path_hierarchy_udf(F.col("path"))).alias("p0", "t"),
+    ).select("doc_id", F.concat(F.lit("rev:"), "t").alias("tok"),
+             (F.col("p0") + 1).cast("int").alias("pos"))
+    return fwd.unionAll(rev).orderBy("doc_id", "tok", "pos")

@@ -359,6 +359,7 @@ _suite("fts_analysis_suite", [
     ("more_filters", "fts_more_filters", ("filt_input", "output_s"), ()),
     ("decompound", "fts_decompound", ("comp_input", "output_s"), ()),
     ("charfilter", "fts_charfilter", ("cf_input", "output_s"), ()),
+    ("path_hier", "fts_pathhier", ("doc_id", "tok"), ("pos",)),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),
     ("keyword_repeat", "fts_keyword_repeat",

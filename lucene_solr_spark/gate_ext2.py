@@ -5021,3 +5021,37 @@ def fts_pathhier(spark, sf_dir):
     ).select("doc_id", F.concat(F.lit("rev:"), "t").alias("tok"),
              (F.col("p0") + 1).cast("int").alias("pos"))
     return fwd.unionAll(rev).orderBy("doc_id", "tok", "pos")
+
+
+_AUTOSTOP_SQL = f"""
+WITH toks AS ({_TOKS}),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+SELECT 'pct40:' || term AS stop_term, CAST(df AS BIGINT) AS df
+FROM df, n WHERE df > CAST(floor(0.4 * n_docs) AS BIGINT)
+UNION ALL
+SELECT 'abs120:' || term AS stop_term, CAST(df AS BIGINT) AS df
+FROM df WHERE df > 120
+ORDER BY stop_term"""
+
+
+@gate("fts_auto_stopwords", _AUTOSTOP_SQL)
+def fts_auto_stopwords(spark, sf_dir):
+    """QueryAutoStopWordAnalyzer — stopword sets derived from document
+    frequency at the reference's default 40% threshold (float
+    overload, maxPercentDocs * numDocs) and an absolute maxDocFreq
+    overload (reference lucene/analysis/common/.../query/
+    QueryAutoStopWordAnalyzer.java:118; search/autostop.py). Both
+    engines derive df independently from the raw documents table."""
+    from .search.autostop import auto_stop_words
+
+    toks = doc_tokens(spark, sf_dir).select("doc_id", "term")
+    pct = auto_stop_words(toks, max_percent_docs=0.4).select(
+        F.concat(F.lit("pct40:"), "term").alias("stop_term"),
+        F.col("df").cast("long").alias("df"))
+    ab = auto_stop_words(toks, max_doc_freq=120).select(
+        F.concat(F.lit("abs120:"), "term").alias("stop_term"),
+        F.col("df").cast("long").alias("df"))
+    return pct.unionAll(ab).orderBy("stop_term")

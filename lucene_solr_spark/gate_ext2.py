@@ -5055,3 +5055,35 @@ def fts_auto_stopwords(spark, sf_dir):
         F.concat(F.lit("abs120:"), "term").alias("stop_term"),
         F.col("df").cast("long").alias("df"))
     return pct.unionAll(ab).orderBy("stop_term")
+
+
+_WIKIPEDIA_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "wikipedia_cases.parquet",
+)
+
+_WIKIPEDIA_SQL = f"""
+SELECT mode || ':' || md5(input_s) AS wk_input, output_s
+FROM read_parquet('{_WIKIPEDIA_FIXTURE}')
+ORDER BY wk_input"""
+
+
+@gate("fts_wikipedia", _WIKIPEDIA_SQL)
+def fts_wikipedia(spark, sf_dir):
+    """WikipediaTokenizer — MediaWiki-markup tokenization in all three
+    wrapper output modes (TOKENS_ONLY / UNTOKENIZED_ONLY collapse /
+    BOTH) applied LIVE by the Arrow dispatcher over the golden corpus;
+    the oracle reads the frozen outputs
+    (scripts/make_wikipedia_fixture.py). Semantics pinned by every
+    reference JUnit vector incl. the 97-token handwritten corpus
+    (tests/test_wikipedia.py). Reference lucene/analysis/common/.../
+    wikipedia/{{WikipediaTokenizerImpl.jflex,WikipediaTokenizer.java}}
+    (analysis/wikipedia.py)."""
+    from .analysis.wikipedia import wikipedia_udf
+
+    fix = spark.read.parquet(_WIKIPEDIA_FIXTURE).select("mode", "input_s")
+    return fix.select(
+        F.concat_ws(":", "mode", F.md5("input_s")).alias("wk_input"),
+        wikipedia_udf(F.col("mode"), F.col("input_s")).alias("output_s"),
+    ).orderBy("wk_input")

@@ -361,6 +361,7 @@ _suite("fts_analysis_suite", [
     ("charfilter", "fts_charfilter", ("cf_input", "output_s"), ()),
     ("path_hier", "fts_pathhier", ("doc_id", "tok"), ("pos",)),
     ("auto_stop", "fts_auto_stopwords", ("stop_term",), ("df",)),
+    ("wikipedia", "fts_wikipedia", ("wk_input", "output_s"), ()),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),
     ("keyword_repeat", "fts_keyword_repeat",

@@ -5087,3 +5087,35 @@ def fts_wikipedia(spark, sf_dir):
         F.concat_ws(":", "mode", F.md5("input_s")).alias("wk_input"),
         wikipedia_udf(F.col("mode"), F.col("input_s")).alias("output_s"),
     ).orderBy("wk_input")
+
+
+_MINHASH_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "minhash_cases.parquet",
+)
+
+_MINHASH_SQL = f"""
+SELECT "case" || ':' || md5(input_s) AS mh_input, output_s
+FROM read_parquet('{_MINHASH_FIXTURE}')
+ORDER BY mh_input"""
+
+
+@gate("fts_minhash", _MINHASH_SQL)
+def fts_minhash(spark, sf_dir):
+    """MinHashFilter — per-stream MinHash fingerprints (murmur3_x64_128
+    over UTF-16LE, combineOrdered rehash variants, bucketed unsigned
+    min-sets, withRotation fill) across four parameterizations, run
+    LIVE by the Arrow dispatcher over frozen shingle streams; the
+    oracle reads the frozen outputs (scripts/make_minhash_fixture.py).
+    Bit-exact semantics pinned by the reference JUnit vectors incl.
+    the exact 128-bit fingerprint code units
+    (tests/test_minhashfilter.py). Reference lucene/analysis/common/
+    .../minhash/MinHashFilter.java (analysis/minhashfilter.py)."""
+    from .analysis.minhashfilter import minhash_udf
+
+    fix = spark.read.parquet(_MINHASH_FIXTURE).select("case", "input_s")
+    return fix.select(
+        F.concat_ws(":", "case", F.md5("input_s")).alias("mh_input"),
+        minhash_udf(F.col("case"), F.col("input_s")).alias("output_s"),
+    ).orderBy("mh_input")

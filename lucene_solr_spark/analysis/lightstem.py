@@ -362,6 +362,10 @@ def _register_more() -> None:
     from .snowball_kp import kp_stem
 
     STEMMERS["nl_kp"] = kp_stem
+    from .brazilian import brazilian_stem, german_classic_stem
+
+    STEMMERS["br"] = brazilian_stem
+    STEMMERS["de_classic"] = german_classic_stem
     from .snowball_armenian import armenian_snowball_stem
     from .snowball_basque import basque_snowball_stem
     from .snowball_catalan import catalan_snowball_stem

@@ -54,7 +54,7 @@ def golden():
      "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
      "id", "id_inflectional", "el", "en_kstem", "pl",
      "hy_snowball", "eu_snowball", "ca_snowball", "ga_snowball",
-     "lt_snowball"],
+     "lt_snowball", "br", "de_classic"],
 )
 def test_golden_pairs(golden, lang):
     sub = golden[golden.lang == lang]
@@ -83,7 +83,7 @@ def test_stemmers_registry_complete():
         "ar_light", "ar_norm", "fa_norm", "sr_norm", "ga_lower",
         "id", "id_inflectional", "el", "el_lower", "en_kstem", "pl",
         "hy_snowball", "eu_snowball", "ca_snowball", "ga_snowball",
-        "lt_snowball",
+        "lt_snowball", "br", "de_classic",
     }
     assert STEMMERS["de"] is german_light_stem
     assert STEMMERS["es"] is spanish_light_stem

@@ -689,7 +689,8 @@ _suite("td_ann", [
 _join_suite(
     "td_text_metrics",
     ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint",
-     "td_redaction", "td_cjk_tokens", "td_zh_tokens", "td_ngram_ppl"],
+     "td_redaction", "td_cjk_tokens", "td_zh_tokens", "td_ngram_ppl",
+     "td_seq_packing"],
     "doc_id",
 )
 

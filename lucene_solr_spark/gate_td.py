@@ -1086,3 +1086,50 @@ def td_ngram_ppl(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return ngram_lm_perplexity(docs).orderBy("doc_id")
+
+
+_PACK_SEQ_LEN = 512
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS pk_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, pk_tokens,
+    COALESCE(SUM(pk_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pk_offset
+  FROM t
+)
+SELECT doc_id, pk_tokens, CAST(pk_offset AS BIGINT) AS pk_offset,
+  CAST(pk_offset // %d AS BIGINT) AS first_seq,
+  CAST((pk_offset + greatest(pk_tokens - 1, 0)) // %d AS BIGINT)
+    AS last_seq,
+  CAST(CASE WHEN pk_tokens = 0 THEN 0
+       ELSE (pk_offset + greatest(pk_tokens - 1, 0)) // %d
+            - pk_offset // %d + 1 END AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id""" % (_PACK_SEQ_LEN, _PACK_SEQ_LEN,
+                             _PACK_SEQ_LEN, _PACK_SEQ_LEN)
+
+
+@gate("td_seq_packing", _PACK_SQL)
+def td_seq_packing(spark, sf_dir):
+    """GPT-style sequence packing — per-document token offset and
+    spanned-sequence interval for concat-and-chunk training batches
+    (operators/packing.py). The Spark side runs the DISTRIBUTED plan:
+    range-repartition + per-partition token sums + driver prefix-sum +
+    narrow Arrow cumsum (no single-task global window); the DuckDB
+    oracle derives the identical result declaratively with a window
+    cumsum. LLM-pipeline first-class operator (no reference
+    counterpart — packing is training-data infrastructure)."""
+    from .operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        load(spark, sf_dir, "documents"), _PACK_SEQ_LEN)
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").alias("pk_tokens"),
+        F.col("offset").alias("pk_offset"),
+        "first_seq", "last_seq", "n_seqs",
+    ).orderBy("doc_id")

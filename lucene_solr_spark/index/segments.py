@@ -239,7 +239,7 @@ def _segment_postings(
     counters = {
         "doc_count": int((lengths > 0).sum()),
         "sum_ttf": int(lengths.sum()),
-        "n_terms": int(len(term_dict)),
+        "n_terms": int(len(uniques)),
         "n_postings": int(len(rs)),
     }
     return postings_pdf, norms_pdf, counters

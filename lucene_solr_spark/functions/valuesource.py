@@ -547,3 +547,85 @@ def geodist(lat1, lon1, lat2, lon2) -> Column:
     hlon = F.sin(F.radians(_c(lon2) - _c(lon1)) / 2)
     h = hlat * hlat + F.cos(rlat1) * F.cos(rlat2) * hlon * hlon
     return F.lit(2.0 * GEO_MEAN_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def hsin(radius, lat1, lon1, lat2, lon2, convert: bool = False) -> Column:
+    """ValueSourceParser.java `hsin(radius, convert, p1, p2)`
+    (function/distance/HaversineFunction.java:70): haversine arc in
+    RADIUS units over RADIAN coordinates (``convert=True`` converts
+    degree inputs first, mirroring convertToRadians)."""
+    if convert:
+        lat1, lon1 = F.radians(_c(lat1)), F.radians(_c(lon1))
+        lat2, lon2 = F.radians(_c(lat2)), F.radians(_c(lon2))
+    else:
+        lat1, lon1 = _c(lat1), _c(lon1)
+        lat2, lon2 = _c(lat2), _c(lon2)
+    hy = F.sin((lat1 - lat2) / 2)
+    hx = F.sin((lon1 - lon2) / 2)
+    h = F.least(hy * hy + F.cos(lat1) * F.cos(lat2) * hx * hx, F.lit(1.0))
+    return _c(radius) * F.lit(2.0) * F.atan2(F.sqrt(h), F.sqrt(1 - h))
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_BITS = 30  # 12 base-32 chars = 60 interleaved bits
+
+
+def _geo_quant(coord, lo: float, span: float):
+    """Quantize a coordinate to a _GEOHASH_BITS-bit integer cell; the
+    arithmetic ((c - lo)/span * 2^30, floored, clamped) is exact in
+    float64 and reproduced verbatim by the DuckDB oracle."""
+    scaled = F.floor((_c(coord) - F.lit(lo)) / F.lit(span)
+                     * F.lit(float(1 << _GEOHASH_BITS)))
+    return F.least(F.greatest(scaled, F.lit(0)),
+                   F.lit((1 << _GEOHASH_BITS) - 1)).cast("long")
+
+
+def _geo_bit(q, m: int) -> Column:
+    # bit m (0 = MSB) via exact double arithmetic (q < 2^30):
+    # floor(q / 2^(29-m)) % 2 — the form both engines share
+    return (F.floor(q / F.lit(float(1 << (_GEOHASH_BITS - 1 - m))))
+            .cast("long") % 2)
+
+
+def geohash_encode(lat, lon, precision: int = 12) -> Column:
+    """ValueSourceParser.java `geohash(lat, lon)` (GeohashFunction.java
+    → spatial4j GeohashUtils.encodeLatLon, default 12 chars): standard
+    base-32 geohash by bit-interleaving the quantized lon (even bits)
+    and lat (odd bits). spatial4j quantizes by successive interval
+    halving; this closed form is the same cell except at exact binary
+    cell boundaries (declared — spatial4j is an external dependency,
+    not reference source)."""
+    ix = _geo_quant(lon, -180.0, 360.0)
+    iy = _geo_quant(lat, -90.0, 180.0)
+    chars = []
+    for k in range(precision):
+        idx = F.lit(0).cast("long")
+        for t in range(5):
+            p = 5 * k + t
+            src, m = (ix, p // 2) if p % 2 == 0 else (iy, (p - 1) // 2)
+            idx = idx + _geo_bit(src, m) * F.lit(1 << (4 - t))
+        chars.append(F.substring(F.lit(GEOHASH_BASE32),
+                                 (idx + 1).cast("int"), 1))
+    return F.concat(*chars)
+
+
+def geohash_center(lat, lon) -> tuple:
+    """(lat, lon) of the geohash cell center at full 30-bit precision
+    (GeohashUtils.decode returns the cell midpoint)."""
+    ix = _geo_quant(lon, -180.0, 360.0)
+    iy = _geo_quant(lat, -90.0, 180.0)
+    clat = (iy.cast("double") + 0.5) / float(1 << _GEOHASH_BITS) \
+        * 180.0 - 90.0
+    clon = (ix.cast("double") + 0.5) / float(1 << _GEOHASH_BITS) \
+        * 360.0 - 180.0
+    return clat, clon
+
+
+def ghhsin(radius, lat1, lon1, lat2, lon2) -> Column:
+    """ValueSourceParser.java `ghhsin(radius, gh1, gh2)`
+    (GeohashHaversineFunction.java): haversine between the CELL
+    CENTERS of the two points' geohashes (degree inputs, radian
+    haversine × radius)."""
+    c1lat, c1lon = geohash_center(lat1, lon1)
+    c2lat, c2lon = geohash_center(lat2, lon2)
+    return hsin(radius, c1lat, c1lon, c2lat, c2lon, convert=True)

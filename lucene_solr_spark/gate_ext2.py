@@ -5119,3 +5119,88 @@ def fts_minhash(spark, sf_dir):
         F.concat_ws(":", "case", F.md5("input_s")).alias("mh_input"),
         minhash_udf(F.col("case"), F.col("input_s")).alias("output_s"),
     ).orderBy("mh_input")
+
+
+def _geohash_sql(lat_expr: str, lon_expr: str, precision: int = 12) -> str:
+    """DuckDB mirror of functions/valuesource.py geohash_encode: the
+    identical quantization + bit arithmetic, generated char by char."""
+    b = 30
+    ix = (f"least(greatest(CAST(floor(({lon_expr} + 180.0) / 360.0 * "
+          f"{float(1 << b)!r}) AS BIGINT), 0), {(1 << b) - 1})")
+    iy = (f"least(greatest(CAST(floor(({lat_expr} + 90.0) / 180.0 * "
+          f"{float(1 << b)!r}) AS BIGINT), 0), {(1 << b) - 1})")
+    chars = []
+    for k in range(precision):
+        terms = []
+        for t in range(5):
+            p = 5 * k + t
+            src, m = (ix, p // 2) if p % 2 == 0 else (iy, (p - 1) // 2)
+            terms.append(
+                f"(CAST(floor({src} / {float(1 << (b - 1 - m))!r}) "
+                f"AS BIGINT) % 2) * {1 << (4 - t)}")
+        chars.append(
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST({' + '.join(terms)} AS INTEGER) + 1, 1)")
+    return " || ".join(chars)
+
+
+_GHHSIN_PTS = """
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer WHERE c_custkey <= 256"""
+
+_GEOHASH_SQL_ORACLE = f"""
+WITH pts AS ({_GHHSIN_PTS}),
+c AS (
+  SELECT c_custkey, lat, lon,
+    (least(greatest(CAST(floor((lat + 90.0) / 180.0 * 1073741824.0)
+       AS BIGINT), 0), 1073741823) + 0.5) / 1073741824.0 * 180.0 - 90.0
+      AS clat,
+    (least(greatest(CAST(floor((lon + 180.0) / 360.0 * 1073741824.0)
+       AS BIGINT), 0), 1073741823) + 0.5) / 1073741824.0 * 360.0 - 180.0
+      AS clon
+  FROM pts)
+SELECT c_custkey, {_geohash_sql('lat', 'lon')} AS ghash,
+  round(6371.0087714 * 2.0 * atan2(
+    sqrt(least(sin(radians(clat - 40.00000004656613) / 2)
+               * sin(radians(clat - 40.00000004656613) / 2)
+      + cos(radians(clat)) * cos(radians(40.00000004656613))
+        * sin(radians(clon - (-74.000000115484)) / 2)
+        * sin(radians(clon - (-74.000000115484)) / 2), 1.0)),
+    sqrt(1 - least(sin(radians(clat - 40.00000004656613) / 2)
+                   * sin(radians(clat - 40.00000004656613) / 2)
+      + cos(radians(clat)) * cos(radians(40.00000004656613))
+        * sin(radians(clon - (-74.000000115484)) / 2)
+        * sin(radians(clon - (-74.000000115484)) / 2), 1.0))), 3)
+    AS gh_dist_km
+FROM c ORDER BY c_custkey"""
+
+
+@gate("fn_geo_hash", _GEOHASH_SQL_ORACLE)
+def fn_geo_hash(spark, sf_dir):
+    """geohash + ghhsin function queries (reference solr/core/.../
+    search/{ValueSourceParser.java addParser("geohash"/"ghhsin"),
+    function/distance/GeohashHaversineFunction.java}): base-32 geohash
+    of deterministic synthetic points and the haversine km between the
+    two points' geohash CELL CENTERS (fixed point = cell center of
+    (40, -74)). The oracle regenerates the identical bit arithmetic
+    char-by-char (functions/valuesource.py geohash_encode/ghhsin).
+    Pure Column exprs, narrow projection — no shuffle."""
+    from .functions.valuesource import geohash_encode, ghhsin
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 256)
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5)
+        .cast("double").alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        geohash_encode(F.col("lat"), F.col("lon")).alias("ghash"),
+        F.round(
+            ghhsin(F.lit(6371.0087714), F.col("lat"), F.col("lon"),
+                   F.lit(40.0), F.lit(-74.0)), 3).alias("gh_dist_km"),
+    ).orderBy("c_custkey")

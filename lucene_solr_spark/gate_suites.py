@@ -630,6 +630,7 @@ _suite("fn_evaluators", [
 # 41: geodist + spatial bbox + at-rest cell-index box query
 _suite("fn_geo", [
     ("geodist", "fn_geodist", ("c_custkey",), ("lat", "lon", "dist_km")),
+    ("geohash", "fn_geo_hash", ("c_custkey", "ghash"), ("gh_dist_km",)),
     ("bbox", "fn_spatial_bbox",
      ("c_custkey", "c_name"), ("lat", "lon", "dist_km")),
     ("cell_index", "fn_geo_cells",

@@ -31,8 +31,6 @@ __all__ = [
     "encode_payload",
     "decode_payload",
     "decode_payloads",
-    "decode_payloads_arrow",
-    "concat_binary_arrow",
     "encode_posting_blocks",
     "decode_block",
     "decode_positions",
@@ -165,64 +163,6 @@ def _pack_for(vals: np.ndarray, bpv: int) -> bytes:
     return bytes((H_FOR, bpv, len(vals))) + np.packbits(bits.ravel()).tobytes()
 
 
-def _grouped_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenated ranges: [s0..s0+l0) ++ [s1..s1+l1) ++ … as one
-    int64 index array (the gather pattern every batched codec pass
-    uses)."""
-    total = int(lens.sum())
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    return (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(offs[:-1], lens)
-        + np.repeat(starts.astype(np.int64), lens)
-    )
-
-
-def _pack_for_batch(
-    vals: np.ndarray, starts: np.ndarray, counts: np.ndarray, bpvs: np.ndarray
-) -> list:
-    """_pack_for over many blocks in a handful of whole-array passes.
-
-    vals: the full value array; starts/counts/bpvs: per-block slices and
-    chosen bit widths. Blocks group by bpv; each group builds its bit
-    matrix, scatters into a per-block byte-padded bitstream, and packs
-    with ONE np.packbits — the per-block Python work collapses to a
-    header + slice. Output order matches the input block order."""
-    out: list = [None] * len(starts)
-    starts = np.asarray(starts, dtype=np.int64)
-    counts = np.asarray(counts, dtype=np.int64)
-    bpvs = np.asarray(bpvs, dtype=np.int64)
-    idx_all = np.arange(len(starts))
-    for bpv in np.unique(bpvs):
-        m = bpvs == bpv
-        bs, bc, where = starts[m], counts[m], idx_all[m]
-        v = vals[_grouped_idx(bs, bc)]
-        shifts = np.arange(int(bpv) - 1, -1, -1, dtype=np.uint64)
-        bits = (
-            ((v[:, None] >> shifts[None, :]) & np.uint64(1))
-            .astype(np.uint8)
-            .ravel()
-        )
-        blk_bits = bc * int(bpv)
-        pad_bytes = (blk_bits + 7) // 8
-        dst_bit_starts = np.zeros(len(bc), dtype=np.int64)
-        np.cumsum(pad_bytes[:-1] * 8, out=dst_bit_starts[1:])
-        ob = np.zeros(int(pad_bytes.sum()) * 8, dtype=np.uint8)
-        ob[_grouped_idx(dst_bit_starts, blk_bits)] = bits
-        packed = np.packbits(ob)
-        byte_offs = np.zeros(len(bc) + 1, dtype=np.int64)
-        np.cumsum(pad_bytes, out=byte_offs[1:])
-        pbytes = packed.tobytes()
-        hb = int(bpv)
-        for j, i in enumerate(where):
-            out[i] = (
-                bytes((H_FOR, hb, int(bc[j])))
-                + pbytes[byte_offs[j]: byte_offs[j + 1]]
-            )
-    return out
-
-
 def _unpack_for(body: bytes, bpv: int, n: int) -> np.ndarray:
     bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8), count=n * bpv)
     weights = np.uint64(1) << np.arange(bpv - 1, -1, -1, dtype=np.uint64)
@@ -323,107 +263,6 @@ def decode_payloads(buffers: List[bytes]) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
 
 
-def _binary_view(arr):
-    """An Arrow binary column → (data uint8 view, value offsets int64).
-
-    Zero-copy: the BinaryArray's data buffer already holds every value
-    back-to-back in array order; the offsets delimit them. Assumes no
-    nulls (posting block payload columns are non-nullable)."""
-    import pyarrow as pa
-
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
-        return np.empty(0, np.uint8), np.zeros(1, np.int64)
-    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
-        arr.offset: arr.offset + n + 1
-    ].astype(np.int64)
-    dbuf = arr.buffers()[2]
-    data = (
-        np.frombuffer(dbuf, dtype=np.uint8)
-        if dbuf is not None
-        else np.empty(0, np.uint8)
-    )
-    return data, offs
-
-
-def concat_binary_arrow(arr) -> np.ndarray:
-    """Concatenation of an Arrow binary column's values as a uint8 view
-    (no per-value Python objects — the batched analog of
-    b''.join(col.to_pylist()))."""
-    data, offs = _binary_view(arr)
-    return data[offs[0]: offs[-1]]
-
-
-def decode_payloads_arrow(arr) -> np.ndarray:
-    """decode_payloads over an Arrow binary column without materializing
-    per-block bytes objects: block classification (header byte), varint
-    body join, and FOR bit gathers all run as offset arithmetic on the
-    column's single data buffer. Returns the flat uint64 concatenation
-    of every block's values in column order."""
-    data, offs = _binary_view(arr)
-    n = len(offs) - 1
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    lens = np.diff(offs)
-    hdr = np.full(n, -1, dtype=np.int64)
-    ne = lens > 0
-    hdr[ne] = data[offs[:-1][ne]]
-
-    vc = np.zeros(n, dtype=np.int64)  # values per block
-    isf = hdr == H_FOR
-    if isf.any():
-        vc[isf] = data[offs[:-1][isf] + 2]
-    isv = (hdr == H_VINT) & (lens > 1)
-    joined_vals = None
-    if isv.any():
-        blens = lens[isv] - 1
-        body = data[_grouped_idx(offs[:-1][isv] + 1, blens)]
-        is_end = (body & 0x80) == 0
-        boffs = np.zeros(int(isv.sum()) + 1, dtype=np.int64)
-        np.cumsum(blens, out=boffs[1:])
-        vc[isv] = np.add.reduceat(is_end.astype(np.int64), boffs[:-1])
-        # inline decode_vints on the array view (skip the bytes copy)
-        ends = np.nonzero(is_end)[0]
-        vstarts = np.concatenate(([0], ends[:-1] + 1))
-        val_idx = np.cumsum(np.concatenate(([False], is_end[:-1])))
-        pos_in_val = np.arange(len(body)) - vstarts[val_idx]
-        contrib = (body & 0x7F).astype(np.uint64) << (
-            np.uint64(7) * pos_in_val.astype(np.uint64)
-        )
-        joined_vals = np.add.reduceat(contrib, vstarts).astype(np.uint64)
-
-    out_offs = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(vc, out=out_offs[1:])
-    out = np.empty(int(out_offs[-1]), dtype=np.uint64)
-    if joined_vals is not None:
-        out[_grouped_idx(out_offs[:-1][isv], vc[isv])] = joined_vals
-    if isf.any():
-        bpvs = data[offs[:-1][isf] + 1].astype(np.int64)
-        fstart = offs[:-1][isf] + 3
-        fn = vc[isf]
-        fblen = lens[isf] - 3
-        fout = out_offs[:-1][isf]
-        for bpv in np.unique(bpvs):
-            m = bpvs == bpv
-            bits = np.unpackbits(data[_grouped_idx(fstart[m], fblen[m])])
-            ns = fn[m]
-            src_bit_starts = np.zeros(int(m.sum()), dtype=np.int64)
-            np.cumsum(fblen[m][:-1] * 8, out=src_bit_starts[1:])
-            lens_bits = ns * int(bpv)
-            gather = _grouped_idx(src_bit_starts, lens_bits)
-            weights = np.uint64(1) << np.arange(
-                int(bpv) - 1, -1, -1, dtype=np.uint64
-            )
-            vals = (
-                bits[gather].reshape(-1, int(bpv)).astype(np.uint64).dot(weights)
-            )
-            out[_grouped_idx(fout[m], ns)] = vals
-    return out
-
-
 def decode_block(docs_bytes: bytes, freqs_bytes: bytes) -> Tuple[np.ndarray, np.ndarray]:
     """block bytes → (doc_ids ascending int64, freqs int64)."""
     gaps = decode_payload(docs_bytes).astype(np.int64)
@@ -521,11 +360,11 @@ def encode_posting_blocks_batch(
     gaps[1:] = doc_ids[1:] - doc_ids[:-1]
     gaps[starts] = doc_ids[starts]
 
-    # one varint encode over the whole segment, sliced per block, then a
-    # BATCHED FOR repack where it is smaller (dense blocks, the common
-    # case — see encode_payload): _pack_for_batch groups the FOR-chosen
-    # blocks by bit width and packs each group in one whole-array pass,
-    # so per-block Python is just a header + slice on both classes.
+    # one varint encode over the whole segment, sliced per block, then
+    # per-block FOR repack where it is smaller (dense blocks, the common
+    # case — see encode_payload). The FOR repack is a short loop over
+    # blocks; at ~10 µs/block it is noise next to the segment's Spark
+    # stages, while the decode side stays fully batched.
     def _encode_sliced(vals):
         vals = vals.astype(np.uint64)
         lens = _varint_lengths(vals)
@@ -537,17 +376,14 @@ def encode_posting_blocks_batch(
         ).astype(np.int64)
         vsize = offs[1:] - offs[:-1]
         for_size = 3 + (counts * bpv + 7) // 8
-        use_for = (counts <= 255) & (for_size < 1 + vsize)
-        out: list = [None] * len(starts)
-        if use_for.any():
-            packed = _pack_for_batch(
-                vals, starts[use_for], counts[use_for], bpv[use_for]
-            )
-            for j, i in enumerate(np.nonzero(use_for)[0]):
-                out[i] = packed[j]
-        hv = bytes((H_VINT,))
-        for i in np.nonzero(~use_for)[0]:
-            out[i] = hv + buf[offs[i]: offs[i + 1]]
+        out = []
+        for i in range(len(starts)):
+            if counts[i] <= 255 and for_size[i] < 1 + vsize[i]:
+                out.append(
+                    _pack_for(vals[starts[i]: starts[i] + counts[i]], int(bpv[i]))
+                )
+            else:
+                out.append(bytes((H_VINT,)) + buf[offs[i]: offs[i + 1]])
         return out
 
     docs_bytes = _encode_sliced(gaps)

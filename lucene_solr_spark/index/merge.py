@@ -45,12 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.hashing import h60
-from .codec import (
-    concat_binary_arrow,
-    decode_payloads_arrow,
-    decode_vints,
-    encode_posting_blocks_batch,
-)
+from .codec import decode_payloads, decode_vints, encode_posting_blocks_batch
 
 __all__ = ["merge_segments", "MERGED_POSTING_SCHEMA", "term_bucket_col"]
 
@@ -96,11 +91,14 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     counts = tbl.column("n_docs").to_numpy().astype(np.int64)
     dict_enc = tbl.column("term").combine_chunks().dictionary_encode()
     codes = dict_enc.indices.to_numpy().astype(np.int64)
-    term_dict = dict_enc.dictionary
+    uniques = np.asarray(dict_enc.dictionary.to_pylist(), dtype=object)
 
-    gaps = decode_payloads_arrow(tbl.column("docs")).astype(np.int64)
-    freqs = decode_payloads_arrow(tbl.column("freqs")).astype(np.int64)
-    norms = concat_binary_arrow(tbl.column("norms")).astype(np.int64)
+    def _concat_bin(col):
+        return b"".join(tbl.column(col).to_pylist())
+
+    gaps = decode_payloads(tbl.column("docs").to_pylist()).astype(np.int64)
+    freqs = decode_payloads(tbl.column("freqs").to_pylist()).astype(np.int64)
+    norms = np.frombuffer(_concat_bin("norms"), dtype=np.uint8).astype(np.int64)
     # segmented cumsum: absolute doc at each block start
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -114,9 +112,9 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     # first_doc) and postings within a block are doc-ascending, so the
     # concatenated occurrence stream is already in final posting order.
     positions = None
-    pos_concat = concat_binary_arrow(tbl.column("positions"))
+    pos_concat = _concat_bin("positions")
     if len(pos_concat):
-        pos_gaps = decode_vints(pos_concat.tobytes()).astype(np.int64)
+        pos_gaps = decode_vints(pos_concat).astype(np.int64)
         pstarts = np.zeros(len(freqs), dtype=np.int64)
         np.cumsum(freqs[:-1], out=pstarts[1:])
         pcs = np.cumsum(pos_gaps)
@@ -140,7 +138,7 @@ def _merge_group(tbl: pa.Table) -> pa.Table:
     nblk = len(bt)
     return pa.table(
         {
-            "term": pc.take(term_dict, pa.array(bt, pa.int64())),
+            "term": pa.array(uniques[bt], pa.string()),
             "term_bucket": pa.array(np.full(nblk, bucket, np.int32), pa.int32()),
             "seg_group": pa.array(np.full(nblk, seg_group, np.int32), pa.int32()),
             "first_doc": pa.array(first, pa.int64()),

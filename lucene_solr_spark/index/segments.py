@@ -103,7 +103,6 @@ def _encode_segment_arrow(tbl, seg_id: int, index_positions: bool = False):
     - impacts emitted as one ListArray built from concatenated buffers.
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from ..functions.smallfloat import int_to_byte4
     from .codec import encode_posting_blocks_batch
@@ -132,7 +131,7 @@ def _encode_segment_arrow(tbl, seg_id: int, index_positions: bool = False):
     flat = toks.flatten()
     dict_enc = flat.dictionary_encode()
     codes = dict_enc.indices.to_numpy().astype(np.int64)
-    term_dict = dict_enc.dictionary
+    uniques = np.asarray(dict_enc.dictionary.to_pylist(), dtype=object)
     flat_docs = np.repeat(doc_ids, lengths)
     flat_norms = np.repeat(norm_bytes, lengths)
     # within-doc token index (position); lexsort is stable, so after the
@@ -171,7 +170,7 @@ def _encode_segment_arrow(tbl, seg_id: int, index_positions: bool = False):
 
     postings_tbl = pa.table(
         {
-            "term": pc.take(term_dict, pa.array(bt, pa.int64())),
+            "term": pa.array(uniques[bt], pa.string()),
             "seg_id": pa.array(np.full(len(bt), seg_id, np.int32), pa.int32()),
             "first_doc": pa.array(first, pa.int64()),
             "last_doc": pa.array(last, pa.int64()),
@@ -188,7 +187,7 @@ def _encode_segment_arrow(tbl, seg_id: int, index_positions: bool = False):
     counters = {
         "doc_count": int((lengths > 0).sum()),
         "sum_ttf": int(lengths.sum()),
-        "n_terms": int(len(term_dict)),
+        "n_terms": int(len(uniques)),
         "n_postings": int(len(rs)),
         "posting_bytes": int(sum(len(b) for b in db) + sum(len(b) for b in fb)),
     }

@@ -877,61 +877,73 @@ def td_dedup_clusters(spark, sf_dir):
 
 _EXTRACT_SQL = """
 WITH src AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0
-           THEN '<html><body><p>' || coalesce(text, '') || '</p></body></html>'
-         WHEN doc_id % 3 = 1 THEN coalesce(text, '')
-         ELSE '%PDF-1.4' || chr(10) || coalesce(text, '') END AS payload
+  SELECT doc_id, coalesce(text, '') AS t, doc_id % 3 AS branch
   FROM documents WHERE doc_id < 300),
 ex AS (
   SELECT doc_id,
-    CASE WHEN substr(payload, 1, 5) = '%PDF-' THEN 'application/pdf'
-         WHEN substr(payload, 1, 1) = '<' THEN 'text/html'
-         ELSE 'text/plain' END AS content_type,
-    CASE WHEN substr(payload, 1, 5) = '%PDF-'
-           THEN 'PDF_TEXT_UNAVAILABLE('
-                || CAST(octet_length(encode(payload)) AS VARCHAR) || ')'
-         WHEN substr(payload, 1, 1) = '<'
-           THEN trim(regexp_replace(payload, '<[^>]*>', '', 'g'))
-         ELSE payload END AS text
+    CASE branch WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS ct_code,
+    CASE branch WHEN 1 THEN t
+         ELSE trim(t, ' ' || chr(9) || chr(10) || chr(13)) END AS text
   FROM src)
-SELECT doc_id, text,
-  CAST(CASE content_type WHEN 'text/html' THEN 0
-       WHEN 'text/plain' THEN 1 ELSE 2 END AS BIGINT) AS ct_code,
+SELECT doc_id, text, CAST(ct_code AS BIGINT) AS ct_code,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(CASE WHEN content_type = 'application/pdf' THEN 1 ELSE 0 END
-       AS BIGINT) AS is_stub
+  CAST(0 AS BIGINT) AS is_stub
 FROM ex ORDER BY doc_id"""
 
 
 @gate("td_binary_extract", _EXTRACT_SQL)
 def td_binary_extract(spark, sf_dir):
     """ExtractingRequestHandler (Tika) analog over a binary content
-    column: magic-byte content-type sniff + per-type text extraction
-    (sources/extraction.py — HTML tag-strip and plaintext decode real,
-    PDF honestly stubbed with a deterministic marker). The corpus
-    wraps each document's text as HTML / plaintext / fake-PDF by
-    doc_id; the engine round-trips through a real binary column
-    (encode → sniff bytes → decode), the oracle mirrors the dispatch
-    on the string payload — the extracted TEXT itself is a hash-
-    checked key."""
+    column: magic-byte content-type sniff + per-type text extraction,
+    all three branches REAL (sources/extraction.py): plaintext UTF-8
+    decode, HTML via the JVM-oracle-verified HTMLStripCharFilter, and
+    PDF via a working parser (sources/pdfminimal.py — Flate inflate +
+    BT…ET text-operator execution). The corpus wraps each document's
+    text as HTML / plaintext / a real single-page PDF (Flate and TJ
+    variants cycled by doc_id) built with pdf_build_minimal; the
+    engine round-trips through a genuine binary column (sniff bytes →
+    dispatch → parse), and the oracle is the identity the round-trip
+    must restore — the extracted TEXT itself is a hash-checked key.
+
+    Reference: solr/contrib/extraction ExtractingRequestHandler
+    (Tika dispatch-by-type); PDF text operators per PDF 32000-1 §9.4.
+    """
     from .sources.extraction import extract
+    from .sources.pdfminimal import pdf_build_minimal
+
+    @F.pandas_udf("binary")
+    def _build_pdf(texts, ids):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                pdf_build_minimal(
+                    t or "",
+                    flate=bool(i % 2 == 0),
+                    use_tj_array=bool(i % 4 >= 2),
+                )
+                for t, i in zip(texts, ids)
+            ]
+        )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     txt = F.coalesce(F.col("text"), F.lit(""))
     payload = (
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.lit("<html><body><p>"), txt, F.lit("</p></body></html>")
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    txt,
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
             ),
         )
-        .when(F.col("doc_id") % 3 == 1, txt)
-        .otherwise(F.concat(F.lit("%PDF-1.4\n"), txt))
+        .when(F.col("doc_id") % 3 == 1, F.encode(txt, "UTF-8"))
+        .otherwise(_build_pdf(txt, F.col("doc_id")))
     )
-    binary = docs.select(
-        "doc_id", F.encode(payload, "UTF-8").alias("content")
-    )
+    binary = docs.select("doc_id", payload.alias("content"))
     ex = extract(binary)
     ct_code = (
         F.when(F.col("content_type") == "text/html", 0)

@@ -10,13 +10,15 @@ Spark shape: the pipeline runs on a ``binary`` content column.
 - Content-type sniffing is magic-byte prefix comparison — a pure
   Column expression over the first bytes (no Python, nothing decoded
   that isn't needed).
-- Plaintext and HTML extraction are real: UTF-8 decode and tag-strip
-  regexp, all codegen.
-- PDF/rich-document parsing is honestly STUBBED behind an import-try
-  (no parser library ships in this container — the same declared
-  pattern as ``operators/multimodal.decode_image``): the plumbing
-  (binary column, sniff, dispatch, schema) is production-real, the
-  parser hook swaps in when a library is present.
+- Plaintext extraction is a UTF-8 decode (codegen).
+- HTML extraction runs the reference-exact HTMLStripCharFilter
+  (analysis/charfilter.py — JVM-oracle-verified over 16.7k docs) via
+  the Arrow dispatcher.
+- PDF extraction is REAL for the common case (sources/pdfminimal.py:
+  Flate streams + BT…ET text operators with full string-escape
+  handling; font-CMap decoding a declared simplification) — the
+  former import-gated stub is gone. ``is_stub`` stays in the schema
+  for API stability and is now always 0.
 
 At 100 TB this is a narrow per-row projection; payload bytes never
 shuffle — extraction happens where the scan reads them, and only the
@@ -25,17 +27,12 @@ shuffle — extraction happens where the scan reads them, and only the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
-__all__ = ["HAVE_PDF", "sniff_content_type", "extract_text", "extract"]
-
-try:  # pragma: no cover - not installed in this environment
-    import pypdf  # noqa: F401
-
-    HAVE_PDF = True
-except Exception:  # pragma: no cover
-    HAVE_PDF = False
+__all__ = ["sniff_content_type", "extract_text", "extract"]
 
 
 def sniff_content_type(bin_col: Column) -> Column:
@@ -52,26 +49,41 @@ def sniff_content_type(bin_col: Column) -> Column:
     )
 
 
+@F.pandas_udf(StringType())
+def _pdf_text_pd(blobs: pd.Series) -> pd.Series:
+    from .pdfminimal import pdf_extract_text
+
+    return pd.Series([
+        None if b is None else pdf_extract_text(bytes(b)) for b in blobs
+    ])
+
+
+@F.pandas_udf(StringType())
+def _html_text_pd(blobs: pd.Series) -> pd.Series:
+    from ..analysis.charfilter import html_strip
+
+    # decode happens here, not as a JVM expression: UDF argument
+    # projections run on EVERY row (ArrowEvalPython is unconditional
+    # even under CASE WHEN), and ANSI decode() would throw on the
+    # binary PDF rows
+    return pd.Series([
+        None
+        if b is None
+        else html_strip(bytes(b).decode("utf-8", "replace")).strip()
+        for b in blobs
+    ])
+
+
 def extract_text(bin_col: Column) -> Column:
-    """Extracted text per content type. PDF returns the deterministic
-    stub marker ``PDF_TEXT_UNAVAILABLE(<n_bytes>)`` unless a parser
-    library is importable (HAVE_PDF)."""
-    txt = F.decode(bin_col, "UTF-8")
-    html = F.trim(F.regexp_replace(txt, "<[^>]*>", ""))
-    if HAVE_PDF:  # pragma: no cover - library absent here
-        raise NotImplementedError(
-            "pypdf present: wire a pandas_udf parser here"
-        )
-    pdf = F.concat(
-        F.lit("PDF_TEXT_UNAVAILABLE("),
-        F.length(bin_col).cast("string"),
-        F.lit(")"),
-    )
+    """Extracted text per content type: real PDF parse, reference
+    HTMLStrip, plaintext decode."""
     ct = sniff_content_type(bin_col)
     return (
-        F.when(ct == "application/pdf", pdf)
-        .when(ct == "text/html", html)
-        .otherwise(txt)
+        F.when(ct == "application/pdf", _pdf_text_pd(bin_col))
+        .when(ct == "text/html", _html_text_pd(bin_col))
+        # plaintext decode stays a JVM codegen expression — CASE WHEN
+        # branches are lazy per-row, so it never sees PDF bytes
+        .otherwise(F.decode(bin_col, "UTF-8"))
     )
 
 
@@ -87,5 +99,5 @@ def extract(
         ct.alias("content_type"),
         txt.alias("text"),
         F.length(txt).cast("long").alias("n_chars"),
-        (ct == "application/pdf").cast("long").alias("is_stub"),
+        F.lit(0).cast("long").alias("is_stub"),
     )

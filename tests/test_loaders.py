@@ -106,27 +106,26 @@ def test_csv_roundtrip_hostile_text(spark):
 
 
 def test_binary_extraction_dispatch(spark):
-    """Tika-analog: magic-byte sniff routes HTML (tag-strip), plaintext
-    (decode), and PDF (deterministic stub) — over a real binary
-    column; byte length counts multibyte UTF-8 correctly."""
+    """Tika-analog: magic-byte sniff routes HTML (HTMLStripCharFilter),
+    plaintext (decode), and PDF (real pdfminimal parse) — over a real
+    binary column; the PDF branch must round-trip a Flate-compressed
+    page back to its source text."""
     from pyspark.sql import functions as F
 
     from lucene_solr_spark.sources.extraction import extract
+    from lucene_solr_spark.sources.pdfminimal import pdf_build_minimal
 
     rows = [
-        (0, "<html><b>hello</b> world</html>"),
-        (1, "plain café text"),
-        (2, "%PDF-1.4\nsecret pdf body"),
+        (0, bytes("<html><b>hello</b> world</html>", "utf-8")),
+        (1, bytes("plain café text", "utf-8")),
+        (2, pdf_build_minimal("secret pdf body (café)", flate=True)),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, payload string").select(
-        "doc_id", F.encode("payload", "UTF-8").alias("content")
-    )
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r["doc_id"]: r for r in extract(df).collect()}
     assert got[0]["content_type"] == "text/html"
     assert got[0]["text"] == "hello world"
     assert got[1]["content_type"] == "text/plain"
     assert got[1]["text"] == "plain café text"
     assert got[2]["content_type"] == "application/pdf"
-    # 24 chars + 1 multibyte-free => 24 bytes payload
-    assert got[2]["text"] == "PDF_TEXT_UNAVAILABLE(24)"
-    assert got[2]["is_stub"] == 1 and got[0]["is_stub"] == 0
+    assert got[2]["text"] == "secret pdf body (café)"
+    assert got[2]["is_stub"] == 0 and got[0]["is_stub"] == 0

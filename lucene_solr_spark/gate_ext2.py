@@ -5089,6 +5089,38 @@ def fts_wikipedia(spark, sf_dir):
     ).orderBy("wk_input")
 
 
+_CLASSIC_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "classic_cases.parquet",
+)
+
+_CLASSIC_SQL = f"""
+SELECT mode || ':' || md5(input_s) AS cl_input, output_s
+FROM read_parquet('{_CLASSIC_FIXTURE}')
+ORDER BY cl_input"""
+
+
+@gate("fts_classic", _CLASSIC_SQL)
+def fts_classic(spark, sf_dir):
+    """ClassicTokenizer + ClassicFilter — the pre-3.1 StandardTokenizer
+    grammar (ALPHANUM/APOSTROPHE/ACRONYM/COMPANY/EMAIL/HOST/NUM/CJ with
+    maxTokenLength skip and ACRONYM_DEP->HOST retype) applied LIVE by
+    the Arrow dispatcher in three modes (raw255/filtered255/raw10); the
+    oracle reads outputs frozen after word-for-word verification
+    against the COMPILED reference scanner over a full-BMP sweep
+    (scripts/make_classic_fixture.py). Reference lucene/analysis/
+    common/.../standard/{{ClassicTokenizerImpl.jflex,
+    ClassicTokenizer.java,ClassicFilter.java}} (analysis/classic.py)."""
+    from .analysis.classic import classic_udf
+
+    fix = spark.read.parquet(_CLASSIC_FIXTURE).select("mode", "input_s")
+    return fix.select(
+        F.concat_ws(":", "mode", F.md5("input_s")).alias("cl_input"),
+        classic_udf(F.col("mode"), F.col("input_s")).alias("output_s"),
+    ).orderBy("cl_input")
+
+
 _MINHASH_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

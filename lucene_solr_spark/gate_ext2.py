@@ -5121,6 +5121,39 @@ def fts_classic(spark, sf_dir):
     ).orderBy("cl_input")
 
 
+_UAX29_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "uax29_cases.parquet",
+)
+
+_UAX29_SQL = f"""
+SELECT mode || ':' || md5(input_s) AS ux_input, output_s
+FROM read_parquet('{_UAX29_FIXTURE}')
+ORDER BY ux_input"""
+
+
+@gate("fts_uax29", _UAX29_SQL)
+def fts_uax29(spark, sf_dir):
+    """UAX29URLEmailTokenizer — UAX#29 word breaks (Unicode 9.0) +
+    TR#51 emoji sequences + RFC URL/EMAIL recognition with the IANA
+    TLD registry, applied LIVE by the Arrow dispatcher in two
+    maxTokenLength modes; the oracle reads outputs frozen after
+    word-for-word verification against the COMPILED reference JFlex
+    scanner over the reference's own random URL/email test resources,
+    a structured corpus, and full-BMP + astral per-char sweeps — 5905
+    docs, zero mismatches (scripts/make_uax29_fixture.py). Reference
+    lucene/analysis/common/.../standard/{{UAX29URLEmailTokenizerImpl
+    .jflex,UAX29URLEmailTokenizer.java}} (analysis/uax29.py)."""
+    from .analysis.uax29 import uax29_udf
+
+    fix = spark.read.parquet(_UAX29_FIXTURE).select("mode", "input_s")
+    return fix.select(
+        F.concat_ws(":", "mode", F.md5("input_s")).alias("ux_input"),
+        uax29_udf(F.col("mode"), F.col("input_s")).alias("output_s"),
+    ).orderBy("ux_input")
+
+
 _MINHASH_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

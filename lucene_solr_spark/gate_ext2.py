@@ -5154,6 +5154,41 @@ def fts_uax29(spark, sf_dir):
     ).orderBy("ux_input")
 
 
+_CHARTOK_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "chartok_cases.parquet",
+)
+
+_CHARTOK_SQL = f"""
+SELECT mode || ':' || md5(input_s) AS ct_input, output_s
+FROM read_parquet('{_CHARTOK_FIXTURE}')
+ORDER BY ct_input"""
+
+
+@gate("fts_chartokenizers", _CHARTOK_SQL)
+def fts_chartokenizers(spark, sf_dir):
+    """CharTokenizer family (Letter/Whitespace/UnicodeWhitespace with
+    UTF-16 maxTokenLen run-splitting) + KeywordTokenizer +
+    NGram/EdgeNGram tokenizers (code-point grams by increasing start
+    offset), applied LIVE by the Arrow dispatcher across 11
+    parameterizations; the oracle reads outputs frozen after
+    word-for-word verification against the COMPILED reference classes
+    over full-BMP + astral sweeps — 14997 cases, zero mismatches
+    (scripts/make_chartok_fixture.py). Reference lucene/analysis/
+    common/.../util/CharTokenizer.java:165-215,
+    core/{{Letter,Whitespace,UnicodeWhitespace,Keyword}}Tokenizer.java,
+    ngram/{{NGram,EdgeNGram}}Tokenizer.java
+    (analysis/chartokenizers.py)."""
+    from .analysis.chartokenizers import chartok_udf
+
+    fix = spark.read.parquet(_CHARTOK_FIXTURE).select("mode", "input_s")
+    return fix.select(
+        F.concat_ws(":", "mode", F.md5("input_s")).alias("ct_input"),
+        chartok_udf(F.col("mode"), F.col("input_s")).alias("output_s"),
+    ).orderBy("ct_input")
+
+
 _MINHASH_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

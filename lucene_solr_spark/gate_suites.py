@@ -364,6 +364,7 @@ _suite("fts_analysis_suite", [
     ("wikipedia", "fts_wikipedia", ("wk_input", "output_s"), ()),
     ("classic", "fts_classic", ("cl_input", "output_s"), ()),
     ("uax29", "fts_uax29", ("ux_input", "output_s"), ()),
+    ("chartok", "fts_chartokenizers", ("ct_input", "output_s"), ()),
     ("minhash", "fts_minhash", ("mh_input", "output_s"), ()),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),

@@ -5189,6 +5189,45 @@ def fts_chartokenizers(spark, sf_dir):
     ).orderBy("ct_input")
 
 
+_SPT_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "simplepattern_cases.parquet",
+)
+
+_SPT_SQL = f"""
+SELECT "case" || ':' || md5(input_s) AS sp_input, output_s
+FROM read_parquet('{_SPT_FIXTURE}')
+ORDER BY sp_input"""
+
+
+@gate("fts_simplepattern", _SPT_SQL)
+def fts_simplepattern(spark, sf_dir):
+    """SimplePatternTokenizer + SimplePatternSplitTokenizer over a
+    full Lucene RegExp->DFA engine (recursive-descent grammar with
+    union/intersection/complement/char-classes/decimal-intervals,
+    interval-NFA subset-construction determinization —
+    analysis/luceneregex.py) with the reference's greedy longest-match
+    scanner loops incl. code-unit pushback and EOF-no-accept
+    termination (analysis/simplepattern.py), applied LIVE by the Arrow
+    dispatcher across 7 pattern parameterizations; the oracle reads
+    outputs frozen after word-for-word verification against the
+    COMPILED reference (full util/automaton package + both tokenizers)
+    over 14952 pattern x doc cases, zero mismatches
+    (scripts/make_simplepattern_fixture.py). Reference lucene/core/
+    .../util/automaton/{{RegExp,Automata,Operations}}.java,
+    lucene/analysis/common/.../pattern/SimplePattern{{,Split}}
+    Tokenizer.java."""
+    from .analysis.simplepattern import simplepattern_udf
+
+    fix = spark.read.parquet(_SPT_FIXTURE).select("case", "input_s")
+    return fix.select(
+        F.concat_ws(":", "case", F.md5("input_s")).alias("sp_input"),
+        simplepattern_udf(F.col("case"), F.col("input_s"))
+        .alias("output_s"),
+    ).orderBy("sp_input")
+
+
 _MINHASH_FIXTURE = __import__("os").path.join(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
     "fixtures_data",

@@ -583,3 +583,37 @@ def compile_regexp(pattern: str) -> DFA:
     if p.more():
         raise ValueError("end-of-string expected at position %d" % p.pos)
     return determinize(nfa)
+
+
+def mandatory_prefix(dfa: DFA) -> str:
+    """The common prefix every accepted string starts with (the seek
+    prefix AutomatonTermsEnum derives via Operations.getCommonPrefix —
+    used to push a range/startswith predicate into the term scan)."""
+    out = []
+    state = 0
+    seen = set()
+    while state not in seen:
+        seen.add(state)
+        if dfa.is_accept(state):
+            break
+        ss = dfa.starts[state]
+        if len(ss) != 1 or ss[0] != dfa.ends[state][0]:
+            break
+        out.append(chr(ss[0]))
+        state = dfa.dests[state][0]
+    return "".join(out)
+
+
+def regexp_match_udf(term_col, pattern: str):
+    """Arrow-batched full-match of a Lucene RegExp over a term column
+    (RegexpQuery semantics: the whole term must be accepted)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dfa = compile_regexp(pattern)
+
+    def _run(terms):
+        return pd.Series([
+            t is not None and dfa.run(t) for t in terms])
+
+    return pandas_udf(_run, "boolean")(term_col)

@@ -165,8 +165,19 @@ def _expansion_docs(tables, spec) -> DataFrame:
 
         cond = damerau_levenshtein(F.col("term"), pattern) <= int(param)
     elif kind == "regexp":
-        # RegexpQuery anchors the whole term (RegExp.java full-match)
-        cond = F.col("term").rlike("^(?:" + pattern + ")$")
+        # RegexpQuery anchors the whole term, in LUCENE RegExp syntax
+        # (util/automaton/RegExp.java — not POSIX/Java regex): run the
+        # real interval-DFA engine Arrow-batched over the dictionary,
+        # with the automaton's mandatory prefix pushed into the scan
+        # as a startswith predicate (the Catalyst analog of
+        # AutomatonTermsEnum's common-prefix seek)
+        from ..analysis.luceneregex import (
+            compile_regexp, mandatory_prefix, regexp_match_udf)
+
+        prefix = mandatory_prefix(compile_regexp(pattern))
+        cond = regexp_match_udf(F.col("term"), pattern)
+        if prefix:
+            cond = F.col("term").startswith(prefix) & cond
     else:
         raise ValueError(f"unknown expansion kind {kind!r}")
     terms = d.filter(cond)

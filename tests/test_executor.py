@@ -372,6 +372,26 @@ def test_regexp_expansion_anchored(spark, tiny_index):
     assert res == want and len(res) > 0
 
 
+def test_regexp_lucene_syntax_complement(spark, tiny_index):
+    """RegexpQuery takes LUCENE RegExp syntax: `gap.*&~(gap)` uses
+    intersection+complement (absent from POSIX) to match gap-prefixed
+    terms longer than the bare 'gap'."""
+    tables = tiny_index
+    res = {
+        r["doc_id"]
+        for r in execute_parsed(
+            "+/gap.*&~(gap)/", tables, k=None, precision="double"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in tables.postings.filter(
+            F.col("term").rlike("^gap.+$"))
+        .select("doc_id").distinct().collect()
+    }
+    assert res == want and len(res) > 0
+
+
 def test_fielded_group_in_filter(spark, tiny_index):
     """'head role:(user assistant)' == bruteforce(head) semi-joined to
     docs whose stored role is in the set (constant-score filter)."""

@@ -366,6 +366,7 @@ _suite("fts_analysis_suite", [
     ("uax29", "fts_uax29", ("ux_input", "output_s"), ()),
     ("chartok", "fts_chartokenizers", ("ct_input", "output_s"), ()),
     ("simplepattern", "fts_simplepattern", ("sp_input", "output_s"), ()),
+    ("wdgf_full", "fts_wdgf_full", ("wd_input", "output_s"), ()),
     ("minhash", "fts_minhash", ("mh_input", "output_s"), ()),
     ("phonetic_enc", "fts_phonetic_encoders", ("enc_term", "code"), ()),
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),

@@ -396,6 +396,11 @@ MODES = {
                   ("NASA", "mp3")),
     "possessive": (_F["GW"] | _F["SC"] | _F["SP"], True, None),
     "catnum": (_F["GN"] | _F["CN"] | _F["SN"], True, None),
+    # graph-producing configs flattened for indexing by
+    # core/FlattenGraphFilter.java (analysis/flattengraph.py)
+    "flat_full": "full",
+    "flat_catall": "catall",
+    "flat_preserve": "preserve",
 }
 
 
@@ -410,6 +415,10 @@ def _ws_tokens(text: str) -> List[Tuple[str, int, int]]:
 
 
 def wdgf_tokenize(text: str, mode: str) -> List[GraphToken]:
+    if isinstance(MODES[mode], str):
+        from .flattengraph import flatten_graph
+
+        return flatten_graph(wdgf_tokenize(text, MODES[mode]))
     flags, adjust, prot = MODES[mode]
     f = WordDelimiterGraph(flags, prot_words=prot,
                            adjust_internal_offsets=adjust)

@@ -5247,12 +5247,15 @@ def fts_wdgf_full(spark, sf_dir):
     on case change/numerics, stem English possessive, protected
     words) with exact graph positions (posInc hole accumulation,
     posLen spans, part-sorted emission, never-backwards offsets),
-    applied LIVE by the Arrow dispatcher across 8 flag modes; the
-    oracle reads outputs frozen after word-for-word verification
-    (term+posInc+posLen+offsets) against the COMPILED reference filter
-    — 5744 cases, zero mismatches (scripts/make_wdgf_fixture.py).
-    Reference lucene/analysis/common/.../miscellaneous/
-    {{WordDelimiterGraphFilter,WordDelimiterIterator}}.java
+    plus FlattenGraphFilter composition (graph->flat posInc/posLen
+    remap for indexing, analysis/flattengraph.py), applied LIVE by
+    the Arrow dispatcher across 11 modes; the oracle reads outputs
+    frozen after word-for-word verification
+    (term+posInc+posLen+offsets) against the COMPILED reference
+    filters — 7898 cases, zero mismatches
+    (scripts/make_wdgf_fixture.py). Reference lucene/analysis/common/
+    .../miscellaneous/{{WordDelimiterGraphFilter,
+    WordDelimiterIterator}}.java, core/FlattenGraphFilter.java
     (analysis/worddelim.py)."""
     from .analysis.worddelim import wdgf_udf
 

@@ -63,6 +63,10 @@ REAL = [
      "WordDelimiterIterator.java"),
     (REF_CORE + "/analysis/CharacterUtils.java",
      "org/apache/lucene/analysis/CharacterUtils.java"),
+    (REF_AN + "/core/FlattenGraphFilter.java",
+     "org/apache/lucene/analysis/core/FlattenGraphFilter.java"),
+    (REF_CORE + "/util/RollingBuffer.java",
+     "org/apache/lucene/util/RollingBuffer.java"),
 ]
 
 STUBS = {
@@ -248,6 +252,12 @@ public final class StandardTokenizer {
   private StandardTokenizer() {}
 }
 """,
+    "org/apache/lucene/analysis/synonym/SynonymGraphFilter.java": """
+package org.apache.lucene.analysis.synonym;
+public final class SynonymGraphFilter {
+  private SynonymGraphFilter() {}
+}
+""",
 }
 
 DUMP = r"""package org.apache.lucene.analysis.miscellaneous;
@@ -281,6 +291,10 @@ public class WDGFDump {
       case "catnum":     return new int[] {GN|CN|SN, 1, 0};
       default: throw new IllegalArgumentException(name);
     }
+  }
+
+  static String baseOf(String name) {
+    return name.startsWith("flat_") ? name.substring(5) : name;
   }
 
   public static void main(String[] args) throws Exception {
@@ -317,7 +331,7 @@ public class WDGFDump {
       String mode = line.substring(0, bar);
       String doc = new String(dec.decode(line.substring(bar + 1)),
                               StandardCharsets.UTF_8);
-      int[] m = modeOf(mode);
+      int[] m = modeOf(baseOf(mode));
       CharArraySet prot = null;
       if (m[2] == 1) {
         prot = new CharArraySet();
@@ -326,9 +340,14 @@ public class WDGFDump {
       }
       WhitespaceTokenizer tok = new WhitespaceTokenizer();
       tok.setReader(new StringReader(doc));
-      WordDelimiterGraphFilter f = new WordDelimiterGraphFilter(
-          tok, m[1] == 1,
-          WordDelimiterIterator.DEFAULT_WORD_DELIM_TABLE, m[0], prot);
+      org.apache.lucene.analysis.TokenStream f =
+          new WordDelimiterGraphFilter(
+              tok, m[1] == 1,
+              WordDelimiterIterator.DEFAULT_WORD_DELIM_TABLE, m[0],
+              prot);
+      if (mode.startsWith("flat_")) {
+        f = new org.apache.lucene.analysis.core.FlattenGraphFilter(f);
+      }
       f.reset();
       StringBuilder sb = new StringBuilder();
       boolean first = true;

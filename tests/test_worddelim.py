@@ -120,6 +120,28 @@ def test_full_stream_positions():
         ("50042", 1, 2), ("500", 0, 1), ("42", 1, 1), ("NASA", 1, 1)]
 
 
+def test_flatten_graph_sausage():
+    # FlattenGraphFilter: the catall graph (wifi4000 posLen 3 spanning
+    # wi/fi/4000) collapses into a linear chain where every path
+    # touches every node — posLen is recomputed on output numbering
+    from lucene_solr_spark.analysis.flattengraph import flatten_graph
+
+    flat = flatten_graph(wdgf_tokenize("wi-fi-4000", "catall"))
+    assert [(t.term, t.pos_inc, t.pos_len) for t in flat] == [
+        ("wi-fi-4000", 1, 3), ("wifi4000", 0, 3), ("wi", 0, 1),
+        ("fi", 1, 1), ("4000", 1, 1)]
+
+
+def test_flatten_graph_hole():
+    from lucene_solr_spark.analysis.flattengraph import flatten_graph
+
+    f = WordDelimiterGraph(ALL_SPLIT)
+    toks = f.process_token("----", 0, 4) + f.process_token("ab", 5, 7)
+    flat = flatten_graph(toks)
+    # the hole survives flattening as a posInc=2
+    assert [(t.term, t.pos_inc) for t in flat] == [("ab", 2)]
+
+
 def test_fixture_replay_full():
     df = pd.read_parquet(FIX)
     assert len(df) > 2000 and set(df["mode"]) == set(MODES)

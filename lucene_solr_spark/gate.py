@@ -1151,4 +1151,5 @@ def rel_percentile_prices(spark, sf_dir):
 from . import gate_td  # noqa: E402,F401  (import side-effect: registration)
 from . import gate_ext  # noqa: E402,F401  (import side-effect: registration)
 from . import gate_ext2  # noqa: E402,F401  (import side-effect: registration)
+from . import gate_sim  # noqa: E402,F401  (import side-effect: registration)
 from . import gate_suites  # noqa: E402,F401  (builds QUERIES/ORACLE_SQL)

@@ -1,0 +1,127 @@
+"""Driver gates for the SimilarityBase model family (search/simbase.py).
+
+Three tagged-union parts — LM, DFR+IB, DFI+Axiomatic — each verifying
+several models in one hash row (model name is a key column). Every
+model runs the SAME expression text on Spark and DuckDB
+(simbase.sim_expr), scores computed in IEEE double and rounded to 4
+decimals on both engines; ordering by the rounded score keeps the
+top-20 cut ulp-insensitive. As with ClassicSimilarity, the per-term
+float32 cast of the reference's SimScorer.score return is out of
+scope (BM25 is the float32-exact parity contract); the statistical
+models verify double-precision formula parity.
+
+Reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+{LMDirichletSimilarity,LMJelinekMercerSimilarity,DFRSimilarity,
+IBSimilarity,DFISimilarity,Axiomatic*}.java.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .gate import _NORM_VALUES, _TOKS, docs_index, gate
+from .search.simbase import search_similarity, sim_oracle_sql
+
+_TERMS = ["spark", "merge"]
+
+# (tag, model, params) — one row per verified model configuration.
+_LM_MODELS = [
+    ("dirichlet_2000", "dirichlet", {"mu": 2000.0}),
+    ("dirichlet_500", "dirichlet", {"mu": 500.0}),
+    ("jm_050", "jelinek_mercer", {"lam": 0.5}),
+    ("jm_025", "jelinek_mercer", {"lam": 0.25}),
+]
+
+_DFR_IB_MODELS = [
+    ("dfr_g_l_h1", "dfr",
+     {"basic_model": "g", "after_effect": "l", "normalization": "h1",
+      "c": 1.0}),
+    ("dfr_in_b_h2", "dfr",
+     {"basic_model": "in", "after_effect": "b", "normalization": "h2",
+      "c": 1.0}),
+    ("dfr_ine_b_h3", "dfr",
+     {"basic_model": "ine", "after_effect": "b", "normalization": "h3",
+      "mu": 800.0}),
+    ("dfr_if_l_z", "dfr",
+     {"basic_model": "if", "after_effect": "l", "normalization": "z",
+      "z": 0.30}),
+    ("ib_ll_df_h1", "ib",
+     {"distribution": "ll", "lam": "df", "normalization": "h1", "c": 1.0}),
+    ("ib_spl_ttf_h2", "ib",
+     {"distribution": "spl", "lam": "ttf", "normalization": "h2",
+      "c": 1.0}),
+]
+
+_DFI_AX_MODELS = [
+    ("dfi_standardized", "dfi", {"measure": "standardized"}),
+    ("dfi_saturated", "dfi", {"measure": "saturated"}),
+    ("dfi_chisquared", "dfi", {"measure": "chisquared"}),
+    ("ax_f1exp", "axiomatic", {"variant": "f1exp"}),
+    ("ax_f1log", "axiomatic", {"variant": "f1log"}),
+    ("ax_f2exp", "axiomatic", {"variant": "f2exp"}),
+    ("ax_f2log", "axiomatic", {"variant": "f2log"}),
+    ("ax_f3exp", "axiomatic", {"variant": "f3exp"}),
+    ("ax_f3log", "axiomatic", {"variant": "f3log"}),
+]
+
+
+def _family_sql(models) -> str:
+    subs = [
+        f"SELECT '{tag}' AS model, doc_id, score FROM ("
+        + sim_oracle_sql(model, _TERMS, _TOKS, _NORM_VALUES, k=20, **params)
+        + ")"
+        for tag, model, params in models
+    ]
+    return (
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(subs)
+        + "\n) ORDER BY model, score DESC, doc_id ASC"
+    )
+
+
+def _family_gate(spark, sf_dir, models):
+    tables = docs_index(spark, sf_dir)
+    out = None
+    for tag, model, params in models:
+        d = (
+            search_similarity(tables, _TERMS, model, k=None, **params)
+            .withColumn("score", F.round("score", 4))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+            .select(F.lit(tag).alias("model"), "doc_id", "score")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("model", F.desc("score"), F.asc("doc_id"))
+
+
+@gate("fts_sim_lm", _family_sql(_LM_MODELS))
+def fts_sim_lm(spark, sf_dir):
+    """Language-model similarities over the unchanged index tables:
+    LMDirichlet (mu=2000 default and mu=500) and LMJelinekMercer
+    (lambda=0.5, 0.25) — search/simbase.py; reference
+    LMDirichletSimilarity.java (score clamped >= 0),
+    LMJelinekMercerSimilarity.java, collection probability
+    (F+1)/(T+1) per LMSimilarity.DefaultCollectionModel."""
+    return _family_gate(spark, sf_dir, _LM_MODELS)
+
+
+@gate("fts_sim_dfr_ib", _family_sql(_DFR_IB_MODELS))
+def fts_sim_dfr_ib(spark, sf_dir):
+    """Divergence-from-randomness and information-based families:
+    DFR BasicModel{G,In,Ine,IF} x AfterEffect{L,B} x
+    Normalization{H1,H2,H3,Z} representative compositions, and
+    IB Distribution{LL,SPL} x Lambda{DF,TTF} — search/simbase.py;
+    reference DFRSimilarity.java, IBSimilarity.java. Java float32
+    intermediates (LambdaDF/TTF, H3's (F+1F)/(T+1F) ratio, float
+    constants) replicated via explicit FLOAT casts on both engines."""
+    return _family_gate(spark, sf_dir, _DFR_IB_MODELS)
+
+
+@gate("fts_sim_dfi_ax", _family_sql(_DFI_AX_MODELS))
+def fts_sim_dfi_ax(spark, sf_dir):
+    """Divergence-from-independence (all three Independence measures)
+    and the six Axiomatic retrieval functions (F1/F2/F3 x EXP/LOG,
+    s=0.25, k=0.35f, queryLen=1 defaults) — search/simbase.py;
+    reference DFISimilarity.java (score 0 when freq <= expected),
+    Independence{Standardized,Saturated,ChiSquared}.java,
+    Axiomatic.java (max(0, tf*ln*tfln*idf - gamma))."""
+    return _family_gate(spark, sf_dir, _DFI_AX_MODELS)

@@ -343,6 +343,9 @@ _suite("fts_score_shaping", [
     ("additive_boost", "fn_additive_boost", ("doc_id",), ("score",)),
     ("elevate", "fts_query_elevation",
      ("doc_id",), ("score", "elev_pos", "rank")),
+    ("sim_lm", "fts_sim_lm", ("model", "doc_id"), ("score",)),
+    ("sim_dfr_ib", "fts_sim_dfr_ib", ("model", "doc_id"), ("score",)),
+    ("sim_dfi_ax", "fts_sim_dfi_ax", ("model", "doc_id"), ("score",)),
 ])
 
 # 13-14: analysis chains

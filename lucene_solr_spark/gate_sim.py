@@ -65,6 +65,15 @@ _DFI_AX_MODELS = [
 ]
 
 
+_MISC_MODELS = [
+    ("sweetspot_baseline", "sweetspot", {"variant": "baseline"}),
+    ("sweetspot_hyperbolic", "sweetspot", {"variant": "hyperbolic"}),
+    ("multi_dirichlet_jm", "multi",
+     {"models": (("dirichlet", {"mu": 2000.0}),
+                 ("jelinek_mercer", {"lam": 0.5}))}),
+]
+
+
 def _family_sql(models) -> str:
     subs = [
         f"SELECT '{tag}' AS model, doc_id, score FROM ("
@@ -125,3 +134,13 @@ def fts_sim_dfi_ax(spark, sf_dir):
     Independence{Standardized,Saturated,ChiSquared}.java,
     Axiomatic.java (max(0, tf*ln*tfln*idf - gamma))."""
     return _family_gate(spark, sf_dir, _DFI_AX_MODELS)
+
+
+@gate("fts_sim_misc", _family_sql(_MISC_MODELS))
+def fts_sim_misc(spark, sf_dir):
+    """SweetSpotSimilarity (lucene/misc/.../SweetSpotSimilarity.java —
+    plateau length norm, baseline and hyperbolic tf, float32 cast
+    points replicated) and MultiSimilarity (similarities/
+    MultiSimilarity.java — per-term SUM of Dirichlet + Jelinek-Mercer
+    sub-scores) — search/simbase.py."""
+    return _family_gate(spark, sf_dir, _MISC_MODELS)

@@ -241,6 +241,62 @@ def axiomatic(
     )
 
 
+def sweetspot(
+    variant: str = "baseline",
+    ln_min: int = 3,
+    ln_max: int = 20,
+    steep: float = 0.5,
+    tf_base: float = 1.5,
+    tf_min: float = 5.0,
+    hyper_min: float = 0.0,
+    hyper_max: float = 2.0,
+    hyper_base: float = 1.3,
+    hyper_xoffset: float = 10.0,
+) -> str:
+    """SweetSpotSimilarity (lucene/misc/.../SweetSpotSimilarity.java) —
+    ClassicSimilarity with a plateau length norm
+    (1/sqrt(steep*(|dl-min|+|dl-max|-(max-min))+1), float32 result) and
+    either the baseline tf (flat tf_base up to tf_min, then
+    sqrt(freq+base^2-min)) or the hyperbolic tf
+    (min+(max-min)/2*(tanh-shape+1)). idf is ClassicSimilarity's
+    (1+ln((N+1)/(df+1)))^2, double-path as in search/classic.py."""
+    s32 = _f32(steep)
+    lnorm = (
+        f"CAST(1.0 / sqrt(CAST({s32} * (abs({{dl}} - {float(ln_min)!r})"
+        f" + abs({{dl}} - {float(ln_max)!r})"
+        f" - {float(ln_max - ln_min)!r}) AS FLOAT) + 1.0) AS FLOAT)"
+    )
+    if variant == "baseline":
+        b32, m32 = _f32(tf_base), _f32(tf_min)
+        bb = _f32(np.float32(tf_base) * np.float32(tf_base))
+        tf_ = (
+            f"(CASE WHEN {{freq}} <= {m32} THEN {b32} "
+            f"ELSE CAST(sqrt({{freq}} + {bb} - {m32}) AS FLOAT) END)"
+        )
+    elif variant == "hyperbolic":
+        mn, mx = _f32(hyper_min), _f32(hyper_max)
+        half = _f32((np.float32(hyper_max) - np.float32(hyper_min))
+                    / np.float32(2.0))
+        base = repr(float(hyper_base))
+        x = f"({{freq}} - {_f32(hyper_xoffset)})"
+        tanh = (
+            f"((power({base}, {x}) - power({base}, -{x}))"
+            f" / (power({base}, {x}) + power({base}, -{x})))"
+        )
+        tf_ = f"CAST(({mn} + {half} * ({tanh} + 1.0)) AS FLOAT)"
+    else:
+        raise ValueError(f"unknown sweetspot variant {variant!r}")
+    idf2 = "power(1.0 + ln(({N} + 1.0) / ({df} + 1.0)), 2)"
+    return f"({{boost}} * {idf2} * {tf_} * {lnorm})"
+
+
+def multi(models=()) -> str:
+    """MultiSimilarity (similarities/MultiSimilarity.java): the SUM of
+    the sub-similarities' per-term scores (MultiSimScorer.score)."""
+    subs = [MODELS[m](**p) for m, p in models]
+    return "(" + " + ".join(subs) + ")"
+
+
 MODELS = {
     "dirichlet": lm_dirichlet,
     "jelinek_mercer": lm_jelinek_mercer,
@@ -248,6 +304,8 @@ MODELS = {
     "dfr": dfr,
     "ib": ib,
     "axiomatic": axiomatic,
+    "sweetspot": sweetspot,
+    "multi": multi,
 }
 
 

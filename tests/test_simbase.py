@@ -24,11 +24,11 @@ import pytest
 from lucene_solr_spark.functions import smallfloat
 from lucene_solr_spark.gate import PARTS, PARTS_SQL
 from lucene_solr_spark.gate_sim import (
-    _DFI_AX_MODELS, _DFR_IB_MODELS, _LM_MODELS, _TERMS)
+    _DFI_AX_MODELS, _DFR_IB_MODELS, _LM_MODELS, _MISC_MODELS, _TERMS)
 
 SF = "/root/testdata/sf0.001"
-GATES = ["fts_sim_lm", "fts_sim_dfr_ib", "fts_sim_dfi_ax"]
-ALL_MODELS = _LM_MODELS + _DFR_IB_MODELS + _DFI_AX_MODELS
+GATES = ["fts_sim_lm", "fts_sim_dfr_ib", "fts_sim_dfi_ax", "fts_sim_misc"]
+ALL_MODELS = _LM_MODELS + _DFR_IB_MODELS + _DFI_AX_MODELS + _MISC_MODELS
 LOG2 = math.log(2)
 
 
@@ -138,6 +138,28 @@ def _ref_score(tag, model, params, freq, dl, df, cf, n, t):
             (n + 1.0) / df)
         gamma = (dl - ql) * s * ql / avg if v.startswith("f3") else 0.0
         return max(0.0, tf_ * ln_ * tfln * idf - gamma)
+    if model == "sweetspot":
+        ln_min, ln_max, steep = 3.0, 20.0, float(np.float32(0.5))
+        lnorm = float(np.float32(1.0 / math.sqrt(float(np.float32(
+            steep * (abs(dl - ln_min) + abs(dl - ln_max)
+                     - (ln_max - ln_min)))) + 1.0)))
+        if params["variant"] == "baseline":
+            tb = float(np.float32(1.5))
+            tm = float(np.float32(5.0))
+            bb = float(np.float32(1.5) * np.float32(1.5))
+            tf_ = tb if freq <= tm else float(
+                np.float32(math.sqrt(freq + bb - tm)))
+        else:
+            x = freq - 10.0
+            tanh = ((1.3 ** x - 1.3 ** -x) / (1.3 ** x + 1.3 ** -x))
+            tf_ = float(np.float32(0.0 + 1.0 * (tanh + 1.0)))
+        idf2 = (1.0 + math.log((n + 1.0) / (df + 1.0))) ** 2
+        return idf2 * tf_ * lnorm
+    if model == "multi":
+        return sum(
+            _ref_score(tag, m, p, freq, dl, df, cf, n, t)
+            for m, p in params["models"]
+        )
     raise AssertionError(model)
 
 

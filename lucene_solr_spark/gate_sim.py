@@ -144,3 +144,62 @@ def fts_sim_misc(spark, sf_dir):
     MultiSimilarity.java — per-term SUM of Dirichlet + Jelinek-Mercer
     sub-scores) — search/simbase.py."""
     return _family_gate(spark, sf_dir, _MISC_MODELS)
+
+
+# ------------------------------------------ PerFieldSimilarityWrapper
+
+# Title field = first 8 analyzed tokens with its OWN df/avgdl/norm
+# statistics (gate.docs_title_index) — same field projection the
+# fts_edismax_fields oracle derives.
+_TITLE_TOKS = """SELECT doc_id, term FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) + 1)) AS pos
+  FROM documents) WHERE pos <= 8"""
+
+_PF_BODY = ("dirichlet", {"mu": 2000.0})
+_PF_TITLE = ("dfr", {"basic_model": "in", "after_effect": "b",
+                     "normalization": "h2", "c": 1.0})
+
+_PER_FIELD_SQL = f"""
+WITH fb AS (SELECT doc_id, score FROM ({
+    sim_oracle_sql(_PF_BODY[0], _TERMS, _TOKS, _NORM_VALUES,
+                   k=1000000000, **_PF_BODY[1])})),
+ft AS (SELECT doc_id, score FROM ({
+    sim_oracle_sql(_PF_TITLE[0], _TERMS, _TITLE_TOKS, _NORM_VALUES,
+                   k=1000000000, **_PF_TITLE[1])})),
+u AS (SELECT * FROM fb UNION ALL SELECT * FROM ft)
+SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
+ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 20"""
+
+
+@gate("fts_sim_per_field", _PER_FIELD_SQL)
+def fts_sim_per_field(spark, sf_dir):
+    """PerFieldSimilarityWrapper: a two-field SHOULD query where each
+    field's term scorers use that FIELD's similarity — body under
+    LMDirichlet(mu=2000), title (own df/avgdl/norms) under
+    DFR In-B-H2 — summed per doc, exactly how IndexSearcher resolves
+    ``wrapper.get(field)`` per TermQuery leaf (reference
+    lucene/core/.../similarities/PerFieldSimilarityWrapper.java:19-35;
+    Solr SchemaSimilarityFactory.java per-fieldType dispatch). Each
+    field's score is computed over ITS index tables (per-field
+    collection stats, the wrapper contract), rounded to 4 decimals
+    per field on both engines, then summed; top-20 by rounded sum."""
+    from .gate import docs_title_index
+
+    body = search_similarity(
+        docs_index(spark, sf_dir), _TERMS, _PF_BODY[0], k=None,
+        **_PF_BODY[1]
+    ).withColumn("score", F.round("score", 4))
+    title = search_similarity(
+        docs_title_index(spark, sf_dir), _TERMS, _PF_TITLE[0], k=None,
+        **_PF_TITLE[1]
+    ).withColumn("score", F.round("score", 4))
+    return (
+        body.unionByName(title)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -174,6 +174,86 @@ SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
 ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 20"""
 
 
+# ---------------------------------------------------- BM25F (sandbox)
+
+_BM25F_SQL = """WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dlb AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+dlt AS (SELECT doc_id, least(count(*), 8) AS dl FROM tokp GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {NORM_VALUES}),
+qdb AS (SELECT d.doc_id, nt.qdl FROM dlb d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+qdt AS (SELECT d.doc_id, nt.qdl FROM dlt d JOIN nt
+        ON d.dl BETWEEN nt.lo AND nt.hi),
+sb AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM dlb),
+st AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM dlt),
+tfb AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+tft AS (SELECT doc_id, term, count(*) AS freq FROM tokp
+        WHERE term IN ('spark', 'merge') AND pos <= 8
+        GROUP BY doc_id, term),
+dfb AS (SELECT term, count(*) AS df FROM tfb GROUP BY term),
+dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term),
+pseudo AS (SELECT
+  greatest(coalesce((SELECT max(df) FROM dfb), 0),
+           coalesce((SELECT max(df) FROM dft), 0)) AS df,
+  greatest((SELECT dc FROM sb), (SELECT dc FROM st)) AS dc,
+  (1.0 * (SELECT sttf FROM sb)
+   + 2.0 * (SELECT sttf FROM st)) AS sttf),
+wf AS (SELECT doc_id, 1.0 * freq AS wf FROM tfb
+       UNION ALL SELECT doc_id, 2.0 * freq AS wf FROM tft),
+fq AS (SELECT doc_id, sum(wf) AS freq FROM wf GROUP BY doc_id),
+nrm AS (SELECT f.doc_id, f.freq,
+               CAST(floor(1.0 * qb.qdl + 2.0 * qt.qdl + 0.5) AS BIGINT)
+                 AS nv
+        FROM fq f JOIN qdb qb USING (doc_id)
+        JOIN qdt qt ON qt.doc_id = f.doc_id),
+cdl AS (SELECT n.doc_id, n.freq, nt.qdl FROM nrm n JOIN nt
+        ON n.nv BETWEEN nt.lo AND nt.hi),
+scored AS (SELECT c.doc_id,
+  1.0 * ln(1 + (p.dc - p.df + 0.5) / (p.df + 0.5))
+      * (c.freq / (c.freq + 1.2 * (1 - 0.75
+         + 0.75 * c.qdl / (CAST(p.sttf AS DOUBLE) / p.dc)))) AS score
+  FROM cdl c CROSS JOIN pseudo p)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20""".replace(
+    "{NORM_VALUES}", _NORM_VALUES
+)
+
+
+@gate("fts_bm25f", _BM25F_SQL)
+def fts_bm25f(spark, sf_dir):
+    """BM25FQuery combined-field scoring: body (weight 1) + title
+    (weight 2, first-8-tokens field with its own norms) fused into one
+    pseudo-field — ALL (field, term) pairs become ONE pseudo-term
+    (df = max, per-doc freq = Σ weight·tf), per-doc norm = weighted sum
+    of decoded per-field lengths re-quantized through the SmallFloat
+    byte, collection stats merged (docCount = max, sumTTF = Σ weight·
+    sumTTF) — search/bm25f.py; reference lucene/sandbox/.../search/
+    BM25FQuery.java:264-299,389-416 + MultiNormsLeafSimScorer.java:
+    124-133."""
+    from .gate import docs_title_index
+    from .search.bm25f import bm25f
+
+    out = bm25f(
+        {
+            "body": (docs_index(spark, sf_dir), 1.0),
+            "title": (docs_title_index(spark, sf_dir), 2.0),
+        },
+        _TERMS,
+        k=None,
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @gate("fts_sim_per_field", _PER_FIELD_SQL)
 def fts_sim_per_field(spark, sf_dir):
     """PerFieldSimilarityWrapper: a two-field SHOULD query where each

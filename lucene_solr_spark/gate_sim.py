@@ -71,6 +71,8 @@ _MISC_MODELS = [
     ("multi_dirichlet_jm", "multi",
      {"models": (("dirichlet", {"mu": 2000.0}),
                  ("jelinek_mercer", {"lam": 0.5}))}),
+    ("legacy_bm25", "legacy_bm25", {"k1": 1.2, "b": 0.75}),
+    ("legacy_bm25_09", "legacy_bm25", {"k1": 0.9, "b": 0.4}),
 ]
 
 
@@ -142,7 +144,10 @@ def fts_sim_misc(spark, sf_dir):
     plateau length norm, baseline and hyperbolic tf, float32 cast
     points replicated) and MultiSimilarity (similarities/
     MultiSimilarity.java — per-term SUM of Dirichlet + Jelinek-Mercer
-    sub-scores) — search/simbase.py."""
+    sub-scores) and LegacyBM25Similarity (misc/.../similarity/
+    LegacyBM25Similarity.java:65-67 — BM25 with boost*(1+k1), the
+    pre-Lucene-8 numerator, two parameterizations) —
+    search/simbase.py."""
     return _family_gate(spark, sf_dir, _MISC_MODELS)
 
 
@@ -172,6 +177,82 @@ ft AS (SELECT doc_id, score FROM ({
 u AS (SELECT * FROM fb UNION ALL SELECT * FROM ft)
 SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
 ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 20"""
+
+
+# ------------------------------------------- FuzzyLikeThis (sandbox)
+
+
+def _flt_src_ctes(tag: str, src: str) -> str:
+    ln = len(src)
+    return f"""exp{tag} AS (
+  SELECT term, df, damerau_levenshtein(term, '{src}') AS ed
+  FROM dict WHERE damerau_levenshtein(term, '{src}') <= 2),
+st{tag} AS (SELECT count(*) AS nv, sum(df) AS tdf FROM exp{tag}),
+eff{tag} AS (SELECT CASE
+  WHEN coalesce((SELECT df FROM dict WHERE term = '{src}'), 0) > 0
+  THEN (SELECT df FROM dict WHERE term = '{src}')
+  ELSE (SELECT tdf // nv FROM st{tag}) END AS df),
+var{tag} AS (
+  SELECT term,
+         1.0 - ed / CAST(least(length(term), {ln}) AS DOUBLE) AS boost,
+         row_number() OVER (
+           ORDER BY 1.0 - ed / CAST(least(length(term), {ln}) AS DOUBLE)
+             DESC, term ASC) AS rk
+  FROM exp{tag} QUALIFY rk <= 50),
+sc{tag} AS (
+  SELECT term, '{src}' AS src,
+         boost * boost
+           * (ln((s.doc_count + 1) / CAST(e.df + 1 AS DOUBLE)) + 1.0)
+           AS st_score
+  FROM var{tag} CROSS JOIN stats s CROSS JOIN eff{tag} e)"""
+
+
+_FLT_SQL = f"""WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+{_flt_src_ctes('1', 'jion')},
+{_flt_src_ctes('2', 'merg')},
+allv AS (SELECT * FROM sc1 UNION ALL SELECT * FROM sc2),
+kept AS (SELECT term, st_score,
+                row_number() OVER (
+                  ORDER BY st_score DESC, term ASC, src ASC) AS rk
+         FROM allv QUALIFY rk <= 30),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN (SELECT term FROM kept) GROUP BY doc_id, term),
+scored AS (SELECT tf.doc_id,
+  k.st_score * ln(1 + (s.doc_count - 1 + 0.5) / (1 + 0.5))
+    * (tf.freq / (tf.freq + 1.2 * (1.0 - 0.75
+       + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))) AS ts
+  FROM tf JOIN kept k USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id CROSS JOIN stats s)
+SELECT doc_id, round(sum(ts), 4) AS score FROM scored GROUP BY doc_id
+ORDER BY round(sum(ts), 4) DESC, doc_id ASC LIMIT 20"""
+
+
+@gate("fts_fuzzy_like_this", _FLT_SQL)
+def fts_fuzzy_like_this(spark, sf_dir):
+    """FuzzyLikeThisQuery over 'jion merg' (maxEdits 2, maxNumTerms
+    30): per source term the fuzzy variants keep the SOURCE term's idf
+    (or the integer-division average df when absent), score = boost² ·
+    ClassicSimilarity.idf, global top-30 variants searched as a
+    SHOULD-sum of BM25 term queries with ARTIFICIAL df=1 statistics —
+    search/fuzzylikethis.py; reference lucene/sandbox/.../queries/
+    FuzzyLikeThisQuery.java:191-252,254-273,281-339."""
+    from .search.fuzzylikethis import fuzzy_like_this
+
+    out = fuzzy_like_this(
+        docs_index(spark, sf_dir), ["jion", "merg"],
+        max_edits=2, max_num_terms=30, k=None,
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------- BM25F (sandbox)

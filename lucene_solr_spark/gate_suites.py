@@ -349,6 +349,7 @@ _suite("fts_score_shaping", [
     ("sim_misc", "fts_sim_misc", ("model", "doc_id"), ("score",)),
     ("sim_per_field", "fts_sim_per_field", ("doc_id",), ("score",)),
     ("bm25f", "fts_bm25f", ("doc_id",), ("score",)),
+    ("fuzzy_like_this", "fts_fuzzy_like_this", ("doc_id",), ("score",)),
 ])
 
 # 13-14: analysis chains

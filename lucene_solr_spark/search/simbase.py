@@ -297,6 +297,24 @@ def multi(models=()) -> str:
     return "(" + " + ".join(subs) + ")"
 
 
+def legacy_bm25(k1: float = 1.2, b: float = 0.75) -> str:
+    """LegacyBM25Similarity (lucene/misc/.../search/similarity/
+    LegacyBM25Similarity.java:65-67): delegates to BM25Similarity with
+    the boost scaled by (1 + k1) — the pre-Lucene-8 formula whose
+    numerator carried the (k1+1) factor. The (1 + k1) product is Java
+    float32 arithmetic, embedded as the f32 constant; the rest is the
+    standard Lucene-9 BM25 expression (same text as the fts_bm25_*
+    gates), double-path per the simbase family contract."""
+    kb = repr(float(np.float32(1.0) + np.float32(k1)))
+    k1r, br = repr(float(k1)), repr(float(b))
+    return (
+        f"({{boost}} * {kb}"
+        f" * ln(1 + (({{N}} - {{df}} + 0.5) / ({{df}} + 0.5)))"
+        f" * ({{freq}} / ({{freq}} + {k1r} * (1 - {br} + {br} * {{dl}}"
+        f" / {_AVG}))))"
+    )
+
+
 MODELS = {
     "dirichlet": lm_dirichlet,
     "jelinek_mercer": lm_jelinek_mercer,
@@ -306,6 +324,7 @@ MODELS = {
     "axiomatic": axiomatic,
     "sweetspot": sweetspot,
     "multi": multi,
+    "legacy_bm25": legacy_bm25,
 }
 
 

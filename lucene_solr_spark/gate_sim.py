@@ -179,6 +179,117 @@ SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
 ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 20"""
 
 
+# --------------------------------------- TermAutomatonQuery (sandbox)
+
+_TAQ_SQL = f"""WITH tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text),
+                '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+         WHERE term IN ('spark', 'merge') GROUP BY term),
+w AS (SELECT sum(ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5)))
+        AS idf FROM dict d CROSS JOIN stats s),
+s1 AS (SELECT a.doc_id, count(*) AS c FROM tokp a JOIN tokp b
+       ON b.doc_id = a.doc_id AND a.term = 'spark'
+          AND b.term = 'merge' AND b.pos = a.pos + 1
+       GROUP BY a.doc_id),
+s2 AS (SELECT a.doc_id, count(*) AS c FROM tokp a JOIN tokp b
+       ON b.doc_id = a.doc_id AND a.term = 'spark'
+          AND b.term = 'merge' AND b.pos = a.pos + 2
+       GROUP BY a.doc_id),
+fr AS (SELECT doc_id, sum(c) AS freq FROM
+       (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY doc_id),
+scored AS (SELECT f.doc_id,
+  w.idf * (f.freq / (f.freq + 1.2 * (1.0 - 0.75
+           + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))) AS score
+  FROM fr f JOIN qd ON qd.doc_id = f.doc_id
+  CROSS JOIN stats s CROSS JOIN w)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 20"""
+
+
+@gate("fts_term_automaton", _TAQ_SQL)
+def fts_term_automaton(spark, sf_dir):
+    """TermAutomatonQuery: the token-graph automaton
+    ``spark (ANY | ε) merge`` (accepts [spark, merge] and
+    [spark, ANY, merge]); freq = one count per (start position,
+    accepted path) — the scorer's multiset NFA-thread walk — scored as
+    Σ idf over the automaton's real terms times the BM25 tf norm
+    (search/termautomaton.py, literal-scorer-port property test
+    tests/test_termautomaton.py; reference lucene/sandbox/.../search/
+    TermAutomatonQuery.java:111-190,334-362 +
+    TermAutomatonScorer.java:230-345,357-359)."""
+    from .gate import doc_tokens
+    from .search.termautomaton import TermAutomaton, term_automaton_search
+
+    a = TermAutomaton()
+    s1, s2, s3 = a.create_state(), a.create_state(), a.create_state()
+    a.add_transition(0, s1, "spark")
+    a.add_any_transition(s1, s2)
+    a.add_transition(s2, s3, "merge")
+    a.add_transition(s1, s3, "merge")
+    a.set_accept(s3)
+    out = term_automaton_search(
+        docs_index(spark, sf_dir), doc_tokens(spark, sf_dir), a, k=None
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------- HighFreqTerms (misc)
+
+_HFT_SQL = f"""WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df,
+                count(*) AS ttf
+         FROM toks GROUP BY term),
+by_df AS (SELECT 'df' AS mode, term, CAST(df AS BIGINT) AS val,
+                 row_number() OVER (ORDER BY df DESC, term DESC) AS rk
+          FROM dict QUALIFY rk <= 10),
+by_ttf AS (SELECT 'ttf' AS mode, term, CAST(ttf AS BIGINT) AS val,
+                  row_number() OVER (ORDER BY ttf DESC, term DESC) AS rk
+           FROM dict QUALIFY rk <= 10)
+SELECT mode, term, val FROM (
+  SELECT mode, term, val FROM by_df
+  UNION ALL SELECT mode, term, val FROM by_ttf)
+ORDER BY mode, val DESC, term DESC"""
+
+
+@gate("fts_high_freq_terms", _HFT_SQL)
+def fts_high_freq_terms(spark, sf_dir):
+    """HighFreqTerms (lucene/misc/.../misc/HighFreqTerms.java:95-133):
+    the index-inspection tool's top-N terms under BOTH comparators —
+    DocFreqComparator (df, then term bytes) and TotalTermFreqComparator
+    (ttf, then term bytes; :141-167 — the lexicographically larger
+    term outranks on frequency ties) — read straight off the
+    dictionary table (one pruned scan, no postings touch), highest
+    first."""
+    tables = docs_index(spark, sf_dir)
+    d = tables.dictionary
+    by_df = (
+        d.select(F.lit("df").alias("mode"), "term",
+                 F.col("df").cast("long").alias("val"))
+        .orderBy(F.desc("val"), F.desc("term")).limit(10)
+    )
+    by_ttf = (
+        d.select(F.lit("ttf").alias("mode"), "term",
+                 F.col("cf").cast("long").alias("val"))
+        .orderBy(F.desc("val"), F.desc("term")).limit(10)
+    )
+    return by_df.unionByName(by_ttf).orderBy(
+        "mode", F.desc("val"), F.desc("term")
+    )
+
+
 # ------------------------------------------- FuzzyLikeThis (sandbox)
 
 

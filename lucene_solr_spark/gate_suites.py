@@ -266,6 +266,7 @@ _suite("fts_term_stats", [
      ("doc_id", "term"), ("tf", "df", "tfidf")),
     ("facet_params", "fts_facet_params", ("term",), ("df",)),
     ("facet_contains", "fts_facet_contains", ("term",), ("df",)),
+    ("high_freq", "fts_high_freq_terms", ("mode", "term"), ("val",)),
 ])
 
 # 6: multi-term expansion — Prefix/Wildcard/Fuzzy/Regexp
@@ -306,6 +307,7 @@ _suite("fts_phrase_family", [
      ("doc_id",), ("span_freq", "score")),
     ("interval_or", "fts_interval_or",
      ("doc_id",), ("span_freq", "score")),
+    ("term_automaton", "fts_term_automaton", ("doc_id",), ("score",)),
 ])
 
 # 8-10: index statistics + significant terms

@@ -179,6 +179,56 @@ SELECT doc_id, round(sum(score), 4) AS score FROM u GROUP BY doc_id
 ORDER BY round(sum(score), 4) DESC, doc_id ASC LIMIT 20"""
 
 
+# ------------------------------------------ PKIndexSplitter (misc)
+
+_PK_SPLIT_SQL = f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS term
+  FROM documents WHERE doc_id % 3 = 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl JOIN nt
+       ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks
+       WHERE term IN ('spark', 'merge') GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id,
+  ln(1 + (s.doc_count - d.df + 0.5) / (d.df + 0.5))
+    * (tf.freq / (tf.freq + 1.2 * (1.0 - 0.75
+       + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))) AS ts
+  FROM tf JOIN dfs d USING (term)
+  JOIN qd ON qd.doc_id = tf.doc_id CROSS JOIN stats s)
+SELECT doc_id, round(sum(ts), 4) AS score FROM scored GROUP BY doc_id
+ORDER BY round(sum(ts), 4) DESC, doc_id ASC LIMIT 20"""
+
+
+@gate("fts_pk_split_search", _PK_SPLIT_SQL)
+def fts_pk_split_search(spark, sf_dir):
+    """PKIndexSplitter end-to-end: split the documents index on the
+    predicate doc_id % 3 = 0 WITHOUT re-analysis (index/splitter.py —
+    filtered at-rest tables + recomputed df/cf/doc_count/sumTTF) and
+    search the first part; results must equal an index that only ever
+    held those docs, which is what the oracle computes from scratch
+    (reference misc/.../index/PKIndexSplitter.java:49-120 —
+    delete-complement + addIndexes preserves per-doc state, stats
+    reflect the survivors)."""
+    from .index.splitter import pk_index_splitter
+    from .search.bruteforce import search_bruteforce
+
+    first, _rest = pk_index_splitter(
+        docs_index(spark, sf_dir), F.col("doc_id") % 3 == 0
+    )
+    out = search_bruteforce(
+        first, _TERMS, mode="disjunctive", k=None, precision="double"
+    )
+    return (
+        out.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # --------------------------------------- TermAutomatonQuery (sandbox)
 
 _TAQ_SQL = f"""WITH tokp AS (

@@ -435,6 +435,7 @@ _suite("mut_suite", [
      ("doc_id", "from_tlog"), ("rtg_text_len",)),
     ("update_chain", "mut_update_chain",
      ("doc_id", "ktags"), ("text_len", "n_uniq", "cat_len", "is_expired")),
+    ("pk_split", "fts_pk_split_search", ("doc_id",), ("score",)),
 ])
 
 # 21-22: source loaders (§2.1 wire formats)

@@ -89,3 +89,45 @@ def payload_score(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def span_payload_check(
+    postings: DataFrame,
+    terms,
+    payloads,
+) -> DataFrame:
+    """SpanPayloadCheckQuery: count per doc the ordered ADJACENT spans
+    ``terms[0] .. terms[n-1]`` whose per-position payloads equal
+    ``payloads`` — a None slot matches ANY payload, exactly the
+    reference's null-entry wildcard (lucene/queries/.../payloads/
+    SpanPayloadCheckQuery.java:154-170 — checkPosition compares
+    payloadToMatch[upto] per position, null accepts; the span iterates
+    the match query's positions). The span here is the ordered
+    SpanNearQuery(slop=0) of the given terms, evaluated as
+    (doc_id, pos)-keyed offset equi-joins over the payload posting
+    relation — term-pushed scans, no cartesian.
+
+    → (doc_id, span_freq) ordered by doc_id."""
+    if len(terms) != len(payloads):
+        raise ValueError("one payload slot per span position")
+
+    def leg(i):
+        t, p = terms[i], payloads[i]
+        d = postings.filter(F.col("term") == t)
+        if p is not None:
+            d = d.filter(F.col("payload") == float(p))
+        return d.select("doc_id", (F.col("pos") - F.lit(i)).alias(f"p{i}"))
+
+    m = leg(0).withColumnRenamed("p0", "start")
+    for i in range(1, len(terms)):
+        nxt = leg(i)
+        m = m.join(
+            nxt,
+            (m["doc_id"] == nxt["doc_id"])
+            & (F.col("start") == F.col(f"p{i}")),
+        ).select(m["doc_id"], "start")
+    return (
+        m.groupBy("doc_id")
+        .agg(F.count("*").alias("span_freq"))
+        .orderBy("doc_id")
+    )

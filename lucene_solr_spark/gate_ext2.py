@@ -5381,3 +5381,118 @@ def fn_geo_hash(spark, sf_dir):
             ghhsin(F.lit(6371.0087714), F.col("lat"), F.col("lon"),
                    F.lit(40.0), F.lit(-74.0)), 3).alias("gh_dist_km"),
     ).orderBy("c_custkey")
+
+
+_SPAN_PAYLOAD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents),
+pl AS (SELECT doc_id, term, pos, (doc_id + pos) % 5 AS payload FROM tok),
+a AS (SELECT doc_id, pos FROM pl WHERE term = 'table'),
+b AS (SELECT doc_id, pos FROM pl WHERE term = 'hash' AND payload = 2)
+SELECT a.doc_id, count(*) AS span_freq
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id ORDER BY a.doc_id"""
+
+
+@gate("fts_span_payload_check", _SPAN_PAYLOAD_SQL)
+def fts_span_payload_check(spark, sf_dir):
+    """SpanPayloadCheckQuery: ordered adjacent span "table hash" kept
+    only where the per-position payload list matches [ANY, 2.0] — the
+    reference's null-slot wildcard + exact payload compare
+    (lucene/queries/.../payloads/SpanPayloadCheckQuery.java:154-170,
+    checkPosition). Payloads are the same deterministic delimited
+    stream as fts_payload_score ((doc_id+pos)%5 via "term|p" text),
+    re-parsed by the DelimitedPayloadTokenFilter analog; the span is
+    evaluated as offset equi-joins on the payload posting relation —
+    term-pushed scans, no cartesian (analysis/payloads.py
+    span_payload_check)."""
+    from .analysis.payloads import (
+        delimited_payload_postings, span_payload_check,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    payloaded = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda t, i: F.concat(
+                t, F.lit("|"), ((F.col("doc_id") + i) % 5).cast("string")
+            ),
+        ),
+    )
+    postings = delimited_payload_postings(
+        docs.select("doc_id", payloaded.alias("text"))
+    )
+    return span_payload_check(postings, ["table", "hash"], [None, 2.0])
+
+
+def _inet_sql():
+    from .functions.inet import cidr_bounds, ipv4_encode, ipv4_encode_sql
+
+    lo_c, hi_c = cidr_bounds("10.128.0.0", 9)
+    lo_r = ipv4_encode("10.50.0.0")
+    hi_r = ipv4_encode("10.150.255.255")
+    s1 = ipv4_encode("10.1.7.13")      # c_custkey = 1
+    s2 = ipv4_encode("10.100.188.20")  # c_custkey = 100
+    ip = ("concat('10.', CAST(c_custkey % 256 AS STRING), '.', "
+          "CAST((c_custkey * 7) % 256 AS STRING), '.', "
+          "CAST((c_custkey * 13) % 256 AS STRING))")
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {ip} AS ip
+  FROM customer WHERE c_custkey <= 512),
+enc AS (SELECT c_custkey, {ipv4_encode_sql('ip')} AS ip_hex FROM pts),
+flags AS (
+  SELECT c_custkey, ip_hex,
+    CASE WHEN ip_hex BETWEEN '{lo_c}' AND '{hi_c}' THEN 1 ELSE 0 END
+      AS in_cidr,
+    CASE WHEN ip_hex BETWEEN '{lo_r}' AND '{hi_r}' THEN 1 ELSE 0 END
+      AS in_range,
+    CASE WHEN ip_hex IN ('{s1}', '{s2}') THEN 1 ELSE 0 END AS in_set
+  FROM enc)
+SELECT * FROM flags WHERE in_cidr + in_range + in_set > 0
+ORDER BY c_custkey"""
+
+
+@gate("rel_inet_point", _inet_sql())
+def rel_inet_point(spark, sf_dir):
+    """InetAddressPoint queries — exact-set, range, and CIDR prefix —
+    over deterministic synthetic per-customer IPv4 addresses. Every
+    address is encoded to its 16-byte IPv6-mapped form (RFC 4291
+    ::ffff:a.b.c.d) rendered as 32 lowercase hex chars, so unsigned
+    byte order == string order and every predicate is a sargable
+    string comparison the scan can push down (the BKD range analog;
+    reference lucene/misc/.../document/InetAddressPoint.java —
+    newExactQuery/newRangeQuery/newPrefixQuery:186-204 mask expansion,
+    newSetQuery). Spark and the oracle share the identical encode SQL
+    text (functions/inet.py ipv4_encode_sql). Narrow projection, no
+    shuffle before the final sort."""
+    from .functions.inet import cidr_bounds, ipv4_encode, ipv4_encode_col
+
+    lo_c, hi_c = cidr_bounds("10.128.0.0", 9)
+    lo_r = ipv4_encode("10.50.0.0")
+    hi_r = ipv4_encode("10.150.255.255")
+    in_set = [ipv4_encode("10.1.7.13"), ipv4_encode("10.100.188.20")]
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 512)
+    ip = F.concat(
+        F.lit("10."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."), ((F.col("c_custkey") * 7) % 256).cast("string"),
+        F.lit("."), ((F.col("c_custkey") * 13) % 256).cast("string"),
+    )
+    enc = c.select("c_custkey", ip.alias("ip")).select(
+        "c_custkey", ipv4_encode_col("ip").alias("ip_hex")
+    )
+    flags = enc.select(
+        "c_custkey",
+        "ip_hex",
+        F.col("ip_hex").between(lo_c, hi_c).cast("int").alias("in_cidr"),
+        F.col("ip_hex").between(lo_r, hi_r).cast("int").alias("in_range"),
+        F.col("ip_hex").isin(in_set).cast("int").alias("in_set"),
+    )
+    return flags.filter(
+        (F.col("in_cidr") + F.col("in_range") + F.col("in_set")) > 0
+    ).orderBy("c_custkey")

@@ -340,6 +340,8 @@ _suite("fts_score_shaping", [
     ("fuzzy_scored", "fts_fuzzy_scored", ("doc_id",), ("score",)),
     ("payload", "fts_payload_score",
      ("doc_id",), ("n_occ", "pay_sum", "pay_max", "pay_avg")),
+    ("span_payload", "fts_span_payload_check",
+     ("doc_id",), ("span_freq",)),
     ("classic_tfidf", "fts_classic_tfidf", ("doc_id",), ("score",)),
     ("boolean_sim", "fts_boolean_sim", ("doc_id",), ("score",)),
     ("additive_boost", "fn_additive_boost", ("doc_id",), ("score",)),
@@ -504,6 +506,8 @@ _suite("rel_point_filters", [
     ("in_set", "rel_point_in_set",
      ("l_linenumber",), ("n_items", "sum_price")),
     ("frange", "rel_frange_query", ("o_orderkey",), ("fval",)),
+    ("inet", "rel_inet_point",
+     ("c_custkey", "ip_hex"), ("in_cidr", "in_range", "in_set")),
 ])
 
 # 34: searchAfter paging + ExportStream full sort

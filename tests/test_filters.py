@@ -295,3 +295,60 @@ def test_delimited_payloads_custom_delimiter(spark):
     # (DelimitedPayloadTokenFilter.java:58-62 → 'boost.2.5' carries 2.5)
     assert rows[(0, 0)][0] == "boost" and rows[(0, 0)][1] == 2.5
     assert rows[(0, 1)] == ("plain", 0.0)
+
+
+def test_span_payload_check_brute_force(spark):
+    """SpanPayloadCheckQuery analog vs a per-doc brute force: ordered
+    adjacent 'a b' spans where b's payload == 2.0 and a's slot is the
+    null wildcard (SpanPayloadCheckQuery.java:154-170 semantics)."""
+    from lucene_solr_spark.analysis.payloads import (
+        delimited_payload_postings,
+        span_payload_check,
+    )
+
+    texts = [
+        "a|1 b|2 a|3 b|2",      # two qualifying spans
+        "a|0 b|1",              # payload mismatch at slot 1
+        "b|2 a|1",              # wrong order
+        "a|4 b|2 c|0 a|0 b|0",  # one qualifying span
+        "c|2 c|2",              # no span terms
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    postings = delimited_payload_postings(docs)
+    got = {
+        r["doc_id"]: r["span_freq"]
+        for r in span_payload_check(
+            postings, ["a", "b"], [None, 2.0]
+        ).collect()
+    }
+
+    def brute(text):
+        toks = [t.split("|") for t in text.split()]
+        n = 0
+        for i in range(len(toks) - 1):
+            if (
+                toks[i][0] == "a"
+                and toks[i + 1][0] == "b"
+                and float(toks[i + 1][1]) == 2.0
+            ):
+                n += 1
+        return n
+
+    want = {i: brute(t) for i, t in enumerate(texts) if brute(t) > 0}
+    assert got == want
+
+
+def test_span_payload_check_all_slots_pinned(spark):
+    from lucene_solr_spark.analysis.payloads import (
+        delimited_payload_postings,
+        span_payload_check,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x|1 y|2 x|1 y|3")], "doc_id long, text string"
+    )
+    postings = delimited_payload_postings(docs)
+    got = span_payload_check(postings, ["x", "y"], [1.0, 2.0]).collect()
+    assert [(r["doc_id"], r["span_freq"]) for r in got] == [(0, 1)]

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .gate import (_NORM_VALUES, _TOKS, bm25_scored_cte, doc_tokens,
                    docs_index, docs_title_index, gate, load)
+from .search.bruteforce import search_bruteforce
 from .gate_ext import _span_score_sql
 
 # ------------------------------------------------------------ highlighter
@@ -5496,3 +5497,93 @@ def rel_inet_point(spark, sf_dir):
     return flags.filter(
         (F.col("in_cidr") + F.col("in_range") + F.col("in_set")) > 0
     ).orderBy("c_custkey")
+
+
+_IRQ_TERMS = ["merge", "spark", "vector"]
+
+_IRQ_SQL = f"""
+WITH {bm25_scored_cte(_IRQ_TERMS)},
+agg AS (SELECT term AS qid, doc_id, sum(term_score) AS score
+        FROM scored GROUP BY term, doc_id),
+run AS (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY round(score, 4) DESC,
+                                           doc_id ASC) AS rank
+        FROM agg),
+topk AS (SELECT * FROM run WHERE rank <= 20),
+rel AS (SELECT term AS qid, doc_id FROM tf WHERE freq >= 3),
+mg AS (SELECT qid, count(*) AS max_good FROM rel GROUP BY qid),
+j AS (SELECT t.qid, t.rank,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM topk t LEFT JOIN rel r
+        ON t.qid = r.qid AND t.doc_id = r.doc_id),
+c AS (SELECT qid, rank, is_rel,
+             sum(is_rel) OVER (PARTITION BY qid ORDER BY rank)
+               AS cum_good
+      FROM j),
+m AS (SELECT qid,
+             sum(is_rel) AS num_good,
+             min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+             sum(CASE WHEN is_rel = 1
+                      THEN cum_good * 1.0 / rank END) AS p_sum,
+             sum(CASE WHEN rank <= 10 THEN is_rel ELSE 0 END) / 10.0
+               AS p10
+      FROM c GROUP BY qid)
+SELECT m.qid,
+       round(coalesce(m.p_sum, 0) / mg.max_good, 6) AS avp,
+       round(CASE WHEN m.first_rel <= 5 THEN 1.0 / m.first_rel
+                  ELSE 0 END, 6) AS mrr,
+       round(m.p10, 6) AS p10,
+       round(m.num_good * 1.0 / mg.max_good, 6) AS recall
+FROM m JOIN mg USING (qid) ORDER BY m.qid"""
+
+
+@gate("fn_ir_quality", _IRQ_SQL)
+def fn_ir_quality(spark, sf_dir):
+    """TREC-style quality benchmark (lucene/benchmark/.../quality/
+    QualityStats.java): three judged term queries replayed as BM25
+    top-20 runs, judged against a tf>=3 relevance pool, folded into
+    AvP (pReleventSum/maxGood), MRR (first relevant hit only if rank
+    <=5), P@10, and recall per query. Runs use the double-precision
+    scoring pipeline with the rank cut on round(score,4) so both
+    engines agree at the window boundary (the fts_rerank_query
+    pattern); metrics are one window cumsum + one hash-agg per query
+    (operators/irquality.py)."""
+    from pyspark.sql import Window as W
+
+    from .index.builder import simple_tokens
+    from .operators.irquality import quality_stats
+
+    tables = docs_index(spark, sf_dir)
+    runs = None
+    for t in _IRQ_TERMS:
+        r = search_bruteforce(
+            tables, [t], "disjunctive", k=None, precision="double"
+        )
+        w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        r = (
+            r.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select(F.lit(t).alias("qid"), "doc_id", "rank")
+        )
+        runs = r if runs is None else runs.unionByName(r)
+
+    docs = load(spark, sf_dir, "documents")
+    judg = (
+        docs.select(
+            "doc_id", F.explode(simple_tokens("text")).alias("term")
+        )
+        .filter(F.col("term").isin(_IRQ_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 3)
+        .select(F.col("term").alias("qid"), "doc_id")
+    )
+    q = quality_stats(runs, judg, cutoffs=(5, 10, 20))
+    return q.select(
+        "qid",
+        F.round("avp", 6).alias("avp"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("p_at_10", 6).alias("p10"),
+        F.round("recall", 6).alias("recall"),
+    ).orderBy("qid")

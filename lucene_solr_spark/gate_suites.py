@@ -579,6 +579,8 @@ _join_suite(
 # moments (stddev/skewness/kurtosis/geometric mean) + vector distances
 # (euclidean/manhattan/chebyshev/canberra) + comparison bools
 _suite("fn_evaluators", [
+    ("ir_quality", "fn_ir_quality",
+     ("qid",), ("avp", "mrr", "p10", "recall")),
     ("corr_ols", "fn_eval_stats",
      ("l_linestatus", "n"), ("corr_qty_price", "covar_qty_price",
                              "slope", "intercept")),

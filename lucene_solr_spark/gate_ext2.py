@@ -5587,3 +5587,125 @@ def fn_ir_quality(spark, sf_dir):
         F.round("p_at_10", 6).alias("p10"),
         F.round("recall", 6).alias("recall"),
     ).orderBy("qid")
+
+
+_TAX_ASSOC_SQL = """
+WITH p AS (
+  SELECT r.r_name || '/' || n.n_name || '/' || c.c_mktsegment AS path,
+         (c.c_custkey % 7) + 1 AS ai,
+         CAST(c.c_acctbal AS DOUBLE) AS af
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey),
+pre AS (
+  SELECT array_to_string(sp[1:i], '/') AS path, ai, af
+  FROM (SELECT string_split(path, '/') AS sp, ai, af FROM p),
+       (SELECT unnest(range(1, 4)) AS i))
+SELECT path,
+  CAST(sum(ai) AS BIGINT) AS sum_int,
+  round(CAST(sum(CAST(af AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_float
+FROM pre GROUP BY path ORDER BY path"""
+
+
+@gate("rel_facet_assoc", _TAX_ASSOC_SQL)
+def rel_facet_assoc(spark, sf_dir):
+    """Association facets: every taxonomy ancestor accumulates the SUM
+    of each customer's int association ((c_custkey%7)+1) and float
+    association (c_acctbal) instead of a count — the reference's
+    TaxonomyFacetSum{Int,Float}Associations over
+    {Int,Float}AssociationFacetField (lucene/facet/.../taxonomy/
+    TaxonomyFacetSumFloatAssociations.java:70-90). One exploded
+    hash-agg, map-side combined; float sums ride DECIMAL for
+    cross-engine exactness (operators/facet.py
+    taxonomy_sum_associations)."""
+    from .operators.facet import path_col, taxonomy_sum_associations
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            path_col(
+                F.col("r_name"), F.col("n_name"), F.col("c_mktsegment")
+            ).alias("path"),
+            ((F.col("c_custkey") % 7) + 1).alias("ai"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("af"),
+        )
+    )
+    out = taxonomy_sum_associations(p, "ai", "af")
+    return out.select(
+        "path",
+        F.col("sum_int").cast("long").alias("sum_int"),
+        F.round(F.col("sum_float").cast("double"), 2).alias("sum_float"),
+    ).orderBy("path")
+
+
+_LONGVAL_SQL = """
+SELECT CAST(l_quantity AS BIGINT) AS value,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+GROUP BY value ORDER BY cnt DESC, value ASC LIMIT 20"""
+
+
+@gate("rel_facet_longvals", _LONGVAL_SQL)
+def rel_facet_longvals(spark, sf_dir):
+    """LongValueFacetCounts: top-20 facet counts over the raw long
+    values of a numeric field (no taxonomy, no string indexing —
+    lucene/facet/.../LongValueFacetCounts.java getTopChildren: count
+    desc, value asc). One hash-agg + TakeOrdered
+    (operators/facet.py long_value_counts)."""
+    from .operators.facet import long_value_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    return long_value_counts(li, "l_quantity", top=20)
+
+
+_GEO_NEAREST_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer)
+SELECT c_custkey,
+       round(2.0 * 6371.0087714 * asin(sqrt(
+         sin(radians(40.0 - lat) / 2) * sin(radians(40.0 - lat) / 2)
+         + cos(radians(lat)) * cos(radians(40.0))
+           * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+       )), 3) AS dist_km
+FROM pts
+ORDER BY dist_km ASC, c_custkey ASC LIMIT 8"""
+
+
+@gate("fn_geo_nearest", _GEO_NEAREST_SQL)
+def fn_geo_nearest(spark, sf_dir):
+    """LatLonPointPrototypeQueries.nearest / NearestNeighbor: the k=8
+    points nearest to (40, -74) by great-circle distance, ties by key
+    asc (reference lucene/sandbox/.../search/NearestNeighbor.java —
+    BKD best-first traversal with a bounded hit queue;
+    LatLonPointPrototypeQueries.java nearest). Spark shape: per-
+    partition top-k + global TakeOrderedAndProject — the distributed
+    analog of the bounded queue, no full sort, no shuffle of the scan;
+    the rank cut compares the ROUNDED km so both engines agree at the
+    boundary. Haversine identical to fn_geodist."""
+    from .functions.valuesource import geodist
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5).alias("lon"),
+    )
+    return (
+        pts.select(
+            "c_custkey",
+            F.round(
+                geodist(
+                    F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0)
+                ),
+                3,
+            ).alias("dist_km"),
+        )
+        .orderBy(F.asc("dist_km"), F.asc("c_custkey"))
+        .limit(8)
+    )

@@ -563,6 +563,9 @@ _suite("rel_facet_nested", [
     ("bucket_stats", "rel_facet_bucket_stats",
      ("bucket",), ("cnt", "avg_price", "min_key", "n_cust")),
     ("drill_sideways", "rel_drill_sideways", ("dim", "label"), ("cnt",)),
+    ("assoc_sums", "rel_facet_assoc",
+     ("path",), ("sum_int", "sum_float")),
+    ("long_values", "rel_facet_longvals", ("value",), ("cnt",)),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the
@@ -662,6 +665,7 @@ _suite("fn_geo", [
     ("heatmap", "fn_geo_heatmap", ("grid_row", "grid_col"), ("cnt",)),
     ("dist_rings", "fn_geo_dist_rings",
      ("ring",), ("cnt", "min_km", "max_km")),
+    ("nearest", "fn_geo_nearest", ("c_custkey",), ("dist_km",)),
 ])
 
 # 42: Solr SQL surface

@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "path_col", "taxonomy_counts", "drill_down", "pivot_facets",
+    "path_col", "taxonomy_counts", "taxonomy_sum_associations",
+    "long_value_counts", "drill_down", "pivot_facets",
     "relatedness_col", "round5",
 ]
 
@@ -56,6 +57,70 @@ def taxonomy_counts(
             "depth", F.size(F.split(F.col("path"), delim)).cast("long")
         )
     )
+
+
+def taxonomy_sum_associations(
+    df: DataFrame,
+    int_col: str,
+    float_col: str,
+    path: str = "path",
+    delim: str = "/",
+) -> DataFrame:
+    """Association facets: per ancestor prefix, the SUM of each doc's
+    int/float association value instead of a count — the reference's
+    TaxonomyFacetSum{Int,Float}Associations over
+    {Int,Float}AssociationFacetField payloads (lucene/facet/.../
+    taxonomy/TaxonomyFacetSumIntAssociations.java,
+    TaxonomyFacetSumFloatAssociations.java:70-90 — each doc adds its
+    per-ordinal association to every matching ordinal). Same single
+    exploded hash-agg shape as taxonomy_counts — the association
+    values ride the exploded rows, map-side combined. The float leg
+    keeps the caller's column type — pass a DECIMAL for an
+    order-independent exact sum (double addition is order-dependent
+    across partitions).
+
+    Returns (path, depth, sum_int, sum_float)."""
+    parts = F.split(F.col(path), delim)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat_ws(delim, F.slice(parts, F.lit(1), i)),
+    )
+    return (
+        df.select(
+            F.explode(prefixes).alias("path"),
+            F.col(int_col).cast("long").alias("_ai"),
+            F.col(float_col).alias("_af"),
+        )
+        .groupBy("path")
+        .agg(
+            F.sum("_ai").alias("sum_int"),
+            F.sum("_af").alias("sum_float"),
+        )
+        .withColumn(
+            "depth", F.size(F.split(F.col("path"), delim)).cast("long")
+        )
+    )
+
+
+def long_value_counts(
+    df: DataFrame, value_col: str, top: int | None = None
+) -> DataFrame:
+    """LongValueFacetCounts: facet counts over the raw long values of
+    a numeric docvalues field / LongValuesSource — no taxonomy, no
+    string indexing (lucene/facet/.../LongValueFacetCounts.java —
+    per-value counts via a hash map, getTopChildren by count desc then
+    value asc). One hash-agg; the optional top-k cut is a
+    TakeOrdered.
+
+    Returns (value, cnt) ordered by (cnt desc, value asc)."""
+    out = (
+        df.select(F.col(value_col).cast("long").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+    )
+    return out.limit(top) if top else out
 
 
 def drill_down(

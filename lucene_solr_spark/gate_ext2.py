@@ -5709,3 +5709,210 @@ def fn_geo_nearest(spark, sf_dir):
         .orderBy(F.asc("dist_km"), F.asc("c_custkey"))
         .limit(8)
     )
+
+
+_TERMSCOMP_SQL = f"""
+WITH toks AS ({_TOKS}),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df
+         FROM toks GROUP BY term),
+cnt AS (
+  SELECT 'count' AS mode, term, CAST(df AS BIGINT) AS df
+  FROM dict
+  WHERE term >= 'm' AND term < 't' AND df >= 5 AND df <= 10000
+  ORDER BY df DESC, term ASC LIMIT 15),
+idx AS (
+  SELECT 'index' AS mode, term, CAST(df AS BIGINT) AS df
+  FROM dict
+  WHERE term LIKE 's%' AND regexp_full_match(term, '[a-z0-9]*a[a-z0-9]*')
+    AND df >= 2
+  ORDER BY term ASC LIMIT 12)
+SELECT * FROM (SELECT * FROM cnt UNION ALL SELECT * FROM idx)
+ORDER BY mode, df DESC, term ASC"""
+
+
+@gate("fts_terms_component", _TERMSCOMP_SQL)
+def fts_terms_component(spark, sf_dir):
+    """Solr TermsComponent (/terms): term enumeration off the
+    dictionary under the full parameter surface — terms.lower (incl) /
+    terms.upper (excl) bounds, terms.mincount/maxcount window,
+    terms.sort=count via the BoundedTreeSet CountPair order (df desc,
+    term asc — SimpleFacets.CountPair.compareTo:1149-1152), and a
+    second enumeration with terms.prefix + terms.regexp (full-match,
+    Pattern.matcher().matches()) under terms.sort=index (term order,
+    first `limit` qualifying terms — TermsComponent.java:171-366).
+    Both are pruned dictionary scans + TakeOrdered; postings are never
+    touched."""
+    tables = docs_index(spark, sf_dir)
+    d = tables.dictionary.select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    cnt = (
+        d.filter(
+            (F.col("term") >= "m") & (F.col("term") < "t")
+            & (F.col("df") >= 5) & (F.col("df") <= 10000)
+        )
+        .select(F.lit("count").alias("mode"), "term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(15)
+    )
+    idx = (
+        d.filter(
+            F.col("term").startswith("s")
+            & F.col("term").rlike("^[a-z0-9]*a[a-z0-9]*$")
+            & (F.col("df") >= 2)
+        )
+        .select(F.lit("index").alias("mode"), "term", "df")
+        .orderBy(F.asc("term"))
+        .limit(12)
+    )
+    return cnt.unionByName(idx).orderBy(
+        "mode", F.desc("df"), F.asc("term")
+    )
+
+
+# ----------------------------------- PhrasesIdentificationComponent
+
+_PHID_WORDS = ["table", "hash", "value", "part"]
+_PHID_MI, _PHID_MQ = 3, 4
+
+
+def _phid_sql():
+    """Generate the DuckDB mirror of the phrase-identification scoring:
+    the candidate/sub-phrase/wrapper STRUCTURE comes from the query
+    shape (compile time), every statistic and the full Bayesian score
+    are computed by the oracle from the data — an independent
+    re-implementation of computeFieldScore, not baked numbers."""
+    from .search.phrasesid import enumerate_phrases
+
+    words, mi, mq = _PHID_WORDS, _PHID_MI, _PHID_MQ
+    phrases = enumerate_phrases(words, mi, mq)
+    vocab = sorted(set(words))
+    vlist = ",".join(f"'{w}'" for w in vocab)
+
+    def u(w):
+        return f"coalesce((SELECT ttf FROM uni WHERE term='{w}'), 0)"
+
+    def ngk(g):
+        return " ".join(g)
+
+    def ng(g, col):
+        return f"(SELECT {col} FROM ng WHERE gram='{ngk(g)}')"
+
+    def cj(ws):
+        s = ",".join(sorted(set(ws)))
+        return f"(SELECT n FROM conj WHERE s='{s}')"
+
+    ngrams = sorted({p[2] for p in phrases if p[3] and p[1] >= 2})
+    ng_legs = []
+    for g in ngrams:
+        legs = "\n    ".join(
+            f"JOIN toks t{i} ON t0.doc_id = t{i}.doc_id "
+            f"AND t{i}.term = '{g[i]}' AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, len(g))
+        )
+        ng_legs.append(
+            f"SELECT '{ngk(g)}' AS gram, count(*) AS ttf,\n"
+            f"       count(DISTINCT t0.doc_id) AS df\n"
+            f"FROM toks t0 {legs}\nWHERE t0.term = '{g[0]}'"
+        )
+    sets = sorted({tuple(sorted(set(p[2]))) for p in phrases})
+    conj_legs = []
+    for s in sets:
+        slist = ",".join(f"'{w}'" for w in s)
+        conj_legs.append(
+            f"SELECT '{','.join(s)}' AS s, count(*) AS n FROM (\n"
+            f"  SELECT doc_id FROM toks WHERE term IN ({slist})\n"
+            f"  GROUP BY doc_id HAVING count(DISTINCT term) = {len(s)})"
+        )
+
+    cand_rows = []
+    for start, length, ws, _idx in phrases:
+        if length <= mi:
+            subs = [(start, length, ws)]
+        else:
+            subs = [
+                (start + i, mi, ws[i:i + mi])
+                for i in range(length - mi + 1)
+            ]
+        sub_terms = []
+        conj_terms = [cj(ws)]
+        for s_start, s_len, s_ws in subs:
+            conj_terms.append(cj(s_ws))
+            wraps = [
+                f"CASE WHEN {cj(o_ws)} > 0 THEN "
+                f"{ng(o_ws, 'df')} * 1.0 / {cj(o_ws)} ELSE 0 END"
+                for o_start, o_len, o_ws, o_idx in phrases
+                if o_idx and o_len > s_len and o_start <= s_start
+                and s_start + s_len <= o_start + o_len
+            ]
+            w_expr = (
+                f"GREATEST({', '.join(wraps)})" if wraps else "0.0"
+            )
+            ttfs = ", ".join(u(w) for w in s_ws)
+            pp = f"({cj(ws)} * 1.0 / {cj(s_ws)})"
+            sub_terms.append(
+                f"(({ng(s_ws, 'ttf')} * 1.0 / LEAST({ttfs}))"
+                f" * ({pp} - {w_expr})"
+                f" - ({ng(s_ws, 'ttf')} * 1.0 / GREATEST({ttfs}))"
+                f" * (1 - ({pp} - {w_expr})))"
+            )
+        absent = " OR ".join(f"{u(w)} <= 0" for w in ws)
+        if length <= 1:
+            score = (
+                f"CASE WHEN {absent} THEN -1.0"
+                f" WHEN {cj(ws)} <= 0 THEN -1.0 ELSE 0.0 END"
+            )
+        else:
+            body = (
+                f"(1.0 / {1 + mq - mi}) * "
+                f"({cj(ws)} * 1.0 / GREATEST({', '.join(conj_terms)}))"
+                f" * ({' + '.join(sub_terms)})"
+            )
+            score = (
+                f"CASE WHEN {absent} THEN -1.0"
+                f" WHEN {cj(ws)} <= 0 THEN -1.0 ELSE {body} END"
+            )
+        cand_rows.append(
+            f"SELECT '{ngk(ws)}' AS phrase, {start} AS pos_start, "
+            f"{length} AS pos_len, round({score}, 6) AS score"
+        )
+
+    return (
+        f"WITH toks AS (\n"
+        f"  SELECT doc_id, term, pos FROM (\n"
+        f"    SELECT doc_id,"
+        f" unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,\n"
+        f"           unnest(range(0, len(regexp_extract_all(lower(text),"
+        f" '[a-z0-9]+')))) AS pos\n"
+        f"    FROM documents)\n"
+        f"  WHERE term IN ({vlist})),\n"
+        f"uni AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term),\n"
+        f"ng AS (\n" + "\nUNION ALL\n".join(ng_legs) + "),\n"
+        f"conj AS (\n" + "\nUNION ALL\n".join(conj_legs) + ")\n"
+        + "\nUNION ALL\n".join(cand_rows)
+        + "\nORDER BY pos_start, pos_len"
+    )
+
+
+@gate("fts_phrases_identify", _phid_sql())
+def fts_phrases_identify(spark, sf_dir):
+    """PhrasesIdentificationComponent: every unigram/shingle candidate
+    of the 4-word query scored with the reference's Bayesian
+    words-as-a-phrase model — shingle ttf vs min/max word ttf,
+    conjunction-ratio phrase probability, wrapper-phrase discounting,
+    query-length scaling and rare-long-phrase penalty
+    (PhrasesIdentificationComponent.java computeFieldScore:950-1085).
+    Stats are three DataFrame aggregations over the term-pushed token
+    relation; the driver sees only O(#candidates) scalars
+    (search/phrasesid.py). The oracle recomputes structure-generated
+    SQL for the same stats + formula independently."""
+    from .search.phrasesid import phrases_identification
+
+    out = phrases_identification(
+        doc_tokens(spark, sf_dir), _PHID_WORDS,
+        max_indexed=_PHID_MI, max_query=_PHID_MQ,
+    )
+    return out.select(
+        "phrase", "pos_start", "pos_len",
+        F.round("score", 6).alias("score"),
+    ).orderBy("pos_start", "pos_len")

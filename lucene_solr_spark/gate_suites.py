@@ -255,6 +255,10 @@ _suite("fts_bool_modes", [
 
 # 5: TermInSetQuery/TotalHitCount + FacetField term stats
 _suite("fts_term_stats", [
+    ("terms_component", "fts_terms_component",
+     ("mode", "term"), ("df",)),
+    ("phrases_id", "fts_phrases_identify",
+     ("phrase", "pos_start"), ("pos_len", "score")),
     ("in_set_count", "fts_term_in_set_count", (), ("n_docs",)),
     ("facet_terms", "fts_facet_terms", ("term",), ("df",)),
     # index-statistic ValueSources: per-doc termfreq/tf/idf/dl; the

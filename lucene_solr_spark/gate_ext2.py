@@ -5916,3 +5916,53 @@ def fts_phrases_identify(spark, sf_dir):
         "phrase", "pos_start", "pos_len",
         F.round("score", 6).alias("score"),
     ).orderBy("pos_start", "pos_len")
+
+
+_DVSTATS_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value, 6) AS DECIMAL(28,6)) END AS x
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(count(x) AS BIGINT) AS cnt,
+         CAST(count(*) - count(x) AS BIGINT) AS missing,
+         CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(x * x) AS DOUBLE) AS s2
+  FROM v GROUP BY event_type)
+SELECT event_type, cnt, missing,
+  round(s1 / cnt, 6) AS mean,
+  round(s2 / cnt - (s1 / cnt) * (s1 / cnt), 6) AS variance
+FROM m ORDER BY event_type"""
+
+
+@gate("rel_dv_stats", _DVSTATS_SQL)
+def rel_dv_stats(spark, sf_dir):
+    """DocValuesStats / DocValuesStatsCollector (lucene/misc/.../
+    search/DocValuesStats.java): per-group count, MISSING count (docs
+    the field is absent from — synthesized deterministically as
+    event_id % 7 == 0), mean, and population variance (variance
+    accumulator / count, :131-134). Raw moments ride order-independent
+    DECIMAL sums (the fn_eval_dist pattern) so the result is bit-stable
+    under any partitioning; one hash-agg."""
+    e = load(spark, sf_dir, "events")
+    x = F.when(
+        F.col("event_id") % 7 != 0,
+        F.round(F.col("value"), 6).cast("decimal(28,6)"),
+    )
+    m = e.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count("x").cast("long").alias("cnt"),
+        (F.count("*") - F.count("x")).cast("long").alias("missing"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+    )
+    n = F.col("cnt").cast("double")
+    mean = F.col("s1") / n
+    return m.select(
+        "event_type",
+        "cnt",
+        "missing",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.col("s2") / n - mean * mean, 6).alias("variance"),
+    ).orderBy("event_type")

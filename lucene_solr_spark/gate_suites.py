@@ -543,6 +543,8 @@ _suite("rel_join_specials", [
 
 # 36: percentile + HLL approx aggregates
 _suite("rel_agg_approx", [
+    ("dv_stats", "rel_dv_stats",
+     ("event_type",), ("cnt", "missing", "mean", "variance")),
     ("percentile", "rel_percentile_prices",
      ("o_orderpriority",), ("p50", "p90")),
     ("hll", "rel_hll_user_count",

@@ -5966,3 +5966,49 @@ def rel_dv_stats(spark, sf_dir):
         F.round(mean, 6).alias("mean"),
         F.round(F.col("s2") / n - mean * mean, 6).alias("variance"),
     ).orderBy("event_type")
+
+
+@gate(
+    "fts_parsed_extended",
+    f"""WITH {bm25_scored_cte(["spark"])},
+req AS (SELECT doc_id, sum(term_score) AS s FROM scored GROUP BY doc_id),
+pre AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'mer%')
+SELECT r.doc_id,
+       round(r.s + CASE WHEN pre.doc_id IS NOT NULL THEN 1.0 ELSE 0 END,
+             4) AS score
+FROM req r
+JOIN documents d ON d.doc_id = r.doc_id
+LEFT JOIN pre ON pre.doc_id = r.doc_id
+WHERE d.n_chars BETWEEN 120 AND 180
+ORDER BY score DESC, r.doc_id ASC LIMIT 10""",
+)
+def fts_parsed_extended(spark, sf_dir):
+    """ExtendableQueryParser end-to-end: '+spark n_chars:range:120-180
+    text:pre:mer' — the registered `range` extension turns its token
+    into an inclusive stored-field range filter and `pre` into a
+    constant-score dictionary prefix expansion, then the classic
+    grammar parses the rewritten string (reference lucene/queryparser/
+    .../ext/{{ExtendableQueryParser,Extensions}}.java — last-component
+    field split, extension-built Query joins the BooleanQuery;
+    search/extparser.py)."""
+    from .search.extparser import rewrite_extended
+
+    return _run_parsed2(
+        spark, sf_dir,
+        rewrite_extended("+spark n_chars:range:120-180 text:pre:mer"),
+    )
+
+
+def _run_parsed2(spark, sf_dir, q, k: int = 10):
+    from .search.executor import execute_parsed
+
+    tables = docs_index(spark, sf_dir)
+    stored = load(spark, sf_dir, "documents")
+    res = execute_parsed(
+        q, tables, k=None, precision="double", stored=stored
+    )
+    return (
+        res.withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -334,6 +334,7 @@ _suite("fts_parsed_suite", [
     ("surround_syntax", "fts_parsed_surround", ("doc_id",), ("score",)),
     ("xml_syntax", "fts_parsed_xml", ("doc_id",), ("score",)),
     ("flexible_multifield", "fts_parsed_flexible", ("doc_id",), ("score",)),
+    ("extended_syntax", "fts_parsed_extended", ("doc_id",), ("score",)),
 ])
 
 # 12: score shaping — BoostQuery + ConstantScoreQuery

@@ -362,3 +362,23 @@ def test_parse_complex_phrase_grammar():
     for bad in ('no quotes', '"one"', '"(a (b)) c"', '"() c"', '"(a c"'):
         with pytest.raises(ValueError):
             parse_complex_phrase(bad)
+
+
+def test_extendable_parser_rewrites():
+    from lucene_solr_spark.search.extparser import rewrite_extended
+
+    q = "+spark n_chars:range:120-180 text:pre:mer -vector lang:en"
+    assert rewrite_extended(q) == (
+        "+spark n_chars:[120 TO 180] mer* -vector lang:en"
+    )
+    # unregistered extension key falls through untouched
+    assert rewrite_extended("a field:unknown:v") == "a field:unknown:v"
+    # occur prefix stays outside the rewrite
+    assert rewrite_extended("-n:range:1-2") == "-n:[1 TO 2]"
+
+
+def test_extendable_parser_parses():
+    from lucene_solr_spark.search.extparser import parse_extended
+
+    p = parse_extended("+spark text:pre:mer")
+    assert "spark" in p.terms

@@ -6012,3 +6012,56 @@ def _run_parsed2(spark, sf_dir, q, k: int = 10):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+_RANGEFIELD_SQL = """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice / 1000.0) * 1000 AS BIGINT) AS lo,
+         CAST(floor(o_totalprice / 1000.0) * 1000
+              + 500 + (o_orderkey % 1500) AS BIGINT) AS hi
+  FROM orders WHERE o_orderkey <= 4000)
+SELECT o_orderkey,
+  CASE WHEN 100000 <= lo AND hi <= 150000 THEN 1 ELSE 0 END AS within,
+  CASE WHEN lo <= 100000 AND hi >= 150000 THEN 1 ELSE 0 END AS contains,
+  CASE WHEN NOT (100000 <= lo AND hi <= 150000) THEN 1 ELSE 0 END
+    AS crosses
+FROM r
+WHERE lo <= 150000 AND hi >= 100000
+ORDER BY o_orderkey"""
+
+
+@gate("rel_range_fields", _RANGEFIELD_SQL)
+def rel_range_fields(spark, sf_dir):
+    """LongRange field queries — INTERSECTS / WITHIN / CONTAINS /
+    CROSSES relations of per-doc [min,max] ranges against the query
+    range [100000,150000] (reference lucene/core/.../document/
+    RangeFieldQuery.java QueryType.matches:85-194 — INTERSECTS:
+    doc.min<=q.max && doc.max>=q.min; WITHIN: q.min<=doc.min &&
+    doc.max<=q.max; CONTAINS: doc.min<=q.min && doc.max>=q.max;
+    CROSSES = INTERSECTS && !WITHIN, :190-193 — note a doc range that
+    CONTAINS the query still crosses). Doc ranges are deterministic
+    per-order price buckets; the intersects predicate prunes at the
+    scan (two pushed comparisons, the BKD outer-bound analog), the
+    relation flags are projection arithmetic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    lo = (F.floor(F.col("o_totalprice") / 1000.0) * 1000).cast("long")
+    r = o.select(
+        "o_orderkey",
+        lo.alias("lo"),
+        (lo + 500 + (F.col("o_orderkey") % 1500)).cast("long").alias("hi"),
+    )
+    ql, qh = F.lit(100000), F.lit(150000)
+    within = (ql <= F.col("lo")) & (F.col("hi") <= qh)
+    return (
+        r.filter((F.col("lo") <= qh) & (F.col("hi") >= ql))
+        .select(
+            "o_orderkey",
+            within.cast("int").alias("within"),
+            ((F.col("lo") <= ql) & (F.col("hi") >= qh))
+            .cast("int")
+            .alias("contains"),
+            (~within).cast("int").alias("crosses"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -513,6 +513,8 @@ _suite("rel_point_filters", [
     ("frange", "rel_frange_query", ("o_orderkey",), ("fval",)),
     ("inet", "rel_inet_point",
      ("c_custkey", "ip_hex"), ("in_cidr", "in_range", "in_set")),
+    ("range_fields", "rel_range_fields",
+     ("o_orderkey",), ("within", "contains", "crosses")),
 ])
 
 # 34: searchAfter paging + ExportStream full sort

@@ -6065,3 +6065,93 @@ def rel_range_fields(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------- geo3d spherical polygon
+
+_GEO3D_VERTS = [(30, -90), (30, -60), (45, -55), (55, -70), (50, -90)]
+
+
+def _geo3d_normals():
+    """Edge-plane normals of the counterclockwise spherical polygon —
+    cross products of consecutive unit vertex vectors, computed once
+    at module load in exact float64 and embedded as literals in BOTH
+    engines (polygon vertices are query constants, like CIDR bounds)."""
+    import math
+
+    def v3(lat, lon):
+        la, lo = math.radians(lat), math.radians(lon)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    vs = [v3(*p) for p in _GEO3D_VERTS]
+    ns = []
+    for i in range(len(vs)):
+        a, b = vs[i], vs[(i + 1) % len(vs)]
+        ns.append(
+            (
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            )
+        )
+    return ns
+
+
+def _geo3d_sql():
+    conds = " AND ".join(
+        f"({n[0]!r} * px + {n[1]!r} * py + {n[2]!r} * pz) >= 0"
+        for n in _geo3d_normals()
+    )
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer WHERE c_custkey <= 2048),
+v AS (
+  SELECT c_custkey, lat, lon,
+         cos(radians(lat)) * cos(radians(lon)) AS px,
+         cos(radians(lat)) * sin(radians(lon)) AS py,
+         sin(radians(lat)) AS pz
+  FROM pts)
+SELECT c_custkey, lat, lon FROM v
+WHERE {conds}
+ORDER BY c_custkey"""
+
+
+@gate("fn_geo3d_polygon", _geo3d_sql())
+def fn_geo3d_polygon(spark, sf_dir):
+    """geo3d GeoConvexPolygon membership (lucene/spatial3d): edges are
+    GREAT CIRCLES, not planar segments — a point is inside iff it lies
+    on the interior side of every edge plane, tested as the sign of
+    the dot product with the plane normal (reference lucene/spatial3d/
+    .../geom/GeoConvexPolygon.java isWithin — SidedPlane.isWithin per
+    edge; Plane normal = cross of edge endpoints, PlanetModel SPHERE).
+    The lat/lon → unit-vector conversion and the five sidedness dots
+    are pure projection arithmetic over the pushed-down scan — no
+    shuffle, no UDF; normals are query-constant literals identical in
+    both engines."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2048)
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5)
+        .cast("double").alias("lon"),
+    )
+    la, lo = F.radians("lat"), F.radians("lon")
+    px = F.cos(la) * F.cos(lo)
+    py = F.cos(la) * F.sin(lo)
+    pz = F.sin(la)
+    cond = F.lit(True)
+    for n in _geo3d_normals():
+        cond = cond & (
+            (F.lit(n[0]) * px + F.lit(n[1]) * py + F.lit(n[2]) * pz) >= 0
+        )
+    return pts.filter(cond).select("c_custkey", "lat", "lon").orderBy(
+        "c_custkey"
+    )

@@ -675,6 +675,7 @@ _suite("fn_geo", [
     ("dist_rings", "fn_geo_dist_rings",
      ("ring",), ("cnt", "min_km", "max_km")),
     ("nearest", "fn_geo_nearest", ("c_custkey",), ("dist_km",)),
+    ("geo3d", "fn_geo3d_polygon", ("c_custkey",), ("lat", "lon")),
 ])
 
 # 42: Solr SQL surface

@@ -155,6 +155,15 @@ def _ref_score(tag, model, params, freq, dl, df, cf, n, t):
             tf_ = float(np.float32(0.0 + 1.0 * (tanh + 1.0)))
         idf2 = (1.0 + math.log((n + 1.0) / (df + 1.0))) ** 2
         return idf2 * tf_ * lnorm
+    if model == "legacy_bm25":
+        # LegacyBM25Similarity.java:65-67 — BM25 with the boost scaled
+        # by (1 + k1) in Java float32; body is the Lucene-9 formula
+        k1, b = params["k1"], params["b"]
+        kb = float(np.float32(1.0) + np.float32(k1))
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return kb * idf * (
+            freq / (freq + k1 * (1 - b + b * dl / avg))
+        )
     if model == "multi":
         return sum(
             _ref_score(tag, m, p, freq, dl, df, cf, n, t)

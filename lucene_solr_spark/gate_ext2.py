@@ -6155,3 +6155,77 @@ def fn_geo3d_polygon(spark, sf_dir):
     return pts.filter(cond).select("c_custkey", "lat", "lon").orderBy(
         "c_custkey"
     )
+
+
+_SYNQ_TERMS = ["fast", "slow"]
+
+_SYNQ_SQL = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl
+       JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, count(*) AS freq FROM toks
+       WHERE term IN ('fast', 'slow') GROUP BY doc_id),
+pdf AS (SELECT max(df) AS df FROM (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('fast', 'slow') GROUP BY term))
+SELECT tf.doc_id,
+  round(ln(1 + (s.doc_count - pdf.df + 0.5) / (pdf.df + 0.5))
+        * (tf.freq / (tf.freq + 1.2 * (1.0 - 0.75
+           + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))), 4) AS score
+FROM tf
+JOIN qd ON qd.doc_id = tf.doc_id
+CROSS JOIN stats s CROSS JOIN pdf
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10"""
+
+
+@gate("fts_synonym_query", _SYNQ_SQL)
+def fts_synonym_query(spark, sf_dir):
+    """SynonymQuery('fast','slow'): all terms score as ONE pseudo-term
+    — docFreq = MAX over the terms' dfs, per-doc freq = SUM of the
+    terms' freqs, the similarity invoked once (reference lucene/core/
+    .../search/SynonymQuery.java:52-53,204-217 — pseudoStats with
+    max df; SynonymScorer sums freqs). Evaluated off the index tables:
+    one pruned dictionary lookup for the pseudo-df (driver scalar, the
+    TermStates pull), term-pushed postings summed per doc, broadcast
+    norm join, global top-10 on the rounded score."""
+    tables = docs_index(spark, sf_dir)
+    from .search.scoring import double_norm_cache
+
+    d = (
+        tables.dictionary.filter(F.col("term").isin(_SYNQ_TERMS))
+        .agg(F.max("df").alias("df"))
+        .collect()[0]
+    )
+    pdf = int(d["df"])
+    n, t = tables.doc_count, tables.sum_total_term_freq
+    import math
+
+    idf = math.log(1 + (n - pdf + 0.5) / (pdf + 0.5))
+    cache = double_norm_cache(t, n, 1.2, 0.75)
+    cache_df = tables.postings.sparkSession.createDataFrame(
+        [(i, float(cache[i])) for i in range(256)],
+        "norm_byte int, norm_val double",
+    )
+    tf = (
+        tables.postings.filter(F.col("term").isin(_SYNQ_TERMS))
+        .groupBy("doc_id", "norm_byte")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    scored = (
+        tf.join(F.broadcast(cache_df), "norm_byte")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(idf)
+                * (
+                    F.col("freq")
+                    / (F.col("freq") + F.col("norm_val"))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

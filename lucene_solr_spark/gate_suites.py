@@ -347,6 +347,7 @@ _suite("fts_score_shaping", [
      ("doc_id",), ("n_occ", "pay_sum", "pay_max", "pay_avg")),
     ("span_payload", "fts_span_payload_check",
      ("doc_id",), ("span_freq",)),
+    ("synonym", "fts_synonym_query", ("doc_id",), ("score",)),
     ("classic_tfidf", "fts_classic_tfidf", ("doc_id",), ("score",)),
     ("boolean_sim", "fts_boolean_sim", ("doc_id",), ("score",)),
     ("additive_boost", "fn_additive_boost", ("doc_id",), ("score",)),

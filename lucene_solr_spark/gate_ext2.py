@@ -6229,3 +6229,81 @@ def fts_synonym_query(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@gate(
+    "fts_interval_phrase",
+    _span_score_sql(
+        ["table", "part", "value"],
+        """sf AS (
+  SELECT a.doc_id, count(*) AS span_freq
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ('table', 'part') AND b.term = 'value'
+  GROUP BY a.doc_id)""",
+    ),
+)
+def fts_interval_phrase(spark, sf_dir):
+    """Intervals.phrase(or(table, part), value) — BlockIntervalsSource:
+    sub-sources strictly contiguous, each interval starting right
+    after the previous ends (reference Intervals.java:83-102,
+    BlockIntervalsSource.java; search/intervals.py 'block' chain over
+    antichain starts). All width-2 blocks are mutually minimal, so
+    span_freq = the adjacency count."""
+    from .search.intervals import any_of, phrase
+
+    return _iv(spark, sf_dir, phrase(any_of("table", "part"), "value"))
+
+
+@gate(
+    "fts_interval_at_least",
+    _span_score_sql(
+        ["spark", "merge", "vector"],
+        """cand AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS lo, greatest(a.pos, b.pos) AS hi
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+  WHERE (a.term = 'spark' AND b.term = 'merge')
+     OR (a.term = 'spark' AND b.term = 'vector')
+     OR (a.term = 'merge' AND b.term = 'vector')),
+mins AS (SELECT DISTINCT doc_id, lo, hi FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM cand d
+               WHERE d.doc_id = c.doc_id AND d.lo >= c.lo AND d.hi <= c.hi
+                 AND (d.lo > c.lo OR d.hi < c.hi))),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM mins GROUP BY doc_id)""",
+    ),
+)
+def fts_interval_at_least(spark, sf_dir):
+    """Intervals.atLeast(2, spark, merge, vector) —
+    MinimumShouldMatchIntervalsSource: minimal windows spanning
+    intervals from >= 2 of the 3 sources = the minimalized union of
+    every pair's unordered windows (reference Intervals.java:357-359,
+    MinimumShouldMatchIntervalsSource.java; search/intervals.py
+    'at_least' n-subset sweep)."""
+    from .search.intervals import at_least
+
+    return _iv(spark, sf_dir, at_least(2, "spark", "merge", "vector"))
+
+
+@gate(
+    "fts_interval_within",
+    _span_score_sql(
+        ["big", "join", "hash"],
+        _ordered_minimal_cte("join", "hash") + """,
+sf AS (
+  SELECT t.doc_id, count(*) AS span_freq
+  FROM tok t
+  WHERE t.term = 'big'
+    AND EXISTS (SELECT 1 FROM minimal m
+                WHERE m.doc_id = t.doc_id
+                  AND m.pa - 2 <= t.pos AND t.pos <= m.pb + 2)
+  GROUP BY t.doc_id)""",
+    ),
+)
+def fts_interval_within(spark, sf_dir):
+    """Intervals.within(big, 2, ordered(join, hash)): 'big' occurrences
+    within 2 positions of a minimal ordered join..hash interval —
+    containedBy(src, extend(ref, 2, 2)) per the reference's definition
+    (Intervals.java:300-303; search/intervals.py 'within')."""
+    from .search.intervals import ordered, within
+
+    return _iv(spark, sf_dir, within("big", 2, ordered("join", "hash")))

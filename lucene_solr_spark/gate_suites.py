@@ -309,6 +309,12 @@ _suite("fts_phrase_family", [
      ("doc_id",), ("span_freq", "score")),
     ("interval_not_containing", "fts_interval_not_containing",
      ("doc_id",), ("span_freq", "score")),
+    ("interval_phrase", "fts_interval_phrase",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_at_least", "fts_interval_at_least",
+     ("doc_id",), ("span_freq", "score")),
+    ("interval_within", "fts_interval_within",
+     ("doc_id",), ("span_freq", "score")),
     ("interval_or", "fts_interval_or",
      ("doc_id",), ("span_freq", "score")),
     ("term_automaton", "fts_term_automaton", ("doc_id",), ("score",)),

@@ -24,6 +24,19 @@ Expression tree (plain tuples, built with the factory helpers below):
     ('maxwidth', n, sub)          filter width <= n
     ('containing',     big, small)   big intervals holding a small one
     ('not_containing', big, small)   big intervals holding none
+    ('block',     [sub, ...])        phrase: ordered with zero gaps
+                                     (BlockIntervalsSource)
+    ('at_least',  n, [sub, ...])     minimal windows covering >= n of
+                                     the sources
+                                     (MinimumShouldMatchIntervalsSource)
+    ('contained_by',     small, big) small intervals inside a big one
+    ('not_contained_by', small, big) small intervals inside none
+    ('overlapping',     src, ref)    src intervals overlapping a ref
+    ('non_overlapping', src, ref)    src intervals overlapping none
+    ('before', src, ref)             src entirely before a ref start
+    ('after',  src, ref)             src entirely after a ref end
+    ('within', src, n, ref)          src within n positions of a ref
+    ('not_within', src, n, ref)      src farther than n from every ref
 
 Execution (interval_query): the shared span leaf runner — dictionary
 df lookup bucket-pruned, per-seg_group Arrow leaf over ONLY the leaf
@@ -49,8 +62,10 @@ from ..functions import bm25
 
 __all__ = [
     "term", "ordered", "unordered", "any_of", "maxgaps", "maxwidth",
-    "containing", "not_containing", "interval_query",
-    "eval_intervals", "leaf_terms", "required_terms",
+    "containing", "not_containing", "phrase", "at_least",
+    "contained_by", "not_contained_by", "overlapping",
+    "non_overlapping", "before", "after", "within", "not_within",
+    "interval_query", "eval_intervals", "leaf_terms", "required_terms",
 ]
 
 
@@ -107,16 +122,84 @@ def not_containing(big, small):
             term(small) if isinstance(small, str) else small)
 
 
+def _one(x):
+    return term(x) if isinstance(x, str) else x
+
+
+def phrase(*subs):
+    """Intervals.phrase(...) — BlockIntervalsSource: sub-sources in
+    order with NO gaps (Intervals.java:83-102)."""
+    return ("block", _wrap(subs))
+
+
+def at_least(n: int, *subs):
+    """Intervals.atLeast(n, ...) — MinimumShouldMatchIntervalsSource:
+    minimal windows spanning intervals from >= n of the sources
+    (Intervals.java:357-359)."""
+    out = [_one(s) for s in subs]
+    if not 1 <= n <= len(out):
+        raise ValueError("atLeast needs 1 <= n <= len(sources)")
+    return ("at_least", int(n), out)
+
+
+def contained_by(small, big):
+    """Intervals.containedBy (Intervals.java:350-352)."""
+    return ("contained_by", _one(small), _one(big))
+
+
+def not_contained_by(small, big):
+    """Intervals.notContainedBy (Intervals.java:338-340)."""
+    return ("not_contained_by", _one(small), _one(big))
+
+
+def overlapping(src, ref):
+    """Intervals.overlapping (Intervals.java:273-276)."""
+    return ("overlapping", _one(src), _one(ref))
+
+
+def non_overlapping(src, ref):
+    """Intervals.nonOverlapping (Intervals.java:264-266)."""
+    return ("non_overlapping", _one(src), _one(ref))
+
+
+def before(src, ref):
+    """Intervals.before: src intervals ending before a ref interval
+    starts — containedBy(src, extend(offset(ref, start), MAX, 0))
+    (Intervals.java:364-368)."""
+    return ("before", _one(src), _one(ref))
+
+
+def after(src, ref):
+    """Intervals.after (Intervals.java:372-376)."""
+    return ("after", _one(src), _one(ref))
+
+
+def within(src, n: int, ref):
+    """Intervals.within: containedBy(src, extend(ref, n, n))
+    (Intervals.java:300-303)."""
+    return ("within", _one(src), int(n), _one(ref))
+
+
+def not_within(src, n: int, ref):
+    """Intervals.notWithin: nonOverlapping(src, extend(ref, n, n))
+    (Intervals.java:288-291)."""
+    return ("not_within", _one(src), int(n), _one(ref))
+
+
 # ------------------------------------------------------- tree introspection
 
 def leaf_terms(expr) -> list:
     k = expr[0]
     if k == "term":
         return [expr[1]]
-    if k in ("ordered", "unordered", "or"):
+    if k in ("ordered", "unordered", "or", "block"):
         return [t for s in expr[1] for t in leaf_terms(s)]
     if k in ("maxgaps", "maxwidth"):
         return leaf_terms(expr[2])
+    if k == "at_least":
+        return [t for s in expr[2] for t in leaf_terms(s)]
+    if k in ("within", "not_within"):
+        return leaf_terms(expr[1]) + leaf_terms(expr[3])
     return leaf_terms(expr[1]) + leaf_terms(expr[2])
 
 
@@ -127,16 +210,30 @@ def required_terms(expr) -> set:
     k = expr[0]
     if k == "term":
         return {expr[1]}
-    if k in ("ordered", "unordered"):
+    if k in ("ordered", "unordered", "block"):
         return set().union(*(required_terms(s) for s in expr[1]))
     if k == "or":
         reqs = [required_terms(s) for s in expr[1]]
         return set.intersection(*reqs) if reqs else set()
     if k in ("maxgaps", "maxwidth"):
         return required_terms(expr[2])
-    if k == "containing":
+    if k == "at_least":
+        # any n-subset may match; only terms EVERY subset needs (none
+        # when n < len) are required
+        reqs = [required_terms(s) for s in expr[2]]
+        if expr[1] == len(reqs):
+            return set().union(*reqs)
+        return set()
+    if k in ("containing", "contained_by", "overlapping",
+             "before", "after"):
         return required_terms(expr[1]) | required_terms(expr[2])
-    return required_terms(expr[1])  # not_containing: small side optional
+    if k == "within":
+        return required_terms(expr[1]) | required_terms(expr[3])
+    if k == "not_within":
+        return required_terms(expr[1])
+    # not_containing / not_contained_by / non_overlapping:
+    # the filtering side is optional
+    return required_terms(expr[1])
 
 
 def scoring_terms(expr) -> list:
@@ -147,13 +244,21 @@ def scoring_terms(expr) -> list:
     k = expr[0]
     if k == "term":
         return [expr[1]]
-    if k in ("ordered", "unordered", "or"):
+    if k in ("ordered", "unordered", "or", "block"):
         return [t for s in expr[1] for t in scoring_terms(s)]
     if k in ("maxgaps", "maxwidth"):
         return scoring_terms(expr[2])
-    if k == "containing":
+    if k == "at_least":
+        return [t for s in expr[2] for t in scoring_terms(s)]
+    if k in ("containing", "contained_by", "overlapping",
+             "before", "after"):
         return scoring_terms(expr[1]) + scoring_terms(expr[2])
-    return scoring_terms(expr[1])  # not_containing
+    if k == "within":
+        return scoring_terms(expr[1]) + scoring_terms(expr[3])
+    if k == "not_within":
+        return scoring_terms(expr[1])
+    # negative filters score the positive side only (SpanNot rule)
+    return scoring_terms(expr[1])
 
 
 # ------------------------------------------------------------- evaluation
@@ -247,6 +352,79 @@ def eval_intervals(expr, pos: dict) -> list:
             b for b in big
             if any(s0 >= b[0] and s1 <= b[1] for s0, s1, _ in small) == want
         ]
+    if k == "block":
+        subs = [eval_intervals(s, pos) for s in expr[1]]
+        if any(not s for s in subs):
+            return []
+        # contiguous chain: each sub-interval starts right after the
+        # previous one ends (BlockIntervalsSource); sub-results are
+        # antichains so each start occurs at most once
+        starts = [[iv[0] for iv in src] for src in subs]
+        out = []
+        for first in subs[0]:
+            cur, inner, ok = first, first[2], True
+            for src, st in zip(subs[1:], starts[1:]):
+                i = bisect_left(st, cur[1] + 1)
+                if i >= len(st) or st[i] != cur[1] + 1:
+                    ok = False
+                    break
+                cur = src[i]
+                inner += cur[2]
+            if ok:
+                out.append((first[0], cur[1], inner))
+        return _minimalize(out)
+    if k == "at_least":
+        from itertools import combinations
+
+        n, srcs = expr[1], expr[2]
+        subs = [eval_intervals(s, pos) for s in srcs]
+        raw = []
+        for combo in combinations(range(len(subs)), n):
+            picked = [subs[i] for i in combo]
+            if any(not s for s in picked):
+                continue
+            raw.extend(
+                picked[0] if n == 1 else _unordered_sweep(picked)
+            )
+        return _minimalize(raw)
+    if k in ("contained_by", "not_contained_by",
+             "overlapping", "non_overlapping",
+             "before", "after"):
+        src = eval_intervals(expr[1], pos)
+        ref = eval_intervals(expr[2], pos)
+        if k == "contained_by":
+            pred = lambda s, r: r[0] <= s[0] and s[1] <= r[1]
+            want = True
+        elif k == "not_contained_by":
+            pred = lambda s, r: r[0] <= s[0] and s[1] <= r[1]
+            want = False
+        elif k == "overlapping":
+            pred = lambda s, r: s[0] <= r[1] and s[1] >= r[0]
+            want = True
+        elif k == "non_overlapping":
+            pred = lambda s, r: s[0] <= r[1] and s[1] >= r[0]
+            want = False
+        elif k == "before":
+            pred = lambda s, r: s[1] < r[0]
+            want = True
+        else:  # after
+            pred = lambda s, r: s[0] > r[1]
+            want = True
+        return [s_ for s_ in src
+                if any(pred(s_, r) for r in ref) == want]
+    if k in ("within", "not_within"):
+        src = eval_intervals(expr[1], pos)
+        n = expr[2]
+        ref = eval_intervals(expr[3], pos)
+        if k == "within":
+            # containedBy(src, extend(ref, n, n)) — Intervals.java:300
+            return [s_ for s_ in src
+                    if any(r[0] - n <= s_[0] and s_[1] <= r[1] + n
+                           for r in ref)]
+        # nonOverlapping(src, extend(ref, n, n)) — Intervals.java:288
+        return [s_ for s_ in src
+                if not any(s_[0] <= r[1] + n and s_[1] >= r[0] - n
+                           for r in ref)]
     raise ValueError(f"unknown interval node {expr!r}")
 
 

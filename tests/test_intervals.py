@@ -13,8 +13,10 @@ import random
 import pytest
 
 from lucene_solr_spark.search.intervals import (
-    any_of, containing, eval_intervals, interval_query, maxgaps, maxwidth,
-    not_containing, ordered, required_terms, scoring_terms, unordered,
+    after, any_of, at_least, before, contained_by, containing,
+    eval_intervals, interval_query, maxgaps, maxwidth, non_overlapping,
+    not_contained_by, not_containing, not_within, ordered, overlapping,
+    phrase, required_terms, scoring_terms, unordered, within,
 )
 
 
@@ -52,6 +54,52 @@ def brute(expr, pos):
     if k == "maxwidth":
         return [iv for iv in brute(expr[2], pos)
                 if iv[1] - iv[0] + 1 <= expr[1]]
+    if k == "block":
+        subs = [brute(s, pos) for s in expr[1]]
+        return _minimal(
+            (t[0][0], t[-1][1], sum(x[2] for x in t))
+            for t in itertools.product(*subs)
+            if all(t[i][1] + 1 == t[i + 1][0] for i in range(len(t) - 1))
+        )
+    if k == "at_least":
+        n, srcs = expr[1], expr[2]
+        subs = [brute(s, pos) for s in srcs]
+        raw = []
+        for combo in itertools.combinations(range(len(subs)), n):
+            raw.extend(
+                (min(x[0] for x in t), max(x[1] for x in t),
+                 sum(x[2] for x in t))
+                for t in itertools.product(*(subs[i] for i in combo))
+            )
+        return _minimal(raw)
+    if k in ("within", "not_within"):
+        src, n, ref = brute(expr[1], pos), expr[2], brute(expr[3], pos)
+        inside = lambda s: any(
+            r[0] - n <= s[0] and s[1] <= r[1] + n for r in ref
+        )
+        overlap = lambda s: any(
+            s[0] <= r[1] + n and s[1] >= r[0] - n for r in ref
+        )
+        if k == "within":
+            return [s_ for s_ in src if inside(s_)]
+        return [s_ for s_ in src if not overlap(s_)]
+    if k in ("contained_by", "not_contained_by", "overlapping",
+             "non_overlapping", "before", "after"):
+        src, ref = brute(expr[1], pos), brute(expr[2], pos)
+        preds = {
+            "contained_by": (
+                lambda s, r: r[0] <= s[0] and s[1] <= r[1], True),
+            "not_contained_by": (
+                lambda s, r: r[0] <= s[0] and s[1] <= r[1], False),
+            "overlapping": (
+                lambda s, r: s[0] <= r[1] and s[1] >= r[0], True),
+            "non_overlapping": (
+                lambda s, r: s[0] <= r[1] and s[1] >= r[0], False),
+            "before": (lambda s, r: s[1] < r[0], True),
+            "after": (lambda s, r: s[0] > r[1], True),
+        }
+        pred, want = preds[k]
+        return [s_ for s_ in src if any(pred(s_, r) for r in ref) == want]
     big, small = brute(expr[1], pos), brute(expr[2], pos)
     want = k == "containing"
     return [
@@ -73,6 +121,19 @@ EXPRS = [
     containing(maxwidth(6, ordered("a", "b")), "c"),
     not_containing(ordered("a", "b"), "c"),
     containing(unordered("a", "b"), ordered("c", "b")),
+    phrase("a", "b"),
+    phrase("a", "b", "c"),
+    phrase(any_of("a", "g"), "b"),
+    at_least(2, "a", "b", "c"),
+    at_least(2, ordered("a", "b"), "c", "g"),
+    contained_by("c", maxwidth(6, unordered("a", "b"))),
+    not_contained_by("c", unordered("a", "b")),
+    overlapping(ordered("a", "b"), unordered("b", "c")),
+    non_overlapping(ordered("a", "b"), "c"),
+    before("a", ordered("b", "c")),
+    after("c", unordered("a", "b")),
+    within("c", 2, ordered("a", "b")),
+    not_within("c", 1, "a"),
 ]
 
 

@@ -6307,3 +6307,73 @@ def fts_interval_within(spark, sf_dir):
     from .search.intervals import ordered, within
 
     return _iv(spark, sf_dir, within("big", 2, ordered("join", "hash")))
+
+
+_PF_SQL = f"""WITH {bm25_scored_cte(["table", "hash"])},
+base AS (SELECT doc_id, sum(term_score) AS s FROM scored GROUP BY doc_id),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+adj AS (SELECT a.doc_id, count(*) AS pf
+        FROM tokp a JOIN tokp b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'hash'
+        GROUP BY a.doc_id),
+widf AS (SELECT sum(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5)))
+           AS w
+         FROM dfs d CROSS JOIN stats st),
+ph AS (SELECT adj.doc_id,
+              2.0 * w.w * (adj.pf / (adj.pf
+                + 1.2 * (1.0 - 0.75
+                   + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))) AS psc
+       FROM adj JOIN qd ON qd.doc_id = adj.doc_id
+       CROSS JOIN stats st CROSS JOIN widf w)
+SELECT b.doc_id, round(b.s + coalesce(ph.psc, 0), 4) AS score
+FROM base b LEFT JOIN ph ON ph.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+
+@gate("fts_edismax_pf", _PF_SQL)
+def fts_edismax_pf(spark, sf_dir):
+    """ExtendedDisMax pf (phrase fields): the analyzed query 'table
+    hash' adds an optional PhraseQuery boost clause (boost 2.0, ps=0)
+    on top of the per-term disjunction — docs where the whole query
+    appears as a phrase gain the phrase clause's BM25 score (reference
+    solr/core/.../search/ExtendedDismaxQParser.java:1100-1180
+    addShingledPhraseQueries / getQuery pf handling — phrase clauses
+    join the main BooleanQuery as SHOULD). Term scores ride the flat
+    impact postings; the phrase clause rides the positional blocks;
+    one broadcast-joined union, no extra shuffle beyond the span
+    leaf."""
+    from .gate import docs_pos_index
+    from .search.edismax import edismax
+    from .search.phrase import search_phrase
+
+    base = edismax(
+        {"body": docs_index(spark, sf_dir)},
+        ["table", "hash"],
+        qf={"body": 1.0},
+        tie=0.0,
+        k=None,
+        precision="double",
+    )
+    ph = search_phrase(
+        docs_pos_index(spark, sf_dir),
+        ["table", "hash"],
+        slop=0,
+        k=None,
+        boost=2.0,
+        precision="double",
+    ).select("doc_id", F.col("score").alias("psc"))
+    return (
+        base.join(ph, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.coalesce(F.col("psc"), F.lit(0.0)), 4
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )

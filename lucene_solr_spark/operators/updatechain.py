@@ -47,6 +47,8 @@ __all__ = [
     "html_strip", "concat_field", "count_field_values", "first_value",
     "last_value", "max_value", "min_value", "uniq_values", "remove_blank",
     "ignore_field", "doc_expiration", "expired_filter",
+    "parse_numeric", "parse_date", "parse_boolean", "uuid_field",
+    "ignore_large_document", "version_constraints",
 ]
 
 
@@ -206,3 +208,125 @@ def expired_filter(as_of: str, field: str = "_expire_at_") -> Column:
     ``as_of`` (DocExpirationUpdateProcessorFactory's
     DeleteExpiredDocsRunnable)."""
     return F.col(field) <= F.to_timestamp(F.lit(as_of))
+
+
+def parse_numeric(field: str, dtype: str = "long"):
+    """Parse{Int,Long,Float,Double}FieldUpdateProcessorFactory: replace
+    a string value with its parsed numeric when parseable; an
+    unparseable value becomes NULL in the typed column and is preserved
+    verbatim in ``<field>_raw`` (the reference leaves the original
+    string on the doc — a DataFrame column holds one type, so the raw
+    survives beside it). ``try_cast`` keeps the stage codegen-fused."""
+    def proc(df: DataFrame) -> DataFrame:
+        parsed = F.expr(f"try_cast({field} AS {dtype})")
+        keep_raw = F.when(
+            F.col(field).isNotNull() & parsed.isNull(), F.col(field)
+        )
+        return df.withColumn(f"{field}_raw", keep_raw).withColumn(
+            field, parsed
+        )
+
+    return proc
+
+
+def parse_date(field: str, formats):
+    """ParseDateFieldUpdateProcessorFactory: try each configured format
+    in order, first success wins (the factory's format-list loop);
+    unparseable → NULL + raw preserved."""
+    def proc(df: DataFrame) -> DataFrame:
+        parsed = F.coalesce(
+            *[F.expr(f"try_to_timestamp({field}, '{fmt}')")
+              for fmt in formats]
+        )
+        keep_raw = F.when(
+            F.col(field).isNotNull() & parsed.isNull(), F.col(field)
+        )
+        return df.withColumn(f"{field}_raw", keep_raw).withColumn(
+            field, parsed
+        )
+
+    return proc
+
+
+def parse_boolean(
+    field: str,
+    true_values=("true", "t", "yes", "y", "on", "1"),
+    false_values=("false", "f", "no", "n", "off", "0"),
+):
+    """ParseBooleanFieldUpdateProcessorFactory: configured
+    caseInsensitive true/false value sets (factory defaults)."""
+    tv = [v.lower() for v in true_values]
+    fv = [v.lower() for v in false_values]
+
+    def proc(df: DataFrame) -> DataFrame:
+        low = F.lower(F.col(field))
+        parsed = (
+            F.when(low.isin(tv), F.lit(True))
+            .when(low.isin(fv), F.lit(False))
+        )
+        keep_raw = F.when(
+            F.col(field).isNotNull() & parsed.isNull(), F.col(field)
+        )
+        return df.withColumn(f"{field}_raw", keep_raw).withColumn(
+            field, parsed
+        )
+
+    return proc
+
+
+def uuid_field(dest: str, from_col: str):
+    """UUIDUpdateProcessorFactory analog: a DETERMINISTIC name-based
+    UUID (the v5 shape — md5 of the source key with version/variant
+    bits formatted 8-4-4-4-12) instead of the reference's random v4,
+    so re-ingest is idempotent and the value is reproducible in SQL."""
+    def proc(df: DataFrame) -> DataFrame:
+        h = F.md5(F.col(from_col).cast("string"))
+        uid = F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.concat(F.lit("5"), F.substring(h, 14, 3)),
+            F.concat(F.lit("8"), F.substring(h, 18, 3)),
+            F.substring(h, 21, 12),
+        )
+        return df.withColumn(dest, uid)
+
+    return proc
+
+
+def ignore_large_document(max_bytes: int):
+    """IgnoreLargeDocumentProcessorFactory: drop documents whose
+    estimated serialized size exceeds the limit (the factory estimates
+    the SolrInputDocument's size; here the JSON serialization of the
+    row — a scan-fused filter, no shuffle)."""
+    def proc(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.octet_length(F.to_json(F.struct(*df.columns)))
+            <= max_bytes
+        )
+
+    return proc
+
+
+def version_constraints(id_col: str, version_col: str):
+    """DocBasedVersionConstraintsProcessorFactory: among competing
+    updates for one id, only the highest user-version survives (ties
+    keep one deterministically — the factory rejects non-increasing
+    versions at ingest; batch analog = per-id argmax). One hash
+    shuffle on the id, the same key the index is partitioned by."""
+    from pyspark.sql import Window
+
+    def proc(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc(version_col), *[
+                F.desc(c) for c in df.columns
+                if c not in (id_col, version_col)
+            ]
+        )
+        return (
+            df.withColumn("_vc_rank", F.row_number().over(w))
+            .filter(F.col("_vc_rank") == 1)
+            .drop("_vc_rank")
+        )
+
+    return proc

@@ -110,3 +110,99 @@ def test_doc_expiration(spark):
     assert [r.id for r in dead] == [1]  # expires Jan 6 < Jan 15
     assert [r.id for r in live] == [2]  # expires Feb 10
     assert dead[0]._expire_at_ == datetime.datetime(2026, 1, 6)
+
+
+def test_parse_numeric_and_raw_preservation(spark):
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, parse_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "42"), ("2", "not-a-number"), ("3", None)],
+        "id string, v string",
+    )
+    out = apply_chain(df, [parse_numeric("v", "long")]).orderBy("id")
+    rows = out.collect()
+    assert [r["v"] for r in rows] == [42, None, None]
+    assert [r["v_raw"] for r in rows] == [None, "not-a-number", None]
+
+
+def test_parse_date_format_list(spark):
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, parse_date,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "2024-05-06"), ("2", "06/05/2024"), ("3", "junk")],
+        "id string, d string",
+    )
+    out = apply_chain(
+        df, [parse_date("d", ["yyyy-MM-dd", "dd/MM/yyyy"])]
+    ).orderBy("id")
+    rows = out.collect()
+    assert str(rows[0]["d"]).startswith("2024-05-06")
+    assert str(rows[1]["d"]).startswith("2024-05-06")
+    assert rows[2]["d"] is None and rows[2]["d_raw"] == "junk"
+
+
+def test_parse_boolean_defaults(spark):
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, parse_boolean,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "Yes"), ("2", "off"), ("3", "maybe")],
+        "id string, b string",
+    )
+    rows = apply_chain(df, [parse_boolean("b")]).orderBy("id").collect()
+    assert [r["b"] for r in rows] == [True, False, None]
+    assert rows[2]["b_raw"] == "maybe"
+
+
+def test_uuid_field_deterministic_v5_shape(spark):
+    import re
+
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, uuid_field,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    rows = apply_chain(df, [uuid_field("uid", "k")]).collect()
+    uids = [r["uid"] for r in rows]
+    assert uids[0] == uids[1] != uids[2]
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-8[0-9a-f]{3}"
+        r"-[0-9a-f]{12}$"
+    )
+    assert all(pat.match(u) for u in uids)
+
+
+def test_ignore_large_document(spark):
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, ignore_large_document,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "x"), ("2", "y" * 500)], "id string, body string"
+    )
+    out = apply_chain(df, [ignore_large_document(200)])
+    assert [r["id"] for r in out.collect()] == ["1"]
+
+
+def test_version_constraints_keeps_max_version(spark):
+    from lucene_solr_spark.operators.updatechain import (
+        apply_chain, version_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 3, "new"), ("b", 2, "only")],
+        "id string, ver int, body string",
+    )
+    rows = (
+        apply_chain(df, [version_constraints("id", "ver")])
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["id"], r["ver"], r["body"]) for r in rows] == [
+        ("a", 3, "new"), ("b", 2, "only"),
+    ]

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from .gate import (_NORM_VALUES, _TOKS, bm25_scored_cte, doc_tokens,
                    docs_index, docs_title_index, gate, load)
 from .search.bruteforce import search_bruteforce
-from .gate_ext import _span_score_sql
+from .gate_ext import _SPAN_CTE, _span_score_sql
 
 # ------------------------------------------------------------ highlighter
 
@@ -6377,3 +6377,48 @@ def fts_edismax_pf(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_IV_PREFIX_SQL = f"""WITH {_SPAN_CTE},
+bp AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'table'),
+pr AS (SELECT x.doc_id, x.pb,
+              (SELECT max(a.pos) FROM tok a
+               WHERE a.doc_id = x.doc_id AND a.term LIKE 's%'
+                 AND a.pos < x.pb) AS pa
+       FROM bp x),
+minimal AS (SELECT doc_id, pa, pb FROM pr
+            WHERE pa IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM tok c
+                              WHERE c.doc_id = pr.doc_id
+                                AND c.term = 'table'
+                                AND c.pos > pr.pa AND c.pos < pr.pb)),
+sf AS (SELECT doc_id, count(*) AS span_freq FROM minimal
+       GROUP BY doc_id),
+widf AS (SELECT sum(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5)))
+           AS w
+         FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term LIKE 's%' OR term = 'table'
+               GROUP BY term) d
+         CROSS JOIN stats st)
+SELECT s.doc_id, CAST(s.span_freq AS BIGINT) AS span_freq,
+  round(w.w * (s.span_freq / (s.span_freq
+        + 1.2 * (1.0 - 0.75
+                 + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))), 4)
+    AS score
+FROM sf s JOIN qd ON qd.doc_id = s.doc_id
+CROSS JOIN stats st CROSS JOIN widf w
+ORDER BY s.doc_id"""
+
+
+@gate("fts_interval_prefix", _IV_PREFIX_SQL)
+def fts_interval_prefix(spark, sf_dir):
+    """Intervals.ordered(Intervals.prefix('s'), table): the prefix leaf
+    expands over the term dictionary to a disjunction at query build
+    (reference Intervals.java:155-160, MultiTermIntervalsSource.java —
+    automaton ∩ terms enum), then the standard minimal ordered
+    evaluation runs; idf sums over every expanded term + 'table'
+    (search/intervals.py expand_multiterm — one pruned dictionary
+    pull, the expansion never touches postings it doesn't match)."""
+    from .search.intervals import ordered, prefix
+
+    return _iv(spark, sf_dir, ordered(prefix("s"), "table"))

@@ -316,6 +316,8 @@ _suite("fts_phrase_family", [
      ("doc_id",), ("span_freq", "score")),
     ("interval_within", "fts_interval_within",
      ("doc_id",), ("span_freq", "score")),
+    ("interval_prefix", "fts_interval_prefix",
+     ("doc_id",), ("span_freq", "score")),
     ("interval_or", "fts_interval_or",
      ("doc_id",), ("span_freq", "score")),
     ("term_automaton", "fts_term_automaton", ("doc_id",), ("score",)),

@@ -65,6 +65,7 @@ __all__ = [
     "containing", "not_containing", "phrase", "at_least",
     "contained_by", "not_contained_by", "overlapping",
     "non_overlapping", "before", "after", "within", "not_within",
+    "prefix", "wildcard", "expand_multiterm",
     "interval_query", "eval_intervals", "leaf_terms", "required_terms",
 ]
 
@@ -184,6 +185,20 @@ def not_within(src, n: int, ref):
     """Intervals.notWithin: nonOverlapping(src, extend(ref, n, n))
     (Intervals.java:288-291)."""
     return ("not_within", _one(src), int(n), _one(ref))
+
+
+def prefix(p: str):
+    """Intervals.prefix: expands over the term dictionary to a
+    disjunction at query build (Intervals.java:155-160,
+    MultiTermIntervalsSource.java); resolved by interval_query against
+    the index dictionary before evaluation."""
+    return ("prefix", p)
+
+
+def wildcard(w: str):
+    """Intervals.wildcard — `?` one char, `*` any run
+    (Intervals.java:167-172)."""
+    return ("wildcard", w)
 
 
 # ------------------------------------------------------- tree introspection
@@ -430,6 +445,59 @@ def eval_intervals(expr, pos: dict) -> list:
 
 # -------------------------------------------------------------- execution
 
+def expand_multiterm(expr, dict_terms):
+    """Replace ('prefix', p) / ('wildcard', w) leaves with the or() of
+    matching dictionary terms — the reference's automaton expansion
+    (MultiTermIntervalsSource rewrites against the terms enum). An
+    expansion with no matching term becomes a never-matching empty
+    disjunction, exactly like an absent term leaf."""
+    import re as _re
+
+    k = expr[0]
+    if k == "term":
+        return expr
+    if k == "prefix":
+        hits = [t for t in dict_terms if t.startswith(expr[1])]
+        return ("or", [("term", t) for t in hits])
+    if k == "wildcard":
+        rx = _re.compile(
+            "^" + _re.escape(expr[1])
+            .replace(r"\*", "[a-z0-9]*").replace(r"\?", "[a-z0-9]")
+            + "$"
+        )
+        hits = [t for t in dict_terms if rx.match(t)]
+        return ("or", [("term", t) for t in hits])
+    if k in ("ordered", "unordered", "or", "block"):
+        return (k, [expand_multiterm(s, dict_terms) for s in expr[1]])
+    if k in ("maxgaps", "maxwidth"):
+        return (k, expr[1], expand_multiterm(expr[2], dict_terms))
+    if k == "at_least":
+        return (k, expr[1],
+                [expand_multiterm(s, dict_terms) for s in expr[2]])
+    if k in ("within", "not_within"):
+        return (k, expand_multiterm(expr[1], dict_terms), expr[2],
+                expand_multiterm(expr[3], dict_terms))
+    return (k, expand_multiterm(expr[1], dict_terms),
+            expand_multiterm(expr[2], dict_terms))
+
+
+def _has_multiterm(expr) -> bool:
+    k = expr[0]
+    if k in ("prefix", "wildcard"):
+        return True
+    if k == "term":
+        return False
+    if k in ("ordered", "unordered", "or", "block"):
+        return any(_has_multiterm(s) for s in expr[1])
+    if k in ("maxgaps", "maxwidth"):
+        return _has_multiterm(expr[2])
+    if k == "at_least":
+        return any(_has_multiterm(s) for s in expr[2])
+    if k in ("within", "not_within"):
+        return _has_multiterm(expr[1]) or _has_multiterm(expr[3])
+    return _has_multiterm(expr[1]) or _has_multiterm(expr[2])
+
+
 def interval_query(
     index,
     expr,
@@ -443,6 +511,15 @@ def interval_query(
     → DataFrame(doc_id, span_freq, score): span_freq = minimal-interval
     count, scored per the pinned span contract (see module doc)."""
     from .phrase import _run_span
+
+    if _has_multiterm(expr):
+        # one pruned dictionary pull resolves every multi-term leaf
+        # (the automaton-vs-terms-enum intersection analog)
+        dict_terms = [
+            r["term"]
+            for r in index.dictionary.select("term").collect()
+        ]
+        expr = expand_multiterm(expr, sorted(dict_terms))
 
     terms_all = list(dict.fromkeys(leaf_terms(expr)))
     required = sorted(required_terms(expr))

@@ -226,3 +226,20 @@ def test_interval_query_end_to_end(spark, tmp_path):
     # absent required term -> empty; absent or-branch still matches
     assert docs_of(ordered("alpha", "zzz")) == {}
     assert docs_of(any_of(ordered("alpha", "zzz"), "cat")) == {0: 1, 2: 1, 3: 1}
+
+
+def test_multiterm_expansion():
+    from lucene_solr_spark.search.intervals import (
+        expand_multiterm, ordered, prefix, wildcard,
+    )
+
+    d = ["scan", "slow", "small", "sort", "spark", "stream", "table"]
+    e = expand_multiterm(ordered(prefix("s"), "table"), d)
+    assert e == ("ordered", [
+        ("or", [("term", t) for t in d if t != "table"]),
+        ("term", "table"),
+    ])
+    w = expand_multiterm(wildcard("s?an"), d)
+    assert w == ("or", [("term", "scan")])
+    # no match -> empty disjunction (never matches, like an absent term)
+    assert expand_multiterm(prefix("zz"), d) == ("or", [])

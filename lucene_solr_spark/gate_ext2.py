@@ -6422,3 +6422,88 @@ def fts_interval_prefix(spark, sf_dir):
     from .search.intervals import ordered, prefix
 
     return _iv(spark, sf_dir, ordered(prefix("s"), "table"))
+
+
+_PF2_SQL = f"""WITH {bm25_scored_cte(["table", "hash", "value"])},
+base AS (SELECT doc_id, sum(term_score) AS s FROM scored GROUP BY doc_id),
+tokp AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS pos
+  FROM documents),
+adj AS (SELECT a.doc_id,
+               CASE WHEN a.term = 'table' THEN 'table hash'
+                    ELSE 'hash value' END AS bg,
+               count(*) AS pf
+        FROM tokp a JOIN tokp b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE (a.term = 'table' AND b.term = 'hash')
+           OR (a.term = 'hash' AND b.term = 'value')
+        GROUP BY a.doc_id, bg),
+bgidf AS (SELECT 'table hash' AS bg,
+                 sum(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5)))
+                   AS w
+          FROM dfs d CROSS JOIN stats st
+          WHERE d.term IN ('table', 'hash')
+          GROUP BY bg
+          UNION ALL
+          SELECT 'hash value' AS bg,
+                 sum(ln(1 + (st.doc_count - d.df + 0.5) / (d.df + 0.5)))
+                   AS w
+          FROM dfs d CROSS JOIN stats st
+          WHERE d.term IN ('hash', 'value')
+          GROUP BY bg),
+ph AS (SELECT adj.doc_id,
+              sum(1.5 * i.w * (adj.pf / (adj.pf
+                + 1.2 * (1.0 - 0.75
+                   + 0.75 * qd.qdl / (st.sum_ttf / st.doc_count)))))
+                AS psc
+       FROM adj JOIN bgidf i USING (bg)
+       JOIN qd ON qd.doc_id = adj.doc_id
+       CROSS JOIN stats st
+       GROUP BY adj.doc_id)
+SELECT b.doc_id, round(b.s + coalesce(ph.psc, 0), 4) AS score
+FROM base b LEFT JOIN ph ON ph.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
+
+@gate("fts_edismax_pf2", _PF2_SQL)
+def fts_edismax_pf2(spark, sf_dir):
+    """ExtendedDisMax pf2 (bigram phrase fields): the analyzed query
+    'table hash value' is SHINGLED into bigram phrases 'table hash'
+    and 'hash value', each joining the main BooleanQuery as an
+    optional boost-1.5 PhraseQuery (reference solr/core/.../search/
+    ExtendedDismaxQParser.java addShingledPhraseQueries — pf2 builds
+    2-shingles of the query clauses; pf3 the same with 3). Same plan
+    as pf: flat-postings term scores + two positional-block span
+    leaves, broadcast-joined."""
+    from .gate import docs_pos_index
+    from .search.edismax import edismax
+    from .search.phrase import search_phrase
+
+    base = edismax(
+        {"body": docs_index(spark, sf_dir)},
+        ["table", "hash", "value"],
+        qf={"body": 1.0},
+        tie=0.0,
+        k=None,
+        precision="double",
+    )
+    pos = docs_pos_index(spark, sf_dir)
+    phs = None
+    for bg in (["table", "hash"], ["hash", "value"]):
+        p = search_phrase(
+            pos, bg, slop=0, k=None, boost=1.5, precision="double"
+        ).select("doc_id", F.col("score").alias("psc"))
+        phs = p if phs is None else phs.unionByName(p)
+    ph = phs.groupBy("doc_id").agg(F.sum("psc").alias("psc"))
+    return (
+        base.join(ph, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("score") + F.coalesce(F.col("psc"), F.lit(0.0)), 4
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -248,6 +248,7 @@ _suite("fts_bool_modes", [
     ("msm_spec", "fts_msm_spec", ("doc_id",), ("score",)),
     ("edismax_qf", "fts_edismax_fields", ("doc_id",), ("score",)),
     ("edismax_pf", "fts_edismax_pf", ("doc_id",), ("score",)),
+    ("edismax_pf2", "fts_edismax_pf2", ("doc_id",), ("score",)),
     ("multireader", "fts_multireader_shards", ("doc_id",), ("score",)),
     ("covering", "fts_covering_query",
      ("doc_id",), ("n_matched", "min_required", "score")),

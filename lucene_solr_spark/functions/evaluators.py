@@ -1511,3 +1511,86 @@ def tests3_udf():
 
         _tests3_udf_cache = _t3
     return _tests3_udf_cache
+
+
+def _paired_ttest_p(a, b) -> float:
+    """commons-math TTest.pairedTTest: one-sample t over the pairwise
+    differences — t = meanDiff / sqrt(varDiff / n), df = n−1, p
+    two-sided through the t survival (StatUtils.meanDifference /
+    varianceDifference; reference solr/solrj/.../io/eval/
+    PairedTTestEvaluator.java delegates there)."""
+    import statistics
+
+    n = float(len(a))
+    d = [x - y for x, y in zip(a, b)]
+    md = statistics.fmean(d)
+    vd = sum((x - md) ** 2 for x in d) / (n - 1.0)
+    t = md / (vd / n) ** 0.5
+    return t_sf_two_sided(abs(t), n - 1.0)
+
+
+def _gtest_datasets_p(c1, c2) -> float:
+    """commons-math GTest.gTestDataSetsComparison over two count
+    vectors: G = 2·N·[H(rowSums) + H(colSums) − H(cells)] with Shannon
+    entropy in nats over the 2×k table, df = k−1, p = chi-square
+    survival (GTest.gDataSetsComparison; reference GTestDataSet
+    Evaluator.java). Agreement with the JVM is ASSERTED at fixture
+    build (scripts/make_hyptests3_fixture.py)."""
+    import math
+
+    k = len(c1)
+    n = float(sum(c1) + sum(c2))
+
+    def h(counts):
+        tot = 0.0
+        for c in counts:
+            if c > 0:
+                p = c / n
+                tot -= p * math.log(p)
+        return tot
+
+    h_rows = h([sum(c1), sum(c2)])
+    h_cols = h([c1[i] + c2[i] for i in range(k)])
+    h_cells = h(list(c1) + list(c2))
+    g = 2.0 * n * (h_rows + h_cols - h_cells)
+    return chi2_sf(g, k - 1.0)
+
+
+_hyp3_udf_cache = None
+
+
+def hyptests3_udf():
+    """Arrow-batched (xs, ys, c1, c2) → struct(paired_p, gtest_p,
+    mean_diff, sum_diff): pairedTtest p, gtestDataSet p, and the
+    meanDifference / sumDifference evaluators (reference
+    solr/solrj/.../io/eval/{PairedTTest,GTestDataSet,MeanDifference,
+    SumDifference}Evaluator.java — thin commons-math3 wrappers)."""
+    global _hyp3_udf_cache
+    if _hyp3_udf_cache is None:
+        @F.pandas_udf(_T.StructType([
+            _T.StructField("paired_p", _T.DoubleType()),
+            _T.StructField("gtest_p", _T.DoubleType()),
+            _T.StructField("mean_diff", _T.DoubleType()),
+            _T.StructField("sum_diff", _T.DoubleType()),
+        ]))
+        def _h3(xs: pd.Series, ys: pd.Series, c1: pd.Series,
+                c2: pd.Series) -> pd.DataFrame:
+            import statistics
+
+            rows = []
+            for a, b, o1, o2 in zip(xs, ys, c1, c2):
+                a, b = list(a), list(b)
+                d = [x - y for x, y in zip(a, b)]
+                rows.append((
+                    _paired_ttest_p(a, b),
+                    _gtest_datasets_p(list(o1), list(o2)),
+                    statistics.fmean(d),
+                    float(sum(d)),
+                ))
+            return pd.DataFrame(
+                rows,
+                columns=["paired_p", "gtest_p", "mean_diff", "sum_diff"],
+            )
+
+        _hyp3_udf_cache = _h3
+    return _hyp3_udf_cache

@@ -6507,3 +6507,48 @@ def fts_edismax_pf2(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_HYP3_FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "fixtures_data",
+    "hyp_tests3.parquet",
+)
+
+
+@gate(
+    "fn_eval_tests4",
+    f"""
+SELECT pair_id, round(paired_p, 6) AS paired_p,
+       round(gtest_p, 6) AS gtest_p,
+       round(mean_diff, 6) AS mean_diff,
+       round(sum_diff, 6) AS sum_diff
+FROM read_parquet('{_HYP3_FIXTURE}')
+ORDER BY pair_id""",
+)
+def fn_eval_tests4(spark, sf_dir):
+    """Paired-sample inference evaluators — pairedTtest (one-sample t
+    over pairwise differences through the t survival), gtestDataSet
+    (G = 2N[H(rows)+H(cols)−H(cells)] log-likelihood ratio, chi-square
+    survival), meanDifference and sumDifference (reference
+    solr/solrj/.../io/eval/{{PairedTTest,GTestDataSet,MeanDifference,
+    SumDifference}}Evaluator.java — commons-math3 wrappers): computed
+    LIVE by the Arrow UDF over the fixture's samples; the oracle reads
+    values frozen from the REAL commons-math3 in Spark's JVM with
+    <1e-10 Python/JVM parity asserted at fixture build
+    (scripts/make_hyptests3_fixture.py), at 6dp."""
+    from .functions.evaluators import hyptests3_udf
+
+    fix = spark.read.parquet(_HYP3_FIXTURE).select(
+        "pair_id", "xs", "ys", "c1", "c2"
+    )
+    out = hyptests3_udf()(
+        F.col("xs"), F.col("ys"), F.col("c1"), F.col("c2")
+    )
+    return fix.select(
+        "pair_id",
+        F.round(out["paired_p"], 6).alias("paired_p"),
+        F.round(out["gtest_p"], 6).alias("gtest_p"),
+        F.round(out["mean_diff"], 6).alias("mean_diff"),
+        F.round(out["sum_diff"], 6).alias("sum_diff"),
+    ).orderBy("pair_id")

@@ -604,6 +604,8 @@ _join_suite(
 _suite("fn_evaluators", [
     ("ir_quality", "fn_ir_quality",
      ("qid",), ("avp", "mrr", "p10", "recall")),
+    ("hyp_tests3", "fn_eval_tests4",
+     ("pair_id",), ("paired_p", "gtest_p", "mean_diff", "sum_diff")),
     ("corr_ols", "fn_eval_stats",
      ("l_linestatus", "n"), ("corr_qty_price", "covar_qty_price",
                              "slope", "intercept")),

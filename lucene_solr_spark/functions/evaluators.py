@@ -1594,3 +1594,51 @@ def hyptests3_udf():
 
         _hyp3_udf_cache = _h3
     return _hyp3_udf_cache
+
+
+def knn_regress(
+    obs: "DataFrame",
+    queries: "DataFrame",
+    k: int = 5,
+    feature_cols=("f1", "f2", "f3"),
+    outcome_col: str = "outcome",
+    idx_col: str = "idx",
+    id_col: str = "qid",
+):
+    """knnRegress + predict (reference solr/solrj/.../io/eval/
+    {KnnRegression,Knn,Predict}Evaluator.java): for each query point,
+    the k nearest observations by Euclidean distance — ties broken by
+    observation index asc, exactly KnnEvaluator.Neighbor.compareTo
+    (:146-152) — aggregated as the MEAN of their outcomes, plus the
+    robust=true variant (50th-percentile median, :227-237).
+
+    Relational shape: distance join + per-query rank window + one
+    agg. The evaluator's model is driver-resident in the reference;
+    here both sides stay distributed — at corpus scale this is the
+    ANN family's problem and the `td_ann` pruned paths apply.
+
+    → (qid, pred, pred_robust) ordered by qid."""
+    from pyspark.sql import DataFrame, Window  # noqa: F811
+
+    dist = None
+    for f in feature_cols:
+        term = (obs[f] - queries[f]) * (obs[f] - queries[f])
+        dist = term if dist is None else dist + term
+    j = queries.join(obs, how="cross").select(
+        queries[id_col].alias("qid"),
+        obs[idx_col].alias("idx"),
+        F.sqrt(dist).alias("dist"),
+        obs[outcome_col].alias("outcome"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("idx"))
+    top = j.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return (
+        top.groupBy("qid")
+        .agg(
+            F.avg("outcome").alias("pred"),
+            F.percentile("outcome", F.lit(0.5)).alias("pred_robust"),
+        )
+        .orderBy("qid")
+    )

@@ -6552,3 +6552,80 @@ def fn_eval_tests4(spark, sf_dir):
         F.round(out["mean_diff"], 6).alias("mean_diff"),
         F.round(out["sum_diff"], 6).alias("sum_diff"),
     ).orderBy("pair_id")
+
+
+_KNNREG_SQL = """
+WITH obs AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+           AS idx,
+         CAST(l_quantity AS DOUBLE) AS f1,
+         CAST(l_discount * 100 AS DOUBLE) AS f2,
+         CAST(l_linenumber * 7 AS DOUBLE) AS f3,
+         CAST(l_extendedprice AS DOUBLE) AS outcome
+  FROM lineitem
+  ORDER BY l_orderkey, l_linenumber LIMIT 200),
+q AS (
+  SELECT o_orderkey AS qid,
+         CAST(o_orderkey % 50 AS DOUBLE) AS f1,
+         CAST((o_orderkey * 3) % 10 AS DOUBLE) AS f2,
+         CAST((o_orderkey % 7) * 7 AS DOUBLE) AS f3
+  FROM orders WHERE o_orderkey <= 32),
+d AS (
+  SELECT q.qid, obs.idx, obs.outcome,
+         sqrt((obs.f1 - q.f1) * (obs.f1 - q.f1)
+              + (obs.f2 - q.f2) * (obs.f2 - q.f2)
+              + (obs.f3 - q.f3) * (obs.f3 - q.f3)) AS dist
+  FROM q CROSS JOIN obs),
+r AS (
+  SELECT qid, outcome,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist ASC, idx ASC) AS rk
+  FROM d)
+SELECT qid, round(avg(outcome), 6) AS pred,
+       round(median(outcome), 6) AS pred_robust
+FROM r WHERE rk <= 5
+GROUP BY qid ORDER BY qid"""
+
+
+@gate("fn_knn_regress", _KNNREG_SQL)
+def fn_knn_regress(spark, sf_dir):
+    """knnRegress + predict: mean (and robust=true median) of the k=5
+    nearest observations' outcomes by Euclidean distance, ties by
+    observation index asc (reference solr/solrj/.../io/eval/
+    KnnRegressionEvaluator.java predict:221-249,
+    KnnEvaluator.Neighbor.compareTo:146-152). Distance join + rank
+    window + one agg (functions/evaluators.py knn_regress)."""
+    from pyspark.sql import Window as W
+
+    from .functions.evaluators import knn_regress
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = (
+        li.withColumn(
+            "idx",
+            F.row_number().over(
+                W.orderBy("l_orderkey", "l_linenumber")
+            ) - 1,
+        )
+        .filter(F.col("idx") < 200)
+        .select(
+            "idx",
+            F.col("l_quantity").cast("double").alias("f1"),
+            (F.col("l_discount") * 100).cast("double").alias("f2"),
+            (F.col("l_linenumber") * 7).cast("double").alias("f3"),
+            F.col("l_extendedprice").cast("double").alias("outcome"),
+        )
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 32)
+    q = o.select(
+        F.col("o_orderkey").alias("qid"),
+        (F.col("o_orderkey") % 50).cast("double").alias("f1"),
+        ((F.col("o_orderkey") * 3) % 10).cast("double").alias("f2"),
+        ((F.col("o_orderkey") % 7) * 7).cast("double").alias("f3"),
+    )
+    out = knn_regress(obs, q, k=5)
+    return out.select(
+        "qid",
+        F.round("pred", 6).alias("pred"),
+        F.round("pred_robust", 6).alias("pred_robust"),
+    ).orderBy("qid")

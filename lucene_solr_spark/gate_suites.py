@@ -606,6 +606,8 @@ _suite("fn_evaluators", [
      ("qid",), ("avp", "mrr", "p10", "recall")),
     ("hyp_tests3", "fn_eval_tests4",
      ("pair_id",), ("paired_p", "gtest_p", "mean_diff", "sum_diff")),
+    ("knn_regress", "fn_knn_regress",
+     ("qid",), ("pred", "pred_robust")),
     ("corr_ols", "fn_eval_stats",
      ("l_linestatus", "n"), ("corr_qty_price", "covar_qty_price",
                              "slope", "intercept")),

@@ -6629,3 +6629,114 @@ def fn_knn_regress(spark, sf_dir):
         F.round("pred", 6).alias("pred"),
         F.round("pred_robust", 6).alias("pred_robust"),
     ).orderBy("qid")
+
+
+_KNNCLS_DOC = 1
+_KNNCLS_K = 10
+
+_KNNCLS_SQL = f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nt(lo, hi, qdl) AS (VALUES {_NORM_VALUES}),
+qd AS (SELECT dl.doc_id, nt.qdl FROM dl
+       JOIN nt ON dl.dl BETWEEN nt.lo AND nt.hi),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM dl),
+nd AS (SELECT count(*) AS n FROM documents),
+qtf AS (SELECT term, count(*) AS tf FROM toks
+        WHERE doc_id = {_KNNCLS_DOC} GROUP BY term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+sel AS (SELECT qtf.term, dfs.df,
+               round(qtf.tf * (ln(nd.n / (dfs.df + 1.0)) + 1.0), 4)
+                 AS mlt_score
+        FROM qtf JOIN dfs USING (term) CROSS JOIN nd
+        WHERE qtf.tf >= 2 AND dfs.df >= 5),
+top AS (SELECT term, df, mlt_score FROM sel
+        ORDER BY mlt_score DESC, term ASC LIMIT 10),
+bmax AS (SELECT max(mlt_score) AS m FROM top),
+tfq AS (SELECT t.doc_id, t.term, count(*) AS freq
+        FROM toks t JOIN top USING (term) GROUP BY t.doc_id, t.term),
+scored AS (
+  SELECT tfq.doc_id,
+         sum((top.mlt_score / bm.m)
+             * ln(1 + (s.doc_count - top.df + 0.5) / (top.df + 0.5))
+             * (tfq.freq / (tfq.freq
+                + 1.2 * (1.0 - 0.75
+                   + 0.75 * qd.qdl / (s.sum_ttf / s.doc_count)))))
+           AS score
+  FROM tfq
+  JOIN top USING (term)
+  JOIN qd ON qd.doc_id = tfq.doc_id
+  CROSS JOIN stats s CROSS JOIN bmax bm
+  GROUP BY tfq.doc_id),
+topdocs AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, round(score, 4) AS score,
+           row_number() OVER (ORDER BY round(score, 4) DESC,
+                              doc_id ASC) AS rk
+    FROM scored) WHERE rk <= {_KNNCLS_K}),
+mx AS (SELECT max(score) AS m FROM topdocs),
+nh AS (SELECT count(*) AS n FROM topdocs)
+SELECT d.lang AS label, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(t.score / mx.m)
+             / (CASE WHEN max(nh.n) < {_KNNCLS_K} THEN max(nh.n)
+                     ELSE {_KNNCLS_K} END), 6) AS vote
+FROM topdocs t
+JOIN documents d ON d.doc_id = t.doc_id
+CROSS JOIN mx CROSS JOIN nh
+GROUP BY d.lang ORDER BY label"""
+
+
+@gate("ml_knn_classifier", _KNNCLS_SQL)
+def ml_knn_classifier(spark, sf_dir):
+    """KNearestNeighborClassifier (lucene/classification): the query
+    text's MLT interesting terms (tf>=2, df>=5, tf·idf top-10) become
+    a BOOSTED disjunction — each term boosted by mlt_score/best
+    (mlt.setBoost(true), KNearestNeighborClassifier.knnSearch:159-180)
+    — whose BM25 top-k=10 hits vote by class: per class,
+    score = Σ(hit_score/maxScore) / k, with the sumdoc<k correction
+    (buildListFromTopDocs:190-231). Rank cut on the rounded score so
+    both engines agree at the window boundary. MLT selection is a
+    driver pull of <=10 (term, boost) scalars — the reference's
+    like(text) — and everything else is the pinned BM25 plan + one
+    broadcast class join + one hash-agg."""
+    tables = docs_index(spark, sf_dir)
+    from .search.mlt import mlt_terms
+
+    sel = mlt_terms(tables, _KNNCLS_DOC, 2, 5, 10)
+    rows = (
+        sel.select("term", "mlt_score")
+        .orderBy(F.desc("mlt_score"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    best = max(r["mlt_score"] for r in rows)
+    terms = [r["term"] for r in rows]
+    boosts = {r["term"]: float(r["mlt_score"]) / best for r in rows}
+
+    scored = search_bruteforce(
+        tables, terms, "disjunctive", k=None, boost=boosts,
+        precision="double",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+    top = (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNCLS_K)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = top.join(F.broadcast(docs), "doc_id")
+    mx = top.agg(F.max("score").alias("m")).collect()[0]["m"]
+    nh = top.count()
+    denom = float(nh if nh < _KNNCLS_K else _KNNCLS_K)
+    return (
+        j.groupBy(F.col("lang").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(
+                F.sum(F.col("score") / F.lit(float(mx))) / denom, 6
+            ).alias("vote"),
+        )
+        .orderBy("label")
+    )

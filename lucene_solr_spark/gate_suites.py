@@ -700,6 +700,8 @@ _passthrough("sql_analytics_surface")
 _suite("ml_classify_rank", [
     ("naive_bayes", "ml_naive_bayes_lang",
      ("doc_id", "label"), ("score",)),
+    ("knn_classifier", "ml_knn_classifier",
+     ("label",), ("cnt", "vote")),
     ("ltr_rerank", "ml_ltr_rerank",
      ("doc_id", "n_matched"), ("f_bm25", "dl", "ltr_score")),
     ("rerank_query", "fts_rerank_query", ("doc_id",), ("score",)),

@@ -294,3 +294,45 @@ def test_frange_expression_reaches_filter(spark):
     schemas = " ".join(read_schemas(df))
     assert "o_totalprice" in schemas and "o_orderdate" in schemas
     assert "o_custkey" not in schemas, schemas
+
+
+def test_inet_predicates_pushed_to_scan(spark):
+    """InetAddressPoint queries are sargable string comparisons: the
+    customer scan must carry a pushed c_custkey filter and the plan
+    must contain no Python UDF (the encode is pure expression)."""
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["rel_inet_point"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_custkey" in pushed, pushed
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geo_nearest_is_bounded_topk(spark):
+    """NearestNeighbor analog: per-partition top-k + global
+    TakeOrderedAndProject — never a full sort."""
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["fn_geo_nearest"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_range_fields_intersects_pushed(spark):
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["rel_range_fields"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    # the o_orderkey bound reaches the scan; the intersects bounds are
+    # expression filters over derived columns evaluated scan-side
+    assert "o_orderkey" in pushed, pushed
+
+
+def test_long_value_facets_single_agg_topk(spark):
+    from lucene_solr_spark.gate import PARTS
+
+    df = PARTS["rel_facet_longvals"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") <= 2, plan

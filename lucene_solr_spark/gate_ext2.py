@@ -6740,3 +6740,79 @@ def ml_knn_classifier(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_FACET_DOMAIN_SQL = """
+SELECT l.l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(8,2))) AS DOUBLE), 2)
+         AS qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag ORDER BY flag"""
+
+
+@gate("rel_facet_domain", _FACET_DOMAIN_SQL)
+def rel_facet_domain(spark, sf_dir):
+    """JSON facet DOMAIN CHANGE (blockChildren): the facet's counting
+    domain is switched from the filtered PARENT docs (urgent orders)
+    to their CHILD docs, then bucketed by a child field with a nested
+    sum agg (reference solr/core/.../search/facet/FacetRequest.java
+    domain handling + BlockJoin domain — the {!child} domain switch).
+    Plan: filter pushed to the parent scan, broadcast-or-shuffle join
+    on the block key, one hash-agg — identical shape to the block-join
+    gates."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(8,2)"))
+                .cast("double"),
+                2,
+            ).alias("qty"),
+        )
+        .orderBy("flag")
+    )
+
+
+_SAMPLED_FACET_SQL = """
+WITH s AS (
+  SELECT o_orderpriority
+  FROM orders
+  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS sampled_cnt,
+       CAST(count(*) * 4 AS BIGINT) AS est_cnt
+FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+@gate("rel_facet_sampled", _SAMPLED_FACET_SQL)
+def rel_facet_sampled(spark, sf_dir):
+    """RandomSamplingFacetsCollector analog: facet counts over a ~1/4
+    doc sample, scaled back by the inverse sample rate
+    (lucene/facet/.../RandomSamplingFacetsCollector.java — sampled
+    bin counts amortize facet cost over huge result sets). DECLARED
+    DIVERGENCE (the rel_random_sample pattern): the reference samples
+    with XORShift64; this engine samples by a deterministic md5-derived
+    hash so both engines select the IDENTICAL subset — the estimator
+    semantics (count/rate) are the reference's."""
+    from .operators.hashing import h60
+
+    o = load(spark, sf_dir, "orders")
+    s = o.filter(h60(F.col("o_orderkey").cast("string")) % 4 == 0)
+    return (
+        s.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("sampled_cnt"))
+        .select(
+            "o_orderpriority",
+            "sampled_cnt",
+            (F.col("sampled_cnt") * 4).cast("long").alias("est_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )

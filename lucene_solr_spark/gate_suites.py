@@ -586,6 +586,9 @@ _suite("rel_facet_nested", [
     ("assoc_sums", "rel_facet_assoc",
      ("path",), ("sum_int", "sum_float")),
     ("long_values", "rel_facet_longvals", ("value",), ("cnt",)),
+    ("domain_child", "rel_facet_domain", ("flag",), ("cnt", "qty")),
+    ("sampled", "rel_facet_sampled",
+     ("o_orderpriority",), ("sampled_cnt", "est_cnt")),
 ])
 
 # 39: function queries — linear/recip/map/strdist/if + scale + the

@@ -420,10 +420,14 @@ def eval_intervals(expr, pos: dict) -> list:
             pred = lambda s, r: s[0] <= r[1] and s[1] >= r[0]
             want = False
         elif k == "before":
-            pred = lambda s, r: s[1] < r[0]
+            # containedBy(src, extend(offset(ref, start), MAX, 0)) with
+            # OffsetIntervalsSource's Math.max(0, start-1) CLAMP
+            # (OffsetIntervalsSource.java:64) — a ref starting at 0
+            # admits a src ending at 0
+            pred = lambda s, r: s[1] <= max(0, r[0] - 1)
             want = True
-        else:  # after
-            pred = lambda s, r: s[0] > r[1]
+        else:  # after — offset is end+1, unclamped (:72)
+            pred = lambda s, r: s[0] >= r[1] + 1
             want = True
         return [s_ for s_ in src
                 if any(pred(s_, r) for r in ref) == want]

@@ -95,8 +95,9 @@ def brute(expr, pos):
                 lambda s, r: s[0] <= r[1] and s[1] >= r[0], True),
             "non_overlapping": (
                 lambda s, r: s[0] <= r[1] and s[1] >= r[0], False),
-            "before": (lambda s, r: s[1] < r[0], True),
-            "after": (lambda s, r: s[0] > r[1], True),
+            # reference clamp: offset(ref,start) = max(0, start-1)
+            "before": (lambda s, r: s[1] <= max(0, r[0] - 1), True),
+            "after": (lambda s, r: s[0] >= r[1] + 1, True),
         }
         pred, want = preds[k]
         return [s_ for s_ in src if any(pred(s_, r) for r in ref) == want]

@@ -739,6 +739,7 @@ _suite("td_ann", [
     ("brute", "td_ann_cosine_topk", ("vec_id",), ("score",)),
     ("lsh_index", "td_ann_lsh_topk", ("vec_id",), ("score",)),
     ("ivf_index", "td_ann_ivf_topk", ("vec_id",), ("score",)),
+    ("int8_flat", "td_ann_int8_topk", ("vec_id",), ("score",)),
 ])
 
 # 49: per-document text metrics — lang ID / quality / tokens / fingerprint

@@ -1145,3 +1145,37 @@ def td_seq_packing(spark, sf_dir):
         F.col("offset").alias("pk_offset"),
         "first_seq", "last_seq", "n_seqs",
     ).orderBy("doc_id")
+
+
+@gate(
+    "td_ann_int8_topk",
+    """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+st AS (SELECT i, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+              max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+       FROM embeddings e, idx GROUP BY i),
+v AS (SELECT e.vec_id, st.i,
+             CASE WHEN st.mx = st.mn THEN st.mn
+                  ELSE st.mn + (LEAST(255, GREATEST(0,
+                         floor((CAST(e.embedding[st.i] AS DOUBLE) - st.mn)
+                               / (st.mx - st.mn) * 256))) + 0.5)
+                       * (st.mx - st.mn) / 256 END AS vx
+      FROM embeddings e, st),
+qc AS (SELECT i, vx AS qx FROM v WHERE vec_id = 1),
+qn AS (SELECT sqrt(sum(qx * qx)) AS nrm FROM qc),
+s AS (SELECT v.vec_id, sum(v.vx * qc.qx) AS dot,
+             sqrt(sum(v.vx * v.vx)) AS nrm
+      FROM v JOIN qc USING (i) GROUP BY v.vec_id)
+SELECT s.vec_id, round(s.dot / (s.nrm * qn.nrm), 4) AS score
+FROM s, qn
+ORDER BY score DESC, vec_id ASC LIMIT 10""",
+)
+def td_ann_int8_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN: per-dim corpus [min,max] affine
+    codes (256 levels, midpoint decode), cosine top-10 for the
+    vec_id=1 query quantized with the SAME stats — the at-rest
+    compression path (1 byte/dim, 8× smaller scans) whose recall vs
+    exact brute force is pinned ≥0.9 by pytest
+    (operators/similarity.py int8_cosine_topk;
+    tests/test_training_ops.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.int8_cosine_topk(emb, 1, k=10)

@@ -39,6 +39,8 @@ from .hashing import h60_py
 __all__ = [
     "cosine_sim_col",
     "cosine_topk",
+    "int8_dequantized",
+    "int8_cosine_topk",
     "h60_plane_matrix",
     "lsh_bucket_col",
     "lsh_bucket_py",
@@ -687,3 +689,84 @@ def embedding_near_dup_pairs(
         ).alias("cosine"),
     )
     return cand.filter(F.col("cosine") >= threshold)
+
+
+def int8_dequantized(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization of an embedding corpus: per-dimension
+    corpus [min, max] affine-quantized to 256 levels, decoded back to
+    the level midpoint. This is the at-rest compression path for
+    100 TB embedding search — codes are 1 byte/dim (8× smaller scans),
+    and because BOTH stored vectors and the query pass through the
+    SAME quantizer, similarity over the dequantized values is the
+    standard scalar-quantization ANN approximation (the int8 flat
+    index idea: affine code = clamp(floor((x−mn)/(mx−mn)·256), 0, 255),
+    decode = mn + (code+0.5)·(mx−mn)/256).
+
+    → rows (vec_id, i, vx) with i 1-based, vx the dequantized value.
+    One stats agg (64 scalars, broadcast) + one narrow projection."""
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("i0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    st = x.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = x.join(F.broadcast(st), "i")
+    mn, mx, xv = F.col("mn"), F.col("mx"), F.col("x")
+    code = F.least(
+        F.lit(255.0),
+        F.greatest(F.lit(0.0), F.floor((xv - mn) / (mx - mn) * 256)),
+    )
+    dq = F.when(mx == mn, mn).otherwise(
+        mn + (code + 0.5) * (mx - mn) / 256
+    )
+    return j.select("vec_id", "i", dq.alias("vx"))
+
+
+def int8_cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k by cosine over int8-dequantized vectors, query taken from
+    the corpus by id and quantized with the SAME per-dim stats.
+
+    → (vec_id, score) ordered by (score desc, vec_id asc)."""
+    v = int8_dequantized(emb, id_col, vec_col)
+    qc = v.filter(F.col("vec_id") == query_vec_id).select(
+        "i", F.col("vx").alias("qx")
+    )
+    s = (
+        v.join(F.broadcast(qc), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("vx") * F.col("qx")).alias("dot"),
+            F.sqrt(F.sum(F.col("vx") * F.col("vx"))).alias("nrm"),
+        )
+    )
+    qn = float(
+        qc.agg(
+            F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+        ).collect()[0][0]
+    )
+    return (
+        s.select(
+            "vec_id",
+            F.round(
+                F.col("dot") / (F.col("nrm") * F.lit(qn)), round_to
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -686,3 +686,20 @@ def test_ngram_lm_perplexity_min_count(spark):
     # and doc 1 (two rare bigrams smoothed to add_k) strictly increases
     assert pruned[0] >= full[0]
     assert pruned[1] > full[1]
+
+
+def test_int8_ann_recall_vs_exact(spark):
+    """Int8 scalar quantization must keep recall@10 >= 0.9 vs the
+    exact brute force on the test corpus."""
+    from lucene_solr_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.filter("vec_id = 1").select("embedding").first()[0]
+    exact = {
+        r["vec_id"] for r in sim.cosine_topk(emb, list(qv), k=10).collect()
+    }
+    quant = {
+        r["vec_id"] for r in sim.int8_cosine_topk(emb, 1, k=10).collect()
+    }
+    recall = len(exact & quant) / 10.0
+    assert recall >= 0.9, (recall, exact, quant)

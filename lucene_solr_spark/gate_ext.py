@@ -2084,3 +2084,32 @@ def fts_parsed_xml(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@gate(
+    "rel_graph_gather_capped",
+    f"""WITH RECURSIVE edges AS ({_GRAPH_EDGES_SQL}),
+keep AS (SELECT dst FROM edges GROUP BY dst HAVING count(*) <= 2),
+fe AS (SELECT e.src, e.dst FROM edges e JOIN keep k ON k.dst = e.dst),
+bfs(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN fe e ON e.src = b.node
+  WHERE b.depth < 2)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth
+FROM bfs GROUP BY node ORDER BY node""",
+)
+def rel_graph_gather_capped(spark, sf_dir):
+    """GraphTermsQuery super-node prune: the same 2-hop gather but
+    destination nodes with more than maxDocFreq=2 incoming edges are
+    never expanded into (reference solr/core/.../search/
+    GraphTermsQParserPlugin.java — GraphTermsQuery drops traversal
+    terms above the docFreq cap so celebrity nodes can't fan the
+    frontier out). One broadcast frequency semi-join filters the edge
+    relation before the walk (operators/graph.py gather_nodes
+    max_doc_freq)."""
+    from .operators.graph import gather_nodes
+
+    return gather_nodes(
+        _graph_edges(spark, sf_dir), [0], hops=2, max_doc_freq=2
+    ).orderBy("node")

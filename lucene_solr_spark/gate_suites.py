@@ -471,6 +471,7 @@ _passthrough(
 # 28: graph traversal — gatherNodes + shortestPath (BFS over edges)
 _suite("rel_graph", [
     ("gather", "rel_graph_gather", ("node",), ("depth",)),
+    ("gather_capped", "rel_graph_gather_capped", ("node",), ("depth",)),
     ("shortest_path", "rel_graph_path", ("src", "dst"), ("depth",)),
     ("score_nodes", "rel_graph_score",
      ("node",), ("cnt", "in_degree", "score")),

@@ -93,9 +93,27 @@ def gather_nodes(
     hops: int = 1,
     src_col: str = "src",
     dst_col: str = "dst",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """GatherNodesStream analog: unique nodes within ``hops`` of the
-    roots, with their minimum depth (roots at depth 0)."""
+    roots, with their minimum depth (roots at depth 0).
+
+    ``max_doc_freq`` is the GraphTermsQParser super-node prune
+    (reference solr/core/.../search/GraphTermsQParserPlugin.java —
+    GraphTermsQuery drops traversal terms whose docFreq exceeds the
+    cap): destination nodes with more than ``max_doc_freq`` incoming
+    edges are never expanded INTO — one broadcast-able frequency agg
+    filters the edge relation before the walk, so a celebrity node
+    cannot fan the frontier out to the whole graph."""
+    if max_doc_freq is not None:
+        freq = edges.groupBy(dst_col).agg(F.count("*").alias("_df"))
+        edges = (
+            edges.join(
+                F.broadcast(freq.filter(F.col("_df") <= max_doc_freq)),
+                dst_col,
+                "left_semi",
+            )
+        )
     return bfs_depths(edges, roots, hops, src_col, dst_col)
 
 

@@ -6816,3 +6816,65 @@ def rel_facet_sampled(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------------------- lucene/expressions compiler
+
+# The three compiled sources cover the javadoc's canonical ranking blend
+# (JavascriptCompiler.java:58-66) plus the type-stack corners: hex/octal
+# literals, masked long shifts, bitwise ops, int-truncating truthiness
+# (!0.5 is true), ternaries, and guarded ln/sqrt/min.  Spark evaluates
+# the Spark rendering, DuckDB the DuckDB rendering of the SAME ASTs, so
+# the gate pins the two emitters' value agreement over real data (JVM
+# parity itself is pinned by the TestJavascriptOperations vectors in
+# tests/test_jsexpr.py).
+
+def _jsexpr_compiled():
+    from .functions.jsexpr import compile_expression
+
+    binds = {
+        "popularity": "(o_orderkey % 17)",
+        "_score": "(CAST(o_totalprice AS DOUBLE) / 100000.0)",
+        "k": "(o_custkey % 1000)",
+    }
+    rank = compile_expression(
+        "(0.3*popularity)/10.0 + 0.7*_score"
+        " + ((popularity > 4) ? ln(popularity) : 0)",
+        binds,
+    )
+    bits = compile_expression(
+        "((k << 3) | (k >>> 0x2)) & 0xFF ^ ((k % 7 == 0) ? 017 : 1)", binds
+    )
+    quirk = compile_expression(
+        "(!0.5) + ((k && 1) ? min(sqrt(k), 0x1F) : -(k >> 1))", binds
+    )
+    return rank, bits, quirk
+
+
+_JS_RANK, _JS_BITS, _JS_QUIRK = _jsexpr_compiled()
+
+_JSEXPR_SQL = f"""
+SELECT o_orderkey,
+       round({_JS_RANK.duckdb_sql}, 6) AS js_rank,
+       {_JS_BITS.duckdb_sql} AS js_bits,
+       round({_JS_QUIRK.duckdb_sql}, 6) AS js_quirk
+FROM orders WHERE o_orderkey <= 256
+ORDER BY o_orderkey"""
+
+
+@gate("fn_jsexpr", _JSEXPR_SQL)
+def fn_jsexpr(spark, sf_dir):
+    """lucene/expressions scoring DSL compiled to Catalyst expressions
+    (JavascriptCompiler.java grammar + JVM type-stack semantics; see
+    functions/jsexpr.py).  The compiled Column is pure whole-stage
+    codegen — no UDF, no shuffle beyond the scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 256)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(_JS_RANK.column(), 6).alias("js_rank"),
+            _JS_BITS.column().alias("js_bits"),
+            F.round(_JS_QUIRK.column(), 6).alias("js_quirk"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -598,7 +598,7 @@ _suite("rel_facet_nested", [
 _join_suite(
     "fn_value_scale",
     ["fn_value_sources", "fn_scale_query", "fn_math_funcs",
-     "fn_trig_funcs", "fn_currency", "fn_vs_misc"],
+     "fn_trig_funcs", "fn_currency", "fn_vs_misc", "fn_jsexpr"],
     "o_orderkey",
 )
 

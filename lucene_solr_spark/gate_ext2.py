@@ -6878,3 +6878,159 @@ def fn_jsexpr(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------------ FastVectorHighlighter (FVH)
+
+# Gate query shape chosen so the oracle's set-algebra phrase matching
+# equals the greedy FieldPhraseList scan (singles disjoint from the
+# phrase pair except 'merge', handled by the consumed-by-phrase
+# exclusion; 2-term adjacent phrases merge to ONE highlight span, so
+# acceptPhrase always passes).  fragCharSize=150 over docs < 440 chars
+# bounds every doc to <= 3 fragments; the oracle unrolls 4 greedy
+# layers (startOffset advances >= fragCharSize per fragment, so layer 4
+# is provably empty) and ranks score desc / start asc like
+# ScoreOrderFragmentsBuilder.
+
+_FVH_FCS, _FVH_MARGIN, _FVH_MAXDOC, _FVH_MAXLEN = 150, 6, 150, 440
+
+
+def _fvh_oracle_sql():
+    fcs, margin = _FVH_FCS, _FVH_MARGIN
+    layers = []
+    prev = None
+    for k in range(1, 5):
+        s = "0" if prev is None else f"{prev}.span_end"
+        src = "ph" if prev is None else f"ph, {prev}"
+        where = "" if prev is None else f" AND ph.doc_id = {prev}.doc_id"
+        layers.append(f"""
+anch{k} AS (
+  SELECT ph.doc_id, min(ph.m_start) AS a_start, {s} AS s_off
+  FROM {src} WHERE ph.m_start >= {s}{where}
+  GROUP BY ph.doc_id{', ' + s if prev is not None else ''}),
+a{k} AS (
+  SELECT anch{k}.doc_id, a_start, s_off, ph.m_end AS a_end,
+         greatest(a_end, greatest(a_start - {margin}, s_off) + {fcs})
+           AS span_end0
+  FROM anch{k} JOIN ph ON ph.doc_id = anch{k}.doc_id
+                      AND ph.m_start = anch{k}.a_start),
+pull{k} AS (
+  SELECT a{k}.*, ph.m_start, ph.m_end, ph.boost
+  FROM a{k} JOIN ph ON ph.doc_id = a{k}.doc_id
+  WHERE ph.m_start >= a{k}.a_start
+    AND (ph.m_start < coalesce((SELECT min(v.m_start) FROM ph v
+          WHERE v.doc_id = a{k}.doc_id AND v.m_start >= a{k}.a_start
+            AND v.m_end > a{k}.span_end0), 9223372036854775807))),
+f{k} AS (
+  SELECT doc_id, s_off, a_start,
+         max_by(m_end, m_start) AS last_end,
+         max_by(m_end, m_start) - a_start AS match_len,
+         greatest(a_start - greatest(0, ({fcs} - (max_by(m_end, m_start)
+           - a_start)) // 2), s_off) AS span_start,
+         greatest(a_start - greatest(0, ({fcs} - (max_by(m_end, m_start)
+           - a_start)) // 2), s_off)
+           + greatest(max_by(m_end, m_start) - a_start, {fcs}) AS span_end,
+         sum(boost) AS score
+  FROM pull{k} GROUP BY doc_id, s_off, a_start),
+lagged{k} AS (
+  SELECT p.doc_id, f.span_start, f.span_end, f.score, f.last_end,
+         p.m_start, p.m_end,
+         lag(p.m_end, 1, f.span_start)
+           OVER (PARTITION BY p.doc_id ORDER BY p.m_start) AS prev_close
+  FROM pull{k} p JOIN f{k} f ON f.doc_id = p.doc_id),
+snip{k} AS (
+  SELECT z.doc_id, z.span_start, z.span_end, z.score,
+         string_agg(
+           substr(d.text, z.prev_close + 1, z.m_start - z.prev_close)
+           || '<b>' || substr(d.text, z.m_start + 1, z.m_end - z.m_start)
+           || '</b>', '' ORDER BY z.m_start)
+         || substr(any_value(d.text), z.last_end + 1,
+                   least(z.span_end, length(any_value(d.text)))
+                     - z.last_end)
+           AS snippet
+  FROM lagged{k} z JOIN docs d ON d.doc_id = z.doc_id
+  GROUP BY z.doc_id, z.span_start, z.span_end, z.score, z.last_end)""")
+        prev = f"f{k}"
+    layer_sql = ",".join(layers)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {_FVH_MAXDOC} AND length(text) < {_FVH_MAXLEN}),
+chars AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         text FROM docs),
+ctab AS (
+  SELECT doc_id, i, substr(lower(text), i, 1) AS c,
+         substr(lower(text), i, 1) BETWEEN 'a' AND 'z'
+           OR substr(lower(text), i, 1) BETWEEN '0' AND '9' AS al,
+         coalesce(substr(lower(text), i - 1, 1) BETWEEN 'a' AND 'z'
+           OR substr(lower(text), i - 1, 1) BETWEEN '0' AND '9',
+           FALSE) AS pal
+  FROM chars),
+toks AS (
+  SELECT doc_id,
+         string_agg(c, '' ORDER BY i) AS term,
+         sum(CASE WHEN al AND NOT pal THEN 1 ELSE 0 END) AS _chk,
+         min(i) - 1 AS t_start, max(i) AS t_end,
+         tid AS pos
+  FROM (SELECT *, sum(CASE WHEN al AND NOT pal THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS tid
+        FROM ctab) WHERE al
+  GROUP BY doc_id, tid),
+ph AS (
+  SELECT a.doc_id, a.t_start AS m_start, b.t_end AS m_end,
+         CAST(2.0 AS DOUBLE) AS boost
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'merge'
+  UNION ALL
+  SELECT t.doc_id, t.t_start, t.t_end,
+         CAST(CASE t.term WHEN 'merge' THEN 1.0 ELSE 3.0 END AS DOUBLE)
+  FROM toks t
+  WHERE (t.term = 'vector'
+         OR (t.term = 'merge' AND NOT EXISTS (
+               SELECT 1 FROM toks x
+               WHERE x.doc_id = t.doc_id AND x.pos = t.pos - 1
+                 AND x.term = 'table')))),
+{layer_sql},
+allf AS (
+  SELECT * FROM snip1 UNION ALL SELECT * FROM snip2
+  UNION ALL SELECT * FROM snip3 UNION ALL SELECT * FROM snip4),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, span_start) - 1 AS frag,
+         span_start, span_end, score, snippet
+  FROM allf)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frag AS INTEGER) AS frag,
+       CAST(span_start AS INTEGER) AS span_start,
+       CAST(span_end AS INTEGER) AS span_end,
+       CAST(score AS DOUBLE) AS score, snippet
+FROM ranked WHERE frag < 2
+ORDER BY doc_id, frag"""
+
+
+@gate("fts_fvh_fragments", _fvh_oracle_sql())
+def fts_fvh_fragments(spark, sf_dir):
+    """FastVectorHighlighter: phrase-aware greedy fragment packing +
+    score-ordered tagged snippets (vectorhighlight package — see
+    search/fvh.py for the per-stage reference citations).  Engine runs
+    the exact FieldPhraseList/BaseFragListBuilder control flow in one
+    narrow mapInPandas (zero shuffles); the oracle re-derives it as
+    4-layer unrolled set algebra over a character-exploded tokenizer."""
+    from .search.fvh import FvhQuery, fvh_highlight
+
+    q = FvhQuery(
+        singles={"merge": 1.0, "vector": 3.0},
+        phrases=((("table", "merge"), 2.0),),
+    )
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < _FVH_MAXDOC)
+        & (F.length("text") < _FVH_MAXLEN)
+    )
+    return (
+        fvh_highlight(
+            docs, q,
+            frag_char_size=_FVH_FCS, margin=_FVH_MARGIN, max_frags=2,
+        )
+        .orderBy("doc_id", "frag")
+    )

@@ -1,0 +1,286 @@
+"""FastVectorHighlighter analog tests.
+
+Golden cases transcribed from the reference's own unit tests
+(FieldPhraseListTest.java, SimpleFragListBuilderTest.java — queries,
+corpus strings, and expected phrase/fragment tuples), plus snippet
+assembly, weighted scoring float32 math, and the Spark narrow-plan
+contract.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.search.fvh import (
+    FvhQuery,
+    field_phrase_list,
+    frag_list,
+    fvh_highlight,
+    highlight_doc,
+    idf_weights,
+    make_fragment,
+    tokenize_offsets,
+)
+
+
+def _phrases(text, query):
+    return [
+        (p[3], p[4], p[2])
+        for p in field_phrase_list(tokenize_offsets(text), query)
+    ]
+
+
+TQ_A = FvhQuery(singles={"a": 1.0}, phrases=())
+PQ_AB = FvhQuery(singles={}, phrases=((("a", "b"), 1.0),))
+
+
+# ------------------------- FieldPhraseListTest.java transcriptions
+
+
+def test_1term_index():
+    assert _phrases("a", TQ_A) == [("a", 1.0, ((0, 1),))]
+    assert _phrases("b", TQ_A) == []
+
+
+def test_2terms_index():
+    assert _phrases("a a", TQ_A) == [
+        ("a", 1.0, ((0, 1),)), ("a", 1.0, ((2, 3),))
+    ]
+
+
+def test_1phrase_index():
+    # consecutive positions merge into ONE highlight span (0,3)
+    assert _phrases("a b", PQ_AB) == [("ab", 1.0, ((0, 3),))]
+    assert _phrases("a b", FvhQuery(singles={"b": 1.0}, phrases=())) == [
+        ("b", 1.0, ((2, 3),))
+    ]
+
+
+def test_2terms_1phrase_index():
+    # phraseHighlight=true: the lone 'a' is NOT highlighted
+    assert _phrases("c a a b", PQ_AB) == [("ab", 1.0, ((4, 7),))]
+    # phraseHighlight=false ≡ singles for each term as well
+    loose = FvhQuery(
+        singles={"a": 1.0, "b": 1.0}, phrases=((("a", "b"), 1.0),)
+    )
+    assert _phrases("c a a b", loose) == [
+        ("a", 1.0, ((2, 3),)), ("ab", 1.0, ((4, 7),))
+    ]
+
+
+def test_3terms_phrase():
+    q = FvhQuery(singles={}, phrases=((("a", "b", "c"), 1.0),))
+    assert _phrases("d a b a b c d", q) == [("abc", 1.0, ((6, 11),))]
+
+
+def test_search_longest_phrase():
+    q = FvhQuery(
+        singles={}, phrases=((("a", "b"), 1.0), (("a", "b", "c"), 1.0))
+    )
+    assert _phrases("d a b d c a b c", q) == [
+        ("ab", 1.0, ((2, 5),)), ("abc", 1.0, ((10, 15),))
+    ]
+
+
+def test_longest_fails_falls_back_to_prefix():
+    # candidate [a,b] walked toward abc fails at 'd'; push-back retries
+    # the [a,b] prefix which IS valid (FieldPhraseList.java:103-112)
+    q = FvhQuery(
+        singles={}, phrases=((("a", "b"), 1.0), (("a", "b", "c"), 2.0))
+    )
+    assert _phrases("a b d", q) == [("ab", 1.0, ((0, 3),))]
+
+
+# ---------------------- SimpleFragListBuilderTest.java transcriptions
+
+
+def _frags(text, query, frag_size):
+    return [
+        (f[0], f[1], f[2], [(p[3], p[2]) for p in f[3]])
+        for f in frag_list(
+            field_phrase_list(tokenize_offsets(text), query), frag_size
+        )
+    ]
+
+
+def test_null_field_frag_list():
+    assert _frags("b c d", TQ_A, 100) == []
+
+
+def test_too_small_frag_size():
+    with pytest.raises(ValueError):
+        frag_list([], 17)
+
+
+def test_smaller_frag_size_than_term_query():
+    q = FvhQuery(singles={"abcdefghijklmnopqrs": 1.0}, phrases=())
+    assert _frags("abcdefghijklmnopqrs", q, 18) == [
+        (0, 19, 1.0, [("abcdefghijklmnopqrs", ((0, 19),))])
+    ]
+
+
+def test_smaller_frag_size_than_phrase_query():
+    q = FvhQuery(singles={}, phrases=((("abcdefgh", "jklmnopqrs"), 1.0),))
+    assert _frags("abcdefgh   jklmnopqrs", q, 18) == [
+        (0, 21, 1.0, [("abcdefghjklmnopqrs", ((0, 21),))])
+    ]
+
+
+def test_1term_1frag():
+    assert _frags("a", TQ_A, 100) == [(0, 100, 1.0, [("a", ((0, 1),))])]
+
+
+def test_2terms_1frag():
+    assert _frags("a a", TQ_A, 100) == [
+        (0, 100, 2.0, [("a", ((0, 1),)), ("a", ((2, 3),))])
+    ]
+    assert _frags("a b b b b b b b b a", TQ_A, 20) == [
+        (0, 20, 2.0, [("a", ((0, 1),)), ("a", ((18, 19),))])
+    ]
+    assert _frags("b b b b a b b b b a", TQ_A, 20) == [
+        (4, 24, 2.0, [("a", ((8, 9),)), ("a", ((18, 19),))])
+    ]
+
+
+def test_2terms_2frags():
+    assert _frags("a b b b b b b b b b b b b b a", TQ_A, 20) == [
+        (0, 20, 1.0, [("a", ((0, 1),))]),
+        (20, 40, 1.0, [("a", ((28, 29),))]),
+    ]
+    assert _frags("a b b b b b b b b b b b b a", TQ_A, 20) == [
+        (0, 20, 1.0, [("a", ((0, 1),))]),
+        (20, 40, 1.0, [("a", ((26, 27),))]),
+    ]
+    assert _frags("a b b b b b b b b b a", TQ_A, 20) == [
+        (0, 20, 1.0, [("a", ((0, 1),))]),
+        (20, 40, 1.0, [("a", ((20, 21),))]),
+    ]
+
+
+def test_2terms_query():
+    q = FvhQuery(singles={"a": 1.0, "b": 1.0}, phrases=())
+    assert _frags("c d e", q, 20) == []
+    assert _frags("d b c", q, 20) == [(0, 20, 1.0, [("b", ((2, 3),))])]
+
+
+def test_phrase_longer_than_frag_discarded():
+    # acceptPhrase: multi-span phrases with matchLength > fragCharSize
+    # are dropped; a single-span phrase always accepted
+    q = FvhQuery(singles={"z": 1.0}, phrases=())
+    long_text = "z " + "q " * 40 + "z"
+    frags = frag_list(
+        field_phrase_list(tokenize_offsets(long_text), q), 20
+    )
+    assert [f[2] for f in frags] == [1.0, 1.0]
+
+
+# ----------------------------------------------- fragments + snippets
+
+
+def test_make_fragment_basic():
+    text = "b b b b a b b b b a"
+    out = highlight_doc(text, TQ_A, frag_char_size=20)
+    assert out == [
+        (0, 4, 24, 2.0, "b b <b>a</b> b b b b <b>a</b>")
+    ]
+
+
+def test_make_fragment_phrase_merged_tag():
+    out = highlight_doc("c a a b d", PQ_AB, frag_char_size=18)
+    # one merged tag across the whole phrase text "a b"
+    assert out == [(0, 0, 18, 1.0, "c a <b>a b</b> d")]
+
+
+def test_score_order_and_max_frags():
+    text = "a " * 1 + "b " * 12 + "a a a " + "b " * 12 + "a"
+    out = highlight_doc(text, TQ_A, frag_char_size=20, max_frags=2)
+    assert len(out) == 2
+    # highest-scoring fragment first (3 a's beat 1 a)
+    assert out[0][3] >= out[1][3]
+    assert out[0][0] == 0 and out[1][0] == 1
+
+
+def test_weighted_score_float32_math():
+    # two 'a' occurrences, weight(a)=1.5, boost 1.0:
+    # distinct-term boost = 1.5 once; norm = 2/sqrt(2); total = 1.5*sqrt(2)
+    q = FvhQuery(singles={"a": 1.0}, phrases=())
+    frags = frag_list(
+        field_phrase_list(tokenize_offsets("a b a"), q),
+        20, weighted=True, term_weights={"a": 1.5},
+    )
+    want = float(
+        np.float32(np.float32(1.5) * np.float32(2.0 / math.sqrt(2.0)))
+    )
+    assert len(frags) == 1
+    assert frags[0][2] == pytest.approx(want, abs=0)
+
+
+def test_idf_weights_formula():
+    w = idf_weights({"a": 3}, 100)
+    assert w["a"] == pytest.approx(
+        float(np.float32(math.log(100 / 4.0) + 1.0)), abs=0
+    )
+
+
+def test_snippet_clips_to_text_length():
+    out = highlight_doc("x a", TQ_A, frag_char_size=30)
+    assert out == [(0, 0, 30, 1.0, "x <b>a</b>")]
+
+
+# ----------------------------------------------------- Spark contract
+
+
+def test_fvh_spark_matches_local_and_is_narrow(spark):
+    q = FvhQuery(
+        singles={"merge": 1.0, "vector": 1.0},
+        phrases=((("table", "merge"), 2.0),),
+    )
+    rows = [
+        (0, "table merge merge vector b b b b b b b b b b b b vector"),
+        (1, "no hits here"),
+        (2, "vector " + "x " * 60 + "table merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.frag): (r.span_start, r.span_end, r.score, r.snippet)
+        for r in fvh_highlight(df, q, frag_char_size=30, max_frags=3).collect()
+    }
+    want = {}
+    for doc_id, text in rows:
+        for rank, s, t, score, snip in highlight_doc(
+            text, q, frag_char_size=30, max_frags=3
+        ):
+            want[(doc_id, rank)] = (s, t, score, snip)
+    assert got == want
+    plan = fvh_highlight(df, q)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure narrow pipeline
+
+
+# --------------------------------- FieldQuery.expand transcriptions
+
+
+def test_expand_overlapping_phrases():
+    from lucene_solr_spark.search.fvh import expand_phrases
+
+    # FieldQuery.java:172-174 javadoc: {a,"b c","c d"} -> + "b c d"
+    got = expand_phrases(((("b", "c"), 1.0), (("c", "d"), 1.0)))
+    assert (("b", "c", "d"), 1.0) in got
+    # both directions: {"a b","b c"} -> "a b c"
+    got = expand_phrases(((("a", "b"), 1.0), (("b", "c"), 1.0)))
+    assert (("a", "b", "c"), 1.0) in got
+    # no overlap: {"a b","c d"} adds nothing
+    got = expand_phrases(((("a", "b"), 1.0), (("c", "d"), 1.0)))
+    assert len(got) == 2
+
+
+def test_2phrases_overlap_end_to_end():
+    from lucene_solr_spark.search.fvh import expand_phrases
+
+    # FieldPhraseListTest.test2PhrasesOverlap: pq(a,b) + pq(b,c) over
+    # "d a b c d" highlights ONE span "abc((2,7))"
+    q = FvhQuery(
+        singles={},
+        phrases=expand_phrases(((("a", "b"), 1.0), (("b", "c"), 1.0))),
+    )
+    assert _phrases("d a b c d", q) == [("abc", 1.0, ((2, 7),))]

@@ -410,6 +410,8 @@ _suite("fts_highlight", [
     ("first", "fts_highlight", ("doc_id", "fragment"), ("first_pos",)),
     ("passage", "fts_passage_highlight", ("doc_id", "passage_text"),
      ("passage_score", "n_terms", "n_matches", "passage")),
+    ("fvh", "fts_fvh_fragments", ("doc_id", "snippet"),
+     ("frag", "span_start", "span_end", "score")),
 ])
 
 # 16: MoreLikeThis — term selection + retrieval
@@ -748,7 +750,8 @@ _join_suite(
     "td_text_metrics",
     ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint",
      "td_redaction", "td_cjk_tokens", "td_zh_tokens", "td_ngram_ppl",
-     "td_seq_packing"],
+     "td_seq_packing", "td_gopher_repetition", "td_gopher_quality",
+     "td_c4_lines"],
     "doc_id",
 )
 

@@ -1179,3 +1179,226 @@ def td_ann_int8_topk(spark, sf_dir):
     tests/test_training_ops.py)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.int8_cosine_topk(emb, 1, k=10)
+
+
+# ----------------------------------- Gopher/C4 pretraining-data filters
+
+_PL_W = 8  # pseudo-line token width (operators/textqual.py pseudo_lines)
+
+_PL_SQL = f"""
+pl AS (
+  SELECT doc_id,
+         unnest(range(0, len(ll))) AS line_id,
+         unnest(ll) AS line
+  FROM (SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(toks) / {_PL_W}.0)
+                   AS BIGINT)),
+                 i -> array_to_string(toks[i * {_PL_W} + 1 :
+                                           i * {_PL_W} + {_PL_W}], ' '))
+                 AS ll
+        FROM t))"""
+
+
+@gate(
+    "td_gopher_repetition",
+    f"""WITH t AS (SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+       FROM documents),
+{_PL_SQL},
+lr AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS gr_n_lines,
+         CAST(count(*) AS BIGINT) AS gr_distinct_lines,
+         round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 6)
+           AS gr_dup_line_frac,
+         round(sum((cnt - 1) * chars)
+               / CAST(greatest(sum(cnt * chars), 1) AS DOUBLE), 6)
+           AS gr_dup_line_char_frac
+  FROM (SELECT doc_id, line, count(*) AS cnt, length(line) AS chars
+        FROM pl GROUP BY doc_id, line)
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, length(array_to_string(toks, ' ')) AS tc FROM t),
+g2 AS (
+  SELECT doc_id, g, count(*) AS cnt, count(*) * length(g) AS cov
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> array_to_string(toks[i : i + 1], ' '))) AS g
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY doc_id, g),
+top2 AS (
+  SELECT g2.doc_id,
+         round(max(cov) / CAST(max(tot.tc) AS DOUBLE), 6)
+           AS gr_top2gram_frac
+  FROM g2 JOIN (SELECT doc_id, max(cnt) AS mx FROM g2 GROUP BY doc_id) m
+    ON m.doc_id = g2.doc_id AND g2.cnt = m.mx
+  JOIN tot ON tot.doc_id = g2.doc_id
+  GROUP BY g2.doc_id),
+g5 AS (
+  SELECT doc_id, g, count(*) AS cnt, count(*) * length(g) AS cov
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+               i -> array_to_string(toks[i : i + 4], ' '))) AS g
+        FROM t WHERE len(toks) >= 5)
+  GROUP BY doc_id, g),
+dup5 AS (
+  SELECT g5.doc_id,
+         round(sum(cov) / CAST(max(tot.tc) AS DOUBLE), 6)
+           AS gr_dup5gram_frac
+  FROM g5 JOIN tot ON tot.doc_id = g5.doc_id
+  WHERE cnt >= 2 GROUP BY g5.doc_id)
+SELECT d.doc_id,
+       coalesce(gr_n_lines, 0) AS gr_n_lines,
+       coalesce(gr_distinct_lines, 0) AS gr_distinct_lines,
+       coalesce(gr_dup_line_frac, 0.0) AS gr_dup_line_frac,
+       coalesce(gr_dup_line_char_frac, 0.0) AS gr_dup_line_char_frac,
+       coalesce(gr_top2gram_frac, 0.0) AS gr_top2gram_frac,
+       coalesce(gr_dup5gram_frac, 0.0) AS gr_dup5gram_frac
+FROM documents d
+LEFT JOIN lr ON lr.doc_id = d.doc_id
+LEFT JOIN top2 ON top2.doc_id = d.doc_id
+LEFT JOIN dup5 ON dup5.doc_id = d.doc_id
+ORDER BY d.doc_id""",
+)
+def td_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 A1.1): duplicate
+    pseudo-line fraction + char fraction, top-bigram char coverage,
+    duplicated-5-gram char coverage.  Each metric is one partial+final
+    hash-agg over exploded lines/shingles — the 100 TB plan is the same
+    plan."""
+    from .operators import textqual as tq
+
+    docs = load(spark, sf_dir, "documents")
+    lines = tq.pseudo_lines(docs, width=_PL_W)
+    lr = tq.line_repetition(lines).select(
+        "doc_id",
+        F.col("n_lines").alias("gr_n_lines"),
+        F.col("n_distinct_lines").alias("gr_distinct_lines"),
+        F.col("dup_line_frac").alias("gr_dup_line_frac"),
+        F.col("dup_line_char_frac").alias("gr_dup_line_char_frac"),
+    )
+    ng = tq.ngram_repetition(docs, top_n=2, dup_n=5).select(
+        "doc_id",
+        F.col("top2gram_char_frac").alias("gr_top2gram_frac"),
+        F.col("dup5gram_char_frac").alias("gr_dup5gram_frac"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(lr, "doc_id", "left")
+        .join(ng, "doc_id", "left")
+        .fillna({"gr_n_lines": 0, "gr_distinct_lines": 0,
+                 "gr_dup_line_frac": 0.0, "gr_dup_line_char_frac": 0.0,
+                 "gr_top2gram_frac": 0.0, "gr_dup5gram_frac": 0.0})
+        .orderBy("doc_id")
+    )
+
+
+@gate(
+    "td_gopher_quality",
+    """WITH t AS (SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+       FROM documents),
+f AS (SELECT doc_id,
+  len(words) AS n_words,
+  CAST(greatest(len(words), 1) AS DOUBLE) AS nz,
+  coalesce(list_aggregate(list_transform(words,
+      x -> CAST(length(x) AS DOUBLE)), 'sum'), 0.0) AS word_chars,
+  len(list_filter(words, x -> starts_with(x, '#')))
+    + len(list_filter(words, x -> contains(x, '...'))) AS n_sym,
+  len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+    AS n_alpha,
+  len(list_intersect(toks, ['the','be','to','of','and','that','have',
+      'with'])) AS stop_hits
+ FROM t)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS gq_n_words,
+  round(word_chars / nz, 6) AS gq_mean_word_len,
+  round(n_sym / nz, 6) AS gq_symbol_ratio,
+  round(n_alpha / nz, 6) AS gq_alpha_frac,
+  CAST(stop_hits AS BIGINT) AS gq_stop_hits,
+  CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS gq_words_ok,
+  CAST(word_chars / nz >= 3.0 AND word_chars / nz <= 10.0 AS INTEGER)
+    AS gq_mean_len_ok,
+  CAST(n_sym / nz <= 0.1 AS INTEGER) AS gq_symbol_ok,
+  CAST(n_alpha / nz >= 0.8 AS INTEGER) AS gq_alpha_ok,
+  CAST(stop_hits >= 2 AS INTEGER) AS gq_stopword_ok,
+  CAST(n_words >= 50 AND n_words <= 100000
+       AND word_chars / nz >= 3.0 AND word_chars / nz <= 10.0
+       AND n_sym / nz <= 0.1 AND n_alpha / nz >= 0.8
+       AND stop_hits >= 2 AS INTEGER) AS gq_keep
+FROM f ORDER BY doc_id""",
+)
+def td_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule battery (word-count window, mean word
+    length, symbol ratio, alpha-word fraction, required stopwords) —
+    per-rule flags + the keep conjunction, pure Column exprs."""
+    from .operators import textqual as tq
+
+    return tq.gopher_quality(
+        load(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@gate(
+    "td_c4_lines",
+    f"""WITH t AS (SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+       FROM documents),
+{_PL_SQL},
+dec AS (
+  SELECT doc_id, line_id,
+         CASE WHEN (doc_id + line_id) % 11 = 0
+                THEN line || ' lorem ipsum.'
+              WHEN (doc_id + line_id) % 7 = 0 THEN line || ' {{'
+              WHEN (doc_id + line_id) % 3 = 0 THEN line || '.'
+              ELSE line END AS line
+  FROM pl),
+k AS (
+  SELECT doc_id, line, length(line) AS chars,
+         CAST((ends_with(line, '.') OR ends_with(line, '!')
+               OR ends_with(line, '?') OR ends_with(line, '"'))
+           AND len(regexp_extract_all(lower(line), '[a-z0-9]+')) >= 5
+           AND NOT contains(lower(line), 'lorem ipsum')
+           AND NOT contains(line, '{{') AS INTEGER) AS keep
+  FROM dec),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS c4_n_lines,
+         CAST(sum(keep) AS BIGINT) AS c4_kept_lines,
+         CAST(sum(CASE WHEN keep = 1 THEN chars ELSE 0 END) AS BIGINT)
+           AS c4_kept_chars
+  FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(c4_n_lines, 0) AS c4_n_lines,
+       coalesce(c4_kept_lines, 0) AS c4_kept_lines,
+       coalesce(c4_kept_chars, 0) AS c4_kept_chars,
+       CAST(coalesce(c4_kept_lines, 0) >= 3 AS INTEGER) AS c4_keep_doc
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id""",
+)
+def td_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over pseudo-
+    lines with deterministically injected punctuation / 'lorem ipsum' /
+    brace markers (same CASE on both engines) so every rule actually
+    fires on the synthetic corpus."""
+    from .operators import textqual as tq
+
+    docs = load(spark, sf_dir, "documents")
+    lines = tq.pseudo_lines(docs, width=_PL_W)
+    mod = F.col("doc_id") + F.col("line_id")
+    dec = lines.withColumn(
+        "line",
+        F.when(mod % 11 == 0, F.concat("line", F.lit(" lorem ipsum.")))
+        .when(mod % 7 == 0, F.concat("line", F.lit(" {")))
+        .when(mod % 3 == 0, F.concat("line", F.lit(".")))
+        .otherwise(F.col("line")),
+    ).withColumn("n_words", F.size(dd.tokens_col("line")).cast("int"))
+    out = tq.c4_line_filter(dec)
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .fillna({"c4_n_lines": 0, "c4_kept_lines": 0, "c4_kept_chars": 0})
+        .withColumn(
+            "c4_keep_doc", (F.col("c4_kept_lines") >= 3).cast("int")
+        )
+        .orderBy("doc_id")
+    )

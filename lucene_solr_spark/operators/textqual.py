@@ -26,6 +26,13 @@ __all__ = [
     "fingerprint",
     "REDACT_PATTERNS",
     "redact",
+    "pseudo_lines",
+    "line_repetition",
+    "ngram_repetition",
+    "GOPHER_STOPWORDS",
+    "gopher_quality",
+    "C4_TERMINAL",
+    "c4_line_filter",
 ]
 
 # Tiny high-frequency marker sets per language. The heuristic is the
@@ -293,4 +300,261 @@ def ngram_lm_perplexity(
         )
         .join(df.select(id_col), id_col, "right")
         .fillna({"n_bigrams": 0, "ppl": 0.0})
+    )
+
+
+# --------------------------------------------------------------------
+# Gopher/C4-style repetition + quality filtering (the standard web-scale
+# pretraining-data filters; definitions pinned below since published
+# implementations differ in the details).
+
+
+def pseudo_lines(
+    df: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, line_id, line, n_words): fixed-``width`` token windows
+    reassembled as lines.  Line-level filters need line structure; for
+    corpora without newlines (this engine's transcript turns) the pinned
+    windowing stands in for physical lines — pass a real
+    split-on-newline frame instead when the data has them."""
+    toks = tokens_col(text_col)
+    n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * width + 1, width), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(lines)
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("line_id"),
+        F.col("col").alias("line"),
+    )
+    return out.withColumn(
+        "n_words", F.size(tokens_col("line")).cast("int")
+    )
+
+
+def line_repetition(
+    lines_df: DataFrame, id_col: str = "doc_id", line_col: str = "line"
+) -> DataFrame:
+    """Gopher repetition signals at line granularity (Rae et al. 2021,
+    appendix A1.1 "repetitious text").  Pinned definitions:
+
+    - ``dup_line_frac``  = (n_lines − n_distinct_lines) / n_lines
+    - ``dup_line_char_frac`` = chars in occurrences beyond each line's
+      first / total line chars
+
+    One partial+final hash-agg per doc — scales like any groupBy."""
+    per = lines_df.groupBy(id_col, line_col).agg(
+        F.count("*").alias("cnt"),
+        F.length(F.first(line_col)).alias("chars"),
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_distinct_lines"),
+            F.sum((F.col("cnt") - 1) * F.col("chars")).alias("_dup_chars"),
+            F.sum(F.col("cnt") * F.col("chars")).alias("_tot_chars"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_distinct_lines",
+            F.round(
+                (F.col("n_lines") - F.col("n_distinct_lines"))
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.col("_dup_chars")
+                / F.greatest(F.col("_tot_chars"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    top_n: int = 2,
+    dup_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher n-gram repetition signals (A1.1).  Pinned definitions
+    (the Dolma-style occurrence-sum variant, not position-coverage):
+
+    - ``top{n}gram_char_frac`` = cnt·chars of the most frequent
+      ``top_n``-gram / total token chars (ties broken by larger
+      cnt·chars);
+    - ``dup{n}gram_char_frac`` = Σ over ``dup_n``-grams occurring ≥2×
+      of cnt·chars / total token chars.
+
+    Total token chars = length of the space-joined token stream, so the
+    fractions are scale-free in the normalized text."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("toks"),
+    )
+    base = toks.select(
+        "doc_id",
+        F.length(F.array_join("toks", " ")).cast("long").alias("_tot"),
+        F.col("toks"),
+    )
+
+    def gram_counts(n):
+        return (
+            base.select(
+                "doc_id", "_tot",
+                F.explode(shingles(F.col("toks"), n)).alias("g"),
+            )
+            .groupBy("doc_id", "_tot", "g")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("cov", F.col("cnt") * F.length("g"))
+        )
+
+    wt = W.partitionBy("doc_id")
+    top = (
+        gram_counts(top_n)
+        .withColumn("mx", F.max("cnt").over(wt))
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("cov") / F.max("_tot").cast("double"), 6
+            ).alias(f"top{top_n}gram_char_frac")
+        )
+    )
+    dup = (
+        gram_counts(dup_n)
+        .filter(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("cov") / F.max("_tot").cast("double"), 6
+            ).alias(f"dup{dup_n}gram_char_frac")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .fillna(0.0)
+    )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021, A1.1): word-count
+    window, mean-word-length window, '#'/ellipsis symbol-to-word ratio,
+    fraction of words containing an alphabetic character, and the
+    ≥2-of-8 required-stopword rule.  Every rule is its own flag column
+    plus the conjunction ``gq_keep``; pure Column exprs."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(raw, r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / nz
+    n_sym = (
+        F.size(F.filter(words, lambda w: w.startswith("#")))
+        + F.size(F.filter(words, lambda w: w.contains("...")))
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    )
+    toks = tokens_col(text_col)
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    flags = {
+        "gq_words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "gq_mean_len_ok": (mean_len >= min_mean_len)
+        & (mean_len <= max_mean_len),
+        "gq_symbol_ok": (n_sym / nz) <= max_symbol_ratio,
+        "gq_alpha_ok": (n_alpha_words / nz) >= min_alpha_frac,
+        "gq_stopword_ok": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("gq_n_words"),
+        F.round(mean_len, 6).alias("gq_mean_word_len"),
+        F.round(n_sym / nz, 6).alias("gq_symbol_ratio"),
+        F.round(n_alpha_words / nz, 6).alias("gq_alpha_frac"),
+        stop_hits.cast("long").alias("gq_stop_hits"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        keep.cast("int").alias("gq_keep"),
+    )
+
+
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    lines_df: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    words_col: str = "n_words",
+) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2): keep a
+    line iff it ends in terminal punctuation, has ≥``min_words`` words,
+    and contains neither 'lorem ipsum' nor '{'.  Per-doc stats plus the
+    C4 document rule ``c4_keep_doc`` (≥``min_kept_lines`` kept lines,
+    the ≥3-sentence analog)."""
+    line = F.col(line_col)
+    terminal = None
+    for t in C4_TERMINAL:
+        c = line.endswith(t)
+        terminal = c if terminal is None else (terminal | c)
+    keep = (
+        terminal
+        & (F.col(words_col) >= min_words)
+        & ~F.lower(line).contains("lorem ipsum")
+        & ~line.contains("{")
+    )
+    return (
+        lines_df.withColumn("_keep", keep.cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("c4_n_lines"),
+            F.sum("_keep").cast("long").alias("c4_kept_lines"),
+            F.sum(
+                F.when(F.col("_keep") == 1, F.length(line)).otherwise(0)
+            ).cast("long").alias("c4_kept_chars"),
+        )
+        .withColumn(
+            "c4_keep_doc",
+            (F.col("c4_kept_lines") >= min_kept_lines).cast("int"),
+        )
     )

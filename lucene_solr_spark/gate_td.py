@@ -1402,3 +1402,168 @@ def td_c4_lines(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------- URL canonicalization + dedup (urlnorm)
+
+# Deterministic synthetic URLs (documents carry no URL column): four
+# variants per doc id where 0≡1 and 2≡3 after canonicalization, so the
+# dedup actually collapses groups.  The SAME CASE expression runs on
+# both engines; the canonicalization pipeline is implemented
+# independently per engine (Column exprs vs SQL regexes).
+
+_URL_CASE_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a//b/p' || CAST(doc_id % 25 AS VARCHAR)
+              || '/?utm_source=x&b=2&a=1#frag'
+  WHEN 1 THEN 'http://example.com/a/b/p' || CAST(doc_id % 25 AS VARCHAR)
+              || '?a=1&b=2'
+  WHEN 2 THEN 'https://Sub.Site.ORG:443/path/p' || CAST(doc_id % 25 AS VARCHAR)
+              || '?gclid=99&z=3'
+  ELSE 'sub.site.org/path/p' || CAST(doc_id % 25 AS VARCHAR) || '?z=3'
+  END"""
+
+
+@gate(
+    "td_url_dedup",
+    f"""WITH u AS (SELECT doc_id, {_URL_CASE_SQL} AS url FROM documents),
+c AS (
+  SELECT doc_id,
+    lower(CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.-]*://')
+          THEN regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+          ELSE 'http' END) AS scheme,
+    regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u2 FROM u)),
+h AS (
+  SELECT doc_id, scheme,
+    CASE scheme
+      WHEN 'http' THEN regexp_replace(
+        regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                       '^www\\.', ''), ':80$', '')
+      WHEN 'https' THEN regexp_replace(
+        regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                       '^www\\.', ''), ':443$', '')
+      ELSE regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                          '^www\\.', '') END AS host,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM c),
+p AS (
+  SELECT doc_id, scheme, host,
+    regexp_replace(regexp_replace(
+        regexp_extract(pathq, '^([^?]*)', 1), '/{{2,}}', '/'), '/$', '')
+      AS path,
+    array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_')
+             AND NOT starts_with(x, 'fbclid=')
+             AND NOT starts_with(x, 'gclid='))), '&') AS qn
+  FROM h),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host || path
+      || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS canonical_url,
+    host,
+    regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS reg_domain
+  FROM p),
+g AS (SELECT canonical_url, min(doc_id) AS rep_id,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM canon GROUP BY canonical_url)
+SELECT canon.doc_id, canonical_url, canon.host AS url_host,
+       reg_domain, rep_id, group_size,
+       CAST(canon.doc_id <> rep_id AS INTEGER) AS is_dup
+FROM canon JOIN g USING (canonical_url)
+ORDER BY doc_id""",
+)
+def td_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (operators/urlnorm.py pinned ruleset): the
+    crawl pipeline's cheap first dedup stage.  Shuffles only
+    (canonical_url, id) with map-side-combined min — exact-dedup scale
+    shape."""
+    from .operators import urlnorm as un
+
+    docs = load(spark, sf_dir, "documents")
+    pN = (F.col("doc_id") % 25).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://WWW.Example.COM:80/a//b/p"), pN,
+                     F.lit("/?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com/a/b/p"), pN,
+                     F.lit("?a=1&b=2")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Sub.Site.ORG:443/path/p"), pN,
+                     F.lit("?gclid=99&z=3")),
+        )
+        .otherwise(
+            F.concat(F.lit("sub.site.org/path/p"), pN, F.lit("?z=3"))
+        )
+    )
+    withu = docs.select("doc_id", url.alias("url"))
+    out = un.url_dedup(withu)
+    hosts = withu.select(
+        "doc_id",
+        un.url_host(F.col("url")).alias("url_host"),
+        un.registered_domain(F.col("url")).alias("reg_domain"),
+    )
+    return (
+        out.join(hosts, "doc_id")
+        .select("doc_id", "canonical_url", "url_host", "reg_domain",
+                "rep_id", "group_size", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------- DSIR importance resampling analog
+
+
+@gate(
+    "td_importance",
+    """WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 5 = 0 AS INTEGER) AS is_target,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS term
+  FROM documents),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c_raw,
+         CAST(sum(is_target) AS BIGINT) AS c_tgt
+  FROM toks GROUP BY term),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt,
+               count(*) AS vocab FROM counts),
+ratios AS (
+  SELECT term,
+         CAST(round(ln(((c_tgt + 0.5) / (t_tgt + 0.5 * vocab))
+                       / ((c_raw + 0.5) / (t_raw + 0.5 * vocab))), 12)
+              AS DECIMAL(28,12)) AS log_ratio
+  FROM counts CROSS JOIN tot),
+per_doc AS (
+  SELECT toks.doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         round(CAST(sum(log_ratio) AS DOUBLE), 6) AS log_importance
+  FROM toks JOIN ratios USING (term) GROUP BY toks.doc_id),
+alld AS (
+  SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks,
+         coalesce(log_importance, 0.0) AS log_importance
+  FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY log_importance DESC, doc_id)
+              AS imp_rank,
+         (SELECT CAST(ceil(count(*) * 0.25) AS BIGINT) FROM alld) AS nk
+  FROM alld)
+SELECT doc_id, n_toks, log_importance, CAST(imp_rank AS BIGINT) AS imp_rank,
+       CAST(imp_rank <= nk AS INTEGER) AS imp_keep
+FROM ranked ORDER BY doc_id""",
+)
+def td_importance(spark, sf_dir):
+    """DSIR importance resampling (operators/importance.py pinned
+    unigram variant): target subset = doc_id % 5 == 0; add-0.5 smoothed
+    log ratios, DECIMAL-folded, deterministic top-25% keep."""
+    from .operators.importance import importance_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, F.col("doc_id") % 5 == 0
+    ).orderBy("doc_id")

@@ -6932,24 +6932,45 @@ f{k} AS (
            + greatest(max_by(m_end, m_start) - a_start, {fcs}) AS span_end,
          sum(boost) AS score
   FROM pull{k} GROUP BY doc_id, s_off, a_start),
+bnd{k} AS (
+  SELECT f.*,
+         CASE WHEN f.span_start < 1 THEN f.span_start
+              WHEN length(regexp_extract(reverse(substr(d.text,
+                     greatest(f.span_start - 19, 1),
+                     f.span_start - greatest(f.span_start - 19, 1) + 1)),
+                     '^([^.,!? \t\n]*)', 1))
+                   < f.span_start - greatest(f.span_start - 19, 1) + 1
+                THEN f.span_start - length(regexp_extract(reverse(substr(
+                     d.text, greatest(f.span_start - 19, 1),
+                     f.span_start - greatest(f.span_start - 19, 1) + 1)),
+                     '^([^.,!? \t\n]*)', 1))
+              WHEN f.span_start <= 20 THEN 0
+              ELSE f.span_start END AS mso,
+         CASE WHEN length(d.text) < f.span_end THEN length(d.text)
+              WHEN length(regexp_extract(substr(d.text, f.span_end + 1, 20),
+                     '^([^.,!? \t\n]*)', 1))
+                   < length(substr(d.text, f.span_end + 1, 20))
+                THEN f.span_end + length(regexp_extract(substr(d.text,
+                     f.span_end + 1, 20), '^([^.,!? \t\n]*)', 1))
+              ELSE f.span_end END AS eo
+  FROM f{k} f JOIN docs d ON d.doc_id = f.doc_id),
 lagged{k} AS (
   SELECT p.doc_id, f.span_start, f.span_end, f.score, f.last_end,
-         p.m_start, p.m_end,
-         lag(p.m_end, 1, f.span_start)
+         f.mso, f.eo, p.m_start, p.m_end,
+         lag(p.m_end, 1, f.mso)
            OVER (PARTITION BY p.doc_id ORDER BY p.m_start) AS prev_close
-  FROM pull{k} p JOIN f{k} f ON f.doc_id = p.doc_id),
+  FROM pull{k} p JOIN bnd{k} f ON f.doc_id = p.doc_id),
 snip{k} AS (
   SELECT z.doc_id, z.span_start, z.span_end, z.score,
          string_agg(
            substr(d.text, z.prev_close + 1, z.m_start - z.prev_close)
            || '<b>' || substr(d.text, z.m_start + 1, z.m_end - z.m_start)
            || '</b>', '' ORDER BY z.m_start)
-         || substr(any_value(d.text), z.last_end + 1,
-                   least(z.span_end, length(any_value(d.text)))
-                     - z.last_end)
+         || substr(any_value(d.text), z.last_end + 1, z.eo - z.last_end)
            AS snippet
   FROM lagged{k} z JOIN docs d ON d.doc_id = z.doc_id
-  GROUP BY z.doc_id, z.span_start, z.span_end, z.score, z.last_end)""")
+  GROUP BY z.doc_id, z.span_start, z.span_end, z.score, z.last_end,
+           z.eo)""")
         prev = f"f{k}"
     layer_sql = ",".join(layers)
     return f"""

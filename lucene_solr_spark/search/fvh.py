@@ -24,8 +24,11 @@ vectorhighlight/):
   occurrences in the fragment) (WeightedFieldFragList.java:36-66);
 - ``BaseFragmentsBuilder.makeFragment``: snippet assembly with
   pre/post tags at each merged offset (BaseFragmentsBuilder.java);
-  ``ScoreOrderFragmentsBuilder``: fragments ordered score desc, then
-  startOffset asc.
+  ``getFragmentSourceMSO`` snaps the emitted source window to the
+  nearest ``SimpleBoundaryScanner`` boundary within maxScan=20
+  (SimpleBoundaryScanner.java:28-95) while the recorded span offsets
+  stay raw; ``ScoreOrderFragmentsBuilder``: fragments ordered score
+  desc, then startOffset asc.
 
 Spark shape: the whole pipeline is per-document with bounded state, so it
 runs as ONE narrow ``mapInPandas`` over the stored fields — no shuffle,
@@ -37,7 +40,10 @@ Divergences (declared): tokens come from the engine's standard
 ``[a-z0-9]+`` lowercase analysis with character offsets (no index-time
 synonym stacking, so the ``TermInfo.next`` synonym ring is always a
 singleton), and only single-field, single-valued highlighting is exposed
-(the multi-valued field seam in getFragmentSourceMSO has no analog here).
+(the multi-valued field seam in getFragmentSourceMSO has no analog
+here).  Slop phrases ARE supported: the scan runs over the
+query-term-filtered stack exactly like FieldTermStack, with
+position-gap validity per QueryPhraseMap.isValidTermOrPhrase.
 """
 
 from __future__ import annotations
@@ -58,27 +64,36 @@ OUT_SCHEMA = (
 
 @dataclass(frozen=True)
 class FvhQuery:
-    """Flat query spec: single terms and ordered exact phrases, each with
-    a boost (FieldQuery's flatten() produces exactly this for
-    Term/Phrase/Boolean-of-those queries)."""
+    """Flat query spec: single terms and ordered phrases, each with a
+    boost and optional slop (FieldQuery's flatten() produces exactly
+    this for Term/Phrase/Boolean-of-those queries).  Phrase entries are
+    ``(terms, boost)`` or ``(terms, boost, slop)``."""
 
     singles: dict          # term -> boost
-    phrases: tuple         # ((t1, t2, ...), boost), ...
+    phrases: tuple         # ((t1, t2, ...), boost[, slop]), ...
 
     def trie(self):
-        """term-path trie: node = {term: [terminal_boost | None, children]}."""
+        """term-path trie: node = {term: [(boost, slop) | None, children]}."""
         root = {}
         for term, boost in self.singles.items():
             node = root.setdefault(term, [None, {}])
-            node[0] = float(boost)
-        for terms, boost in self.phrases:
+            node[0] = (float(boost), 0)
+        for entry in self.phrases:
+            terms, boost = entry[0], entry[1]
+            slop = entry[2] if len(entry) > 2 else 0
             level = root
             node = None
             for t in terms:
                 node = level.setdefault(t, [None, {}])
                 level = node[1]
-            node[0] = float(boost)
+            node[0] = (float(boost), int(slop))
         return root
+
+    def term_set(self):
+        out = set(self.singles)
+        for entry in self.phrases:
+            out.update(entry[0])
+        return out
 
 
 def expand_phrases(phrases):
@@ -116,39 +131,45 @@ def tokenize_offsets(text: str):
 
 
 def field_phrase_list(tokens, query: FvhQuery):
-    """FieldPhraseList.java:66-122 greedy scan.  Returns phrases as
-    (start_offset, end_offset, merged_toffs, text, boost, terms) in scan
-    order, with addIfNoOverlap applied."""
+    """FieldPhraseList.java:66-122 greedy scan over the query-term
+    stack (FieldTermStack keeps only query terms, so slop phrases skip
+    intervening non-query tokens).  Returns phrases as (start_offset,
+    end_offset, merged_toffs, text, boost, terms) in scan order, with
+    addIfNoOverlap applied.  A candidate is valid when its trie node is
+    terminal AND every adjacent position gap is ≤ the phrase's slop
+    (QueryPhraseMap.isValidTermOrPhrase, FieldQuery.java:478-495)."""
     root = query.trie()
+    term_set = query.term_set()
+    stack = [t for t in tokens if t[0] in term_set]
     out = []
-    i, n = 0, len(tokens)
+    i, n = 0, len(stack)
     while i < n:
-        term = tokens[i][0]
+        term = stack[i][0]
         node = root.get(term)
         if node is None:
             i += 1
             continue
-        # walk the longest consecutive trie path
-        cand = [tokens[i]]
+        # walk the longest stack-consecutive trie path
+        cand = [stack[i]]
         cur = node
         j = i + 1
         while j < n:
-            nxt = cur[1].get(tokens[j][0])
+            nxt = cur[1].get(stack[j][0])
             if nxt is None:
                 break
-            cand.append(tokens[j])
+            cand.append(stack[j])
             cur = nxt
             j += 1
         # longest candidate valid?  else retry shorter prefixes
         # (push-back loop, FieldPhraseList.java:103-112)
         match_len, boost = 0, None
-        if cur[0] is not None:
-            match_len, boost = len(cand), cur[0]
+        if _valid(cur, cand):
+            match_len, boost = len(cand), cur[0][0]
         else:
             for k in range(len(cand) - 1, 0, -1):
                 node_k = _walk(root, [t[0] for t in cand[:k]])
-                if node_k is not None and node_k[0] is not None:
-                    match_len, boost = k, node_k[0]
+                if node_k is not None and _valid(node_k, cand[:k]):
+                    match_len, boost = k, node_k[0][0]
                     break
         if match_len == 0:
             i += 1  # first term consumed and discarded
@@ -159,6 +180,20 @@ def field_phrase_list(tokens, query: FvhQuery):
             out.append(info)
         i += match_len
     return out
+
+
+def _valid(node, cand):
+    if node is None or node[0] is None:
+        return False
+    if len(cand) == 1:
+        return True
+    slop = node[0][1]
+    pos = cand[0][1]
+    for t in cand[1:]:
+        if abs(t[1] - pos - 1) > slop:
+            return False
+        pos = t[1]
+    return True
 
 
 def _walk(root, terms):
@@ -290,20 +325,57 @@ def _weighted_score(wpil, term_weights):
     return float(total)
 
 
+BOUNDARY_CHARS = frozenset(".,!? \t\n")
+MAX_SCAN = 20
+
+
+def find_start_offset(text: str, start: int, boundary=BOUNDARY_CHARS,
+                      max_scan: int = MAX_SCAN) -> int:
+    """SimpleBoundaryScanner.findStartOffset: walk back ≤max_scan chars
+    to the char after a boundary; reaching 0 counts as a boundary."""
+    if start > len(text) or start < 1:
+        return start
+    offset, count = start, max_scan
+    while offset > 0 and count > 0:
+        if text[offset - 1] in boundary:
+            return offset
+        offset -= 1
+        count -= 1
+    return 0 if offset == 0 else start
+
+
+def find_end_offset(text: str, start: int, boundary=BOUNDARY_CHARS,
+                    max_scan: int = MAX_SCAN) -> int:
+    """SimpleBoundaryScanner.findEndOffset: walk forward ≤max_scan chars
+    to a boundary char's own offset."""
+    if start > len(text) or start < 0:
+        return start
+    offset, count = start, max_scan
+    while offset < len(text) and count > 0:
+        if text[offset] in boundary:
+            return offset
+        offset += 1
+        count -= 1
+    return start
+
+
 def make_fragment(text, frag, pre_tag="<b>", post_tag="</b>"):
-    """BaseFragmentsBuilder.makeFragment: tag every merged offset of the
-    accepted phrases, in order."""
+    """BaseFragmentsBuilder.makeFragment + getFragmentSourceMSO: snap
+    the source window to SimpleBoundaryScanner boundaries, then tag
+    every merged offset of the accepted phrases, in order."""
     span_start, span_end = frag[0], frag[1]
-    src = text[span_start : min(span_end, len(text))]
+    mso = find_start_offset(text, span_start)
+    eo = len(text) if len(text) < span_end else find_end_offset(text, span_end)
+    src = text[mso:eo]
     out = []
     idx = 0
     for p in frag[3]:
         for ts, te in p[2]:
-            out.append(src[idx : ts - span_start])
+            out.append(src[idx : ts - mso])
             out.append(pre_tag)
-            out.append(src[ts - span_start : te - span_start])
+            out.append(src[ts - mso : te - mso])
             out.append(post_tag)
-            idx = te - span_start
+            idx = te - mso
     out.append(src[idx:])
     return "".join(out)
 

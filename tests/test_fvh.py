@@ -284,3 +284,62 @@ def test_2phrases_overlap_end_to_end():
         phrases=expand_phrases(((("a", "b"), 1.0), (("b", "c"), 1.0))),
     )
     assert _phrases("d a b c d", q) == [("abc", 1.0, ((2, 7),))]
+
+
+# --------------------------- SimpleBoundaryScannerTest transcription
+
+BSCAN_TEXT = ("Apache Lucene(TM) is a high-performance, full-featured\n"
+              "text search engine library written entirely in Java.")
+
+
+def test_boundary_scanner_vectors():
+    from lucene_solr_spark.search.fvh import (find_end_offset,
+                                              find_start_offset)
+
+    n = len(BSCAN_TEXT)
+    assert find_start_offset(BSCAN_TEXT, n + 1) == n + 1
+    assert find_start_offset(BSCAN_TEXT, 0) == 0
+    assert find_start_offset(
+        BSCAN_TEXT, BSCAN_TEXT.index("formance")
+    ) == BSCAN_TEXT.index("high-performance")
+    assert find_start_offset(
+        BSCAN_TEXT, BSCAN_TEXT.index("che")
+    ) == BSCAN_TEXT.index("Apache")
+    assert find_end_offset(BSCAN_TEXT, n + 1) == n + 1
+    assert find_end_offset(BSCAN_TEXT, -1) == -1
+    assert find_end_offset(
+        BSCAN_TEXT, BSCAN_TEXT.index("full-")
+    ) == BSCAN_TEXT.index("\ntext")
+
+
+def test_snippet_snaps_to_boundaries():
+    # fragment centering puts span_start at 1 (mid-"hello"); the
+    # scanner walks back to offset 0, so the snippet keeps the whole
+    # first word instead of starting at "ello"
+    text = "hello world a good day here friend"
+    q = FvhQuery(singles={"a": 1.0}, phrases=())
+    out = highlight_doc(text, q, frag_char_size=24)
+    (rank, s, t, score, snip) = out[0]
+    assert s == 1  # raw span offset is unchanged by the scanner
+    assert snip.startswith("hello world <b>a</b>")
+    # end snapped forward to the next boundary after span_end
+    from lucene_solr_spark.search.fvh import find_end_offset
+
+    eo = find_end_offset(text, t)
+    assert snip.replace("<b>", "").replace("</b>", "") == text[0:eo]
+    assert eo == t or text[eo] in ".,!? \t\n"
+
+
+def test_phrase_slop():
+    # FieldPhraseListTest.testPhraseSlop: pq(2.0, slop=1, a, c) over
+    # "c a a b c" -> "ac(2.0)((4,5)(8,9))", start 4 end 9 — the slop
+    # phrase skips the intervening non-query token and keeps separate
+    # toffs for the non-consecutive positions
+    q = FvhQuery(singles={}, phrases=((("a", "c"), 2.0, 1),))
+    got = field_phrase_list(tokenize_offsets("c a a b c"), q)
+    assert [(p[3], p[4], p[2], p[0], p[1]) for p in got] == [
+        ("ac", 2.0, ((4, 5), (8, 9)), 4, 9)
+    ]
+    # gap 2 exceeds slop 1: "c a a b d c" has a@4(pos2), c@10(pos5)
+    got = field_phrase_list(tokenize_offsets("c a a b d c"), q)
+    assert got == []

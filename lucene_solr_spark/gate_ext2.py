@@ -7055,3 +7055,170 @@ def fts_fvh_fragments(spark, sf_dir):
         )
         .orderBy("doc_id", "frag")
     )
+
+
+def _fvh_weighted_sql():
+    """WeightedFragListBuilder variant: disjoint query (single 'vector'
+    boost 3, phrase 'table merge' boost 2) so the reference's
+    first-distinct-term accumulation reduces to per-kind firsts, and
+    every float32 step of WeightedFieldFragList.add is mirrored with
+    explicit FLOAT casts (exact for f32 add/mult via the f64 path; the
+    single 1/sqrt division follows the engine's f64-div-then-f32 chain
+    verbatim)."""
+    fcs, margin = _FVH_FCS, _FVH_MARGIN
+    layers = []
+    prev = None
+    for k in range(1, 5):
+        s = "0" if prev is None else f"{prev}.span_end"
+        src = "ph" if prev is None else f"ph, {prev}"
+        where = "" if prev is None else f" AND ph.doc_id = {prev}.doc_id"
+        layers.append(f"""
+anch{k} AS (
+  SELECT ph.doc_id, min(ph.m_start) AS a_start, {s} AS s_off
+  FROM {src} WHERE ph.m_start >= {s}{where}
+  GROUP BY ph.doc_id{', ' + s if prev is not None else ''}),
+a{k} AS (
+  SELECT anch{k}.doc_id, a_start, s_off, ph.m_end AS a_end,
+         greatest(a_end, greatest(a_start - {margin}, s_off) + {fcs})
+           AS span_end0
+  FROM anch{k} JOIN ph ON ph.doc_id = anch{k}.doc_id
+                      AND ph.m_start = anch{k}.a_start),
+pull{k} AS (
+  SELECT a{k}.*, ph.m_start, ph.m_end, ph.kind
+  FROM a{k} JOIN ph ON ph.doc_id = a{k}.doc_id
+  WHERE ph.m_start >= a{k}.a_start
+    AND (ph.m_start < coalesce((SELECT min(v.m_start) FROM ph v
+          WHERE v.doc_id = a{k}.doc_id AND v.m_start >= a{k}.a_start
+            AND v.m_end > a{k}.span_end0), 9223372036854775807))),
+f{k} AS (
+  SELECT doc_id, s_off, a_start,
+         greatest(a_start - greatest(0, ({fcs} - (max_by(m_end, m_start)
+           - a_start)) // 2), s_off) AS span_start,
+         greatest(a_start - greatest(0, ({fcs} - (max_by(m_end, m_start)
+           - a_start)) // 2), s_off)
+           + greatest(max_by(m_end, m_start) - a_start, {fcs}) AS span_end,
+         sum(CASE WHEN kind = 'v' THEN 1 ELSE 0 END) AS n_v,
+         sum(CASE WHEN kind = 't' THEN 1 ELSE 0 END) AS n_t
+  FROM pull{k} GROUP BY doc_id, s_off, a_start)""")
+        prev = f"f{k}"
+    layer_sql = ",".join(layers)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {_FVH_MAXDOC} AND length(text) < {_FVH_MAXLEN}),
+chars AS (
+  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
+         text FROM docs),
+ctab AS (
+  SELECT doc_id, i, substr(lower(text), i, 1) AS c,
+         substr(lower(text), i, 1) BETWEEN 'a' AND 'z'
+           OR substr(lower(text), i, 1) BETWEEN '0' AND '9' AS al,
+         coalesce(substr(lower(text), i - 1, 1) BETWEEN 'a' AND 'z'
+           OR substr(lower(text), i - 1, 1) BETWEEN '0' AND '9',
+           FALSE) AS pal
+  FROM chars),
+toks AS (
+  SELECT doc_id, string_agg(c, '' ORDER BY i) AS term,
+         min(i) - 1 AS t_start, max(i) AS t_end, tid AS pos
+  FROM (SELECT *, sum(CASE WHEN al AND NOT pal THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i) AS tid
+        FROM ctab) WHERE al
+  GROUP BY doc_id, tid),
+nd AS (SELECT count(*) AS n FROM docs),
+w AS (
+  SELECT
+    CAST(ln(CAST(nd.n AS DOUBLE) / (coalesce(dv.d, 0) + 1.0)) + 1.0
+         AS FLOAT) AS w_vec,
+    CAST(ln(CAST(nd.n AS DOUBLE) / (coalesce(dt.d, 0) + 1.0)) + 1.0
+         AS FLOAT) AS w_tab,
+    CAST(ln(CAST(nd.n AS DOUBLE) / (coalesce(dm.d, 0) + 1.0)) + 1.0
+         AS FLOAT) AS w_mrg
+  FROM nd
+  LEFT JOIN (SELECT 1 AS k, count(DISTINCT doc_id) AS d FROM toks
+             WHERE term = 'vector') dv ON TRUE
+  LEFT JOIN (SELECT 1 AS k, count(DISTINCT doc_id) AS d FROM toks
+             WHERE term = 'table') dt ON TRUE
+  LEFT JOIN (SELECT 1 AS k, count(DISTINCT doc_id) AS d FROM toks
+             WHERE term = 'merge') dm ON TRUE),
+ph AS (
+  SELECT a.doc_id, a.t_start AS m_start, b.t_end AS m_end, 't' AS kind
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'merge'
+  UNION ALL
+  SELECT t.doc_id, t.t_start, t.t_end, 'v' AS kind
+  FROM toks t WHERE t.term = 'vector'),
+{layer_sql},
+allf AS (
+  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4),
+scored AS (
+  SELECT doc_id, span_start, span_end,
+         CAST(
+           (CASE WHEN n_v > 0 THEN CAST(
+              CAST(w.w_vec * CAST(3.0 AS FLOAT) AS FLOAT)
+              * CAST((n_v + 2 * n_t) * (CAST(1.0 AS DOUBLE) /
+                  CAST(sqrt(CAST(n_v + 2 * n_t AS DOUBLE)) AS FLOAT))
+                AS FLOAT) AS FLOAT)
+            ELSE CAST(0.0 AS FLOAT) END)
+         + (CASE WHEN n_t > 0 THEN CAST(
+              CAST(CAST(w.w_tab * CAST(2.0 AS FLOAT) AS FLOAT)
+                   + CAST(w.w_mrg * CAST(2.0 AS FLOAT) AS FLOAT) AS FLOAT)
+              * CAST((n_v + 2 * n_t) * (CAST(1.0 AS DOUBLE) /
+                  CAST(sqrt(CAST(n_v + 2 * n_t AS DOUBLE)) AS FLOAT))
+                AS FLOAT) AS FLOAT)
+            ELSE CAST(0.0 AS FLOAT) END) AS FLOAT) AS score
+  FROM allf CROSS JOIN w),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, span_start) - 1 AS frag,
+         span_start, span_end, score
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frag AS INTEGER) AS frag,
+       CAST(span_start AS INTEGER) AS span_start,
+       CAST(span_end AS INTEGER) AS span_end,
+       CAST(score AS DOUBLE) AS wscore
+FROM ranked WHERE frag < 2
+ORDER BY doc_id, frag"""
+
+
+@gate("fts_fvh_weighted", _fvh_weighted_sql())
+def fts_fvh_weighted(spark, sf_dir):
+    """WeightedFragListBuilder scoring (WeightedFieldFragList.java:
+    36-66): IDF term weights × phrase boosts over first-seen distinct
+    terms, √length-normalized, float32 accumulation — driver-verified
+    against the FLOAT-cast SQL mirror."""
+    from .search.fvh import FvhQuery, fvh_highlight, idf_weights
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < _FVH_MAXDOC)
+        & (F.length("text") < _FVH_MAXLEN)
+    )
+    num_docs = docs.count()
+    from .operators.dedup import tokens_col
+
+    df_rows = (
+        docs.select("doc_id", F.explode(
+            F.array_distinct(tokens_col("text"))).alias("term"))
+        .filter(F.col("term").isin("vector", "table", "merge"))
+        .groupBy("term").agg(F.count("*").alias("d"))
+        .collect()
+    )
+    df_map = {r["term"]: int(r["d"]) for r in df_rows}
+    weights = idf_weights(
+        {t: df_map.get(t, 0) for t in ("vector", "table", "merge")},
+        num_docs,
+    )
+    q = FvhQuery(
+        singles={"vector": 3.0}, phrases=((("table", "merge"), 2.0),)
+    )
+    return (
+        fvh_highlight(
+            docs, q,
+            frag_char_size=_FVH_FCS, margin=_FVH_MARGIN, max_frags=2,
+            weighted=True, term_weights=weights,
+        )
+        .select("doc_id", "frag", "span_start", "span_end",
+                F.col("score").alias("wscore"))
+        .orderBy("doc_id", "frag")
+    )

@@ -412,6 +412,8 @@ _suite("fts_highlight", [
      ("passage_score", "n_terms", "n_matches", "passage")),
     ("fvh", "fts_fvh_fragments", ("doc_id", "snippet"),
      ("frag", "span_start", "span_end", "score")),
+    ("fvh_w", "fts_fvh_weighted", ("doc_id",),
+     ("frag", "span_start", "span_end", "wscore")),
 ])
 
 # 16: MoreLikeThis — term selection + retrieval

@@ -46,7 +46,12 @@ import math
 import re
 from dataclasses import dataclass
 
-__all__ = ["compile_expression", "CompiledExpression", "JsParseError"]
+__all__ = [
+    "compile_expression",
+    "expression_variables",
+    "CompiledExpression",
+    "JsParseError",
+]
 
 
 class JsParseError(ValueError):
@@ -696,6 +701,12 @@ def compile_expression(
         spark_sql=_Emit("spark", binds).emit(ast, "D"),
         duckdb_sql=_Emit("duck", binds).emit(ast, "D"),
     )
+
+
+def expression_variables(source: str) -> tuple[str, ...]:
+    """The expression's free variables (normalized-quote form), sorted —
+    what SimpleBindings would need to bind."""
+    return tuple(sorted(_free_vars(_Parser(source).parse())))
 
 
 def _free_vars(node) -> set[str]:

@@ -7222,3 +7222,54 @@ def fts_fvh_weighted(spark, sf_dir):
                 F.col("score").alias("wscore"))
         .orderBy("doc_id", "frag")
     )
+
+
+# ----------------------- expression rerank (FunctionScoreQuery shape)
+
+def _jsexpr_rerank():
+    from .functions.jsexpr import compile_expression
+
+    return compile_expression(
+        "(0.3*popularity)/10.0 + 0.7*_score"
+        " + ((popularity % 2 == 0) ? sqrt(popularity) : 0)",
+        {"popularity": "(doc_id % 17)", "_score": "score"},
+    )
+
+
+_JS_RERANK = _jsexpr_rerank()
+
+
+def _jsexpr_rerank_sql():
+    from .gate import bm25_sql
+
+    base = bm25_sql(["spark", "merge"], "disjunctive", 50)
+    return f"""
+WITH b AS ({base})
+SELECT doc_id,
+       round({_JS_RERANK.duckdb_sql}, 6) AS rr_score,
+       round(score, 4) AS base_score
+FROM b ORDER BY rr_score DESC, doc_id LIMIT 20"""
+
+
+@gate("fn_jsexpr_rerank", _jsexpr_rerank_sql())
+def fn_jsexpr_rerank(spark, sf_dir):
+    """Expression rerank — the lucene/expressions headline use case
+    (FunctionScoreQuery / expressions javadoc 'sort by score +
+    popularity function'): BM25 top-50, re-scored by a compiled
+    expression over _score and a popularity field, top-20 by the new
+    score.  The compiled Column runs inside the same Catalyst plan as
+    the base query — no extra pass."""
+    from .gate import _bm25_spark
+
+    base = _bm25_spark(
+        spark, sf_dir, ["spark", "merge"], "disjunctive", 50
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.round(_JS_RERANK.column(), 6).alias("rr_score"),
+            F.round("score", 4).alias("base_score"),
+        )
+        .orderBy(F.desc("rr_score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -370,6 +370,8 @@ _suite("fts_score_shaping", [
     ("sim_per_field", "fts_sim_per_field", ("doc_id",), ("score",)),
     ("bm25f", "fts_bm25f", ("doc_id",), ("score",)),
     ("fuzzy_like_this", "fts_fuzzy_like_this", ("doc_id",), ("score",)),
+    ("expr_rerank", "fn_jsexpr_rerank",
+     ("doc_id",), ("rr_score", "base_score")),
 ])
 
 # 13-14: analysis chains

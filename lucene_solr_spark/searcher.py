@@ -204,6 +204,50 @@ class Searcher:
 
         return explain_scores(self.tables, terms, **kwargs)
 
+    def rerank_expression(
+        self,
+        q: str,
+        expr: str,
+        k: int = 10,
+        rerank_docs: int = 50,
+        bindings: dict | None = None,
+        **search_kwargs,
+    ) -> DataFrame:
+        """FunctionScoreQuery with a lucene-expressions source — the
+        expressions module's headline use (JavascriptCompiler javadoc:
+        rank by ``(0.3*popularity)/10 + 0.7*_score``): run the base
+        query, take the top ``rerank_docs``, re-score them with the
+        compiled expression, return the top ``k`` by the new score.
+
+        ``_score`` binds to the base BM25 score; every other free
+        variable binds to the stored-field column of the same name
+        unless overridden in ``bindings``.  The compiled expression is
+        a Catalyst Column (functions/jsexpr.py) evaluated inside the
+        same plan as the stored-field join — no extra pass, no UDF."""
+        from .functions.jsexpr import (compile_expression,
+                                       expression_variables)
+
+        names = expression_variables(expr)
+        binds = dict(bindings or {})
+        for v in names:
+            if v not in binds:
+                binds[v] = "score" if v == "_score" else v
+        ce = compile_expression(expr, binds)
+        base = self.search(q, k=rerank_docs, **search_kwargs)
+        need_stored = any(
+            b not in ("score", "doc_id") for b in binds.values()
+        )
+        frame = base.join(self.stored, "doc_id") if need_stored else base
+        return (
+            frame.select(
+                "doc_id",
+                F.col("score").alias("base_score"),
+                ce.column().alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def highlight(
         self,
         hits: DataFrame,

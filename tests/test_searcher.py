@@ -268,3 +268,58 @@ def test_deftype_unknown_and_mm_conflict(searcher):
         searcher.search("x", defType="nope")
     with pytest.raises(ValueError, match="defType='lucene' only"):
         searcher.search("x y", mm="2", defType="simple")
+
+
+def test_rerank_expression(spark, searcher):
+    """FunctionScoreQuery-style expression rerank: _score binds to the
+    base BM25 score, other variables to stored-field columns; result
+    order follows the compiled expression, and the math matches a local
+    recomputation of the same expression."""
+    import math
+
+    from lucene_solr_spark import fixtures
+
+    q = " ".join(fixtures.make_vocab()[:2])
+    base = searcher.search(q, k=50).collect()
+    assert base
+    got = searcher.rerank_expression(
+        q,
+        "0.5*_score + (turn_idx > 3 ? ln(turn_idx) : 0)",
+        k=10,
+        rerank_docs=50,
+    ).collect()
+    assert got
+    stored = {
+        r["doc_id"]: r["turn_idx"]
+        for r in searcher.stored.select("doc_id", "turn_idx").collect()
+    }
+    want = sorted(
+        (
+            -(0.5 * r["score"]
+              + (math.log(stored[r["doc_id"]])
+                 if stored[r["doc_id"]] > 3 else 0.0)),
+            r["doc_id"],
+        )
+        for r in base
+    )[:10]
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (neg_s, _) in zip(got, want):
+        assert r["score"] == pytest.approx(-neg_s, rel=1e-12)
+        assert r["base_score"] is not None
+
+
+def test_rerank_expression_score_only_skips_stored_join(spark, searcher):
+    import math
+
+    from lucene_solr_spark import fixtures
+
+    q = " ".join(fixtures.make_vocab()[:2])
+    got = searcher.rerank_expression(q, "sqrt(_score) * 2", k=5)
+    rows = got.collect()
+    assert len(rows) > 0
+    base = {r["doc_id"]: r["score"]
+            for r in searcher.search(q, k=50).collect()}
+    for r in rows:
+        assert r["score"] == pytest.approx(
+            math.sqrt(base[r["doc_id"]]) * 2, rel=1e-12
+        )

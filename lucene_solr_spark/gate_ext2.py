@@ -7273,3 +7273,82 @@ def fn_jsexpr_rerank(spark, sf_dir):
         .orderBy(F.desc("rr_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_FACET_PARENT_SQL = """
+SELECT o.o_orderpriority AS pri,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS parent_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority ORDER BY pri"""
+
+
+@gate("rel_facet_domain_parent", _FACET_PARENT_SQL)
+def rel_facet_domain_parent(spark, sf_dir):
+    """JSON facet domain change, the OTHER direction (blockParent /
+    {!parent} domain switch, FacetRequest.java domain handling): the
+    counting domain moves from matching CHILD docs (returned lineitems)
+    to their DISTINCT parents, then buckets by a parent field with a
+    parent-level agg.  Spark shape: LEFT SEMI join (dedup built into
+    the join type, no distinct pass) + one hash-agg."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count("*").cast("long").alias("n_parents"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double"), 2,
+            ).alias("parent_price"),
+        )
+        .orderBy("pri")
+    )
+
+
+_FACET_MULTISELECT_SQL = """
+WITH excl AS (
+  SELECT o_orderpriority AS pri, count(*) AS c
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority),
+full_f AS (
+  SELECT o_orderpriority AS pri, count(*) AS c
+  FROM orders WHERE o_orderstatus = 'F'
+    AND o_orderpriority = '1-URGENT' GROUP BY o_orderpriority)
+SELECT excl.pri,
+       CAST(excl.c AS BIGINT) AS cnt_excl_own,
+       CAST(coalesce(full_f.c, 0) AS BIGINT) AS cnt_all_filters
+FROM excl LEFT JOIN full_f ON full_f.pri = excl.pri
+ORDER BY excl.pri"""
+
+
+@gate("rel_facet_multiselect", _FACET_MULTISELECT_SQL)
+def rel_facet_multiselect(spark, sf_dir):
+    """Multi-select faceting (Solr tag/excludeTags, FacetField
+    excludeTags domain filter exclusion): with fq={!tag=PRI}priority:
+    1-URGENT and fq=status:F active, the priority facet EXCLUDES its
+    own tagged filter — every priority bucket stays visible with its
+    would-be count — while cnt_all_filters shows the fully-filtered
+    count.  Two aggs over the same scan; Catalyst reuses the pushed
+    status filter."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    excl = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").cast("long").alias("cnt_excl_own")
+    )
+    full_f = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").cast("long").alias("cnt_all_filters"))
+    )
+    return (
+        excl.join(full_f, "pri", "left")
+        .fillna({"cnt_all_filters": 0})
+        .select("pri", "cnt_excl_own", "cnt_all_filters")
+        .orderBy("pri")
+    )

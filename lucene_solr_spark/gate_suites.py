@@ -594,6 +594,10 @@ _suite("rel_facet_nested", [
      ("path",), ("sum_int", "sum_float")),
     ("long_values", "rel_facet_longvals", ("value",), ("cnt",)),
     ("domain_child", "rel_facet_domain", ("flag",), ("cnt", "qty")),
+    ("domain_parent", "rel_facet_domain_parent",
+     ("pri",), ("n_parents", "parent_price")),
+    ("multiselect", "rel_facet_multiselect",
+     ("pri",), ("cnt_excl_own", "cnt_all_filters")),
     ("sampled", "rel_facet_sampled",
      ("o_orderpriority",), ("sampled_cnt", "est_cnt")),
 ])

@@ -7352,3 +7352,97 @@ def rel_facet_multiselect(spark, sf_dir):
         .select("pri", "cnt_excl_own", "cnt_all_filters")
         .orderBy("pri")
     )
+
+
+# ------------------------------------- FeatureField / FeatureQuery
+
+_FEATURE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 + 1 AS DOUBLE) * 0.125
+           + 0.0625 * CAST(doc_id % 7 AS DOUBLE) AS v
+  FROM documents WHERE doc_id < 300),
+enc AS (
+  SELECT doc_id, v,
+         CAST(floor(((e + 127) * 8388608.0
+           + floor(v32 / p * 8388608.0 - 8388608.0)) / 32768.0) AS BIGINT)
+           AS freq
+  FROM (SELECT doc_id, v, v32,
+               CASE WHEN v32 < power(2.0, e0) THEN e0 - 1
+                    WHEN v32 >= 2 * power(2.0, e0) THEN e0 + 1
+                    ELSE e0 END AS e,
+               power(2.0, CASE WHEN v32 < power(2.0, e0) THEN e0 - 1
+                    WHEN v32 >= 2 * power(2.0, e0) THEN e0 + 1
+                    ELSE e0 END) AS p
+        FROM (SELECT doc_id, v,
+                     CAST(CAST(v AS FLOAT) AS DOUBLE) AS v32,
+                     floor(ln(CAST(CAST(v AS FLOAT) AS DOUBLE)) / ln(2.0))
+                       AS e0
+              FROM d))),
+dec AS (
+  SELECT doc_id, freq,
+         CAST((8388608.0 + (bits - floor(bits / 8388608.0) * 8388608.0))
+              * power(2.0, floor(bits / 8388608.0) - 127 - 23) AS FLOAT)
+           AS f
+  FROM (SELECT doc_id, freq, floor(CAST(freq AS DOUBLE)) * 32768.0 AS bits
+        FROM enc)),
+piv AS (
+  SELECT CAST((8388608.0 + (bits - floor(bits / 8388608.0) * 8388608.0))
+              * power(2.0, floor(bits / 8388608.0) - 127 - 23) AS FLOAT)
+           AS pv
+  FROM (SELECT floor(CAST(CAST(CAST(sum(freq) AS DOUBLE) / count(*)
+                 AS FLOAT) AS DOUBLE)) * 32768.0 AS bits
+        FROM enc))
+SELECT doc_id, freq,
+  round(CAST(CAST(CAST(1.8 AS FLOAT) AS DOUBLE)
+    * CAST(CAST(CAST(1.0 AS FLOAT) AS DOUBLE)
+           - CAST(CAST(pv AS DOUBLE)
+                  / CAST(CAST(CAST(f AS DOUBLE) + CAST(pv AS DOUBLE)
+                         AS FLOAT) AS DOUBLE) AS FLOAT) AS FLOAT)
+    AS FLOAT), 6) AS sat_auto,
+  round(CAST(CAST(CAST(2.0 AS FLOAT) AS DOUBLE)
+    * ln(CAST(CAST(CAST(1.0 AS FLOAT) AS DOUBLE) + CAST(f AS DOUBLE)
+          AS FLOAT)) AS FLOAT), 6) AS logv,
+  round(CAST(CAST(CAST(2.0 AS FLOAT) AS DOUBLE)
+    * (1.0 - power(2.5, 0.6)
+       / (power(CAST(f AS DOUBLE), 0.6) + power(2.5, 0.6)))
+    AS FLOAT), 6) AS sig
+FROM dec CROSS JOIN piv
+ORDER BY doc_id"""
+
+
+@gate("fts_feature_field", _FEATURE_SQL)
+def fts_feature_field(spark, sf_dir):
+    """FeatureField static-feature ranking (document/FeatureField.java):
+    values quantized into term-freq bits (floatToIntBits >>> 15) at
+    index time, scored by the saturation (stats-derived ~geometric-mean
+    pivot), log, and sigmoid functions with the reference's exact
+    float32 chains — see search/featurefield.py.  All closed-form
+    Column arithmetic; the one pivot stat is a broadcast 1-row agg."""
+    from .search.featurefield import encode_feature_freq, feature_scores
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    value = (
+        (F.col("doc_id") % 97 + 1).cast("double") * 0.125
+        + 0.0625 * (F.col("doc_id") % 7).cast("double")
+    )
+    feats = docs.select(
+        "doc_id",
+        F.lit("pr").alias("feature"),
+        encode_feature_freq(value).alias("freq"),
+    )
+    sat = feature_scores(feats, "pr", "saturation", weight=1.8)
+    logv = feature_scores(feats, "pr", "log", weight=2.0, scaling=1.0)
+    sig = feature_scores(
+        feats, "pr", "sigmoid", weight=2.0, pivot=2.5, a=0.6
+    )
+    return (
+        feats.select("doc_id", "freq")
+        .join(sat.select("doc_id", F.round("score", 6).alias("sat_auto")),
+              "doc_id")
+        .join(logv.select("doc_id", F.round("score", 6).alias("logv")),
+              "doc_id")
+        .join(sig.select("doc_id", F.round("score", 6).alias("sig")),
+              "doc_id")
+        .orderBy("doc_id")
+    )

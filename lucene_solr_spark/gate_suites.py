@@ -372,6 +372,8 @@ _suite("fts_score_shaping", [
     ("fuzzy_like_this", "fts_fuzzy_like_this", ("doc_id",), ("score",)),
     ("expr_rerank", "fn_jsexpr_rerank",
      ("doc_id",), ("rr_score", "base_score")),
+    ("feature_field", "fts_feature_field",
+     ("doc_id",), ("freq", "sat_auto", "logv", "sig")),
 ])
 
 # 13-14: analysis chains

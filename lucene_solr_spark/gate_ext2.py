@@ -7446,3 +7446,32 @@ def fts_feature_field(spark, sf_dir):
               "doc_id")
         .orderBy("doc_id")
     )
+
+
+_DISTANCE_FEATURE_SQL = """
+SELECT doc_id,
+  round(CAST(CAST(CAST(1.5 AS FLOAT) AS DOUBLE)
+    * (250.0 / (250.0 + CAST(abs(doc_id * 37 % 5000 - 1000) AS DOUBLE)))
+    AS FLOAT), 6) AS dfq_score
+FROM documents WHERE doc_id < 400
+ORDER BY doc_id"""
+
+
+@gate("fts_distance_feature", _DISTANCE_FEATURE_SQL)
+def fts_distance_feature(spark, sf_dir):
+    """LongDistanceFeatureQuery recency boost over a synthetic long
+    field (doc_id*37 % 5000 vs origin 1000, pivot 250) — see
+    search/featurefield.py long_distance_feature_scores."""
+    from .search.featurefield import long_distance_feature_scores
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    vals = docs.select(
+        "doc_id", ((F.col("doc_id") * 37) % 5000).alias("ts")
+    )
+    return (
+        long_distance_feature_scores(
+            vals, "ts", origin=1000, pivot_distance=250, weight=1.5
+        )
+        .select("doc_id", F.round("score", 6).alias("dfq_score"))
+        .orderBy("doc_id")
+    )

@@ -374,6 +374,8 @@ _suite("fts_score_shaping", [
      ("doc_id",), ("rr_score", "base_score")),
     ("feature_field", "fts_feature_field",
      ("doc_id",), ("freq", "sat_auto", "logv", "sig")),
+    ("distance_feature", "fts_distance_feature",
+     ("doc_id",), ("dfq_score",)),
 ])
 
 # 13-14: analysis chains

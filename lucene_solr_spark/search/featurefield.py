@@ -38,6 +38,7 @@ __all__ = [
     "decode_feature_value",
     "feature_scores",
     "pivot_feature_value",
+    "long_distance_feature_scores",
 ]
 
 _M23 = 8388608.0  # 2^23
@@ -142,3 +143,33 @@ def feature_scores(
         .cast("float")
     ).cast("float")
     return frame.select("doc_id", score.alias("score"))
+
+
+def long_distance_feature_scores(
+    df: DataFrame,
+    value_col: str,
+    origin: int,
+    pivot_distance: int,
+    weight: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LongDistanceFeatureQuery (document/LongDistanceFeatureQuery.java:
+    110): recency/proximity boost over a long field —
+    ``(float)(boost * (pivot / (pivot + |value - origin|)))``, double
+    arithmetic, float32 result.  The LatLon twin composes the same
+    saturation over the geodist surface already in
+    functions/valuesource.py (its SloppyMath haversine stays the
+    engine-wide standard-cosine declared divergence)."""
+    if pivot_distance <= 0:
+        raise ValueError(
+            f"pivotDistance must be > 0, got {pivot_distance}"
+        )
+    dist = F.abs(
+        F.col(value_col).cast("long") - F.lit(int(origin))
+    ).cast("double")
+    p = float(pivot_distance)
+    score = (
+        F.lit(weight).cast("float").cast("double")
+        * (F.lit(p) / (F.lit(p) + dist))
+    ).cast("float")
+    return df.select(F.col(id_col).alias("doc_id"), score.alias("score"))

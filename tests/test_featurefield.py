@@ -145,3 +145,23 @@ def test_auto_pivot_truncates_fractional_avg(spark):
         want = np.float32(np.float32(1.0) * np.float32(
             np.float32(1.0) - np.float32(pivot / np.float32(f + pivot))))
         assert got[i] == pytest.approx(float(want), abs=0), (v,)
+
+
+def test_long_distance_feature(spark):
+    from lucene_solr_spark.search.featurefield import (
+        long_distance_feature_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1000), (1, 1500), (2, 100)], "doc_id long, ts long"
+    )
+    got = {r["doc_id"]: r["score"] for r in long_distance_feature_scores(
+        df, "ts", origin=1000, pivot_distance=250, weight=1.5
+    ).collect()}
+    for i, v in [(0, 1000), (1, 1500), (2, 100)]:
+        want = np.float32(
+            float(np.float32(1.5)) * (250.0 / (250.0 + abs(v - 1000)))
+        )
+        assert got[i] == pytest.approx(float(want), abs=0)
+    with pytest.raises(ValueError):
+        long_distance_feature_scores(df, "ts", 0, 0)

@@ -7475,3 +7475,91 @@ def fts_distance_feature(spark, sf_dir):
         .select("doc_id", F.round("score", 6).alias("dfq_score"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------- NestedUpdateProcessor (block build)
+
+_NESTED_SQL = """
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000),
+li AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         row_number() OVER (PARTITION BY l.l_orderkey
+                            ORDER BY l.l_linenumber) - 1 AS ord
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey)
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+         CAST(o_orderkey AS BIGINT) AS root, '' AS nest_path,
+         CAST(-1 AS BIGINT) AS parent, 0 AS level
+  FROM o
+  UNION ALL
+  SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT),
+         CAST(l_orderkey AS BIGINT),
+         '/lineitems#' || CAST(ord AS VARCHAR),
+         CAST(l_orderkey AS BIGINT), 1
+  FROM li
+  UNION ALL
+  SELECT CAST(o_orderkey * 100000 + 1 AS BIGINT),
+         CAST(o_orderkey AS BIGINT), '/notes#0',
+         CAST(o_orderkey AS BIGINT), 1
+  FROM o WHERE o_orderkey % 3 = 0)
+ORDER BY doc_id, nest_path"""
+
+
+@gate("mut_nested_flatten", _NESTED_SQL)
+def mut_nested_flatten(spark, sf_dir):
+    """NestedUpdateProcessorFactory analog: orders with their lineitems
+    (and a conditional notes collection) assembled as document trees,
+    flattened to block rows with _root_ / _nest_path_ / _nest_parent_
+    annotations (operators/updatechain.py flatten_nested).  The oracle
+    re-derives the paths relationally; child ordinals come from the
+    sorted child array on the engine side and a row_number on the
+    oracle side, so a hash match pins the ordering too."""
+    from .operators.updatechain import flatten_nested
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    ).select(F.col("o_orderkey").alias("id"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(o.select(F.col("id").alias("l_orderkey")), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        (F.col("l_orderkey") * 100
+                         + F.col("l_linenumber")).alias("id"),
+                    )
+                )
+            ).alias("lineitems")
+        )
+        .withColumnRenamed("l_orderkey", "id")
+    )
+    nested = (
+        o.join(li, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("lineitems"),
+                F.array().cast("array<struct<ln:int,id:bigint>>"),
+            ).alias("lineitems"),
+            F.when(
+                F.col("id") % 3 == 0,
+                F.array(F.struct((F.col("id") * 100000 + 1).alias("id"))),
+            ).otherwise(
+                F.array().cast("array<struct<id:bigint>>")
+            ).alias("notes"),
+        )
+    )
+    flat = flatten_nested(nested, "id", ("lineitems", "notes"))
+    return (
+        flat.select(
+            "doc_id",
+            F.col("_root_").alias("root"),
+            F.col("_nest_path_").alias("nest_path"),
+            F.col("_nest_parent_").alias("parent"),
+            "level",
+        )
+        .orderBy("doc_id", "nest_path")
+    )

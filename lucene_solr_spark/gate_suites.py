@@ -461,6 +461,8 @@ _suite("mut_suite", [
      ("doc_id", "state"), ("n_chars", "n_tags")),
     ("realtime_get", "mut_realtime_get",
      ("doc_id", "from_tlog"), ("rtg_text_len",)),
+    ("nested", "mut_nested_flatten",
+     ("doc_id", "nest_path"), ("root", "parent", "level")),
     ("update_chain", "mut_update_chain",
      ("doc_id", "ktags"), ("text_len", "n_uniq", "cat_len", "is_expired")),
     ("pk_split", "fts_pk_split_search", ("doc_id",), ("score",)),

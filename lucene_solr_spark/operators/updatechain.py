@@ -49,6 +49,7 @@ __all__ = [
     "ignore_field", "doc_expiration", "expired_filter",
     "parse_numeric", "parse_date", "parse_boolean", "uuid_field",
     "ignore_large_document", "version_constraints",
+    "flatten_nested",
 ]
 
 
@@ -330,3 +331,75 @@ def version_constraints(id_col: str, version_col: str):
         )
 
     return proc
+
+
+def flatten_nested(
+    df: DataFrame,
+    id_col: str = "id",
+    child_fields: tuple = ("_childDocuments_",),
+) -> DataFrame:
+    """NestedUpdateProcessorFactory analog (update/processor/
+    NestedUpdateProcessorFactory.java): flatten a document tree into
+    block rows, annotating every descendant with ``_root_`` (the tree's
+    top id), ``_nest_path_`` ("/<childField>#<ordinal>" segments, the
+    Solr path syntax), ``_nest_parent_``, and ``level``.  Parents emit
+    path '' / parent -1.
+
+    The input carries children as array<struct> columns named in
+    ``child_fields``; each child struct has its own ``id_col`` and may
+    itself carry any of the child fields (Spark schemas are finite, so
+    the tree depth is the schema depth).  One ``posexplode`` per
+    (level, child field) — all narrow, no shuffle: block construction
+    cost is one pass over the tree rows regardless of corpus size."""
+    from pyspark.sql import types as T
+
+    base_cols = [
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("long").alias("_root_"),
+        F.lit("").alias("_nest_path_"),
+        F.lit(-1).cast("long").alias("_nest_parent_"),
+        F.lit(0).alias("level"),
+    ]
+    out = df.select(*base_cols)
+    frontier = [(df, F.col(id_col).cast("long"), F.lit("").cast("string"),
+                 F.lit(0))]
+    level = 0
+    while frontier:
+        nxt = []
+        level += 1
+        for frame, root_expr, path_expr, _lvl in frontier:
+            schema = {f.name: f.dataType for f in frame.schema.fields}
+            for cf in child_fields:
+                dt = schema.get(cf)
+                if not isinstance(dt, T.ArrayType) or not isinstance(
+                    dt.elementType, T.StructType
+                ):
+                    continue
+                exploded = frame.select(
+                    root_expr.alias("__root"),
+                    F.col(id_col).cast("long").alias("__parent"),
+                    path_expr.alias("__ppath"),
+                    F.posexplode(F.col(cf)).alias("__ord", "__c"),
+                )
+                child = exploded.select(
+                    "__root", "__parent", "__ord",
+                    F.concat(
+                        F.col("__ppath"), F.lit(f"/{cf}#"),
+                        F.col("__ord").cast("string"),
+                    ).alias("__path"),
+                    F.col("__c.*"),
+                )
+                out = out.unionByName(
+                    child.select(
+                        F.col(id_col).cast("long").alias("doc_id"),
+                        F.col("__root").alias("_root_"),
+                        F.col("__path").alias("_nest_path_"),
+                        F.col("__parent").alias("_nest_parent_"),
+                        F.lit(level).alias("level"),
+                    )
+                )
+                nxt.append((
+                    child, F.col("__root"), F.col("__path"), F.lit(level)
+                ))
+        frontier = nxt
+    return out

@@ -206,3 +206,41 @@ def test_version_constraints_keeps_max_version(spark):
     assert [(r["id"], r["ver"], r["body"]) for r in rows] == [
         ("a", 3, "new"), ("b", 2, "only"),
     ]
+
+
+def test_flatten_nested_paths(spark):
+    """NestedUpdateProcessor analog: _root_/_nest_path_/_nest_parent_
+    annotations over a 3-level tree with two child collections."""
+    from lucene_solr_spark.operators.updatechain import flatten_nested
+
+    rows = [
+        (1, [
+            (11, [(111, None), (112, None)], None),
+            (12, [], None),
+        ], [(19, None, None)]),
+        (2, [], None),
+    ]
+    schema = (
+        "id long, "
+        "items array<struct<id: long, "
+        "  items: array<struct<id: long, items: array<struct<id: long>>>>, "
+        "  notes: array<struct<id: long>>>>, "
+        "notes array<struct<id: long, items: array<struct<id: long>>, "
+        "  notes: array<struct<id: long>>>>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["doc_id"]: (r["_root_"], r["_nest_path_"], r["_nest_parent_"],
+                      r["level"])
+        for r in flatten_nested(
+            df, id_col="id", child_fields=("items", "notes")
+        ).collect()
+    }
+    assert out[1] == (1, "", -1, 0)
+    assert out[2] == (2, "", -1, 0)
+    assert out[11] == (1, "/items#0", 1, 1)
+    assert out[12] == (1, "/items#1", 1, 1)
+    assert out[19] == (1, "/notes#0", 1, 1)
+    assert out[111] == (1, "/items#0/items#0", 11, 2)
+    assert out[112] == (1, "/items#0/items#1", 11, 2)
+    assert len(out) == 7

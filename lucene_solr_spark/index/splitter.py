@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .builder import IndexTables
 
-__all__ = ["filter_index", "pk_index_splitter", "multi_pass_index_splitter"]
+__all__ = ["filter_index", "pk_index_splitter", "multi_pass_index_splitter", "merge_indexes"]
 
 
 def filter_index(tables: IndexTables, keep: Column) -> IndexTables:
@@ -99,3 +99,55 @@ def multi_pass_index_splitter(
                 )
             )
     return parts
+
+
+def merge_indexes(shards) -> IndexTables:
+    """IndexMergeTool (misc/.../misc/IndexMergeTool.java: addIndexes
+    then forceMerge): materialize N shard indexes into ONE index whose
+    stats equal a fresh build of the union.  Doc ids are re-based by
+    the running max_doc exactly like MultiReader's docBase starts
+    (multireader.py), but here the union is MATERIALIZED — postings /
+    norms / stored are unioned frames and the dictionary is re-agged,
+    so the result needs no composite-reader dispatch at query time.
+    Shard id-density is validated the same way multireader validates
+    (a shard whose max(doc_id)+1 exceeds its declared max_doc would
+    silently collide after re-basing)."""
+    if not shards:
+        raise ValueError("merge_indexes needs at least one shard")
+
+    def rebase(df, base):
+        return df.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+        )
+
+    base = 0
+    postings = norms = docmap = stored = None
+    for sh in shards:
+        top = sh.norms.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        declared = sh.max_doc
+        if top is not None and int(top) >= declared:
+            raise ValueError(
+                f"shard declares max_doc={declared} but has doc_id={top}; "
+                "doc ids are not dense 0-based — rebasing would collide"
+            )
+        p, n = rebase(sh.postings, base), rebase(sh.norms, base)
+        d, s = rebase(sh.docmap, base), rebase(sh.stored, base)
+        postings = p if postings is None else postings.unionByName(p)
+        norms = n if norms is None else norms.unionByName(n)
+        docmap = d if docmap is None else docmap.unionByName(d)
+        stored = s if stored is None else stored.unionByName(s)
+        base += declared
+    dictionary = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("freq").alias("cf")
+    )
+    merged = IndexTables(
+        postings=postings,
+        dictionary=dictionary,
+        norms=norms,
+        docmap=docmap,
+        stored=stored,
+        doc_count=sum(sh.doc_count for sh in shards),
+        sum_total_term_freq=sum(sh.sum_total_term_freq for sh in shards),
+    )
+    merged.set_max_doc(base)
+    return merged

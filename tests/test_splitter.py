@@ -97,3 +97,59 @@ def test_multipass_round_robin_and_seq(spark, parent):
     # last part absorbs the rounding remainder
     assert all(j >= 2 * part_len for j in got[2])
     assert sorted(sum(got, [])) == ids_all
+
+
+def test_merge_indexes_equals_fresh_build(spark):
+    """IndexMergeTool analog: merging shard indexes must equal a fresh
+    build of the union — identical stats and identical double-precision
+    scores, including a term present in only one shard."""
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.splitter import merge_indexes
+    from lucene_solr_spark.search.bruteforce import search_bruteforce
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["alpha beta", "alpha alpha rare", "beta gap",
+             "alpha beta gap", "gap gap", "beta beta alpha"])],
+        "doc_id long, text string",
+    )
+    single = build_index(docs, analyzer="simple", id_col="doc_id")
+    s1 = build_index(docs.filter("doc_id < 3"), analyzer="simple",
+                     id_col="doc_id")
+    s2 = build_index(
+        docs.filter("doc_id >= 3").withColumn("doc_id", docs.doc_id - 3),
+        analyzer="simple", id_col="doc_id",
+    )
+    merged = merge_indexes([s1, s2])
+    assert merged.doc_count == single.doc_count
+    assert merged.sum_total_term_freq == single.sum_total_term_freq
+    assert merged.max_doc == single.max_doc
+    d_single = {r["term"]: (r["df"], r["cf"])
+                for r in single.dictionary.collect()}
+    d_merged = {r["term"]: (r["df"], r["cf"])
+                for r in merged.dictionary.collect()}
+    assert d_single == d_merged
+    for terms in (["alpha", "beta"], ["rare"], ["gap", "rare"]):
+        a = {(r["doc_id"], r["score"]) for r in search_bruteforce(
+            single, terms, "disjunctive", k=None, precision="double"
+        ).collect()}
+        b = {(r["doc_id"], r["score"]) for r in search_bruteforce(
+            merged, terms, "disjunctive", k=None, precision="double"
+        ).collect()}
+        assert a == b and a
+
+
+def test_merge_indexes_rejects_sparse_shard(spark):
+    import pytest
+
+    from lucene_solr_spark.index.builder import build_index
+    from lucene_solr_spark.index.splitter import merge_indexes
+
+    docs = spark.createDataFrame(
+        [(5, "alpha beta")], "doc_id long, text string"
+    )
+    sparse = build_index(docs, analyzer="simple", id_col="doc_id")
+    with pytest.raises(ValueError, match="not dense"):
+        merge_indexes([sparse, sparse])
+    with pytest.raises(ValueError):
+        merge_indexes([])

@@ -7563,3 +7563,32 @@ def mut_nested_flatten(spark, sf_dir):
         )
         .orderBy("doc_id", "nest_path")
     )
+
+
+# ----------------------------- grouped faceting (group.facet=true)
+
+_GROUP_FACET_SQL = """
+SELECT o_orderpriority AS pri,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority ORDER BY pri"""
+
+
+@gate("rel_group_facet", _GROUP_FACET_SQL)
+def rel_group_facet(spark, sf_dir):
+    """Grouped faceting (lucene/grouping TermGroupFacetCollector /
+    Solr group.facet=true): each facet value counts the DISTINCT
+    groups (customers) that contain it, not matching docs — alongside
+    the doc-level count for contrast.  One partial+final agg with a
+    distinct-rewrite; Catalyst plans it as the expand+two-phase-agg
+    shape, no extra scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_groups"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("pri")
+    )

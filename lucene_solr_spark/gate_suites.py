@@ -491,6 +491,8 @@ _suite("rel_graph", [
 
 # 29: top-docs-per-group — grouping module + collapse
 _suite("rel_topk_groups", [
+    ("group_facet", "rel_group_facet",
+     ("pri",), ("n_groups", "n_docs")),
     ("top2", "rel_window_top2_orders",
      ("o_custkey", "o_orderkey"), ("o_totalprice", "rnk")),
     ("group_query", "rel_group_query",

@@ -286,10 +286,11 @@ class _Emit:
     node evaluated in expected-type context t ∈ {'D','L','I'} — exactly
     the typeStack discipline of JavascriptCompiler.compileExpression."""
 
-    def __init__(self, engine: str, bindings: dict):
+    def __init__(self, engine: str, bindings: dict, functions: dict | None = None):
         assert engine in ("spark", "duck")
         self.engine = engine
         self.bindings = bindings
+        self.extra_functions = dict(functions or {})
 
     # ---- JVM primitive casts as SQL
 
@@ -485,6 +486,14 @@ class _Emit:
             "tan": (1, lambda a: e.trig_g("tan", a)),
             "tanh": (1, lambda a: e.tanh_g(a)),
         }
+        if name in self.extra_functions:
+            arity, fn = self.extra_functions[name]
+            if len(args) != arity:
+                raise JsParseError(
+                    f"Expected ({arity}) arguments for function call "
+                    f"({name}), but found ({len(args)})."
+                )
+            return fn(self.engine, *args)
         if name not in table:
             raise JsParseError(f"Unrecognized function call ({name}).")
         arity, fn = table[name]
@@ -679,14 +688,20 @@ class CompiledExpression:
 
 
 def compile_expression(
-    source: str, bindings: dict[str, str] | None = None
+    source: str,
+    bindings: dict[str, str] | None = None,
+    functions: dict | None = None,
 ) -> CompiledExpression:
     """Compile a Lucene-expressions source string.
 
     ``bindings`` maps normalized variable names (e.g. ``_score``,
     ``doc['field'].value``) to SQL snippets valid on both engines
-    (usually bare column names).  The result's ``spark_sql`` /
-    ``duckdb_sql`` are scalar double-valued expressions."""
+    (usually bare column names).  ``functions`` extends the default
+    table like JavascriptCompiler.compile(src, functions, loader)
+    (JavascriptCompiler.java:140-150): name → (arity,
+    emitter(engine, *arg_sqls) -> sql) with double in/out semantics.
+    The result's ``spark_sql`` / ``duckdb_sql`` are scalar
+    double-valued expressions."""
     ast = _Parser(source).parse()
     names = sorted(_free_vars(ast))
     binds = dict(bindings or {})
@@ -698,8 +713,8 @@ def compile_expression(
     return CompiledExpression(
         source=source,
         variables=tuple(names),
-        spark_sql=_Emit("spark", binds).emit(ast, "D"),
-        duckdb_sql=_Emit("duck", binds).emit(ast, "D"),
+        spark_sql=_Emit("spark", binds, functions).emit(ast, "D"),
+        duckdb_sql=_Emit("duck", binds, functions).emit(ast, "D"),
     )
 
 

@@ -23,7 +23,9 @@ vectorhighlight/):
   distinct terms of termWeight·phraseBoost, normalized by √(#term
   occurrences in the fragment) (WeightedFieldFragList.java:36-66);
 - ``BaseFragmentsBuilder.makeFragment``: snippet assembly with
-  pre/post tags at each merged offset (BaseFragmentsBuilder.java);
+  pre/post tags at each merged offset, tag LISTS cycling by the clause
+  seqnum like getPreTag(preTags, seqnum) — the multi-colored mode
+  (BaseFragmentsBuilder.java:243-255);
   ``getFragmentSourceMSO`` snaps the emitted source window to the
   nearest ``SimpleBoundaryScanner`` boundary within maxScan=20
   (SimpleBoundaryScanner.java:28-95) while the recorded span offsets
@@ -73,11 +75,15 @@ class FvhQuery:
     phrases: tuple         # ((t1, t2, ...), boost[, slop]), ...
 
     def trie(self):
-        """term-path trie: node = {term: [(boost, slop) | None, children]}."""
+        """term-path trie: node = {term: [(boost, slop, seqnum) | None,
+        children]} — seqnum is the registration order, the reference's
+        termOrPhraseNumber used to pick pre/post tags per clause."""
         root = {}
+        seq = 0
         for term, boost in self.singles.items():
             node = root.setdefault(term, [None, {}])
-            node[0] = (float(boost), 0)
+            node[0] = (float(boost), 0, seq)
+            seq += 1
         for entry in self.phrases:
             terms, boost = entry[0], entry[1]
             slop = entry[2] if len(entry) > 2 else 0
@@ -86,7 +92,8 @@ class FvhQuery:
             for t in terms:
                 node = level.setdefault(t, [None, {}])
                 level = node[1]
-            node[0] = (float(boost), int(slop))
+            node[0] = (float(boost), int(slop), seq)
+            seq += 1
         return root
 
     def term_set(self):
@@ -162,20 +169,20 @@ def field_phrase_list(tokens, query: FvhQuery):
             j += 1
         # longest candidate valid?  else retry shorter prefixes
         # (push-back loop, FieldPhraseList.java:103-112)
-        match_len, boost = 0, None
+        match_len, boost, seqnum = 0, None, 0
         if _valid(cur, cand):
-            match_len, boost = len(cand), cur[0][0]
+            match_len, boost, seqnum = len(cand), cur[0][0], cur[0][2]
         else:
             for k in range(len(cand) - 1, 0, -1):
                 node_k = _walk(root, [t[0] for t in cand[:k]])
                 if node_k is not None and _valid(node_k, cand[:k]):
-                    match_len, boost = k, node_k[0][0]
+                    match_len, boost, seqnum = k, node_k[0][0], node_k[0][2]
                     break
         if match_len == 0:
             i += 1  # first term consumed and discarded
             continue
         matched = cand[:match_len]
-        info = _phrase_info(matched, boost)
+        info = _phrase_info(matched, boost, seqnum)
         if not any(_overlaps(info, p) for p in out):
             out.append(info)
         i += match_len
@@ -206,7 +213,7 @@ def _walk(root, terms):
     return node
 
 
-def _phrase_info(matched, boost):
+def _phrase_info(matched, boost, seqnum=0):
     # merge offsets of consecutive positions (WeightedPhraseInfo ctor)
     toffs = [[matched[0][2], matched[0][3]]]
     pos = matched[0][1]
@@ -224,6 +231,7 @@ def _phrase_info(matched, boost):
         text,
         boost,
         tuple(t[0] for t in matched),
+        seqnum,
     )
 
 
@@ -366,15 +374,18 @@ def make_fragment(text, frag, pre_tag="<b>", post_tag="</b>"):
     span_start, span_end = frag[0], frag[1]
     mso = find_start_offset(text, span_start)
     eo = len(text) if len(text) < span_end else find_end_offset(text, span_end)
+    pres = [pre_tag] if isinstance(pre_tag, str) else list(pre_tag)
+    posts = [post_tag] if isinstance(post_tag, str) else list(post_tag)
     src = text[mso:eo]
     out = []
     idx = 0
     for p in frag[3]:
+        seq = p[6] if len(p) > 6 else 0
         for ts, te in p[2]:
             out.append(src[idx : ts - mso])
-            out.append(pre_tag)
+            out.append(pres[seq % len(pres)])
             out.append(src[ts - mso : te - mso])
-            out.append(post_tag)
+            out.append(posts[seq % len(posts)])
             idx = te - mso
     out.append(src[idx:])
     return "".join(out)

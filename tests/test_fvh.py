@@ -343,3 +343,14 @@ def test_phrase_slop():
     # gap 2 exceeds slop 1: "c a a b d c" has a@4(pos2), c@10(pos5)
     got = field_phrase_list(tokenize_offsets("c a a b d c"), q)
     assert got == []
+
+
+def test_multi_colored_tags_by_seqnum():
+    # tag arrays cycle by clause seqnum (BaseFragmentsBuilder
+    # getPreTag(preTags, seqnum) — multi-colored highlighting)
+    q = FvhQuery(singles={"a": 1.0, "b": 1.0}, phrases=())
+    out = highlight_doc(
+        "a x b x a", q, frag_char_size=20,
+        pre_tag=["<R>", "<G>"], post_tag=["</R>", "</G>"],
+    )
+    assert out[0][4] == "<R>a</R> x <G>b</G> x <R>a</R>"

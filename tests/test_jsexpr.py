@@ -448,3 +448,26 @@ def test_truthiness_is_int_truncating(spark):
         assert spark.sql(
             f"SELECT {ce.spark_sql} AS v"
         ).collect()[0][0] == want, src
+
+
+def test_custom_functions(spark):
+    # JavascriptCompiler.compile(src, functions) extension point
+    # (TestCustomFunctions.java): register cbrt like the javadoc example
+    con = duckdb.connect()
+    ce = compile_expression(
+        "cbrt(x) + 1", {"x": "x"},
+        functions={"cbrt": (1, lambda eng, a: f"cbrt({a})")},
+    )
+    d = con.execute(
+        "SELECT " + ce.duckdb_sql + " FROM (SELECT 27.0 AS x)"
+    ).fetchone()[0]
+    s = spark.sql(
+        f"SELECT {ce.spark_sql} AS v FROM (SELECT CAST(27.0 AS DOUBLE) AS x)"
+    ).collect()[0][0]
+    assert d == pytest.approx(4.0, rel=1e-12)
+    assert s == pytest.approx(4.0, rel=1e-12)
+    # arity checked like the default table
+    with pytest.raises(JsParseError):
+        compile_expression(
+            "cbrt(1, 2)", functions={"cbrt": (1, lambda e, a: a)}
+        )

@@ -336,3 +336,60 @@ def test_long_value_facets_single_agg_topk(spark):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_url_dedup_single_grouping_key_shuffle(spark):
+    """url_dedup shuffles only (canonical_url, id) pairs: the group agg
+    plus the join back — no extra scan-wide shuffles, and the
+    canonicalization itself is pure projection (no Exchange before the
+    first agg)."""
+    from lucene_solr_spark.operators import urlnorm as un
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    plan = formatted_plan(un.url_dedup(docs))
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
+    assert "HashAggregate" in plan
+
+
+def test_importance_broadcasts_ratio_table(spark):
+    """importance_weights joins the per-term log-ratio table onto the
+    exploded token stream as a BROADCAST — shuffling the token stream
+    by term would be the 100 TB mistake."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.importance import importance_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = importance_weights(docs, F.col("doc_id") % 5 == 0)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+
+
+def test_gopher_ngram_metrics_partial_aggregation(spark):
+    """ngram_repetition's gram counts run partial+final (map-side
+    combine) — the shuffle carries (doc, gram, partial count), never raw
+    exploded shingles."""
+    from lucene_solr_spark.operators import textqual as tq
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    plan = formatted_plan(tq.ngram_repetition(docs))
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2, plan
+
+
+def test_fvh_zero_shuffle(spark):
+    """FVH is one narrow mapInPandas — the whole highlight plan has no
+    Exchange at all."""
+    from lucene_solr_spark.search.fvh import FvhQuery, fvh_highlight
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "doc_id < 50"
+    )
+    q = FvhQuery(singles={"merge": 1.0}, phrases=())
+    plan = formatted_plan(fvh_highlight(docs, q))
+    assert "Exchange" not in plan, plan

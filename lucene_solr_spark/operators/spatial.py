@@ -215,3 +215,75 @@ def heatmap_facet(
         .groupBy("grid_row", "grid_col")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def polygons_from_geojson(geojson):
+    """Polygon.fromGeoJSON analog (geo/SimpleGeoJSONPolygonParser.java):
+    parse a GeoJSON string or mapping — a Polygon, a MultiPolygon, or a
+    Feature/geometry wrapping one — into [(shell, holes)] where shell
+    and each hole are (lat, lon) vertex lists in the engine's format
+    (GeoJSON positions are [lon, lat]; rings must be closed and the
+    closing duplicate is stripped, since the containment expressions
+    close implicitly)."""
+    import json
+
+    obj = json.loads(geojson) if isinstance(geojson, str) else dict(geojson)
+    while obj.get("type") in ("Feature",):
+        obj = obj["geometry"]
+    if obj.get("type") == "FeatureCollection":
+        feats = obj.get("features") or []
+        if len(feats) != 1:
+            raise ValueError(
+                "FeatureCollection must hold exactly one polygon feature"
+            )
+        obj = feats[0]["geometry"]
+    gtype = obj.get("type")
+    if gtype == "Polygon":
+        polys = [obj["coordinates"]]
+    elif gtype == "MultiPolygon":
+        polys = list(obj["coordinates"])
+    else:
+        raise ValueError(
+            f"can only parse Polygon or MultiPolygon, got {gtype!r}"
+        )
+
+    def ring(coords):
+        if len(coords) < 4:
+            raise ValueError("ring must have at least 4 positions")
+        if coords[0] != coords[-1]:
+            raise ValueError(
+                "first and last points of the polygon must be the same "
+                "(it must close itself): "
+                f"{coords[0]} != {coords[-1]}"
+            )
+        return [(float(lat), float(lon)) for lon, lat, *_ in coords[:-1]]
+
+    out = []
+    for rings in polys:
+        if not rings:
+            raise ValueError("polygon has no rings")
+        out.append((ring(rings[0]), [ring(r) for r in rings[1:]]))
+    return out
+
+
+def polygon_with_holes_contains_col(lat_col, lon_col, shell, holes=()):
+    """General polygon containment with holes: even-odd parity of ray
+    crossings summed over the shell AND every hole ring — a point
+    inside a hole crosses an even total and drops out, exactly the
+    Polygon2D-with-holes semantics under the PNPOLY boundary
+    convention (see polygon_contains_general_col)."""
+    cnt = F.lit(0)
+    for ring in [shell, *holes]:
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = (float(v) for v in ring[i])
+            y2, x2 = (float(v) for v in ring[(i + 1) % n])
+            if y1 == y2:
+                continue
+            straddle = (F.lit(y1) > lat_col) != (F.lit(y2) > lat_col)
+            xint = (
+                F.lit(x2 - x1) * (lat_col - F.lit(y1)) / F.lit(y2 - y1)
+                + F.lit(x1)
+            )
+            cnt = cnt + F.when(straddle & (lon_col < xint), 1).otherwise(0)
+    return cnt % 2 == 1

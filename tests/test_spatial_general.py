@@ -76,3 +76,58 @@ def test_heatmap_counts_and_clamping(spark):
         heatmap_facet(df, 0.0, 10.0, 0.0, 10.0, 0, 2)
     with pytest.raises(ValueError):
         heatmap_facet(df, 10.0, 0.0, 0.0, 10.0, 2, 2)
+
+
+def test_geojson_polygon_parse_and_holes(spark):
+    """Polygon.fromGeoJSON analog: [lon,lat] order, closed rings,
+    holes; containment drops points inside holes (even-odd parity)."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spatial import (
+        polygon_with_holes_contains_col,
+        polygons_from_geojson,
+    )
+
+    gj = json.dumps({
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [
+                [[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]],
+                [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+            ],
+        },
+    })
+    polys = polygons_from_geojson(gj)
+    assert len(polys) == 1
+    shell, holes = polys[0]
+    assert shell[0] == (0.0, 0.0) and len(shell) == 4
+    assert len(holes) == 1 and len(holes[0]) == 4
+
+    pts = [(0, 2.0, 2.0), (1, 5.0, 5.0), (2, 11.0, 5.0), (3, 4.5, 9.5)]
+    df = spark.createDataFrame(pts, "i long, lat double, lon double")
+    got = {r["i"]: r["inp"] for r in df.select(
+        "i", polygon_with_holes_contains_col(
+            F.col("lat"), F.col("lon"), shell, holes).alias("inp")
+    ).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True}
+
+    multi = polygons_from_geojson(json.dumps({
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0, 0], [0, 1], [1, 1], [0, 0]]],
+            [[[5, 5], [5, 6], [6, 6], [5, 5]]],
+        ],
+    }))
+    assert len(multi) == 2 and multi[1][0][0] == (5.0, 5.0)
+
+    with pytest.raises(ValueError, match="close"):
+        polygons_from_geojson(json.dumps({
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [0, 1], [1, 1], [2, 2]]],
+        }))
+    with pytest.raises(ValueError, match="Polygon or MultiPolygon"):
+        polygons_from_geojson('{"type": "Point", "coordinates": [1, 2]}')

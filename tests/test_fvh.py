@@ -354,3 +354,103 @@ def test_multi_colored_tags_by_seqnum():
         pre_tag=["<R>", "<G>"], post_tag=["</R>", "</G>"],
     )
     assert out[0][4] == "<R>a</R> x <G>b</G> x <R>a</R>"
+
+
+# --------------------------- randomized greedy-scan property test
+
+
+def _stack_machine_phrase_list(tokens, query):
+    """Independent reimplementation of the FieldPhraseList loop as a
+    literal stack machine (pop / push-back on a deque), used as the
+    property-test oracle for field_phrase_list's trie-walk version."""
+    from collections import deque
+
+    def node_for(terms):
+        level, node = query.trie(), None
+        for t in terms:
+            node = level.get(t)
+            if node is None:
+                return None
+            level = node[1]
+        return node
+
+    def valid(terms_tokens):
+        node = node_for([t[0] for t in terms_tokens])
+        if node is None or node[0] is None:
+            return None
+        if len(terms_tokens) > 1:
+            slop = node[0][1]
+            pos = terms_tokens[0][1]
+            for t in terms_tokens[1:]:
+                if abs(t[1] - pos - 1) > slop:
+                    return None
+                pos = t[1]
+        return node[0]
+
+    term_set = query.term_set()
+    stack = deque(t for t in tokens if t[0] in term_set)
+    out = []
+    while stack:
+        first = stack.popleft()
+        cur = node_for([first[0]])
+        if cur is None:
+            continue
+        cand = [first]
+        while True:
+            ti = stack.popleft() if stack else None
+            nxt = None
+            if ti is not None:
+                nxt = cur[1].get(ti[0])
+            if ti is None or nxt is None:
+                if ti is not None:
+                    stack.appendleft(ti)
+                meta = valid(cand)
+                if meta is not None:
+                    out.append((cand, meta))
+                else:
+                    while len(cand) > 1:
+                        stack.appendleft(cand.pop())
+                        meta = valid(cand)
+                        if meta is not None:
+                            out.append((cand, meta))
+                            break
+                break
+            cand = cand + [ti]
+            cur = nxt
+    # addIfNoOverlap: keep (start, end, boost) of non-overlapping
+    # matches in scan order
+    res, kept = [], []
+    for cand, meta in out:
+        s, e = cand[0][2], cand[-1][3]
+        if not any(
+            (s <= o[0] < e) or (s < o[1] <= e)
+            or (o[0] <= s < o[1]) or (o[0] < e <= o[1])
+            for o in kept
+        ):
+            kept.append((s, e))
+            res.append((s, e, meta[0]))
+    return res
+
+
+def test_greedy_scan_matches_stack_machine_randomized():
+    import random
+
+    rng = random.Random(424242)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(400):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        n_singles = rng.randint(0, 2)
+        singles = {t: 1.0 + i for i, t in enumerate(
+            rng.sample(vocab, n_singles))}
+        phrases = []
+        for _ in range(rng.randint(0, 3)):
+            ln = rng.randint(2, 3)
+            terms = tuple(rng.choice(vocab) for _ in range(ln))
+            phrases.append((terms, 2.0, rng.randint(0, 2)))
+        q = FvhQuery(singles=singles, phrases=tuple(phrases))
+        got = [
+            (p[0], p[1], p[4])
+            for p in field_phrase_list(tokenize_offsets(text), q)
+        ]
+        want = _stack_machine_phrase_list(tokenize_offsets(text), q)
+        assert got == want, (trial, text, singles, phrases, got, want)

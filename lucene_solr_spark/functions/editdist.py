@@ -56,3 +56,53 @@ def damerau_levenshtein(col: Column, query: str) -> Column:
 
 
 __all__ = ["damerau_levenshtein", "dl_distance_py"]
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """JaroWinklerDistance.getDistance (suggest/.../spell/
+    JaroWinklerDistance.java): Jaro similarity over the half-max-length
+    match window, transpositions halved, plus the Winkler common-prefix
+    bonus (≤4 chars, scaling min(0.1, 1/maxLen)) applied only above the
+    0.7 threshold.  DuckDB's jaro_winkler_similarity computes the
+    identical value (verified on the reference's own test pairs), which
+    is what makes the cross-engine gate possible."""
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_flags = [False] * len(mx)
+    ms1 = []
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_flags[xi] = True
+                ms1.append(c1)
+                break
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    m = len(ms1)
+    if m == 0:
+        return 0.0
+    t = sum(1 for a, b in zip(ms1, ms2) if a != b) // 2
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b:
+            break
+        prefix += 1
+    j = (m / len(s1) + m / len(s2) + (m - t) / m) / 3.0
+    if j < 0.7:
+        return j
+    return j + min(0.1, 1.0 / max(len(s1), len(s2))) * min(prefix, 4) * (
+        1.0 - j
+    )
+
+
+def jaro_winkler(col: Column, query: str) -> Column:
+    """Column of Jaro-Winkler similarities vs ``query`` (Arrow-batched;
+    dictionary-scale inputs only, like damerau_levenshtein)."""
+
+    @pandas_udf("double")
+    def _jw(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: jaro_winkler_py(t or "", query))
+
+    return _jw(col)

@@ -7592,3 +7592,45 @@ def rel_group_facet(spark, sf_dir):
         )
         .orderBy("pri")
     )
+
+
+# ------------------------ JaroWinkler spell-distance (spell package)
+
+_JW_QUERY_TERM = "tabel"
+
+_JW_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                  '[a-z0-9]+')) AS term
+  FROM documents)
+SELECT term, round(jaro_winkler_similarity(term, '{_JW_QUERY_TERM}'), 6)
+         AS jw
+FROM toks
+WHERE jaro_winkler_similarity(term, '{_JW_QUERY_TERM}') >= 0.6
+ORDER BY jw DESC, term LIMIT 20"""
+
+
+@gate("fts_jaro_winkler", _JW_SQL)
+def fts_jaro_winkler(spark, sf_dir):
+    """JaroWinklerDistance spell suggestions (spell/JaroWinklerDistance
+    .java): dictionary terms ranked by JW similarity to the query term
+    with the reference's 0.7-threshold Winkler prefix bonus.  The
+    engine runs the exact Lucene algorithm in an Arrow batch over the
+    term dictionary; DuckDB's builtin computes the identical value."""
+    from .functions.editdist import jaro_winkler
+    from .operators.dedup import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.array_distinct(tokens_col("text"))).alias("term")
+    ).distinct()
+    return (
+        terms.select(
+            "term",
+            F.round(jaro_winkler(F.col("term"), _JW_QUERY_TERM), 6)
+            .alias("jw"),
+        )
+        .filter(F.col("jw") >= 0.6)
+        .orderBy(F.desc("jw"), F.asc("term"))
+        .limit(20)
+    )

@@ -437,6 +437,7 @@ _suite("fts_mlt", [
 _suite("fts_suggest_spell", [
     ("suggest", "fts_suggest_prefix", ("term",), ("weight",)),
     ("spellcheck", "fts_spellcheck", ("term",), ("distance", "df")),
+    ("jaro_winkler", "fts_jaro_winkler", ("term",), ("jw",)),
     ("analyzing", "fts_suggest_analyzing", ("key",), ("weight",)),
     ("fuzzy", "fts_suggest_fuzzy", ("key",), ("weight", "distance")),
     ("word_breaks", "fts_word_breaks",

@@ -130,3 +130,28 @@ def test_edismax_qf_tie(spark):
     assert got[0] == pytest.approx(exp0, rel=1e-12)
     assert got[1] == pytest.approx(exp1, rel=1e-12)
     assert got[2] == pytest.approx(exp2, rel=1e-12)
+
+
+def test_jaro_winkler_reference_pairs():
+    """JaroWinklerDistance.java semantics on its own canonical pairs
+    (JaroWinklerDistance javadoc / TestJaroWinklerDistance family):
+    prefix bonus above the 0.7 threshold, transpositions halved."""
+    import pytest
+
+    from lucene_solr_spark.functions.editdist import jaro_winkler_py
+
+    assert jaro_winkler_py("al", "al") == pytest.approx(1.0)
+    assert jaro_winkler_py("martha", "marhta") == pytest.approx(
+        0.961111, abs=1e-6)
+    assert jaro_winkler_py("jones", "johnson") == pytest.approx(
+        0.832381, abs=1e-6)
+    assert jaro_winkler_py("abcvwxyz", "cabvwxyz") == pytest.approx(
+        0.958333, abs=1e-6)
+    assert jaro_winkler_py("dwayne", "duane") == pytest.approx(
+        0.84, abs=1e-6)
+    assert jaro_winkler_py("dixon", "dicksonx") == pytest.approx(
+        0.813333, abs=1e-6)
+    assert jaro_winkler_py("fvie", "ten") == 0.0
+    # below the 0.7 threshold: NO prefix bonus applies
+    j = jaro_winkler_py("kitten", "sitting")
+    assert j == pytest.approx(0.746032, abs=1e-6)

@@ -106,3 +106,55 @@ def jaro_winkler(col: Column, query: str) -> Column:
         return s.map(lambda t: jaro_winkler_py(t or "", query))
 
     return _jw(col)
+
+
+def ngram_distance_py(source: str, target: str, n: int = 2) -> float:
+    """NGramDistance.getDistance (spell/NGramDistance.java — Kondrak
+    2005 n-gram edit distance): a Levenshtein DP where substitution
+    cost is the per-position mismatch fraction of the aligned n-grams,
+    with zero-prefix padding whose matches are discounted from the
+    denominator; the short-string branch scores positional equality.
+    Float32 accumulation replicated (the DP arrays are float[])."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = sum(
+            1 for a, b in zip(source, target) if a == b
+        )
+        return float(np.float32(cost) / np.float32(max(sl, tl)))
+    sa = ["\0"] * (n - 1) + list(source)
+    p = [np.float32(i) for i in range(sl + 1)]
+    d = [np.float32(0)] * (sl + 1)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = ["\0"] * (n - j) + list(target[:j])
+        else:
+            t_j = list(target[j - n : j])
+        d[0] = np.float32(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\0":
+                    tn -= 1
+            ec = np.float32(np.float32(cost) / np.float32(tn))
+            d[i] = np.float32(
+                min(min(d[i - 1] + np.float32(1), p[i] + np.float32(1)),
+                    np.float32(p[i - 1] + ec))
+            )
+        p, d = d, p
+    return float(np.float32(1.0) - np.float32(p[sl] / np.float32(max(tl, sl))))
+
+
+def ngram_distance(col: Column, query: str, n: int = 2) -> Column:
+    """Column of n-gram distances vs ``query`` (Arrow-batched;
+    dictionary-scale inputs only)."""
+
+    @pandas_udf("double")
+    def _nd(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: ngram_distance_py(t or "", query, n))
+
+    return _nd(col)

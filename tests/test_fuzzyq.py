@@ -155,3 +155,34 @@ def test_jaro_winkler_reference_pairs():
     # below the 0.7 threshold: NO prefix bonus applies
     j = jaro_winkler_py("kitten", "sitting")
     assert j == pytest.approx(0.746032, abs=1e-6)
+
+
+def test_ngram_distance_junit_vectors():
+    """NGramDistance (Kondrak 2005) — TestNGramDistance.java vectors
+    for n=1, 2, 3, including the relational assertions."""
+    import pytest
+
+    from lucene_solr_spark.functions.editdist import ngram_distance_py as nd
+
+    for n, cases in {
+        1: [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+            ("martha", "marhta", 0.6666), ("jones", "johnson", 0.4285),
+            ("natural", "contrary", 0.25), ("abcvwxyz", "cabvwxyz", 0.75),
+            ("dwayne", "duane", 0.666), ("dixon", "dicksonx", 0.5),
+            ("six", "ten", 0.0)],
+        2: [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+            ("a", "aa", 0.5), ("martha", "marhta", 0.6666),
+            ("jones", "johnson", 0.4285), ("natural", "contrary", 0.25),
+            ("abcvwxyz", "cabvwxyz", 0.625), ("dwayne", "duane", 0.5833),
+            ("dixon", "dicksonx", 0.5), ("six", "ten", 0.0)],
+        3: [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0)],
+    }.items():
+        for a, b, want in cases:
+            assert nd(a, b, n) == pytest.approx(want, abs=1e-3), (n, a, b)
+    assert nd("zac ephron", "zac efron", 1) == pytest.approx(
+        nd("zac ephron", "kai ephron", 1), abs=1e-3)
+    assert nd("zac ephron", "zac efron", 2) > nd("zac ephron", "kai ephron", 2)
+    assert nd("brittney spears", "britney spears", 2) > nd(
+        "brittney spears", "brittney startzman", 2)
+    assert nd("0012345678", "0012890678", 2) == pytest.approx(
+        nd("0012345678", "0072385698", 2), abs=1e-3)

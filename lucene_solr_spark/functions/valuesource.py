@@ -472,15 +472,17 @@ def concat_v(*xs) -> Column:
 def ord_map(df, col: str):
     """`ord(field)` / `rord(field)` (OrdFieldSource): 1-based ordinal of
     the row's value within the field's sorted distinct domain. Returns a
-    TINY (value, ord, rord) mapping DataFrame — callers broadcast-join
-    it back; the window runs over the distinct domain only, never over
-    the corpus (the scale-safe shape of a global ordinal)."""
-    from pyspark.sql import Window as W
+    (value, ord, rord) mapping DataFrame — callers broadcast-join it
+    back. The ordinal itself is assigned with the range-partition +
+    driver-prefix-sum pattern (index/docid.py) — a distributed sort of
+    the distinct domain with one scalar per partition on the driver —
+    never a partition-less rank window, so an unbounded domain (e.g.
+    ord over a string id field) still parallelizes."""
+    from ..index.docid import with_doc_ids
 
     dom = df.select(F.col(col).alias("val")).distinct()
-    w = W.orderBy(F.asc("val"))
-    ranked = dom.select(
-        "val", F.dense_rank().over(w).cast("long").alias("ord")
+    ranked = with_doc_ids(dom, order_cols=("val",), id_col="_ord0").select(
+        "val", (F.col("_ord0") + 1).cast("long").alias("ord")
     )
     n = ranked.agg(F.max("ord").alias("n_vals"))
     return ranked.crossJoin(F.broadcast(n)).select(

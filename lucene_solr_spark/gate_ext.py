@@ -866,9 +866,10 @@ def fts_rerank_query(spark, sf_dir):
     ReRankQParserPlugin.java — 'ReRankQuery ... re-ranks the top N').
     At scale the window comes from the WAND top-N and the rerank join
     broadcasts (the ml_ltr_rerank plan); the rank cut is on the
-    rounded score so both engines agree at the boundary."""
-    from pyspark.sql import Window as W
-
+    rounded score so both engines agree at the boundary. The top-50
+    first-pass window is a plain global top-k — orderBy().limit(50)
+    (TakeOrderedAndProject) broadcast back as a marker, never a
+    partition-less rank window over every scored doc."""
     tables = docs_index(spark, sf_dir)
     main = search_bruteforce(
         tables, ["spark"], "disjunctive", k=None, precision="double"
@@ -876,17 +877,25 @@ def fts_rerank_query(spark, sf_dir):
     rer = search_bruteforce(
         tables, ["merge"], "disjunctive", k=None, precision="double"
     ).select("doc_id", F.col("score").alias("rscore"))
-    w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
-    ranked = main.withColumn("rk", F.row_number().over(w))
-    fin = ranked.join(rer, "doc_id", "left").select(
-        "doc_id",
-        (
-            F.col("score")
-            + F.when(
-                (F.col("rk") <= 50) & F.col("rscore").isNotNull(),
-                0.5 * F.col("rscore"),
-            ).otherwise(0.0)
-        ).alias("fscore"),
+    in_win = (
+        main.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.lit(1).alias("in_win"))
+    )
+    fin = (
+        main.join(F.broadcast(in_win), "doc_id", "left")
+        .join(rer, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                + F.when(
+                    F.col("in_win").isNotNull()
+                    & F.col("rscore").isNotNull(),
+                    0.5 * F.col("rscore"),
+                ).otherwise(0.0)
+            ).alias("fscore"),
+        )
     )
     return (
         fin.select("doc_id", F.round("fscore", 4).alias("score"))

@@ -558,9 +558,11 @@ ORDER BY nation_cnt DESC, n_name ASC, cnt DESC, c_mktsegment ASC""",
 def rel_facet_nested(spark, sf_dir):
     """Nested JSON facet (facet-within-facet): top-5 nations by customer
     count, top-3 market segments within each (reference solr/core/.../
-    search/facet/FacetField.java sub-facet processing). Two window
-    rank passes over one partial-agged groupBy — no extra shuffle of
-    the base table."""
+    search/facet/FacetField.java sub-facet processing). The outer
+    top-5-buckets cut is a plain global top-k over the per-nation agg
+    — orderBy().limit(5) (TakeOrderedAndProject), never a
+    partition-less rank window; the inner cut is a per-nation
+    (partitioned) rank window — no extra shuffle of the base table."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     cn = (
@@ -568,12 +570,14 @@ def rel_facet_nested(spark, sf_dir):
         .groupBy("n_name", "c_mktsegment")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = cn.groupBy("n_name").agg(F.sum("cnt").alias("nation_cnt")).withColumn(
-        "nrank",
-        F.row_number().over(W.orderBy(F.desc("nation_cnt"), F.asc("n_name"))),
+    tot = (
+        cn.groupBy("n_name")
+        .agg(F.sum("cnt").alias("nation_cnt"))
+        .orderBy(F.desc("nation_cnt"), F.asc("n_name"))
+        .limit(5)
     )
     ranked = (
-        cn.join(tot.filter(F.col("nrank") <= 5), "n_name")
+        cn.join(tot, "n_name")
         .withColumn(
             "srank",
             F.row_number().over(
@@ -3210,12 +3214,11 @@ def fn_eval_tests(spark, sf_dir):
     pos = p·(n+1) with linear interpolation, NOT Spark/DuckDB's
     built-in R-7), and EmpiricalDistribution equal-width histogram
     bins (HistogramEvaluator.java). Moments come from
-    order-independent DECIMAL sums; the exact percentile is the one
-    evaluator that needs a global sort (the reference streams the
-    sample to one node too — scale users take the t-digest
+    order-independent DECIMAL sums; the exact percentile needs a
+    global order statistic, assigned with the range-repartition +
+    driver-prefix-sum pattern (index/docid.py) — a distributed sort,
+    never a partition-less rank window (scale users take the t-digest
     rel_percentile path instead)."""
-    from pyspark.sql import Window as Wd
-
     li = load(spark, sf_dir, "lineitem")
     q = li.select(
         "l_linestatus",
@@ -3275,10 +3278,14 @@ def fn_eval_tests(spark, sf_dir):
             F.col("k").cast("double").alias("v2"),
         )
     )
-    # commons-math LEGACY percentile: pos = p(n+1), linear interp
-    r = q.select("x").withColumn(
-        "rk", F.row_number().over(Wd.orderBy("x"))
-    )
+    # commons-math LEGACY percentile: pos = p(n+1), linear interp.
+    # ranks via the distributed-sort prefix-sum (value-at-rank is
+    # well-defined under ties even though rank-of-duplicate is not)
+    from .index.docid import with_doc_ids
+
+    r = with_doc_ids(
+        q.select("x"), order_cols=("x",), id_col="_rk0"
+    ).select("x", (F.col("_rk0") + 1).alias("rk"))
     n_row = q.agg(
         F.count("*").cast("double").alias("n"),
         F.min("x").alias("minx"), F.max("x").alias("maxx"))
@@ -5555,18 +5562,23 @@ def fn_ir_quality(spark, sf_dir):
     from .operators.irquality import quality_stats
 
     tables = docs_index(spark, sf_dir)
-    runs = None
+    scored = None
     for t in _IRQ_TERMS:
         r = search_bruteforce(
             tables, [t], "disjunctive", k=None, precision="double"
-        )
-        w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
-        r = (
-            r.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
-            .select(F.lit(t).alias("qid"), "doc_id", "rank")
-        )
-        runs = r if runs is None else runs.unionByName(r)
+        ).select(F.lit(t).alias("qid"), "doc_id", "score")
+        scored = r if scored is None else scored.unionByName(r)
+    # rank windows are per-query: partition by qid so each query's
+    # cut is a parallel per-key window, never a single-task global
+    # sort (the TopDocs.merge shape — per-shard top-k, tiny merge)
+    w = W.partitionBy("qid").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id")
+    )
+    runs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("qid", "doc_id", "rank")
+    )
 
     docs = load(spark, sf_dir, "documents")
     judg = (
@@ -6595,26 +6607,33 @@ def fn_knn_regress(spark, sf_dir):
     KnnRegressionEvaluator.java predict:221-249,
     KnnEvaluator.Neighbor.compareTo:146-152). Distance join + rank
     window + one agg (functions/evaluators.py knn_regress)."""
-    from pyspark.sql import Window as W
-
     from .functions.evaluators import knn_regress
 
     li = load(spark, sf_dir, "lineitem")
-    obs = (
-        li.withColumn(
-            "idx",
-            F.row_number().over(
-                W.orderBy("l_orderkey", "l_linenumber")
-            ) - 1,
-        )
-        .filter(F.col("idx") < 200)
-        .select(
-            "idx",
+    # deterministic 200-observation fixture WITHOUT a global rank
+    # window: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-k + tiny merge), and the 200 scalars come to
+    # the driver once — the same bounded-pull pattern as MLT term
+    # selection. idx = position in (l_orderkey, l_linenumber) order.
+    picked = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
             F.col("l_quantity").cast("double").alias("f1"),
             (F.col("l_discount") * 100).cast("double").alias("f2"),
             (F.col("l_linenumber") * 7).cast("double").alias("f3"),
             F.col("l_extendedprice").cast("double").alias("outcome"),
         )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+        .collect()
+    )
+    obs = spark.createDataFrame(
+        [
+            (i, r["f1"], r["f2"], r["f3"], r["outcome"])
+            for i, r in enumerate(picked)
+        ],
+        "idx int, f1 double, f2 double, f3 double, outcome double",
     )
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 32)
     q = o.select(
@@ -6717,13 +6736,14 @@ def ml_knn_classifier(spark, sf_dir):
         tables, terms, "disjunctive", k=None, boost=boosts,
         precision="double",
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+    # plain global top-k: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (per-partition top-k + tiny merge) — same
+    # cut as a rank window on (score desc, doc_id asc), no single-task
+    # global sort (TopDocs.merge:188-215 shape)
     top = (
         scored.select("doc_id", F.round("score", 4).alias("score"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _KNNCLS_K)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_KNNCLS_K)
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     j = top.join(F.broadcast(docs), "doc_id")

@@ -20,17 +20,18 @@ onto the exploded token stream, one per-doc sum.  Per-token log ratios
 are rounded to 12 dp and summed as DECIMAL(28,12) so the fold is
 order-independent across engines (the ngram_lm_perplexity pattern).
 
-The final top-fraction selection uses a global row_number (exact, for
-the oracle); at 10^12-doc scale the selection threshold would instead
-come from an approxQuantile over log_importance (one extra agg) with
-``keep = log_importance >= threshold`` — the scoring plan, which is
-the expensive part, is unchanged."""
+The final top-fraction selection assigns the exact global rank with
+the range-repartition + driver-prefix-sum pattern (index/docid.py) —
+a distributed sort on (-log_importance, doc_id), never a partition-less
+rank window — so the exact oracle-matching selection itself stays
+parallel at 10^12 docs.  (A cheaper approximate alternative at that
+scale: approxQuantile threshold + ``keep = log_importance >=
+threshold``.)"""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from .dedup import tokens_col
 
@@ -91,12 +92,20 @@ def importance_weights(
     )
     n = all_docs.count()
     n_keep = int(-(-n * keep_frac // 1))  # ceil
-    ranked = all_docs.withColumn(
-        "imp_rank",
-        F.row_number().over(
-            W.orderBy(F.desc("log_importance"), F.asc("doc_id"))
-        ).cast("long"),
+    # global rank WITHOUT a partition-less window: range-repartition on
+    # (-log_importance, doc_id) + driver prefix-sum of per-partition
+    # counts (index/docid.py) — the distributed sort stays parallel at
+    # any corpus size; rank = position + 1 in that total order
+    from ..index.docid import with_doc_ids
+
+    ranked = with_doc_ids(
+        all_docs.withColumn("_neg_imp", -F.col("log_importance")),
+        order_cols=("_neg_imp", "doc_id"),
+        id_col="_rk0",
     )
+    ranked = ranked.withColumn(
+        "imp_rank", (F.col("_rk0") + 1).cast("long")
+    ).drop("_neg_imp", "_rk0")
     return ranked.withColumn(
         "imp_keep", (F.col("imp_rank") <= n_keep).cast("int")
     )

@@ -38,12 +38,19 @@ def elevate(
         F.array(*[F.lit(d) for d in elevated]), F.col("doc_id")
     ).cast("long")
     sort_grp = F.when(pos > 0, pos).otherwise(F.lit(len(elevated) + 1))
-    out = out.withColumn("elev_pos", pos)
+    out = out.withColumn("elev_pos", pos).withColumn("_grp", sort_grp)
+    # the expensive cut is a plain global top-k — orderBy().limit(k)
+    # compiles to TakeOrderedAndProject (per-partition top-k + tiny
+    # merge); the rank window then runs over the k surviving rows
+    # only (bounded by the GlobalLimit — the TopDocs.merge tiny-merge)
+    topk = out.orderBy(
+        F.asc("_grp"), F.desc("score"), F.asc("doc_id")
+    ).limit(k)
     w = Window.orderBy(
-        sort_grp.asc(), F.desc("score"), F.asc("doc_id")
+        F.asc("_grp"), F.desc("score"), F.asc("doc_id")
     )
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
+        .drop("_grp")
         .orderBy("rank")
     )

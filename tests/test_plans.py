@@ -393,3 +393,23 @@ def test_fvh_zero_shuffle(spark):
     q = FvhQuery(singles={"merge": 1.0}, phrases=())
     plan = formatted_plan(fvh_highlight(docs, q))
     assert "Exchange" not in plan, plan
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark):
+    """The 100 TB window contract over the ENTIRE driver registry: no
+    registered query's plan may contain a partition-less Window — the
+    pattern that funnels every row into one task before ranking.
+    Per-query ranks must partition by the query key; global top-k cuts
+    must be orderBy().limit() (TakeOrderedAndProject — the
+    TopDocs.merge per-shard-top-k shape, TopDocs.java:188-215)."""
+    from lucene_solr_spark.gate_suites import QUERIES
+    from lucene_solr_spark.plans.explain import unpartitioned_windows
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf)
+        hits = unpartitioned_windows(df)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders

@@ -40,6 +40,42 @@ import tempfile
 import time
 
 
+def _read_cpu_ticks() -> tuple[int, int]:
+    """(iowait_ticks, total_ticks) from /proc/stat's aggregate cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return (vals[4] if len(vals) > 4 else 0, sum(vals))
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan: ephemeral expression ids,
+    codegen/plan ids, temp paths and size statistics are normalized
+    out, so the fingerprint changes when (and only when) the plan
+    SHAPE changes — a cross-round slowdown with an unchanged
+    fingerprint is environment, not a plan regression."""
+    import hashlib
+    import re
+
+    from lucene_solr_spark.plans.explain import formatted_plan
+
+    s = formatted_plan(df)
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[codegen id : \d+\]", "", s)
+    s = re.sub(r"\[id=#?\d*\]", "", s)
+    s = re.sub(r"/tmp/\S+", "/tmp/X", s)
+    s = re.sub(r"Statistics\([^)]*\)", "", s)
+    s = re.sub(r"size=\S+", "size=", s)
+    s = re.sub(r"rowCount=\S+", "rowCount=", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -70,6 +106,11 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
 
     spark = get_spark("lss_bench", cores=cores)
     timings: dict[str, float] = {}
+    # host telemetry: the sandbox shares the box — record load/iowait
+    # around the run so a slow round is attributable to host contention
+    # (load >> cores, iowait spikes) vs the engine in one look
+    load_start = _loadavg1()
+    io0, tot0 = _read_cpu_ticks()
 
     # stage the corpus to parquet first (untimed): the north-rule input
     # is a table at rest, not a generator — the build is what we measure
@@ -129,7 +170,7 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
         # partition pruning cached, as a resident searcher would be) and
         # as median (queries_median), so a single noisy warm run can't
         # masquerade as a plan regression across rounds.
-        q_secs, q_cold, q_median = {}, {}, {}
+        q_secs, q_cold, q_median, plan_fps = {}, {}, {}, {}
         for name, (mode, ranks, msm) in BENCH_QUERIES.items():
             terms = [synth_term(r) for r in ranks]
             runs = []
@@ -140,6 +181,9 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
             q_cold[name] = round(runs[0], 3)
             q_secs[name] = round(min(runs[1:]), 3)
             q_median[name] = round(statistics.median(runs[1:]), 3)
+            plan_fps[name] = _plan_fingerprint(
+                search_wand(index, terms, mode, k=10, min_should_match=msm)
+            )
         timings.update(q_secs)
 
         # relational headliners over the sf-dir tables (gate shapes)
@@ -154,8 +198,14 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
                 runs.append(time.time() - t0)
             timings[name] = round(min(runs[1:]), 3)
             q_median[name] = round(statistics.median(runs[1:]), 3)
+            plan_fps[name] = _plan_fingerprint(qs[name](spark, sf_dir))
 
         p50 = statistics.median(q_secs.values())
+        io1, tot1 = _read_cpu_ticks()
+        iowait_pct = (
+            round(100.0 * (io1 - io0) / (tot1 - tot0), 2)
+            if tot1 > tot0 else 0.0
+        )
         return {
             "metric": "index_build_plus_bm25_topk_e2e",
             "value": round(sum(timings.values()), 3),
@@ -179,6 +229,14 @@ def run_bench(cores: int, sf_dir: str, n_turns: int, keep_ui: bool = False) -> d
             "corpus_synth_sec": synth_sec,
             "index_doc_count": index.doc_count,
             "index_sum_ttf": index.sum_total_term_freq,
+            "plan_fingerprints": plan_fps,
+            "host": {
+                "loadavg1_start": load_start,
+                "loadavg1_end": _loadavg1(),
+                "iowait_pct": iowait_pct,
+                "cores_budget": cores,
+                "host_cpus": os.cpu_count(),
+            },
         }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)

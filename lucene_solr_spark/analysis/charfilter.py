@@ -674,7 +674,139 @@ def _html_strip_pd(texts: pd.Series) -> pd.Series:
     ])
 
 
-def html_strip_udf(text_col) -> Column:
+# ------------------------------------------------------------------
+# JVM fast path for the default-config strip (the LLM-ingest web-text
+# cleaning hot path).  The reference scanner's common-case rules —
+# simple start/end tags (inline elements vanish, everything else and
+# <br> becomes '\n') and the high-frequency named character references
+# — are an exact regexp/replace chain that whole-stage codegen runs
+# JVM-side; every construct whose semantics the chain cannot mirror
+# bit-exactly (comments/CDATA/DOCTYPE/SSI '<!', processing
+# instructions '<?', script/style elements, quoted event-handler
+# attributes that may hide '>', non-ASCII tag names, any character
+# reference outside the fast set, and '<'-whitespace-'<' sequences
+# whose pushback interleaves with tag deletion) routes that ROW to the
+# exact Python machine above.  The eligibility predicate is
+# deliberately conservative: a false fallback only costs speed, never
+# parity.  Parity of the chain itself is enforced against the Python
+# machine (itself 0-mismatch vs the reference's compiled JFlex
+# scanner) over the golden fixture corpus + randomized construct mixes
+# (tests/test_charfilter_fast.py).
+
+# ASCII tag-name shape (rows with non-ASCII inside a tag fall back):
+# XML NameStart ∩ ASCII = [A-Za-z_:], NameContinue adds [0-9.-]
+_J_NAME = r"[A-Za-z_:][A-Za-z0-9._:\-]*"
+_J_NAMEC = r"[A-Za-z0-9._:\-]"
+# start-tag tail after the name (HTMLStripCharFilter.jflex
+# InStartTagName→InStartTag): with event attrs / SSI excluded by
+# eligibility, OPEN_TAG_CONTENT reduces to [^<>]* — tags end at the
+# first '>', quotes NOT honored (verified reference behavior).
+# Java \s == [ \t\n\x0B\f\r] == the ASCII subset of the scanner's
+# whitespace class; non-ASCII whitespace inside a tag falls back.
+_J_TAIL = r"(?:(?:=\s*|\s+)[^<>]*)?\s*/?>"
+_J_INLINE = "|".join(sorted(_INLINE_ELEMENTS, key=len, reverse=True))
+_J_IS_INLINE = r"(?i:(?:%s))(?!%s)" % (_J_INLINE, _J_NAMEC)
+# non-inline start/end tags (and <br>, which is not inline) → '\n'.
+# Every pattern here keeps a LITERAL '<' head (alternation factored
+# to the right of it): Java's Pattern start optimization then skips
+# between '<'s at scan speed instead of attempting the NFA at every
+# char — measured 7× on the tag passes.
+_J_PASS_NEWLINE = (
+    r"<(?:\s*(?!%(inl)s)%(name)s%(tail)s"
+    r"|/\s*(?!%(inl)s)%(name)s\s*>)"
+) % {"inl": _J_IS_INLINE, "name": _J_NAME, "tail": _J_TAIL}
+# inline-element start/end tags → removed; third alternative: an
+# EOF-truncated tag ('<'/'</' + optional ws + name running EXACTLY to
+# end-of-input) is silently dropped (the scanner parks in an
+# InStartTagName/InEndTagName state and the %eof block discards it —
+# any other truncation pushes back verbatim).  \z, not $ ($ would
+# also match before a final newline).  Pass order is immaterial under
+# the '<[^>]*<' eligibility guard — see HTML_FAST_INELIGIBLE_RX.
+_J_PASS_EMPTY = (
+    r"<(?:\s*%(inl)s%(tail)s"
+    r"|/\s*%(inl)s\s*>"
+    r"|/?\s*%(name)s\z)"
+) % {"inl": _J_IS_INLINE, "tail": _J_TAIL, "name": _J_NAME}
+# high-frequency named references (exact-case table keys + ';').
+# '&amp;'/'&AMP;' run LAST: their '&' output must not be re-scanned
+# into another reference (string replace never re-scans its own
+# output, and no other replacement emits '&').
+_J_FAST_ENTITIES = (
+    ("&lt;", "<"), ("&LT;", "<"), ("&gt;", ">"), ("&GT;", ">"),
+    ("&quot;", '"'), ("&QUOT;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"), ("&AMP;", "&"),
+)
+_J_FAST_ENTITY_NAMES = "|".join(
+    e[0][1:-1] for e in _J_FAST_ENTITIES
+)
+# rows matching ANY of these go to the Python machine (see above).
+# '<[^>]*<' (two '<' with no '>' between) is the pass-independence
+# guard: every cross-pass reinterpretation of a pushback-verbatim '<'
+# requires a second '<' inside its would-be tail, so excluding it
+# makes the chain's pass order immaterial.  All '<'-anchored checks
+# (second '<', non-ASCII, quoted event-handler attr — each only
+# meaningful inside a tag) share ONE scan-to-'>' per '<', and the
+# event/entity checks never probe positions that aren't '<'/'&' —
+# the predicate is one linear probe per delimiter, not per char.
+# split by literal prefix so each rlike keeps Java's start-char scan
+HTML_FAST_INELIGIBLE_LT_RX = (
+    r"<(?:[!?]"
+    r"|\s*(?i:script|style)"
+    r"|[^>]*(?:<|[^\x00-\x7f]|[oO][nN][a-zA-Z]+\s*=\s*['\"]))"
+)
+HTML_FAST_INELIGIBLE_AMP_RX = (
+    r"&(?!(?:%s);)[A-Za-z#]" % _J_FAST_ENTITY_NAMES
+)
+HTML_FAST_INELIGIBLE_RX = "(?:%s)|(?:%s)" % (
+    HTML_FAST_INELIGIBLE_LT_RX, HTML_FAST_INELIGIBLE_AMP_RX
+)
+
+
+def html_strip_jvm(text_col) -> Column:
+    """The pure-JVM strip chain. ONLY exact on rows where
+    ``HTML_FAST_INELIGIBLE_RX`` does not match — callers must dispatch
+    (use ``html_strip_udf``)."""
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    out = F.regexp_replace(col, _J_PASS_NEWLINE, "\n")
+    out = F.regexp_replace(out, _J_PASS_EMPTY, "")
+    ent = out
+    for e, rep in _J_FAST_ENTITIES:
+        ent = F.replace(ent, F.lit(e), F.lit(rep))
+    # rows without '&' skip the ten reference-replace scans (CaseWhen
+    # short-circuits per row in codegen)
+    return F.when(out.contains("&"), ent).otherwise(out)
+
+
+def html_strip_udf(text_col, fast: bool = True) -> Column:
     """Arrow-batched HTML strip of a document column (the LLM-pipeline
-    web-text cleaning hot path)."""
-    return _html_strip_pd(text_col)
+    web-text cleaning hot path).
+
+    fast=True (default): common-case rows run the whole-stage-codegen
+    JVM chain; only rows containing a rare construct cross into the
+    exact Python machine — and only THOSE rows' text crosses the
+    Arrow boundary (the Python UDF receives NULL for fast rows, so a
+    clean-text corpus pays ~zero Python cost)."""
+    col = text_col if isinstance(text_col, Column) else F.col(text_col)
+    if not fast:
+        return _html_strip_pd(col)
+    # identity shortcut: without '<' or '&' the strip is a no-op —
+    # JVM CaseWhen/coalesce short-circuit per row (contains() is a
+    # plain substring probe), so already-clean corpora skip even the
+    # regex passes.  The eligibility rlike is evaluated exactly once
+    # (inside the UDF's input projection); the UDF receives NULL for
+    # every fast row and returns NULL, so coalesce() falls through to
+    # the JVM branches and only ineligible rows' text ever crosses
+    # the Arrow boundary.
+    trivial = ~(col.contains("<") | col.contains("&"))
+    needs_py = ~trivial & (
+        col.rlike(HTML_FAST_INELIGIBLE_LT_RX)
+        | col.rlike(HTML_FAST_INELIGIBLE_AMP_RX)
+    )
+    slow = _html_strip_pd(F.when(needs_py, col))
+    # NULL input: slow=NULL, trivial=NULL→branch skipped, and the JVM
+    # chain propagates NULL — no explicit isNull branch needed
+    return F.coalesce(
+        slow,
+        F.when(trivial, col),
+        html_strip_jvm(col),
+    )

@@ -6169,6 +6169,136 @@ def fn_geo3d_polygon(spark, sf_dir):
     )
 
 
+# ------------------------------------- WGS84 ellipsoid surface distance
+
+
+def _vincenty_sql() -> str:
+    """Mirror of PlanetModel.surfaceDistance (Vincenty inverse,
+    PlanetModel.java:281-338) as chained CTEs — one per unrolled
+    lambda iteration, same fixed 8 rounds as the Spark side."""
+    from .operators.spatial import (
+        _W84_C,
+        _W84_FLATTENING,
+        _W84_INV_SCALE,
+        _W84_SQUARE_RATIO,
+    )
+
+    f = _W84_FLATTENING
+    base = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS lat,
+         CAST(((c_custkey * 13) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+  FROM customer WHERE c_custkey <= 512),
+u AS (
+  SELECT c_custkey, lat, lon,
+         radians(-74.0) - radians(lon) AS L,
+         atan({omf!r} * tan(radians(lat))) AS U1,
+         atan({omf!r} * tan(radians(40.0))) AS U2
+  FROM pts),
+t AS (
+  SELECT *, sin(U1) AS sU1, cos(U1) AS cU1,
+         sin(U2) AS sU2, cos(U2) AS cU2 FROM u),
+base AS (
+  SELECT *, cU1 * cU2 AS cc, cU1 * sU2 AS cs,
+         sU1 * sU2 AS ss, sU1 * cU2 AS sc, L AS lam FROM t)""".format(
+        omf=1.0 - f
+    )
+    it = """
+it{i} AS (
+  SELECT c_custkey, lat, lon, L, cc, cs, ss, sc, cU1, cU2,
+         sinSig, cosSig, sig, cosSqAl, c2sm,
+         L + (1.0 - C) * {f!r} * sinAl *
+             (sig + C * sinSig * (c2sm + C * cosSig *
+                  (-1.0 + 2.0 * c2sm * c2sm))) AS lam
+  FROM (
+    SELECT *,
+           CASE WHEN isnan(cosSig - 2.0 * ss / cosSqAl) THEN 0.0
+                ELSE cosSig - 2.0 * ss / cosSqAl END AS c2sm,
+           {f_16!r} * cosSqAl *
+             (4.0 + {f!r} * (4.0 - 3.0 * cosSqAl)) AS C
+    FROM (
+      SELECT *, atan2(sinSig, cosSig) AS sig,
+             1.0 - sinAl * sinAl AS cosSqAl
+      FROM (
+        SELECT *, cc * sl / sinSig AS sinAl
+        FROM (
+          SELECT *,
+                 sqrt((cU2 * sl) * (cU2 * sl)
+                      + (cs - sc * cl) * (cs - sc * cl)) AS sinSig,
+                 ss + cc * cl AS cosSig
+          FROM (SELECT *, sin(lam) AS sl, cos(lam) AS cl
+                FROM (SELECT c_custkey, lat, lon, L, cc, cs, ss, sc,
+                             cU1, cU2, lam FROM {prev}))))))),"""
+    ctes = [base + ","]
+    prev = "base"
+    for i in range(8):
+        ctes.append(
+            it.format(i=i, f=f, f_16=f / 16.0, prev=prev).rstrip(",")
+            + ","
+        )
+        prev = f"it{i}"
+    fin = """
+fin AS (
+  SELECT c_custkey, lat, lon, sinSig, cosSig, sig, c2sm,
+         cosSqAl * {sq!r} AS uSq
+  FROM {prev})
+SELECT c_custkey, lat, lon,
+  round({cinv!r} *
+    (1.0 + uSq / 16384.0 * (4096.0 + uSq *
+         (-768.0 + uSq * (320.0 - 175.0 * uSq))))
+    * (sig - (uSq / 1024.0 * (256.0 + uSq *
+         (-128.0 + uSq * (74.0 - 47.0 * uSq))))
+       * sinSig * (c2sm + (uSq / 1024.0 * (256.0 + uSq *
+             (-128.0 + uSq * (74.0 - 47.0 * uSq)))) / 4.0 *
+           (cosSig * (-1.0 + 2.0 * c2sm * c2sm)
+            - (uSq / 1024.0 * (256.0 + uSq *
+                 (-128.0 + uSq * (74.0 - 47.0 * uSq)))) / 6.0 * c2sm
+              * (-3.0 + 4.0 * sinSig * sinSig)
+              * (-3.0 + 4.0 * c2sm * c2sm)))), 6) AS dist_scaled
+FROM fin ORDER BY c_custkey""".format(
+        sq=_W84_SQUARE_RATIO, cinv=_W84_C * _W84_INV_SCALE, prev=prev
+    )
+    return "".join(ctes) + fin
+
+
+@gate("fn_geo_vincenty", _vincenty_sql())
+def fn_geo_vincenty(spark, sf_dir):
+    """WGS84 ellipsoid geodesic distance — PlanetModel.surfaceDistance
+    (reference lucene/spatial3d/.../geom/PlanetModel.java:281-338,
+    WGS84 constants :34-41, normalization :92-108): Vincenty's
+    inverse formula with the lambda loop unrolled to 8 fixed rounds
+    (converges <1e-12 on this non-antipodal fixture; see
+    operators/spatial.py with_vincenty_distance).  The ONLY geo3d
+    quantity the flattening changes for this engine's shapes:
+    through-origin edge-plane sidedness (polygon membership) is
+    scale-invariant, so fn_geo3d_polygon's sphere result already IS
+    the WGS84 result — declared divergence closed.  Pure codegen
+    Column arithmetic over the pushed-down scan, no shuffle; an
+    independently-written Vincenty (different formulation source) and
+    the published Vincenty test vector pin the value in
+    tests/test_spatial_wgs84.py."""
+    from .operators.spatial import with_vincenty_distance
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 512)
+    pts = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7) % 180) - 90 + 0.5)
+        .cast("double").alias("lat"),
+        (((F.col("c_custkey") * 13) % 360) - 180 + 0.5)
+        .cast("double").alias("lon"),
+    )
+    out = with_vincenty_distance(
+        pts, F.col("lat"), F.col("lon"), F.lit(40.0), F.lit(-74.0)
+    )
+    return out.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round("vincenty_scaled", 6).alias("dist_scaled"),
+    ).orderBy("c_custkey")
+
+
 _SYNQ_TERMS = ["fast", "slow"]
 
 _SYNQ_SQL = f"""

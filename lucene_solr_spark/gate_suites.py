@@ -714,6 +714,8 @@ _suite("fn_geo", [
      ("ring",), ("cnt", "min_km", "max_km")),
     ("nearest", "fn_geo_nearest", ("c_custkey",), ("dist_km",)),
     ("geo3d", "fn_geo3d_polygon", ("c_custkey",), ("lat", "lon")),
+    ("vincenty", "fn_geo_vincenty",
+     ("c_custkey",), ("lat", "lon", "dist_scaled")),
 ])
 
 # 42: Solr SQL surface

@@ -287,3 +287,188 @@ def polygon_with_holes_contains_col(lat_col, lon_col, shell, holes=()):
             )
             cnt = cnt + F.when(straddle & (lon_col < xint), 1).otherwise(0)
     return cnt % 2 == 1
+
+
+# ----------------------------------------------- WGS84 ellipsoid geo3d
+
+# PlanetModel.WGS84 normalized scaling constants (reference
+# lucene/spatial3d/src/java/org/apache/lucene/spatial3d/geom/
+# PlanetModel.java:34-41,92-108): xy scaling ab = equatorial/mean,
+# z scaling c = polar/mean, flattening = (ab-c)/ab,
+# squareRatio = (ab^2-c^2)/c^2, scale = (2*ab+c)/3.
+#
+# Note on membership shapes: every geo3d polygon edge plane passes
+# through the origin (Plane(A, B) with D=0, Plane.java:71-74), and
+# the WGS84 GeoPoint is the SAME unit direction as the sphere's
+# scaled by computeDesiredEllipsoidMagnitude (Vector.java:564-566) —
+# a positive scalar — so cross-product sidedness (and hence convex-
+# polygon membership) is IDENTICAL to the SPHERE model; fn_geo3d's
+# sphere result IS the WGS84 result for through-origin planes.  What
+# the flattening genuinely changes is the SURFACE (geodesic) metric:
+# PlanetModel.surfaceDistance (PlanetModel.java:281-338) runs
+# Vincenty's inverse formula on the ellipsoid.  That is what this
+# operator rebuilds.
+WGS84_MEAN = 6371008.7714
+WGS84_POLAR = 6356752.314245
+WGS84_EQUATORIAL = 6378137.0
+_W84_AB = WGS84_EQUATORIAL / WGS84_MEAN
+_W84_C = WGS84_POLAR / WGS84_MEAN
+_W84_FLATTENING = (_W84_AB - _W84_C) / _W84_AB
+_W84_SQUARE_RATIO = (_W84_AB * _W84_AB - _W84_C * _W84_C) / (_W84_C * _W84_C)
+_W84_SCALE = (2.0 * _W84_AB + _W84_C) / 3.0
+_W84_INV_SCALE = 1.0 / _W84_SCALE
+
+
+def with_vincenty_distance(
+    df: DataFrame,
+    lat1,
+    lon1,
+    lat2,
+    lon2,
+    out_col: str = "vincenty_scaled",
+    iters: int = 8,
+) -> DataFrame:
+    """WGS84 geodesic distance — PlanetModel.surfaceDistance
+    (PlanetModel.java:281-338), Vincenty's inverse formula with the
+    lambda iteration UNROLLED to a fixed ``iters`` rounds (the
+    reference loops to MINIMUM_RESOLUTION=1e-12; convergence is
+    linear with ratio ~flattening≈1/298, so 8 rounds reach <1e-12
+    for the non-antipodal fixture domain — once converged, extra
+    rounds are a fixed point).  Inputs are lat/lon Columns in
+    DEGREES; the result is in the reference's scaled planet units
+    (c * inverseScale * A * (sigma - deltaSigma)); multiply by
+    scale * WGS84_MEAN for meters.
+
+    DataFrame-level (withColumn chain) so each iteration's
+    intermediates are named once instead of exponentially duplicated
+    subtrees; all arithmetic is codegen Column expressions — no
+    shuffle, no UDF.  The sinSigma==0 early return (coincident
+    points) is NOT reproduced — callers must keep zero-distance
+    pairs out (the gate fixture guarantees it)."""
+    f = _W84_FLATTENING
+    P = "_vc_"
+    lat1, lon1 = F.radians(lat1), F.radians(lon1)
+    lat2, lon2 = F.radians(lat2), F.radians(lon2)
+    df = df.withColumn(P + "L", lon2 - lon1)
+    df = df.withColumn(P + "U1", F.atan(F.lit(1.0 - f) * F.tan(lat1)))
+    df = df.withColumn(P + "U2", F.atan(F.lit(1.0 - f) * F.tan(lat2)))
+    df = (
+        df.withColumn(P + "sU1", F.sin(F.col(P + "U1")))
+        .withColumn(P + "cU1", F.cos(F.col(P + "U1")))
+        .withColumn(P + "sU2", F.sin(F.col(P + "U2")))
+        .withColumn(P + "cU2", F.cos(F.col(P + "U2")))
+    )
+    df = (
+        df.withColumn(P + "cc", F.col(P + "cU1") * F.col(P + "cU2"))
+        .withColumn(P + "cs", F.col(P + "cU1") * F.col(P + "sU2"))
+        .withColumn(P + "ss", F.col(P + "sU1") * F.col(P + "sU2"))
+        .withColumn(P + "sc", F.col(P + "sU1") * F.col(P + "cU2"))
+    )
+    df = df.withColumn(P + "lam", F.col(P + "L"))
+    for _ in range(iters):
+        sl, cl = F.sin(F.col(P + "lam")), F.cos(F.col(P + "lam"))
+        df = df.withColumn(P + "sl", sl).withColumn(P + "cl", cl)
+        df = df.withColumn(
+            P + "sinSig",
+            F.sqrt(
+                (F.col(P + "cU2") * F.col(P + "sl"))
+                * (F.col(P + "cU2") * F.col(P + "sl"))
+                + (F.col(P + "cs") - F.col(P + "sc") * F.col(P + "cl"))
+                * (F.col(P + "cs") - F.col(P + "sc") * F.col(P + "cl"))
+            ),
+        )
+        df = df.withColumn(
+            P + "cosSig", F.col(P + "ss") + F.col(P + "cc") * F.col(P + "cl")
+        )
+        df = df.withColumn(
+            P + "sig", F.atan2(F.col(P + "sinSig"), F.col(P + "cosSig"))
+        )
+        df = df.withColumn(
+            P + "sinAl",
+            F.col(P + "cc") * F.col(P + "sl") / F.col(P + "sinSig"),
+        )
+        df = df.withColumn(
+            P + "cosSqAl", 1.0 - F.col(P + "sinAl") * F.col(P + "sinAl")
+        )
+        c2sm = (
+            F.col(P + "cosSig")
+            - 2.0 * F.col(P + "ss") / F.col(P + "cosSqAl")
+        )
+        df = df.withColumn(
+            P + "c2sm", F.when(F.isnan(c2sm), F.lit(0.0)).otherwise(c2sm)
+        )
+        df = df.withColumn(
+            P + "C",
+            F.lit(f / 16.0)
+            * F.col(P + "cosSqAl")
+            * (4.0 + F.lit(f) * (4.0 - 3.0 * F.col(P + "cosSqAl"))),
+        )
+        df = df.withColumn(
+            P + "lam",
+            F.col(P + "L")
+            + (1.0 - F.col(P + "C"))
+            * F.lit(f)
+            * F.col(P + "sinAl")
+            * (
+                F.col(P + "sig")
+                + F.col(P + "C")
+                * F.col(P + "sinSig")
+                * (
+                    F.col(P + "c2sm")
+                    + F.col(P + "C")
+                    * F.col(P + "cosSig")
+                    * (-1.0 + 2.0 * F.col(P + "c2sm") * F.col(P + "c2sm"))
+                )
+            ),
+        )
+    df = df.withColumn(
+        P + "uSq", F.col(P + "cosSqAl") * F.lit(_W84_SQUARE_RATIO)
+    )
+    df = df.withColumn(
+        P + "A",
+        1.0
+        + F.col(P + "uSq")
+        / 16384.0
+        * (
+            4096.0
+            + F.col(P + "uSq")
+            * (-768.0 + F.col(P + "uSq") * (320.0 - 175.0 * F.col(P + "uSq")))
+        ),
+    )
+    df = df.withColumn(
+        P + "B",
+        F.col(P + "uSq")
+        / 1024.0
+        * (
+            256.0
+            + F.col(P + "uSq")
+            * (-128.0 + F.col(P + "uSq") * (74.0 - 47.0 * F.col(P + "uSq")))
+        ),
+    )
+    df = df.withColumn(
+        P + "dSig",
+        F.col(P + "B")
+        * F.col(P + "sinSig")
+        * (
+            F.col(P + "c2sm")
+            + F.col(P + "B")
+            / 4.0
+            * (
+                F.col(P + "cosSig")
+                * (-1.0 + 2.0 * F.col(P + "c2sm") * F.col(P + "c2sm"))
+                - F.col(P + "B")
+                / 6.0
+                * F.col(P + "c2sm")
+                * (-3.0 + 4.0 * F.col(P + "sinSig") * F.col(P + "sinSig"))
+                * (-3.0 + 4.0 * F.col(P + "c2sm") * F.col(P + "c2sm"))
+            )
+        ),
+    )
+    df = df.withColumn(
+        out_col,
+        F.lit(_W84_C * _W84_INV_SCALE)
+        * F.col(P + "A")
+        * (F.col(P + "sig") - F.col(P + "dSig")),
+    )
+    drop = [c for c in df.columns if c.startswith(P)]
+    return df.drop(*drop)

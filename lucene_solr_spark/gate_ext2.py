@@ -3359,6 +3359,225 @@ def fn_eval_tests(spark, sf_dir):
 
 # --------------------------------------------------- DrillSideways facets
 
+# ------------------------- seeded deterministic kmeans / monteCarlo
+
+_KM_K = 3
+_KM_ITERS = 8
+_KM_N = 200
+
+
+def _km_points_sql() -> str:
+    return f"""
+  SELECT k AS pid,
+         CAST((k * 37) % 97 AS DECIMAL(10,4)) AS x,
+         CAST((k * 53) % 89 AS DECIMAL(10,4)) AS y
+  FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey <= {_KM_N})"""
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assignment = the
+    same 3-way CASE argmin over the previous round's centroid scalars
+    (cross-joined single centroid row), update = DECIMAL sums / count
+    rounded to 12 dp so the fold is order-independent."""
+    base = f"WITH pts AS ({_km_points_sql()}),\n"
+    init = (
+        "c0 AS (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN pid = {j + 1} THEN CAST(x AS DOUBLE) END)"
+            f" AS cx{j}, "
+            f"max(CASE WHEN pid = {j + 1} THEN CAST(y AS DOUBLE) END)"
+            f" AS cy{j}"
+            for j in range(_KM_K)
+        )
+        + " FROM pts),\n"
+    )
+    its = []
+    prev = "c0"
+    for i in range(_KM_ITERS):
+        d = [
+            f"(CAST(x AS DOUBLE) - cx{j}) * (CAST(x AS DOUBLE) - cx{j})"
+            f" + (CAST(y AS DOUBLE) - cy{j}) * (CAST(y AS DOUBLE) - cy{j})"
+            for j in range(_KM_K)
+        ]
+        cid = (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END"
+        )
+        its.append(
+            f"a{i} AS (SELECT pid, x, y, {cid} AS cid"
+            f" FROM pts CROSS JOIN {prev}),\n"
+            f"c{i + 1} AS (SELECT "
+            + ", ".join(
+                f"round(CAST(sum(CASE WHEN cid = {j} THEN x END)"
+                f" AS DOUBLE) / sum(CASE WHEN cid = {j} THEN 1 END),"
+                f" 12) AS cx{j}, "
+                f"round(CAST(sum(CASE WHEN cid = {j} THEN y END)"
+                f" AS DOUBLE) / sum(CASE WHEN cid = {j} THEN 1 END),"
+                f" 12) AS cy{j}"
+                for j in range(_KM_K)
+            )
+            + f" FROM a{i}),\n"
+        )
+        prev = f"c{i + 1}"
+    # final assignment with the CONVERGED centroids (c{ITERS}) — the
+    # Spark side likewise assigns once more after its last update
+    d = [
+        f"(CAST(x AS DOUBLE) - cx{j}) * (CAST(x AS DOUBLE) - cx{j})"
+        f" + (CAST(y AS DOUBLE) - cy{j}) * (CAST(y AS DOUBLE) - cy{j})"
+        for j in range(_KM_K)
+    ]
+    cid = (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END"
+    )
+    fin = f"""
+af AS (SELECT pid, x, y, {cid} AS cid
+       FROM pts CROSS JOIN c{_KM_ITERS}),
+fin AS (SELECT cid, count(*) AS n,
+               round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS cx,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS cy
+        FROM af GROUP BY cid)
+SELECT cid, CAST(n AS BIGINT) AS n, cx, cy FROM fin ORDER BY cid"""
+    return base + init + "".join(its) + fin
+
+
+@gate("fn_eval_kmeans", _kmeans_sql())
+def fn_eval_kmeans(spark, sf_dir):
+    """kmeans stream evaluator, DETERMINISTIC variant (reference
+    solr/solrj/.../io/eval/KmeansEvaluator.java wraps commons-math
+    KMeansPlusPlusClusterer with RANDOM init — declared divergence:
+    pinned init = points 1..k, fixed 8 Lloyd iterations instead of
+    convergence-with-random-restarts, empty-cluster strategy
+    unexercised by the fixture).  Spark shape: per round the k=3
+    centroids come to the driver (a bounded k-row pull — the cluster
+    analog is a broadcast) and the next assignment is a pure 3-way
+    CASE argmin Column over the scan; centroid update is one
+    DECIMAL-sum hash-agg.  No window, no crossJoin of the corpus."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= _KM_N
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37) % 97).cast("decimal(10,4)")
+        .alias("x"),
+        ((F.col("c_custkey") * 53) % 89).cast("decimal(10,4)")
+        .alias("y"),
+    )
+    init = pts.filter(F.col("pid") <= _KM_K).select(
+        "pid", F.col("x").cast("double"), F.col("y").cast("double")
+    ).collect()
+    cents = {
+        r["pid"] - 1: (float(r["x"]), float(r["y"])) for r in init
+    }
+
+    def assign(cs):
+        xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+        d = [
+            (xd - F.lit(cs[j][0])) * (xd - F.lit(cs[j][0]))
+            + (yd - F.lit(cs[j][1])) * (yd - F.lit(cs[j][1]))
+            for j in range(_KM_K)
+        ]
+        return F.when((d[0] <= d[1]) & (d[0] <= d[2]), 0).when(
+            d[1] <= d[2], 1
+        ).otherwise(2)
+
+    for _ in range(_KM_ITERS):
+        a = pts.withColumn("cid", assign(cents))
+        # rounding happens IN the engine (F.round = HALF_UP over the
+        # decimal rendering, same as the oracle's round()) — a driver
+        # round() would be banker's-rounding on binary and can flip a
+        # boundary point's assignment
+        rows = (
+            a.groupBy("cid")
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count("*"), 12
+                ).alias("cx"),
+                F.round(
+                    F.sum("y").cast("double") / F.count("*"), 12
+                ).alias("cy"),
+            )
+            .collect()
+        )
+        cents = {
+            r["cid"]: (float(r["cx"]), float(r["cy"])) for r in rows
+        }
+    a = pts.withColumn("cid", assign(cents))
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("x").cast("double") / F.count("*"), 6)
+            .alias("cx"),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6)
+            .alias("cy"),
+        )
+        .orderBy("cid")
+    )
+
+
+_MC_N = 10000
+
+_MC_SQL = f"""
+WITH s AS (
+  SELECT i,
+         CAST((i * 2654435761) % 4294967296 AS DOUBLE)
+           / 4294967296.0 AS u,
+         CAST((i * 2246822519 + 3266489917) % 4294967296 AS DOUBLE)
+           / 4294967296.0 AS v
+  FROM (SELECT unnest(range(1, {_MC_N} + 1)) AS i)),
+q AS (
+  SELECT CASE WHEN u * u + v * v <= 1.0 THEN 1 ELSE 0 END AS in_circle,
+         CAST(round(exp(-u * u), 12) AS DECIMAL(28,12)) AS g
+  FROM s)
+SELECT 'mc' AS stat,
+       round(CAST(4 * sum(in_circle) AS DOUBLE)
+             / CAST({_MC_N} AS DOUBLE), 6) AS pi_hat,
+       round(CAST(sum(g) AS DOUBLE) / CAST({_MC_N} AS DOUBLE), 6)
+         AS integral_hat,
+       CAST(sum(in_circle) AS BIGINT) AS n_in
+FROM q"""
+
+
+@gate("fn_eval_montecarlo", _MC_SQL)
+def fn_eval_montecarlo(spark, sf_dir):
+    """monteCarlo stream evaluator, DETERMINISTIC variant (reference
+    solr/solrj/.../io/eval/MonteCarloEvaluator.java draws from
+    commons-math samplers seeded by wall clock — declared divergence:
+    counter-based uniforms u_i = (i*2654435761 mod 2^32)/2^32, a
+    Weyl/Knuth multiplicative stream both engines derive with exact
+    BIGINT arithmetic).  Estimates pi (quarter-circle indicator: an
+    exact integer count) and the integral of exp(-u^2) (12-dp DECIMAL
+    fold, order-independent).  Spark shape: spark.range -> narrow
+    projection -> one hash-agg; fully parallel, no Python."""
+    s = spark.range(1, _MC_N + 1).select(
+        (((F.col("id") * 2654435761) % 4294967296).cast("double")
+         / 4294967296.0).alias("u"),
+        (((F.col("id") * 2246822519 + 3266489917) % 4294967296)
+         .cast("double") / 4294967296.0).alias("v"),
+    )
+    q = s.select(
+        F.when(
+            F.col("u") * F.col("u") + F.col("v") * F.col("v") <= 1.0, 1
+        ).otherwise(0).alias("in_circle"),
+        F.round(F.exp(-F.col("u") * F.col("u")), 12)
+        .cast("decimal(28,12)").alias("g"),
+    )
+    r = q.agg(
+        F.sum("in_circle").alias("nin"), F.sum("g").alias("sg")
+    )
+    return r.select(
+        F.lit("mc").alias("stat"),
+        F.round(
+            (4 * F.col("nin")).cast("double") / F.lit(float(_MC_N)), 6
+        ).alias("pi_hat"),
+        F.round(
+            F.col("sg").cast("double") / F.lit(float(_MC_N)), 6
+        ).alias("integral_hat"),
+        F.col("nin").cast("long").alias("n_in"),
+    )
+
+
 _DRILL_SIDEWAYS_SQL = """
 WITH base AS (
   SELECT o_orderpriority AS prio, o_orderstatus AS status, o_orderkey

@@ -688,6 +688,9 @@ _suite("fn_evaluators", [
                            "movmad_last")),
     ("anova", "fn_eval_anova",
      ("pair_id",), ("f_ratio", "p_value", "emd")),
+    ("kmeans", "fn_eval_kmeans", ("cid", "n"), ("cx", "cy")),
+    ("montecarlo", "fn_eval_montecarlo",
+     ("stat", "n_in"), ("pi_hat", "integral_hat")),
     ("describe", "fn_eval_describe",
      ("pair_id",), ("d_mean", "d_std", "d_min", "d_max")),
     ("olsreg", "fn_eval_olsreg",

@@ -7264,7 +7264,17 @@ def fn_jsexpr(spark, sf_dir):
 _FVH_FCS, _FVH_MARGIN, _FVH_MAXDOC, _FVH_MAXLEN = 150, 6, 150, 440
 
 
-def _fvh_oracle_sql():
+def _fvh_oracle_sql(mv: bool = False, max_frag: int = 2):
+    """mv=True mirrors the MULTI-VALUED path over a two-value space
+    split of each doc (v1 = text[:p], v2 = text[p+1:], p = the first
+    space at/after the midpoint): offsets and boundary chars coincide
+    with the joined text, so the only divergence is
+    getFragmentSourceMSO's buffer stopping after v1 — when a
+    fragment's endOffset is EXACTLY p+1 the buffer holds v1+separator
+    only and eo clips to bufferLength=p (BaseFragmentsBuilder.java:
+    193-203).  Valid for max_frag=1 (one fragment per doc → no
+    cross-fragment buffer growth)."""
+    assert not mv or max_frag == 1
     fcs, margin = _FVH_FCS, _FVH_MARGIN
     layers = []
     prev = None
@@ -7315,12 +7325,18 @@ bnd{k} AS (
                      '^([^.,!? \t\n]*)', 1))
               WHEN f.span_start <= 20 THEN 0
               ELSE f.span_start END AS mso,
-         CASE WHEN length(d.text) < f.span_end THEN length(d.text)
+         CASE {"WHEN f.span_end = d.p + 1 THEN d.p" if mv else ""}
+              WHEN length(d.text) < f.span_end THEN length(d.text)
               WHEN length(regexp_extract(substr(d.text, f.span_end + 1, 20),
                      '^([^.,!? \t\n]*)', 1))
                    < length(substr(d.text, f.span_end + 1, 20))
                 THEN f.span_end + length(regexp_extract(substr(d.text,
                      f.span_end + 1, 20), '^([^.,!? \t\n]*)', 1))
+              -- no boundary inside the scan window: the reference
+              -- buffer always ends in the multiValuedSeparator, so a
+              -- window cut short by end-of-text finds that virtual
+              -- ' ' boundary at length(text)
+              WHEN length(d.text) - f.span_end < 20 THEN length(d.text)
               ELSE f.span_end END AS eo
   FROM f{k} f JOIN docs d ON d.doc_id = f.doc_id),
 lagged{k} AS (
@@ -7342,9 +7358,17 @@ snip{k} AS (
            z.eo)""")
         prev = f"f{k}"
     layer_sql = ",".join(layers)
+    p_expr = (
+        "CASE WHEN strpos(substr(text, length(text) // 2 + 1), ' ') > 0"
+        " THEN length(text) // 2"
+        " + strpos(substr(text, length(text) // 2 + 1), ' ') - 1"
+        " ELSE -10 END"
+        if mv
+        else "-10"
+    )
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text, {p_expr} AS p FROM documents
   WHERE doc_id < {_FVH_MAXDOC} AND length(text) < {_FVH_MAXLEN}),
 chars AS (
   SELECT doc_id, unnest(range(1, length(text) + 1)) AS i,
@@ -7395,7 +7419,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frag AS INTEGER) AS frag,
        CAST(span_start AS INTEGER) AS span_start,
        CAST(span_end AS INTEGER) AS span_end,
        CAST(score AS DOUBLE) AS score, snippet
-FROM ranked WHERE frag < 2
+FROM ranked WHERE frag < {max_frag}
 ORDER BY doc_id, frag"""
 
 
@@ -7421,6 +7445,58 @@ def fts_fvh_fragments(spark, sf_dir):
         fvh_highlight(
             docs, q,
             frag_char_size=_FVH_FCS, margin=_FVH_MARGIN, max_frags=2,
+        )
+        .orderBy("doc_id", "frag")
+    )
+
+
+@gate("fts_fvh_multivalued", _fvh_oracle_sql(mv=True, max_frag=1))
+def fts_fvh_multivalued(spark, sf_dir):
+    """FVH over a MULTI-VALUED field (round 5 — closes the declared
+    single-valued restriction): each doc is split at the first space
+    at/after its midpoint into two stored values; the engine runs the
+    multi-valued FieldTermStack (offsets accumulate with the 1-char
+    Analyzer.getOffsetGap, positions continue with posIncGap=0) and
+    getFragmentSourceMSO's value-appending buffer
+    (BaseFragmentsBuilder.java:191-205 — search/fvh.py
+    tokenize_offsets_mv / make_fragments_mv).  Because the split
+    preserves the joined character stream, the oracle is the
+    single-valued set algebra plus the ONE genuinely multi-valued
+    divergence: a fragment whose endOffset lands exactly one past the
+    first value's end is clipped to bufferLength (the buffer stops
+    growing at endOffset).  max_frags=1 keeps the shared buffer state
+    per-doc trivial; the discrete-mode and gap>0 semantics are pinned
+    by the JUnit-transcribed vectors in tests/test_fvh.py.  Same
+    zero-shuffle narrow mapInPandas plan."""
+    from .search.fvh import FvhQuery, fvh_highlight_mv
+
+    q = FvhQuery(
+        singles={"merge": 1.0, "vector": 3.0},
+        phrases=((("table", "merge"), 2.0),),
+    )
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < _FVH_MAXDOC)
+        & (F.length("text") < _FVH_MAXLEN)
+    )
+    mid = (F.length("text") / 2).cast("int")
+    sp = F.instr(F.substring(F.col("text"), mid + 1, 1 << 30), " ")
+    p0 = mid + sp - 1  # 0-based index of the split space
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            sp > 0,
+            F.array(
+                F.substring(F.col("text"), 1, p0),
+                F.substring(F.col("text"), p0 + 2, 1 << 30),
+            ),
+        )
+        .otherwise(F.array(F.col("text")))
+        .alias("texts"),
+    )
+    return (
+        fvh_highlight_mv(
+            docs, q,
+            frag_char_size=_FVH_FCS, margin=_FVH_MARGIN, max_frags=1,
         )
         .orderBy("doc_id", "frag")
     )

@@ -420,6 +420,8 @@ _suite("fts_highlight", [
      ("frag", "span_start", "span_end", "score")),
     ("fvh_w", "fts_fvh_weighted", ("doc_id",),
      ("frag", "span_start", "span_end", "wscore")),
+    ("fvh_mv", "fts_fvh_multivalued", ("doc_id", "snippet"),
+     ("frag", "span_start", "span_end", "score")),
 ])
 
 # 16: MoreLikeThis — term selection + retrieval

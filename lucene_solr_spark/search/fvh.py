@@ -41,11 +41,22 @@ term weights ride the closure (they are query-sized, not data-sized).
 Divergences (declared): tokens come from the engine's standard
 ``[a-z0-9]+`` lowercase analysis with character offsets (no index-time
 synonym stacking, so the ``TermInfo.next`` synonym ring is always a
-singleton), and only single-field, single-valued highlighting is exposed
-(the multi-valued field seam in getFragmentSourceMSO has no analog
-here).  Slop phrases ARE supported: the scan runs over the
+singleton).  Slop phrases ARE supported: the scan runs over the
 query-term-filtered stack exactly like FieldTermStack, with
 position-gap validity per QueryPhraseMap.isValidTermOrPhrase.
+
+MULTI-VALUED fields are supported as of round 5 (the former
+single-valued restriction is closed): ``tokenize_offsets_mv`` is the
+multi-valued FieldTermStack (offset accumulation with the 1-char
+Analyzer.getOffsetGap, position continuation with a configurable
+positionIncrementGap), ``make_fragments_mv`` is getFragmentSourceMSO's
+lazily-grown value buffer shared across a doc's fragments
+(BaseFragmentsBuilder.java:191-205), and ``discrete_split`` is
+discreteMultiValueHighlighting's per-value fragment splitting with
+boundary-clamped term offsets (BaseFragmentsBuilder.java:218-300) —
+all pinned by the JUnit-transcribed vectors in tests/test_fvh.py
+(testPhrasesSpanningFieldValues, testMultiValuedSortByScore) and the
+driver gate fts_fvh_multivalued.
 """
 
 from __future__ import annotations
@@ -370,10 +381,21 @@ def find_end_offset(text: str, start: int, boundary=BOUNDARY_CHARS,
 def make_fragment(text, frag, pre_tag="<b>", post_tag="</b>"):
     """BaseFragmentsBuilder.makeFragment + getFragmentSourceMSO: snap
     the source window to SimpleBoundaryScanner boundaries, then tag
-    every merged offset of the accepted phrases, in order."""
+    every merged offset of the accepted phrases, in order.
+
+    The reference builds its buffer as value + multiValuedSeparator
+    even for a single value, so the END scan can see a virtual ' '
+    boundary at len(text) — a fragment ending within maxScan of the
+    text end with no real boundary snaps to len(text), not the raw
+    span end (getFragmentSourceMSO, BaseFragmentsBuilder.java:
+    191-205)."""
     span_start, span_end = frag[0], frag[1]
     mso = find_start_offset(text, span_start)
-    eo = len(text) if len(text) < span_end else find_end_offset(text, span_end)
+    eo = (
+        len(text)
+        if len(text) < span_end
+        else find_end_offset(text + " ", span_end)
+    )
     pres = [pre_tag] if isinstance(pre_tag, str) else list(pre_tag)
     posts = [post_tag] if isinstance(post_tag, str) else list(post_tag)
     src = text[mso:eo]
@@ -459,3 +481,258 @@ def fvh_highlight(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, OUT_SCHEMA)
+
+
+# ------------------------------------------------- multi-valued fields
+
+MV_SEPARATOR = " "
+
+
+def tokenize_offsets_mv(values, pos_inc_gap: int = 0):
+    """FieldTermStack over a MULTI-VALUED field: character offsets
+    accumulate across values with a 1-char gap per boundary
+    (Analyzer.getOffsetGap default = 1), positions continue with
+    ``pos_inc_gap`` added before each subsequent value
+    (Analyzer.getPositionIncrementGap; 0 for the reference's JUnit
+    MockAnalyzer, which is why phrases may match ACROSS value
+    boundaries — FastVectorHighlighterTest.testPhrasesSpanningFieldValues)."""
+    toks = []
+    base_off = 0
+    base_pos = 0
+    for vi, v in enumerate(values or []):
+        v = v or ""
+        if vi > 0:
+            base_pos += pos_inc_gap
+        vt = tokenize_offsets(v)
+        for t, p, s, e in vt:
+            toks.append((t, base_pos + p, base_off + s, base_off + e))
+        base_pos += len(vt)
+        base_off += len(v) + 1
+    return toks
+
+
+def _sub_boosts(wpil, weighted: bool, term_weights):
+    """Per-phrase SubInfo boosts: the phrase boost (SimpleFieldFragList)
+    or the fragment-distinct weighted pb (WeightedFieldFragList:36-66 —
+    same float32 fold as _weighted_score, WITHOUT the norm, which only
+    enters the fragment total)."""
+    if not weighted:
+        return [p[4] for p in wpil]
+    import numpy as np
+
+    distinct = set()
+    out = []
+    for p in wpil:
+        pb = np.float32(0.0)
+        for t in p[5]:
+            if t not in distinct:
+                distinct.add(t)
+                pb = np.float32(
+                    pb
+                    + np.float32((term_weights or {}).get(t, 1.0))
+                    * np.float32(p[4])
+                )
+        out.append(float(pb))
+    return out
+
+
+def discrete_split(frags, values, weighted=False, term_weights=None):
+    """BaseFragmentsBuilder.discreteMultiValueHighlighting: split each
+    fragment at value boundaries — a Toffs entirely inside a value
+    moves there, one straddling a boundary is CLAMPED on each side
+    ([start, fieldEnd-1] now, [fieldStart, end] when it resumes) — and
+    each per-value fragment's score is the float32 sum of its retained
+    SubInfo boosts.  Output sorted by startOffset (the reference's
+    final Collections.sort).  Structures are mutated live across the
+    value walk exactly like the reference's iterator-removal flow."""
+    import numpy as np
+
+    out = []
+    for frag in frags:
+        fs, fe, _score, wpil = frag
+        boosts = _sub_boosts(wpil, weighted, term_weights)
+        # live [text, toffs(list of [s,e]), seqnum, boost] per phrase
+        subinfos = [
+            [p[3], [list(t) for t in p[2]], p[6], boosts[pi]]
+            for pi, p in enumerate(wpil)
+        ]
+        field_end = 0
+        for v in values:
+            v = v or ""
+            if v == "":
+                field_end += 1
+                continue
+            field_start = field_end
+            field_end += len(v) + 1
+            if (
+                fs >= field_start
+                and fe >= field_start
+                and fs <= field_end
+                and fe <= field_end
+            ):
+                out.append(frag)
+                break
+            if not subinfos:
+                break
+            first_toffs = subinfos[0][1][0]
+            if fs >= field_end or first_toffs[0] >= field_end:
+                continue
+            frag_start = field_start
+            if field_start < fs < field_end:
+                frag_start = fs
+            frag_end = field_end
+            if field_start < fe < field_end:
+                frag_end = fe
+            new_subs = []
+            boost = np.float32(0.0)
+            for sub in list(subinfos):
+                toffs_new = []
+                for toffs in list(sub[1]):
+                    if toffs[0] >= field_end:
+                        break
+                    starts_after = toffs[0] >= field_start
+                    ends_before = toffs[1] < field_end
+                    if starts_after and ends_before:
+                        toffs_new.append((toffs[0], toffs[1]))
+                        sub[1].remove(toffs)
+                    elif starts_after:
+                        toffs_new.append((toffs[0], field_end - 1))
+                    elif ends_before:
+                        toffs_new.append((field_start, toffs[1]))
+                        sub[1].remove(toffs)
+                    else:
+                        toffs_new.append((field_start, field_end - 1))
+                if toffs_new:
+                    new_subs.append(
+                        (None, None, tuple(toffs_new), sub[0], sub[3],
+                         (), sub[2])
+                    )
+                    boost = np.float32(boost + np.float32(sub[3]))
+                if not sub[1]:
+                    subinfos.remove(sub)
+            out.append(
+                (frag_start, frag_end, float(boost), tuple(new_subs))
+            )
+    return sorted(out, key=lambda f: f[0])
+
+
+def make_fragments_mv(values, frags, pre_tag="<b>", post_tag="</b>",
+                      tokenized: bool = True):
+    """BaseFragmentsBuilder.createFragments over a multi-valued field:
+    ONE buffer shared across the doc's fragments (values appended
+    lazily, joined by the multiValuedSeparator) — the trailing-
+    separator trim and the bufferLength-vs-endOffset cut depend on how
+    far EARLIER fragments grew the buffer, exactly as in
+    getFragmentSourceMSO (BaseFragmentsBuilder.java:191-205).
+    Returns snippets aligned with ``frags`` order."""
+    pres = [pre_tag] if isinstance(pre_tag, str) else list(pre_tag)
+    posts = [post_tag] if isinstance(post_tag, str) else list(post_tag)
+    joined = ""
+    vidx = 0
+    snippets = []
+    for frag in frags:
+        span_start, span_end = frag[0], frag[1]
+        while len(joined) < span_end and vidx < len(values):
+            joined += (values[vidx] or "") + MV_SEPARATOR
+            vidx += 1
+        buffer_length = len(joined)
+        if tokenized and vidx > 0:
+            buffer_length -= 1
+        eo = (
+            buffer_length
+            if buffer_length < span_end
+            else find_end_offset(joined, span_end)
+        )
+        mso = find_start_offset(joined, span_start)
+        src = joined[mso:eo]
+        out = []
+        idx = 0
+        for p in frag[3]:
+            seq = p[6] if len(p) > 6 else 0
+            for ts, te in p[2]:
+                out.append(src[idx : ts - mso])
+                out.append(pres[seq % len(pres)])
+                out.append(src[ts - mso : te - mso])
+                out.append(posts[seq % len(posts)])
+                idx = te - mso
+        out.append(src[idx:])
+        snippets.append("".join(out))
+    return snippets
+
+
+def highlight_doc_mv(
+    values,
+    query: FvhQuery,
+    frag_char_size: int = 100,
+    margin: int = 6,
+    weighted: bool = False,
+    term_weights: dict | None = None,
+    max_frags: int = 3,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    pos_inc_gap: int = 0,
+    discrete: bool = False,
+    score_order: bool = True,
+):
+    """Per-document multi-valued pipeline → [(rank, span_start,
+    span_end, score, snippet)].  score_order=True is
+    ScoreOrderFragmentsBuilder (score desc, start asc);
+    score_order=False keeps SimpleFragmentsBuilder's order (discrete:
+    startOffset asc)."""
+    phrases = field_phrase_list(
+        tokenize_offsets_mv(values, pos_inc_gap), query
+    )
+    frags = frag_list(
+        phrases, frag_char_size, margin, weighted, term_weights
+    )
+    if discrete and len(values) > 1:
+        frags = discrete_split(frags, values, weighted, term_weights)
+    if score_order:
+        frags = sorted(frags, key=lambda f: (-f[2], f[0]))
+    frags = frags[:max_frags]
+    snips = make_fragments_mv(values, frags, pre_tag, post_tag)
+    return [
+        (i, f[0], f[1], f[2], snips[i]) for i, f in enumerate(frags)
+    ]
+
+
+def fvh_highlight_mv(
+    docs: DataFrame,
+    query: FvhQuery,
+    frag_char_size: int = 100,
+    margin: int = 6,
+    weighted: bool = False,
+    term_weights: dict | None = None,
+    max_frags: int = 3,
+    id_col: str = "doc_id",
+    values_col: str = "texts",
+    pos_inc_gap: int = 0,
+    discrete: bool = False,
+    score_order: bool = True,
+) -> DataFrame:
+    """Distributed multi-valued FVH: same zero-shuffle narrow
+    mapInPandas shape as fvh_highlight, over an array<string> column."""
+    q, fcs, mg, wt = query, frag_char_size, margin, weighted
+    tw, mf = dict(term_weights or {}), max_frags
+    gap, disc, so = pos_inc_gap, discrete, score_order
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, vals in zip(pdf[id_col], pdf[values_col]):
+                for rank, s, t, score, snip in highlight_doc_mv(
+                    list(vals), q, fcs, mg, wt, tw, mf,
+                    pos_inc_gap=gap, discrete=disc, score_order=so,
+                ):
+                    rows.append((doc_id, rank, s, t, score, snip))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frag", "span_start", "span_end",
+                    "score", "snippet",
+                ],
+            )
+
+    return docs.select(id_col, values_col).mapInPandas(run, OUT_SCHEMA)

@@ -325,9 +325,10 @@ def test_snippet_snaps_to_boundaries():
     # end snapped forward to the next boundary after span_end
     from lucene_solr_spark.search.fvh import find_end_offset
 
-    eo = find_end_offset(text, t)
+    # the source buffer carries the reference's trailing separator
+    eo = find_end_offset(text + " ", t)
     assert snip.replace("<b>", "").replace("</b>", "") == text[0:eo]
-    assert eo == t or text[eo] in ".,!? \t\n"
+    assert eo == t or (text + " ")[eo] in ".,!? \t\n"
 
 
 def test_phrase_slop():
@@ -454,3 +455,175 @@ def test_greedy_scan_matches_stack_machine_randomized():
         ]
         want = _stack_machine_phrase_list(tokenize_offsets(text), q)
         assert got == want, (trial, text, singles, phrases, got, want)
+
+
+# ------------------- multi-valued fields (JUnit-transcribed vectors)
+
+from lucene_solr_spark.search.fvh import (  # noqa: E402
+    discrete_split,
+    highlight_doc_mv,
+    idf_weights,
+    tokenize_offsets_mv,
+)
+
+_SPAN_VALUES = [
+    "one two three five",
+    "two three four",
+    "five six five",
+    "six seven eight nine eight nine eight nine eight nine eight nine "
+    "eight nine",
+    "eight nine",
+    "ten eleven",
+    "twelve thirteen",
+]
+
+
+def _mv_snips(values, query, frag_char_size=1000, max_frags=1000,
+              weighted=False, tw=None, score_order=False):
+    return [
+        r[4]
+        for r in highlight_doc_mv(
+            values, query, frag_char_size, margin=6, weighted=weighted,
+            term_weights=tw, max_frags=max_frags, discrete=True,
+            score_order=score_order,
+        )
+    ]
+
+
+def test_mv_phrase_spanning_field_value():
+    # FastVectorHighlighterTest.testPhrasesSpanningFieldValues:651-657
+    q = FvhQuery(singles={}, phrases=((("four", "five"), 1.0),))
+    assert _mv_snips(_SPAN_VALUES, q) == [
+        "two three <b>four</b>",
+        "<b>five</b> six five",
+    ]
+
+
+def test_mv_phrase_ending_at_field_value():
+    # :659-664
+    q = FvhQuery(singles={}, phrases=((("three", "five"), 1.0),))
+    assert _mv_snips(_SPAN_VALUES, q) == ["one two <b>three five</b>"]
+
+
+def test_mv_phrase_across_three_values():
+    # :666-673
+    q = FvhQuery(
+        singles={}, phrases=((("nine", "ten", "eleven", "twelve"), 1.0),)
+    )
+    assert _mv_snips(_SPAN_VALUES, q) == [
+        "eight <b>nine</b>",
+        "<b>ten eleven</b>",
+        "<b>twelve</b> thirteen",
+    ]
+
+
+def test_mv_term_in_multiple_values():
+    # :675-681
+    q = FvhQuery(singles={"two": 1.0}, phrases=())
+    assert _mv_snips(_SPAN_VALUES, q) == [
+        "one <b>two</b> three five",
+        "<b>two</b> three four",
+    ]
+
+
+def test_mv_sort_by_score():
+    # FastVectorHighlighterTest.testMultiValuedSortByScore:481-527 —
+    # the bottom "naught of hero" values total a higher score than the
+    # top pair; the best single fragment is the all-three-terms value.
+    values = [
+        "zero if naught",
+        "hero of legend",
+        "naught of hero",
+        "naught of hero",
+    ]
+    q = FvhQuery(
+        singles={"hero": 1.0, "of": 1.0, "legend": 1.0}, phrases=()
+    )
+    # one-document index: docFreq is 1 for every term present
+    tw = idf_weights({"hero": 1, "of": 1, "legend": 1}, 1)
+    for weighted in (False, True):
+        for fcs in (20, 28, 30000):
+            snips = _mv_snips(
+                values, q, frag_char_size=fcs, max_frags=1,
+                weighted=weighted, tw=tw, score_order=True,
+            )
+            assert snips == ["<b>hero</b> <b>of</b> <b>legend</b>"], (
+                weighted, fcs, snips,
+            )
+
+
+def test_mv_single_value_equals_single_valued_path():
+    """A one-element values list must be EXACTLY the single-valued
+    pipeline (incl. the virtual trailing-separator end-boundary)."""
+    import random
+
+    rng = random.Random(11)
+    words = ["a", "b", "c", "dd", "eee", "ffff"]
+    q = FvhQuery(
+        singles={"a": 1.0, "c": 2.0},
+        phrases=((("b", "c"), 1.5), (("dd", "eee", "ffff"), 2.0)),
+    )
+    for _ in range(200):
+        text = " ".join(
+            rng.choice(words) for _ in range(rng.randint(1, 30))
+        )
+        mv = highlight_doc_mv([text], q, 40, score_order=True)
+        sv = highlight_doc(text, q, 40)
+        assert mv == sv, text
+
+
+def test_mv_gap_zero_matches_joined_single_value():
+    """With posIncGap=0 and the default (non-discrete) builder the MV
+    pipeline matches the single-valued pipeline over ' '.join(values)
+    in spans and scores ALWAYS; the snippet may only be clipped
+    earlier, because getFragmentSourceMSO stops growing its buffer at
+    endOffset and then cuts at the last appended value's end
+    (bufferLength < endOffset branch) — a reference quirk the joined
+    single value cannot reproduce."""
+    import random
+
+    rng = random.Random(7)
+    words = ["a", "b", "c", "dd", "eee", "ffff"]
+    q = FvhQuery(
+        singles={"a": 1.0, "c": 2.0},
+        phrases=((("b", "c"), 1.5), (("dd", "eee", "ffff"), 2.0)),
+    )
+
+    def detag(s):
+        return s.replace("<b>", "").replace("</b>", "")
+
+    for _ in range(300):
+        values = [
+            " ".join(
+                rng.choice(words) for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        mv = highlight_doc_mv(
+            values, q, 40, discrete=False, score_order=True
+        )
+        sv = highlight_doc(" ".join(values), q, 40)
+        assert [r[:4] for r in mv] == [r[:4] for r in sv], values
+        for a, b in zip(mv, sv):
+            assert detag(b[4]).startswith(detag(a[4])), (values, a, b)
+
+
+def test_mv_gap_blocks_cross_value_phrases():
+    """positionIncrementGap > slop prevents a phrase from matching
+    across the value boundary (the Solr schema convention)."""
+    q = FvhQuery(singles={}, phrases=((("four", "five"), 1.0),))
+    toks = tokenize_offsets_mv(["two three four", "five six"], 100)
+    from lucene_solr_spark.search.fvh import field_phrase_list
+
+    assert field_phrase_list(toks, q) == []
+    toks0 = tokenize_offsets_mv(["two three four", "five six"], 0)
+    assert len(field_phrase_list(toks0, q)) == 1
+
+
+def test_mv_discrete_split_empty_value():
+    """Empty values consume exactly one separator position
+    (discreteMultiValueHighlighting:226-233)."""
+    values = ["one two", "", "two three"]
+    q = FvhQuery(singles={"two": 1.0}, phrases=())
+    snips = _mv_snips(values, q)
+    assert snips == ["one <b>two</b>", "<b>two</b> three"]

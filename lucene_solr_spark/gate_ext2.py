@@ -6518,6 +6518,159 @@ def fn_geo_vincenty(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+# --------------------------- index-time synonym graphs (round 5)
+
+_SG_RULES = [
+    "merge join => mergejoin",
+    "vector => vec",
+]
+
+_SG_TOKS = """
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                + 1)) AS pos
+  FROM documents"""
+
+# With single-token outputs and keepOrig=true, the graph's node ids
+# coincide with token positions (each match allocates exactly
+# matchInputLength nodes — the original side path re-uses them), so the
+# oracle derives nodes directly from positions; the inputs share no
+# tokens and cannot self-overlap, so greedy matching == all matches.
+_SG_TOKENS_SQL = f"""
+WITH toks AS ({_SG_TOKS})
+SELECT doc_id, term, CAST(pos - 1 AS BIGINT) AS node,
+       CAST(1 AS BIGINT) AS pos_len, 0 AS is_syn
+FROM toks
+UNION ALL
+SELECT a.doc_id, 'mergejoin' AS term, CAST(a.pos - 1 AS BIGINT),
+       CAST(2 AS BIGINT), 1
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'merge' AND b.term = 'join'
+UNION ALL
+SELECT doc_id, 'vec' AS term, CAST(pos - 1 AS BIGINT),
+       CAST(1 AS BIGINT), 1
+FROM toks WHERE term = 'vector'
+ORDER BY doc_id, node, is_syn, term"""
+
+
+def _sg_graphs(spark, sf_dir):
+    from .analysis.syngraph import (
+        parse_synonym_rules,
+        synonym_graph,
+        tokenize_offsets,
+    )
+
+    rules = parse_synonym_rules(_SG_RULES)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                g = synonym_graph(tokenize_offsets(text or ""), rules)
+                for term, sn, en, _s, _e, syn in g:
+                    rows.append((doc_id, term, sn, en - sn, int(syn)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "term", "node", "pos_len", "is_syn"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, term string, node long, pos_len long, is_syn int",
+    )
+
+
+@gate("fts_syngraph_tokens", _SG_TOKENS_SQL)
+def fts_syngraph_tokens(spark, sf_dir):
+    """SynonymGraphFilter index-time token graph (reference
+    lucene/analysis/common/.../synonym/SynonymGraphFilter.java): the
+    greedy longest-match scan inserts synonym side paths with
+    positionLength spanning the match — 'merge join' gains a
+    posLen-2 'mergejoin' ring, 'vector' a posLen-1 'vec' ring, and
+    original tokens keep their path (keepOrig).  The full node-
+    allocation algorithm (bufferOutputTokens) is pinned token-for-
+    token by the reference JUnit vectors in tests/test_syngraph.py
+    (incl. multi-word outputs and longest-match fallback the SQL
+    oracle cannot express); this gate hashes the whole corpus's graph
+    (analysis/syngraph.py, Arrow-batched narrow map — no shuffle)."""
+    return _sg_graphs(spark, sf_dir).orderBy(
+        "doc_id", "node", "is_syn", "term"
+    )
+
+
+_SG_PHRASES = {
+    # phrase -> ("via 1-token synonym", "via 2-token synonym", orig)
+    "vec_hash": ("vec", "hash"),
+    "mergejoin_table": ("mergejoin", "table"),
+    "merge_join_table": ("merge", "join", "table"),
+}
+
+_SG_PHRASE_SQL = f"""
+WITH toks AS ({_SG_TOKS}),
+m AS (
+  SELECT DISTINCT a.doc_id, 'vec_hash' AS phrase
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'vector' AND b.term = 'hash'
+  UNION
+  SELECT DISTINCT a.doc_id, 'mergejoin_table'
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = 'merge' AND b.term = 'join' AND c.term = 'table'
+  UNION
+  SELECT DISTINCT a.doc_id, 'merge_join_table'
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = 'merge' AND b.term = 'join' AND c.term = 'table')
+SELECT doc_id, phrase FROM m ORDER BY doc_id, phrase"""
+
+
+@gate("fts_phrase_over_synonym", _SG_PHRASE_SQL)
+def fts_phrase_over_synonym(spark, sf_dir):
+    """Phrase matching THROUGH the synonym graph: a query phrase
+    matches when a node path exists with each term spanning
+    (n_{k-1} -> n_k) — posLength-aware adjacency, so 'vec hash'
+    reaches docs that only say 'vector hash' and 'mergejoin table'
+    docs that only say 'merge join table' (the 2-position synonym's
+    end node lands on 'table'); the original-path phrase still
+    matches identically (graph_phrase_match, analysis/syngraph.py —
+    the SpanNear-over-graph semantics index-time posLen preserves).
+    Oracle expands the query against the same rules relationally."""
+    from .analysis.syngraph import (
+        graph_phrase_match,
+        parse_synonym_rules,
+        synonym_graph,
+        tokenize_offsets,
+    )
+
+    rules = parse_synonym_rules(_SG_RULES)
+    phrases = dict(_SG_PHRASES)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                g = synonym_graph(tokenize_offsets(text or ""), rules)
+                for name, terms in phrases.items():
+                    if graph_phrase_match(g, list(terms)):
+                        rows.append((doc_id, name))
+            yield pd.DataFrame(rows, columns=["doc_id", "phrase"])
+
+    return docs.mapInPandas(
+        run, "doc_id long, phrase string"
+    ).orderBy("doc_id", "phrase")
+
+
 _SYNQ_TERMS = ["fast", "slow"]
 
 _SYNQ_SQL = f"""

@@ -322,6 +322,8 @@ _suite("fts_phrase_family", [
     ("interval_or", "fts_interval_or",
      ("doc_id",), ("span_freq", "score")),
     ("term_automaton", "fts_term_automaton", ("doc_id",), ("score",)),
+    ("phrase_over_synonym", "fts_phrase_over_synonym",
+     ("doc_id", "phrase"), ()),
 ])
 
 # 8-10: index statistics + significant terms
@@ -405,6 +407,8 @@ _suite("fts_analysis_suite", [
     ("hunspell", "fts_hunspell", ("suite_word", "stems"), ()),
     ("keyword_repeat", "fts_keyword_repeat",
      ("term", "forms"), ("n_forms",)),
+    ("syn_graph", "fts_syngraph_tokens",
+     ("doc_id", "term", "node", "is_syn"), ("pos_len",)),
 ])
 _passthrough("fts_porter_stemmed_terms")
 

@@ -61,9 +61,41 @@ def _is_cjk(ch: str) -> bool:
     return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
 
 
+def _is_hangul(ch: str) -> bool:
+    cp = ord(ch)
+    return 0xAC00 <= cp <= 0xD7AF or 0x1100 <= cp <= 0x11FF
+
+
+def _segment_longest_match(run: str) -> list:
+    """ko path (nori ships neither its FST nor costs): pinned-dict
+    longest match with per-char fallback."""
+    out = []
+    i, n = 0, len(run)
+    while i < n:
+        matched = None
+        for ln in range(min(_MAX_LEN, n - i), 1, -1):
+            cand = run[i:i + ln]
+            if cand in _DICT_SET:
+                matched = cand
+                break
+        if matched:
+            out.append(matched)
+            i += len(matched)
+        else:
+            out.append(run[i])
+            i += 1
+    return out
+
+
 def segment_cjk(text: str) -> list:
-    """Tokenize mixed text: CJK runs by dictionary longest-match with
-    per-char fallback, Latin/digit runs as lowercase words."""
+    """Tokenize mixed text: Japanese-script CJK runs by a Viterbi
+    lattice over the REAL kuromoji lexicon (325,872 surface forms
+    extracted from the reference's shipped FST —
+    analysis/kuromoji_lattice.py; round 5, replacing greedy
+    longest-match for ja), Hangul runs by pinned-dict longest match,
+    Latin/digit runs as lowercase words."""
+    from .kuromoji_lattice import lattice_segment
+
     if not text:
         return []
     out = []
@@ -71,18 +103,15 @@ def segment_cjk(text: str) -> list:
     while i < n:
         ch = text[i]
         if _is_cjk(ch):
-            matched = None
-            for ln in range(min(_MAX_LEN, n - i), 1, -1):
-                cand = text[i:i + ln]
-                if cand in _DICT_SET and all(_is_cjk(c) for c in cand):
-                    matched = cand
-                    break
-            if matched:
-                out.append(matched)
-                i += len(matched)
+            j = i
+            while j < n and _is_cjk(text[j]):
+                j += 1
+            run = text[i:j]
+            if any(_is_hangul(c) for c in run):
+                out.extend(_segment_longest_match(run))
             else:
-                out.append(ch)
-                i += 1
+                out.extend(lattice_segment(run))
+            i = j
         else:
             m = _LATIN_RUN.match(text.lower(), i)
             if m:

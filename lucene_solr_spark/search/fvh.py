@@ -38,12 +38,21 @@ no join, embarrassingly parallel at any corpus size.  The Arrow batch
 function applies the exact reference control flow per row; query spec and
 term weights ride the closure (they are query-sized, not data-sized).
 
-Divergences (declared): tokens come from the engine's standard
-``[a-z0-9]+`` lowercase analysis with character offsets (no index-time
-synonym stacking, so the ``TermInfo.next`` synonym ring is always a
-singleton).  Slop phrases ARE supported: the scan runs over the
-query-term-filtered stack exactly like FieldTermStack, with
-position-gap validity per QueryPhraseMap.isValidTermOrPhrase.
+Tokens come from the engine's standard ``[a-z0-9]+`` lowercase
+analysis with character offsets.  Slop phrases ARE supported: the scan
+runs over the query-term-filtered stack exactly like FieldTermStack,
+with position-gap validity per QueryPhraseMap.isValidTermOrPhrase.
+INDEX-TIME SYNONYM RINGS are supported as of round 5 (the last
+declared FVH divergence closed): ``field_phrase_list`` links
+same-position stack entries into circular TermInfo rings in
+term-lexicographic order and walks each ring from its current head
+during the scan, pushing failed rings back with the head at the
+last-tried member (FieldTermStack.java:100-126,
+FieldPhraseList.java:64-123); ``fvh_synonym_stack`` builds such a
+stack from the engine's SynonymGraphFilter (analysis/syngraph.py) with
+the flattened-position view an indexed term vector presents.  Pinned
+by the transcribed testWithSynonym / testBooleanPhraseWithSynonym
+JUnit vectors in tests/test_fvh.py.
 
 MULTI-VALUED fields are supported as of round 5 (the former
 single-valued restriction is closed): ``tokenize_offsets_mv`` is the
@@ -149,54 +158,89 @@ def tokenize_offsets(text: str):
 
 
 def field_phrase_list(tokens, query: FvhQuery):
-    """FieldPhraseList.java:66-122 greedy scan over the query-term
-    stack (FieldTermStack keeps only query terms, so slop phrases skip
-    intervening non-query tokens).  Returns phrases as (start_offset,
-    end_offset, merged_toffs, text, boost, terms) in scan order, with
-    addIfNoOverlap applied.  A candidate is valid when its trie node is
-    terminal AND every adjacent position gap is ≤ the phrase's slop
-    (QueryPhraseMap.isValidTermOrPhrase, FieldQuery.java:478-495)."""
+    """FieldPhraseList.java:64-123 scan over the query-term stack with
+    SAME-POSITION SYNONYM RINGS (FieldTermStack.java:100-126: stack
+    entries sharing a position link into a circular TermInfo ring, in
+    term-lexicographic order — the stable position sort over the
+    term-sorted vector enumeration).  At each step the ring is walked
+    from its current head until a member matches the query-trie level
+    (FieldPhraseList.java:79-98); on failure the ring is pushed back
+    with its head left at the last-tried member.  Candidates validate
+    via terminal + slop-gap checks (isValidTermOrPhrase,
+    FieldQuery.java:478-495) with the shorter-prefix push-back
+    fallback.  Tokens with unique positions degenerate to singleton
+    rings — the pre-ring behavior, bit-for-bit.
+
+    Returns phrases as (start_offset, end_offset, merged_toffs, text,
+    boost, terms, seqnum) in scan order, addIfNoOverlap applied."""
     root = query.trie()
     term_set = query.term_set()
-    stack = [t for t in tokens if t[0] in term_set]
-    out = []
-    i, n = 0, len(stack)
-    while i < n:
-        term = stack[i][0]
-        node = root.get(term)
-        if node is None:
-            i += 1
-            continue
-        # walk the longest stack-consecutive trie path
-        cand = [stack[i]]
-        cur = node
-        j = i + 1
-        while j < n:
-            nxt = cur[1].get(stack[j][0])
-            if nxt is None:
-                break
-            cand.append(stack[j])
-            cur = nxt
-            j += 1
-        # longest candidate valid?  else retry shorter prefixes
-        # (push-back loop, FieldPhraseList.java:103-112)
-        match_len, boost, seqnum = 0, None, 0
-        if _valid(cur, cand):
-            match_len, boost, seqnum = len(cand), cur[0][0], cur[0][2]
+    kept = sorted(
+        (t for t in tokens if t[0] in term_set),
+        key=lambda t: (t[1], t[0]),
+    )
+    rings = []
+    for t in kept:
+        if rings and rings[-1][0][1] == t[1]:
+            rings[-1].append(t)
         else:
-            for k in range(len(cand) - 1, 0, -1):
-                node_k = _walk(root, [t[0] for t in cand[:k]])
-                if node_k is not None and _valid(node_k, cand[:k]):
-                    match_len, boost, seqnum = k, node_k[0][0], node_k[0][2]
-                    break
-        if match_len == 0:
-            i += 1  # first term consumed and discarded
-            continue
-        matched = cand[:match_len]
-        info = _phrase_info(matched, boost, seqnum)
+            rings.append([t])
+    srot = [0] * len(rings)
+
+    def ring_find(idx, level):
+        ring = rings[idx]
+        n = len(ring)
+        s = srot[idx]
+        for k in range(n):
+            ti = ring[(s + k) % n]
+            node = level.get(ti[0])
+            if node is not None:
+                return ti, (s + k) % n, node
+        # reference iteration ends at the predecessor of the head
+        return None, (s - 1) % n, None
+
+    out = []
+    i, nrings = 0, len(rings)
+
+    def emit(cand, node):
+        info = _phrase_info(cand, node[0][0], node[0][2])
         if not any(_overlaps(info, p) for p in out):
             out.append(info)
-        i += match_len
+
+    while i < nrings:
+        idx0 = i
+        i += 1
+        ti, mem0, curr = ring_find(idx0, root)
+        if curr is None:
+            continue  # discard this ring, scan on
+        cand = [ti]
+        cand_rings = [(idx0, mem0)]
+        while True:
+            ti2 = nxt = idx2 = None
+            if i < nrings:
+                idx2 = i
+                i += 1
+                ti2, mem2, nxt = ring_find(idx2, curr[1])
+            if ti2 is None or nxt is None:
+                if idx2 is not None:
+                    i -= 1  # push the failed ring back
+                    srot[idx2] = mem2
+                if _valid(curr, cand):
+                    emit(cand, curr)
+                else:
+                    while len(cand) > 1:
+                        cand.pop()
+                        ridx, rmem = cand_rings.pop()
+                        srot[ridx] = rmem
+                        i = ridx
+                        node_k = _walk(root, [t[0] for t in cand])
+                        if node_k is not None and _valid(node_k, cand):
+                            emit(cand, node_k)
+                            break
+                break
+            cand.append(ti2)
+            cand_rings.append((idx2, mem2))
+            curr = nxt
     return out
 
 
@@ -433,11 +477,17 @@ def highlight_doc(
     max_frags: int = 3,
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
+    tokens=None,
 ):
     """Full per-document pipeline → [(rank, span_start, span_end, score,
     snippet)] in ScoreOrderFragmentsBuilder order (score desc, start
-    asc), capped at max_frags."""
-    phrases = field_phrase_list(tokenize_offsets(text), query)
+    asc), capped at max_frags.  ``tokens`` overrides the default
+    analyzer's stack — e.g. a stack with index-time synonym tokens at
+    duplicated positions (fvh_synonym_stack), which form TermInfo
+    rings in field_phrase_list."""
+    phrases = field_phrase_list(
+        tokenize_offsets(text) if tokens is None else tokens, query
+    )
     frags = frag_list(phrases, frag_char_size, margin, weighted, term_weights)
     frags = sorted(frags, key=lambda f: (-f[2], f[0]))[:max_frags]
     return [
@@ -736,3 +786,43 @@ def fvh_highlight_mv(
             )
 
     return docs.select(id_col, values_col).mapInPandas(run, OUT_SCHEMA)
+
+
+def fvh_synonym_stack(text: str, rules) -> list:
+    """FieldTermStack input with INDEX-TIME synonyms: apply the
+    synonym graph (analysis/syngraph.py — SynonymGraphFilter) to the
+    analyzed tokens, then FLATTEN to stack positions the way an
+    indexed-and-read-back term vector presents them: original tokens
+    keep their sequential positions; a synonym token takes the
+    position of its match's FIRST original token (posInc 0 — the
+    FlattenGraphFilter view), carrying the match-wide offsets.  Exact
+    for single-token synonym outputs (the reference JUnit surface —
+    FastVectorHighlighterTest.testBooleanPhraseWithSynonym builds
+    exactly this shape with a CannedTokenStream); multi-token outputs
+    assign each path token the nearest original position at or before
+    its start node (declared flatten approximation)."""
+    from ..analysis.syngraph import synonym_graph
+
+    base = tokenize_offsets(text)
+    graph = synonym_graph(
+        [(t[0], t[2], t[3]) for t in base], rules
+    )
+    # original tokens in node order define the position scale
+    node_to_pos = {}
+    pos = 0
+    for term, sn, en, s, e, syn in graph:
+        if not syn and sn not in node_to_pos:
+            node_to_pos[sn] = pos
+            pos += 1
+    orig_nodes = sorted(node_to_pos)
+    out = []
+    for term, sn, en, s, e, syn in graph:
+        if sn in node_to_pos:
+            p = node_to_pos[sn]
+        else:
+            import bisect
+
+            k = bisect.bisect_right(orig_nodes, sn) - 1
+            p = node_to_pos[orig_nodes[k]] if k >= 0 else 0
+        out.append((term, p, s, e))
+    return out

@@ -627,3 +627,91 @@ def test_mv_discrete_split_empty_value():
     q = FvhQuery(singles={"two": 1.0}, phrases=())
     snips = _mv_snips(values, q)
     assert snips == ["one <b>two</b>", "<b>two</b> three"]
+
+
+# ------------------- index-time synonym rings (JUnit-transcribed)
+
+from lucene_solr_spark.search.fvh import fvh_synonym_stack  # noqa: E402
+
+
+def test_synonym_query_highlight():
+    # FastVectorHighlighterTest.testWithSynonym:529-553 — query-side
+    # SynonymQuery(quick, fast): both terms become singles
+    q = FvhQuery(singles={"quick": 1.0, "fast": 1.0}, phrases=())
+    out = highlight_doc("the quick brown fox", q, 54, max_frags=1)
+    assert out[0][4] == "the <b>quick</b> brown fox"
+    q2 = FvhQuery(
+        singles={"quick": 1.0, "fast": 1.0, "fox": 1.0}, phrases=()
+    )
+    out = highlight_doc("the quick brown fox", q2, 54, max_frags=1)
+    assert out[0][4] == "the <b>quick</b> brown <b>fox</b>"
+
+
+_FB_TEXT = "Test: http://www.facebook.com"
+# the CannedTokenStream from testBooleanPhraseWithSynonym:585-602:
+# the synonym token sits at the SAME position as 'http' with the
+# match-wide offsets — a 2-member TermInfo ring
+_FB_TOKENS = [
+    ("test", 0, 0, 4),
+    ("http", 1, 6, 10),
+    ("httpwwwfacebookcom", 1, 6, 29),
+    ("www", 2, 13, 16),
+    ("facebook", 3, 17, 25),
+    ("com", 4, 26, 29),
+]
+
+
+def _fb(query):
+    out = highlight_doc(
+        _FB_TEXT, query, 54, max_frags=1, tokens=_FB_TOKENS
+    )
+    return out[0][4]
+
+
+def test_boolean_phrase_with_synonym_ring():
+    # FastVectorHighlighterTest.testBooleanPhraseWithSynonym:604-620
+    pq = FvhQuery(
+        singles={},
+        phrases=((("test", "http", "www", "facebook", "com"), 1.0),),
+    )
+    assert _fb(pq) == "<b>Test: http://www.facebook.com</b>"
+    pq2 = FvhQuery(
+        singles={},
+        phrases=(
+            (("test", "httpwwwfacebookcom", "www", "facebook", "com"),
+             1.0),
+        ),
+    )
+    assert _fb(pq2) == "<b>Test: http://www.facebook.com</b>"
+    both = FvhQuery(
+        singles={},
+        phrases=(
+            (("test", "http", "www", "facebook", "com"), 1.0),
+            (("test", "httpwwwfacebookcom", "www", "facebook", "com"),
+             1.0),
+        ),
+    )
+    assert _fb(both) == "<b>Test: http://www.facebook.com</b>"
+
+
+def test_synonym_stack_from_syngraph_rules():
+    """End-to-end: index-time SynonymGraphFilter rules -> flattened
+    FieldTermStack with rings -> FVH highlights the synonym's
+    match-wide span when the query uses the synonym term."""
+    from lucene_solr_spark.analysis.syngraph import parse_synonym_rules
+
+    rules = parse_synonym_rules(["merge join => mergejoin"])
+    text = "a fast merge join wins"
+    stack = fvh_synonym_stack(text, rules)
+    # ring at the 'merge' position holds {merge, mergejoin}
+    pos_terms = {}
+    for t in stack:
+        pos_terms.setdefault(t[1], set()).add(t[0])
+    assert pos_terms[2] == {"merge", "mergejoin"}
+    q = FvhQuery(singles={"mergejoin": 1.0}, phrases=())
+    out = highlight_doc(text, q, 100, max_frags=1, tokens=stack)
+    assert out[0][4] == "a fast <b>merge join</b> wins"
+    # original-path phrase still matches over the same stack
+    q2 = FvhQuery(singles={}, phrases=((("merge", "join"), 1.0),))
+    out = highlight_doc(text, q2, 100, max_frags=1, tokens=stack)
+    assert out[0][4] == "a fast <b>merge join</b> wins"

@@ -8,6 +8,8 @@ ROUND on every transcendental, every computed column aliased the same.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -3358,6 +3360,236 @@ def fn_eval_tests(spark, sf_dir):
 
 
 # --------------------------------------------------- DrillSideways facets
+
+# ---------------- deterministic gaussFit / harmonicFit (closed form)
+
+_GF_SQL = """
+WITH s AS (
+  SELECT CAST(x AS DOUBLE) AS x,
+         5.0 * exp(-(CAST(x AS DOUBLE) - 30.0) * (CAST(x AS DOUBLE) - 30.0)
+                   / 128.0)
+         + 0.01 * CAST((x * 7) % 5 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(10, 51)) AS x)),
+l AS (
+  SELECT x, CAST(round(ln(y), 12) AS DECIMAL(28,12)) AS ly FROM s),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS s0,
+         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(x * x * x AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+         CAST(sum(CAST(x * x * x * x AS DECIMAL(18,6))) AS DOUBLE) AS s4,
+         CAST(sum(ly) AS DOUBLE) AS t0,
+         CAST(sum(CAST(x AS DECIMAL(10,0)) * ly) AS DOUBLE) AS t1,
+         CAST(sum(CAST(x * x AS DECIMAL(10,0)) * ly) AS DOUBLE) AS t2
+  FROM l),
+q AS (
+  SELECT
+    (s0*(s2*s4-s3*s3) - s1*(s1*s4-s2*s3) + s2*(s1*s3-s2*s2)) AS det,
+    (t0*(s2*s4-s3*s3) - s1*(t1*s4-t2*s3) + s2*(t1*s3-t2*s2)) AS detA,
+    (s0*(t1*s4-t2*s3) - t0*(s1*s4-s2*s3) + s2*(s1*t2-s2*t1)) AS detB,
+    (s0*(s2*t2-s3*t1) - s1*(s1*t2-s2*t1) + t0*(s1*s3-s2*s2)) AS detC
+  FROM m),
+fit AS (
+  SELECT detA/det AS A, detB/det AS B, detC/det AS C FROM q)
+SELECT 'gauss' AS curve,
+       round(exp(A - B*B/(4.0*C)), 6) AS p_a,
+       round(-B/(2.0*C), 6) AS p_b,
+       round(sqrt(-1.0/(2.0*C)), 6) AS p_c
+FROM fit"""
+
+
+@gate("fn_eval_gaussfit", _GF_SQL)
+def fn_eval_gaussfit(spark, sf_dir):
+    """gaussFit + GetAmplitude/GetCentre/GetSigma evaluators,
+    DETERMINISTIC variant (reference solr/solrj/.../io/eval/
+    GaussFitEvaluator.java wraps commons-math GaussianCurveFitter's
+    Levenberg-Marquardt with heuristic starts — declared divergence:
+    closed-form log-parabola least squares, ln y = A + Bx + Cx^2 via
+    the 3x3 normal equations, then a = exp(A - B^2/4C), b = -B/2C,
+    sigma = sqrt(-1/2C)).  Moments fold as DECIMAL sums (exact
+    integer powers of x; ln y rounded to 12 dp) so the fit is
+    order-independent and bit-identical across engines; everything is
+    one hash-agg over a range projection — fully parallel."""
+    x = F.col("id").cast("double")
+    s = spark.range(10, 51).select(
+        F.col("id").alias("xi"),
+        x.alias("x"),
+        (
+            5.0 * F.exp(-(x - 30.0) * (x - 30.0) / 128.0)
+            + 0.01 * ((F.col("id") * 7) % 5).cast("double")
+        ).alias("y"),
+    )
+    lv = s.select(
+        "xi",
+        F.round(F.log("y"), 12).cast("decimal(28,12)").alias("ly"),
+    )
+    m = lv.agg(
+        F.count("*").cast("double").alias("s0"),
+        F.sum(F.col("xi").cast("decimal(18,6)")).cast("double")
+        .alias("s1"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(18,6)"))
+        .cast("double").alias("s2"),
+        F.sum((F.col("xi") * F.col("xi") * F.col("xi"))
+              .cast("decimal(18,6)")).cast("double").alias("s3"),
+        F.sum((F.col("xi") * F.col("xi") * F.col("xi") * F.col("xi"))
+              .cast("decimal(18,6)")).cast("double").alias("s4"),
+        F.sum("ly").cast("double").alias("t0"),
+        F.sum(F.col("xi").cast("decimal(10,0)") * F.col("ly"))
+        .cast("double").alias("t1"),
+        F.sum((F.col("xi") * F.col("xi")).cast("decimal(10,0)")
+              * F.col("ly")).cast("double").alias("t2"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = (s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+           + s2 * (s1 * s3 - s2 * s2))
+    detA = (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+            + s2 * (t1 * s3 - t2 * s2))
+    detB = (s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+            + s2 * (s1 * t2 - s2 * t1))
+    detC = (s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)
+            + t0 * (s1 * s3 - s2 * s2))
+    q = m.select(
+        (detA / det).alias("A"),
+        (detB / det).alias("B"),
+        (detC / det).alias("C"),
+    )
+    A, B, C = F.col("A"), F.col("B"), F.col("C")
+    return q.select(
+        F.lit("gauss").alias("curve"),
+        F.round(F.exp(A - B * B / (4.0 * C)), 6).alias("p_a"),
+        F.round(-B / (2.0 * C), 6).alias("p_b"),
+        F.round(F.sqrt(-1.0 / (2.0 * C)), 6).alias("p_c"),
+    )
+
+
+_HF_N = 64
+
+_HF_SQL = f"""
+WITH s AS (
+  SELECT CAST(x AS DOUBLE) AS x, x AS xi,
+         2.5 * sin(0.3 * CAST(x AS DOUBLE) + 0.8)
+         + 0.01 * CAST((x * 11) % 7 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(0, {_HF_N})) AS x)),
+bins AS (SELECT unnest(range(1, {_HF_N} // 2)) AS k),
+pw AS (
+  SELECT k,
+    CAST(sum(CAST(round(y * cos(2 * pi() * k * x / {_HF_N}.0), 12)
+         AS DECIMAL(28,12))) AS DOUBLE) AS cr,
+    CAST(sum(CAST(round(y * sin(2 * pi() * k * x / {_HF_N}.0), 12)
+         AS DECIMAL(28,12))) AS DOUBLE) AS ci
+  FROM s CROSS JOIN bins GROUP BY k),
+top AS (
+  SELECT k FROM pw
+  ORDER BY round(cr*cr + ci*ci, 6) DESC, k ASC LIMIT 1),
+ls AS (
+  SELECT
+    CAST(sum(CAST(round(sin(w*x)*sin(w*x), 12) AS DECIMAL(28,12)))
+      AS DOUBLE) AS ss,
+    CAST(sum(CAST(round(sin(w*x)*cos(w*x), 12) AS DECIMAL(28,12)))
+      AS DOUBLE) AS sc,
+    CAST(sum(CAST(round(cos(w*x)*cos(w*x), 12) AS DECIMAL(28,12)))
+      AS DOUBLE) AS cc,
+    CAST(sum(CAST(round(y*sin(w*x), 12) AS DECIMAL(28,12)))
+      AS DOUBLE) AS ys,
+    CAST(sum(CAST(round(y*cos(w*x), 12) AS DECIMAL(28,12)))
+      AS DOUBLE) AS yc,
+    max(w) AS w
+  FROM (SELECT s.*, 2 * pi() * top.k / {_HF_N}.0 AS w
+        FROM s CROSS JOIN top)),
+fit AS (
+  SELECT w, (ys*cc - yc*sc) / (ss*cc - sc*sc) AS P,
+         (yc*ss - ys*sc) / (ss*cc - sc*sc) AS Q
+  FROM ls)
+SELECT 'harmonic' AS curve,
+       round(sqrt(P*P + Q*Q), 6) AS p_a,
+       round(w, 6) AS p_b,
+       round(atan2(Q, P), 6) AS p_c
+FROM fit"""
+
+
+@gate("fn_eval_harmonicfit", _HF_SQL)
+def fn_eval_harmonicfit(spark, sf_dir):
+    """harmonicFit + GetAmplitude/GetAngularFrequency/GetPhase
+    evaluators, DETERMINISTIC variant (reference solr/solrj/.../io/
+    eval/HarmonicFitEvaluator.java wraps commons-math
+    HarmonicCurveFitter's nonlinear optimizer — declared divergence:
+    the angular frequency comes from the dominant DFT bin over the
+    uniform sample grid, then amplitude/phase from the closed-form
+    2x2 linear least squares on sin(wx), cos(wx):
+    a = hypot(P, Q), phi = atan2(Q, P)).  All trig products fold as
+    12-dp DECIMAL sums (order-independent), bin selection cuts on the
+    6-dp rounded power with k-asc ties; two hash-aggs + a 31-row
+    broadcast — fully parallel."""
+    x = F.col("id").cast("double")
+    s = spark.range(0, _HF_N).select(
+        x.alias("x"),
+        (
+            2.5 * F.sin(0.3 * x + 0.8)
+            + 0.01 * ((F.col("id") * 11) % 7).cast("double")
+        ).alias("y"),
+    )
+    bins = spark.range(1, _HF_N // 2).select(F.col("id").alias("k"))
+    two_pi = 2.0 * math.pi
+    wk = F.lit(two_pi) * F.col("k") / float(_HF_N)
+    pw = (
+        s.crossJoin(F.broadcast(bins))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.round(F.col("y") * F.cos(wk * F.col("x")), 12)
+                .cast("decimal(28,12)")
+            ).cast("double").alias("cr"),
+            F.sum(
+                F.round(F.col("y") * F.sin(wk * F.col("x")), 12)
+                .cast("decimal(28,12)")
+            ).cast("double").alias("ci"),
+        )
+    )
+    top = (
+        pw.orderBy(
+            F.desc(F.round(F.col("cr") * F.col("cr")
+                           + F.col("ci") * F.col("ci"), 6)),
+            F.asc("k"),
+        )
+        .limit(1)
+        .select((F.lit(two_pi) * F.col("k") / float(_HF_N)).alias("w"))
+    )
+    j = s.crossJoin(F.broadcast(top))
+    w, xx, y = F.col("w"), F.col("x"), F.col("y")
+
+    def dsum(expr, name):
+        return F.sum(
+            F.round(expr, 12).cast("decimal(28,12)")
+        ).cast("double").alias(name)
+
+    ls = j.agg(
+        dsum(F.sin(w * xx) * F.sin(w * xx), "ss"),
+        dsum(F.sin(w * xx) * F.cos(w * xx), "sc"),
+        dsum(F.cos(w * xx) * F.cos(w * xx), "cc"),
+        dsum(y * F.sin(w * xx), "ys"),
+        dsum(y * F.cos(w * xx), "yc"),
+        F.max("w").alias("w"),
+    )
+    ss, sc, cc = F.col("ss"), F.col("sc"), F.col("cc")
+    ys, yc = F.col("ys"), F.col("yc")
+    den = ss * cc - sc * sc
+    fit = ls.select(
+        "w",
+        ((ys * cc - yc * sc) / den).alias("P"),
+        ((yc * ss - ys * sc) / den).alias("Q"),
+    )
+    return fit.select(
+        F.lit("harmonic").alias("curve"),
+        F.round(
+            F.sqrt(F.col("P") * F.col("P") + F.col("Q") * F.col("Q")),
+            6,
+        ).alias("p_a"),
+        F.round("w", 6).alias("p_b"),
+        F.round(F.atan2(F.col("Q"), F.col("P")), 6).alias("p_c"),
+    )
+
 
 # ------------------------- seeded deterministic kmeans / monteCarlo
 

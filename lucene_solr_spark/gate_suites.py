@@ -695,6 +695,10 @@ _suite("fn_evaluators", [
     ("anova", "fn_eval_anova",
      ("pair_id",), ("f_ratio", "p_value", "emd")),
     ("kmeans", "fn_eval_kmeans", ("cid", "n"), ("cx", "cy")),
+    ("gaussfit", "fn_eval_gaussfit",
+     ("curve",), ("p_a", "p_b", "p_c")),
+    ("harmonicfit", "fn_eval_harmonicfit",
+     ("curve",), ("p_a", "p_b", "p_c")),
     ("montecarlo", "fn_eval_montecarlo",
      ("stat", "n_in"), ("pi_hat", "integral_hat")),
     ("describe", "fn_eval_describe",

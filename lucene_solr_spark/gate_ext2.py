@@ -3361,6 +3361,121 @@ def fn_eval_tests(spark, sf_dir):
 
 # --------------------------------------------------- DrillSideways facets
 
+# --------------------- deterministic markovChain (seeded generation)
+
+_MC_STATES = 3
+_MC_FIT_N = 256
+_MC_STEPS = 24
+
+
+def _markov_sql() -> str:
+    """Fit CTE (pair counts over the deterministic state sequence →
+    row-normalized probabilities pivoted to one 9-column row) + the
+    generation unrolled one CTE per step, each selecting the next
+    state by the Weyl-stream uniform against the current state's
+    cumulative probabilities."""
+    base = f"""
+WITH seq AS (
+  SELECT i, ((i * 13 + (i * i) % 17) % 7) % {_MC_STATES} AS s
+  FROM (SELECT unnest(range(0, {_MC_FIT_N})) AS i)),
+pairs AS (
+  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+  FROM seq a JOIN seq b ON b.i = a.i + 1 GROUP BY a.s, b.s),
+tot AS (SELECT sa, sum(c) AS t FROM pairs GROUP BY sa),
+mtx AS (SELECT {', '.join(
+    f"max(CASE WHEN p.sa = {a} AND p.sb = {b} THEN "
+    f"CAST(p.c AS DOUBLE) / CAST(t.t AS DOUBLE) ELSE NULL END)"
+    f" AS m{a}{b}"
+    for a in range(_MC_STATES) for b in range(_MC_STATES))}
+  FROM pairs p JOIN tot t ON t.sa = p.sa),
+g0 AS (SELECT 0 AS state FROM mtx)"""
+    ctes = [base]
+    for t in range(1, _MC_STEPS):
+        u = (
+            f"(CAST(({t} * 2654435761) % 4294967296 AS DOUBLE)"
+            f" / 4294967296.0)"
+        )
+        p0 = " ".join(
+            f"WHEN g{t - 1}.state = {a} THEN m{a}0"
+            for a in range(_MC_STATES)
+        )
+        p1 = " ".join(
+            f"WHEN g{t - 1}.state = {a} THEN m{a}0 + m{a}1"
+            for a in range(_MC_STATES)
+        )
+        ctes.append(
+            f""",
+g{t} AS (
+  SELECT CASE WHEN {u} < (CASE {p0} END) THEN 0
+              WHEN {u} < (CASE {p1} END) THEN 1
+              ELSE 2 END AS state
+  FROM g{t - 1} CROSS JOIN mtx)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, g{t}.state FROM g{t}"
+        for t in range(_MC_STEPS)
+    )
+    return (
+        "".join(ctes)
+        + f"\n{sel}\nORDER BY step"
+    )
+
+
+@gate("fn_eval_markovchain", _markov_sql())
+def fn_eval_markovchain(spark, sf_dir):
+    """markovChain + sample evaluators, DETERMINISTIC variant
+    (reference solr/solrj/.../io/eval/MarkovChainEvaluator.java fits a
+    transition matrix and samples states with a wall-clock-seeded RNG
+    — declared divergence: the Weyl-stream uniforms
+    u_t=(t*2654435761 mod 2^32)/2^32, the fn_eval_montecarlo stream).
+    The FIT is distributed (adjacent-pair self-join + two hash-aggs,
+    exact integer counts → double row-normalization); generation pulls
+    the 3x3 matrix to the driver (a bounded k^2-scalar pull — the
+    reference generates driver-side too) and walks 24 steps with
+    cumulative-probability thresholds.  Oracle unrolls the walk as one
+    CTE per step over the pivoted matrix row."""
+    seq = spark.range(0, _MC_FIT_N).select(
+        F.col("id").alias("i"),
+        (((F.col("id") * 13 + (F.col("id") * F.col("id")) % 17) % 7)
+         % _MC_STATES).alias("s"),
+    )
+    nxt = seq.select(
+        (F.col("i") - 1).alias("i"), F.col("s").alias("s2")
+    )
+    pairs = (
+        seq.join(nxt, "i")
+        .groupBy("s", "s2")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    cnt = {}
+    tot = {}
+    for r in pairs:
+        cnt[(int(r["s"]), int(r["s2"]))] = int(r["c"])
+        tot[int(r["s"])] = tot.get(int(r["s"]), 0) + int(r["c"])
+    P = {
+        a: [
+            float(cnt.get((a, b), 0)) / float(tot[a])
+            for b in range(_MC_STATES)
+        ]
+        for a in range(_MC_STATES)
+    }
+    chain = [0]
+    for t in range(1, _MC_STEPS):
+        u = float((t * 2654435761) % 4294967296) / 4294967296.0
+        row = P[chain[-1]]
+        if u < row[0]:
+            chain.append(0)
+        elif u < row[0] + row[1]:
+            chain.append(1)
+        else:
+            chain.append(2)
+    return spark.createDataFrame(
+        [(t, chain[t]) for t in range(_MC_STEPS)],
+        "step long, state int",
+    ).orderBy("step")
+
+
 # ---------------- deterministic gaussFit / harmonicFit (closed form)
 
 _GF_SQL = """

@@ -695,6 +695,7 @@ _suite("fn_evaluators", [
     ("anova", "fn_eval_anova",
      ("pair_id",), ("f_ratio", "p_value", "emd")),
     ("kmeans", "fn_eval_kmeans", ("cid", "n"), ("cx", "cy")),
+    ("markov", "fn_eval_markovchain", ("step",), ("state",)),
     ("gaussfit", "fn_eval_gaussfit",
      ("curve",), ("p_a", "p_b", "p_c")),
     ("harmonicfit", "fn_eval_harmonicfit",

@@ -3863,6 +3863,358 @@ def fn_eval_kmeans(spark, sf_dir):
     )
 
 
+_MKM_RESTARTS = ((1, 2, 3), (4, 5, 6))
+
+
+def _multikmeans_sql() -> str:
+    """Two full unrolled Lloyd chains (one per pinned restart init),
+    each followed by an SSE fold (per-point squared distance to its
+    final centroid, 12-dp DECIMAL sum), a min-SSE winner CASE, and the
+    winner's grouped clusters."""
+    base = f"WITH pts AS ({_km_points_sql()})"
+    parts = [base]
+    for r, init_pids in enumerate(_MKM_RESTARTS):
+        pfx = f"r{r}"
+        parts.append(
+            f",\n{pfx}c0 AS (SELECT "
+            + ", ".join(
+                f"max(CASE WHEN pid = {p} THEN CAST(x AS DOUBLE) END)"
+                f" AS cx{j}, "
+                f"max(CASE WHEN pid = {p} THEN CAST(y AS DOUBLE) END)"
+                f" AS cy{j}"
+                for j, p in enumerate(init_pids)
+            )
+            + " FROM pts)"
+        )
+        prev = f"{pfx}c0"
+        d = [
+            f"(CAST(x AS DOUBLE) - cx{j}) * (CAST(x AS DOUBLE) - cx{j})"
+            f" + (CAST(y AS DOUBLE) - cy{j}) * (CAST(y AS DOUBLE) - cy{j})"
+            for j in range(_KM_K)
+        ]
+        cid = (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} THEN 1 ELSE 2 END"
+        )
+        for i in range(_KM_ITERS):
+            parts.append(
+                f",\n{pfx}a{i} AS (SELECT pid, x, y, {cid} AS cid"
+                f" FROM pts CROSS JOIN {prev})"
+                f",\n{pfx}c{i + 1} AS (SELECT "
+                + ", ".join(
+                    f"round(CAST(sum(CASE WHEN cid = {j} THEN x END)"
+                    f" AS DOUBLE) / sum(CASE WHEN cid = {j} THEN 1 END),"
+                    f" 12) AS cx{j}, "
+                    f"round(CAST(sum(CASE WHEN cid = {j} THEN y END)"
+                    f" AS DOUBLE) / sum(CASE WHEN cid = {j} THEN 1 END),"
+                    f" 12) AS cy{j}"
+                    for j in range(_KM_K)
+                )
+                + f" FROM {pfx}a{i})"
+            )
+            prev = f"{pfx}c{i + 1}"
+        dmin = (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]}"
+            f" THEN {d[0]} WHEN {d[1]} <= {d[2]} THEN {d[1]}"
+            f" ELSE {d[2]} END"
+        )
+        parts.append(
+            f",\n{pfx}af AS (SELECT pid, x, y, {cid} AS cid,"
+            f" {dmin} AS dmin FROM pts CROSS JOIN {prev})"
+            f",\n{pfx}sse AS (SELECT CAST(sum(CAST(round(dmin, 12)"
+            f" AS DECIMAL(28,12))) AS DOUBLE) AS v FROM {pfx}af)"
+            f",\n{pfx}res AS (SELECT {r} AS restart, cid,"
+            f" count(*) AS n,"
+            f" round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS cx,"
+            f" round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS cy"
+            f" FROM {pfx}af GROUP BY cid)"
+        )
+    parts.append(
+        ",\nwin AS (SELECT CASE WHEN r0sse.v <= r1sse.v THEN 0"
+        " ELSE 1 END AS r,"
+        " round(CASE WHEN r0sse.v <= r1sse.v THEN r0sse.v"
+        " ELSE r1sse.v END, 6) AS sse"
+        " FROM r0sse CROSS JOIN r1sse)\n"
+        "SELECT u.restart, u.cid, CAST(u.n AS BIGINT) AS n,"
+        " u.cx, u.cy, win.sse\n"
+        "FROM (SELECT * FROM r0res UNION ALL SELECT * FROM r1res) u"
+        " JOIN win ON u.restart = win.r ORDER BY u.cid"
+    )
+    return "".join(parts)
+
+
+@gate("fn_eval_multikmeans", _multikmeans_sql())
+def fn_eval_multikmeans(spark, sf_dir):
+    """multiKmeans evaluator, DETERMINISTIC variant (reference
+    solr/solrj/.../io/eval/MultiKmeansEvaluator.java runs K
+    random-init trials and keeps the lowest-SSE clustering — declared
+    divergence: two PINNED restart inits, points 1-3 and 4-6, same
+    fixed-round Lloyd as fn_eval_kmeans).  SSE folds per restart as a
+    12-dp DECIMAL sum of each point's squared distance to its final
+    centroid (order-independent, engine-identical); the min-SSE winner
+    is selected by comparing those exact doubles.  Scale shape per
+    restart is the kmeans gate's (bounded k-row driver pulls per
+    round, CASE-argmin Column assignment, hash-agg updates)."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= _KM_N
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37) % 97).cast("decimal(10,4)")
+        .alias("x"),
+        ((F.col("c_custkey") * 53) % 89).cast("decimal(10,4)")
+        .alias("y"),
+    )
+
+    def assign_expr(cs):
+        xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+        d = [
+            (xd - F.lit(cs[j][0])) * (xd - F.lit(cs[j][0]))
+            + (yd - F.lit(cs[j][1])) * (yd - F.lit(cs[j][1]))
+            for j in range(_KM_K)
+        ]
+        cid = F.when((d[0] <= d[1]) & (d[0] <= d[2]), 0).when(
+            d[1] <= d[2], 1
+        ).otherwise(2)
+        dmin = F.when(
+            (d[0] <= d[1]) & (d[0] <= d[2]), d[0]
+        ).when(d[1] <= d[2], d[1]).otherwise(d[2])
+        return cid, dmin
+
+    results = []
+    for r, init_pids in enumerate(_MKM_RESTARTS):
+        init = pts.filter(F.col("pid").isin(list(init_pids))).select(
+            "pid", F.col("x").cast("double"), F.col("y").cast("double")
+        ).collect()
+        by_pid = {row["pid"]: row for row in init}
+        cents = {
+            j: (float(by_pid[p]["x"]), float(by_pid[p]["y"]))
+            for j, p in enumerate(init_pids)
+        }
+        for _ in range(_KM_ITERS):
+            cid, _d = assign_expr(cents)
+            rows = (
+                pts.withColumn("cid", cid)
+                .groupBy("cid")
+                .agg(
+                    F.round(
+                        F.sum("x").cast("double") / F.count("*"), 12
+                    ).alias("cx"),
+                    F.round(
+                        F.sum("y").cast("double") / F.count("*"), 12
+                    ).alias("cy"),
+                )
+                .collect()
+            )
+            cents = {
+                row["cid"]: (float(row["cx"]), float(row["cy"]))
+                for row in rows
+            }
+        cid, dmin = assign_expr(cents)
+        af = pts.withColumn("cid", cid).withColumn("dmin", dmin)
+        sse = af.agg(
+            F.sum(
+                F.round("dmin", 12).cast("decimal(28,12)")
+            ).cast("double").alias("v")
+        ).collect()[0]["v"]
+        res = af.groupBy("cid").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("x").cast("double") / F.count("*"), 6)
+            .alias("cx"),
+            F.round(F.sum("y").cast("double") / F.count("*"), 6)
+            .alias("cy"),
+        )
+        results.append((float(sse), r, res))
+    sse_win, r_win, res_win = min(results, key=lambda t: (t[0], t[1]))
+    return res_win.select(
+        F.lit(r_win).alias("restart"),
+        "cid",
+        "n",
+        "cx",
+        "cy",
+        F.round(F.lit(sse_win), 6).alias("sse"),
+    ).orderBy("cid")
+
+
+_FKM_ITERS = 6
+
+
+def _fuzzykmeans_sql() -> str:
+    """Unrolled fuzzy c-means (m=2): per round, memberships
+    u_j = (1/d_j) / Σ(1/d_k) over squared distances (12-dp rounded,
+    exact-match guard for points sitting ON a centroid), weights
+    w_j = u_j², and centroid updates Σw·x / Σw with 12-dp DECIMAL
+    folds.  Final hard assignment = argmax membership, ties cid-asc."""
+    parts = [f"WITH pts AS ({_km_points_sql()})"]
+    parts.append(
+        ",\nfc0 AS (SELECT "
+        + ", ".join(
+            f"max(CASE WHEN pid = {j + 1} THEN CAST(x AS DOUBLE) END)"
+            f" AS cx{j}, "
+            f"max(CASE WHEN pid = {j + 1} THEN CAST(y AS DOUBLE) END)"
+            f" AS cy{j}"
+            for j in range(_KM_K)
+        )
+        + " FROM pts)"
+    )
+    d = [
+        f"(CAST(x AS DOUBLE) - cx{j}) * (CAST(x AS DOUBLE) - cx{j})"
+        f" + (CAST(y AS DOUBLE) - cy{j}) * (CAST(y AS DOUBLE) - cy{j})"
+        for j in range(_KM_K)
+    ]
+    anyz = " OR ".join(f"{dj} = 0" for dj in d)
+    su = " + ".join(f"1.0 / ({dj})" for dj in d)
+    u = [
+        f"CASE WHEN {d[j]} = 0 THEN 1.0"
+        f" WHEN {anyz} THEN 0.0"
+        f" ELSE round((1.0 / ({d[j]})) / ({su}), 12) END"
+        for j in range(_KM_K)
+    ]
+    prev = "fc0"
+    for i in range(_FKM_ITERS):
+        parts.append(
+            f",\nfu{i} AS (SELECT pid, x, y, "
+            + ", ".join(f"{u[j]} AS u{j}" for j in range(_KM_K))
+            + f" FROM pts CROSS JOIN {prev})"
+            f",\nfc{i + 1} AS (SELECT "
+            + ", ".join(
+                f"round(CAST(sum(CAST(round(u{j} * u{j}"
+                f" * CAST(x AS DOUBLE), 12) AS DECIMAL(28,12)))"
+                f" AS DOUBLE) / CAST(sum(CAST(round(u{j} * u{j}, 12)"
+                f" AS DECIMAL(28,12))) AS DOUBLE), 12) AS cx{j}, "
+                f"round(CAST(sum(CAST(round(u{j} * u{j}"
+                f" * CAST(y AS DOUBLE), 12) AS DECIMAL(28,12)))"
+                f" AS DOUBLE) / CAST(sum(CAST(round(u{j} * u{j}, 12)"
+                f" AS DECIMAL(28,12))) AS DOUBLE), 12) AS cy{j}"
+                for j in range(_KM_K)
+            )
+            + f" FROM fu{i})"
+        )
+        prev = f"fc{i + 1}"
+    parts.append(
+        f",\nfin AS (SELECT pid, "
+        + ", ".join(f"{u[j]} AS u{j}" for j in range(_KM_K))
+        + f" FROM pts CROSS JOIN {prev})"
+        ",\nhard AS (SELECT pid,"
+        " CASE WHEN u0 >= u1 AND u0 >= u2 THEN 0"
+        " WHEN u1 >= u2 THEN 1 ELSE 2 END AS cid FROM fin)"
+        ",\ng AS (SELECT cid, CAST(count(*) AS BIGINT) AS n"
+        " FROM hard GROUP BY cid)\n"
+        "SELECT cid, n,"
+        " round(CASE cid WHEN 0 THEN cx0 WHEN 1 THEN cx1"
+        " ELSE cx2 END, 6) AS cx,"
+        " round(CASE cid WHEN 0 THEN cy0 WHEN 1 THEN cy1"
+        " ELSE cy2 END, 6) AS cy\n"
+        f"FROM g CROSS JOIN {prev} ORDER BY cid"
+    )
+    return "".join(parts)
+
+
+@gate("fn_eval_fuzzykmeans", _fuzzykmeans_sql())
+def fn_eval_fuzzykmeans(spark, sf_dir):
+    """fuzzyKmeans evaluator, DETERMINISTIC variant (reference
+    solr/solrj/.../io/eval/FuzzyKmeansEvaluator.java wraps
+    commons-math FuzzyKMeansClusterer with random init — declared
+    divergence: pinned init = points 1..k, fuzziness m=2 over squared
+    distances, 6 fixed rounds instead of convergence).  Memberships
+    round to 12 dp and the weighted centroid updates fold as 12-dp
+    DECIMAL sums, so every iteration is bit-identical across engines;
+    output = final centroids + hard (argmax-membership) counts.
+    Same scale shape as the kmeans gates: per round the k centroids
+    are a bounded driver pull, memberships are pure Column arithmetic
+    over the scan, updates one hash-agg."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= _KM_N
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37) % 97).cast("decimal(10,4)")
+        .alias("x"),
+        ((F.col("c_custkey") * 53) % 89).cast("decimal(10,4)")
+        .alias("y"),
+    )
+    init = pts.filter(F.col("pid") <= _KM_K).select(
+        "pid", F.col("x").cast("double"), F.col("y").cast("double")
+    ).collect()
+    cents = {
+        r["pid"] - 1: (float(r["x"]), float(r["y"])) for r in init
+    }
+
+    def u_exprs(cs):
+        xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+        d = [
+            (xd - F.lit(cs[j][0])) * (xd - F.lit(cs[j][0]))
+            + (yd - F.lit(cs[j][1])) * (yd - F.lit(cs[j][1]))
+            for j in range(_KM_K)
+        ]
+        anyz = (d[0] == 0) | (d[1] == 0) | (d[2] == 0)
+        su = 1.0 / d[0] + 1.0 / d[1] + 1.0 / d[2]
+        return [
+            F.when(d[j] == 0, 1.0)
+            .when(anyz, 0.0)
+            .otherwise(F.round((1.0 / d[j]) / su, 12))
+            for j in range(_KM_K)
+        ]
+
+    for _ in range(_FKM_ITERS):
+        u = u_exprs(cents)
+        aggs = []
+        for j in range(_KM_K):
+            w = u[j] * u[j]
+            aggs.append(
+                F.round(
+                    F.sum(
+                        F.round(w * F.col("x").cast("double"), 12)
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.sum(
+                        F.round(w, 12).cast("decimal(28,12)")
+                    ).cast("double"),
+                    12,
+                ).alias(f"cx{j}")
+            )
+            aggs.append(
+                F.round(
+                    F.sum(
+                        F.round(w * F.col("y").cast("double"), 12)
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.sum(
+                        F.round(w, 12).cast("decimal(28,12)")
+                    ).cast("double"),
+                    12,
+                ).alias(f"cy{j}")
+            )
+        row = pts.agg(*aggs).collect()[0]
+        cents = {
+            j: (float(row[f"cx{j}"]), float(row[f"cy{j}"]))
+            for j in range(_KM_K)
+        }
+    u = u_exprs(cents)
+    cid = F.when((u[0] >= u[1]) & (u[0] >= u[2]), 0).when(
+        u[1] >= u[2], 1
+    ).otherwise(2)
+    hard = pts.withColumn("cid", cid)
+    # display rounding happens IN-ENGINE (F.round = HALF_UP like the
+    # oracle's round(); Python round() is banker's-on-binary)
+    cx = F.when(
+        F.col("cid") == 0, F.round(F.lit(cents[0][0]), 6)
+    ).when(
+        F.col("cid") == 1, F.round(F.lit(cents[1][0]), 6)
+    ).otherwise(F.round(F.lit(cents[2][0]), 6))
+    cy = F.when(
+        F.col("cid") == 0, F.round(F.lit(cents[0][1]), 6)
+    ).when(
+        F.col("cid") == 1, F.round(F.lit(cents[1][1]), 6)
+    ).otherwise(F.round(F.lit(cents[2][1]), 6))
+    return (
+        hard.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select("cid", "n", cx.alias("cx"), cy.alias("cy"))
+        .orderBy("cid")
+    )
+
+
 _MC_N = 10000
 
 _MC_SQL = f"""

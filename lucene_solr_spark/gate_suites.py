@@ -696,6 +696,10 @@ _suite("fn_evaluators", [
      ("pair_id",), ("f_ratio", "p_value", "emd")),
     ("kmeans", "fn_eval_kmeans", ("cid", "n"), ("cx", "cy")),
     ("markov", "fn_eval_markovchain", ("step",), ("state",)),
+    ("multikmeans", "fn_eval_multikmeans",
+     ("restart", "cid"), ("n", "cx", "cy", "sse")),
+    ("fuzzykmeans", "fn_eval_fuzzykmeans",
+     ("cid",), ("n", "cx", "cy")),
     ("gaussfit", "fn_eval_gaussfit",
      ("curve",), ("p_a", "p_b", "p_c")),
     ("harmonicfit", "fn_eval_harmonicfit",

@@ -788,7 +788,8 @@ _join_suite(
     ["td_lang_id", "td_quality_score", "td_token_count", "td_fingerprint",
      "td_redaction", "td_cjk_tokens", "td_zh_tokens", "td_ngram_ppl",
      "td_seq_packing", "td_gopher_repetition", "td_gopher_quality",
-     "td_c4_lines", "td_url_dedup", "td_importance"],
+     "td_c4_lines", "td_url_dedup", "td_importance",
+     "td_decontamination"],
     "doc_id",
 )
 

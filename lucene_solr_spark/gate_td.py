@@ -1567,3 +1567,68 @@ def td_importance(spark, sf_dir):
     return importance_weights(
         docs, F.col("doc_id") % 5 == 0
     ).orderBy("doc_id")
+
+
+# ------------------------- benchmark decontamination (n-gram overlap)
+
+_DECON_K = 5
+_DECON_MOD = 97
+_DECON_RES = 3
+
+_DECON_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                + 1)) AS pos
+  FROM documents),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term
+         || ' ' || e.term AS s
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  JOIN toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_MOD} = {_DECON_RES}),
+tot AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hit AS (SELECT sh.doc_id, count(*) AS h
+        FROM sh JOIN bench ON bench.s = sh.s GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(hit.h, 0) AS BIGINT) AS n_contam,
+       CASE WHEN coalesce(tot.n, 0) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(hit.h, 0) AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE), 6) END AS contam_frac,
+       CASE WHEN coalesce(tot.n, 0) > 0
+                 AND round(CAST(coalesce(hit.h, 0) AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE), 6) >= 0.2
+            THEN 1 ELSE 0 END AS is_contaminated
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN hit ON hit.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+@gate("td_decontamination", _DECON_SQL)
+def td_decontamination(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the GPT-3/Llama eval-set hygiene
+    stage the LLM-pipeline inventory previously lacked: per train doc,
+    the fraction of its distinct 5-gram shingles appearing anywhere in
+    the benchmark corpus (here the deterministic doc_id % 97 == 3
+    slice plays the eval set), flagged at 0.2.  Scale shape: the
+    benchmark shingle set broadcasts (eval suites are tiny vs 100 TB),
+    so the plan is a narrow shingle map + broadcast semi-join + one
+    per-doc hash-agg — no all-pairs, no corpus-wide shuffle beyond the
+    aggregation (operators/dedup.py benchmark_contamination)."""
+    from .operators.dedup import benchmark_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(
+        F.col("doc_id") % _DECON_MOD == _DECON_RES
+    )
+    return benchmark_contamination(
+        docs, bench, k=_DECON_K
+    ).orderBy("doc_id")

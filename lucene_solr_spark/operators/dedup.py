@@ -455,3 +455,69 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical")
     ).join(sizes, "canonical").select("doc_id", "canonical", "cluster_size")
+
+
+def benchmark_contamination(
+    df: DataFrame,
+    bench_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Eval-set DECONTAMINATION (the GPT-3/Llama training-data hygiene
+    stage): per document, the count and fraction of its distinct
+    k-token shingles that appear anywhere in the benchmark corpus,
+    plus a contamination flag at ``flag_threshold``.
+
+    Scale shape: the benchmark side (eval suites) is tiny relative to
+    a 100 TB train corpus — its distinct-shingle set BROADCASTS, so
+    the whole operator is a narrow map + broadcast semi-join + one
+    hash-agg per doc; no all-pairs, no corpus shuffle beyond the
+    per-doc aggregation. Every input doc appears in the output
+    (sub-k-token docs report 0 shingles, fraction 0)."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(tokens_col(text_col), k)).alias("sh"),
+        )
+        .dropDuplicates([id_col, "sh"])
+    )
+    bench = (
+        bench_df.select(
+            F.explode(shingles(tokens_col(text_col), k)).alias("sh")
+        )
+        .distinct()
+    )
+    tot = sh.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    hit = (
+        sh.join(F.broadcast(bench), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contam"))
+    )
+    base = df.select(id_col)
+    out = (
+        base.join(tot, id_col, "left")
+        .join(hit, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long")
+            .alias("n_ngrams"),
+            F.coalesce("n_contam", F.lit(0)).cast("long")
+            .alias("n_contam"),
+        )
+    )
+    frac = F.when(F.col("n_ngrams") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("n_contam").cast("double")
+            / F.col("n_ngrams").cast("double"),
+            6,
+        )
+    )
+    return out.select(
+        id_col,
+        "n_ngrams",
+        "n_contam",
+        frac.alias("contam_frac"),
+        (frac >= flag_threshold).cast("int").alias("is_contaminated"),
+    )

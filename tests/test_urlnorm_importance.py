@@ -89,3 +89,28 @@ def test_importance_all_docs_present(spark):
     assert {r["doc_id"] for r in out} == {0, 1}
     empty = [r for r in out if r["doc_id"] == 1][0]
     assert empty["n_toks"] == 0 and empty["log_importance"] == 0.0
+
+
+def test_benchmark_contamination(spark):
+    from lucene_solr_spark.operators.dedup import benchmark_contamination
+
+    rows = [
+        (0, "a b c d e f g"),          # shares the bench doc's prefix
+        (1, "x y z w v u t"),          # disjoint
+        (2, "a b c d e"),              # exactly one shingle, contaminated
+        (3, "short doc"),              # < 5 tokens -> 0 shingles
+        (4, "a b c d e f g h i"),      # the "benchmark" doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 4")
+    out = {
+        r["doc_id"]: r
+        for r in benchmark_contamination(df, bench).collect()
+    }
+    assert out[4]["contam_frac"] == 1.0  # self-overlap
+    assert out[3]["n_ngrams"] == 0 and out[3]["contam_frac"] == 0.0
+    assert out[1]["n_contam"] == 0
+    assert out[2]["n_ngrams"] == 1 and out[2]["n_contam"] == 1
+    assert out[0]["n_contam"] == 3  # 'a b c d e','b c d e f','c d e f g'
+    assert out[0]["is_contaminated"] == 1
+    assert len(out) == 5
